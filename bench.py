@@ -1,0 +1,77 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {...}, "sf": ...}. Mirrors the reference's interpreted benchmark
+runner contract (reference: benchmark/benchmark_runner.cpp — name,run,timing)
+in spirit: wall-clock per named query, plus suite total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_disjunctive_predicates",
+    "agg_rollup",
+    "window_ranks",
+    "join_asof_purchase",
+    "dedup_minhash_pairs",
+    "sim_topk_bruteforce",
+    "text_quality_scores",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    os.environ.setdefault("SPARK_GRAFT_CPUS", cpus)
+
+    from duckdb_parachute_spark import get_session
+    from duckdb_parachute_spark.workload import load_all
+
+    spark = get_session(app_name="parachute-bench", master=f"local[{cpus}]")
+    qs = load_all()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in qs if n not in HEADLINE and os.environ.get("BENCH_ALL") == "1"
+    ]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = qs[name].fn
+        # warm the input listing/page cache once per query via a cheap plan build
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()  # full execution; driver-side materialization not needed
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Catalog: bind the driver's parquet testdata (and user files) as DataFrames.
+
+Reference analogue: DuckDB's catalog + replacement scans
+(src/catalog/, src/include/duckdb/main/config.hpp:306) — tables resolve by
+name to columnar storage. Here a table name resolves to a parquet file (or
+directory) under a scale-factor dir; Spark's parquet source provides pushed
+filters, column pruning and row-group stats skipping out of the box
+(the reference implements the same ideas in
+src/execution/operator/scan/physical_table_scan.cpp and
+src/storage/table/column_data.cpp:386 zonemaps).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_parachute_spark.session import apply_runtime_conf
+
+#: Tables shipped by the verification driver (TESTDATA.md).
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        # TIMESTAMP(NANOS) columns make vanilla readers throw
+        # PARQUET_TYPE_ILLEGAL; retry with the nanos-as-long escape hatch
+        # (normally pre-set by session.py, but the session may be external).
+        apply_runtime_conf(spark)
+        return spark.read.parquet(path)
+
+
+def _ns_long_to_ntz(col):
+    # Integer nanoseconds since epoch -> TIMESTAMP_NTZ, timezone-free by
+    # construction (no session-zone dependency): epoch + micros.
+    return F.expr(
+        f"timestampadd(MICROSECOND, {col} div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table; normalizes nanosecond timestamps to NTZ."""
+    apply_runtime_conf(spark)
+    df = _read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+    for field, dtype in df.dtypes:
+        if name == "events" and field == "ts" and dtype == "bigint":
+            df = df.withColumn("ts", _ns_long_to_ntz("ts"))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+class Catalog:
+    """Name -> DataFrame resolver over a scale-factor directory.
+
+    Mirrors the reference's schema-qualified catalog lookups plus its
+    replacement-scan convenience (auto-binding client dataframes by name,
+    reference: tools/pythonpkg/src/python_replacement_scan.cpp): `register`
+    makes any DataFrame or pandas object addressable by name for SQL.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            self._cache[name] = load_table(self.spark, self.sf_dir, name)
+        return self._cache[name]
+
+    def register(self, name: str, obj) -> DataFrame:
+        if not isinstance(obj, DataFrame):
+            obj = self.spark.createDataFrame(obj)
+        self._cache[name] = obj
+        return obj
+
+    def register_temp_views(self, prefix: str = "") -> None:
+        """Expose all tables as temp views for spark.sql() entry points."""
+        for name in TABLES:
+            self.table(name).createOrReplaceTempView(prefix + name)
+
+    def sql(self, text: str) -> DataFrame:
+        """SQL entry point over the registered tables (SURVEY §3.1)."""
+        self.register_temp_views()
+        return self.spark.sql(text)

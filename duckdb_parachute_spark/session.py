@@ -1,0 +1,105 @@
+"""Session factory with scale-oriented defaults.
+
+The reference engine (DuckDB) gets its parallelism from shared-memory
+morsel-driven pipelines (reference: src/parallel/executor.cpp:387,
+src/parallel/task_scheduler.cpp:283). The Spark analogue is tasks over file
+splits plus shuffles at exchange boundaries, so the session defaults below
+focus on what DuckDB gets for free and Spark gates behind configs:
+
+- AQE (runtime re-planning ≈ DuckDB's adaptive build/probe side choice,
+  reference: src/optimizer/build_probe_side_optimizer.cpp),
+- CBO + join reorder (≈ DuckDB's DP join ordering, reference:
+  src/optimizer/join_order/plan_enumerator.cpp:318),
+- runtime bloom filters + dynamic partition pruning (≈ DuckDB's
+  join-filter pushdown, reference:
+  src/optimizer/join_filter_pushdown_optimizer.cpp:149),
+- ANSI mode (≈ DuckDB's overflow-checked arithmetic, reference:
+  src/common/operator/add.cpp-style checked ops),
+- UTC session timezone + NTZ parquet timestamps for deterministic
+  timestamp semantics matching the reference's naive TIMESTAMP.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Dynamic (runtime-settable) confs that query code may rely on. Applied both
+#: at session build time and defensively by `apply_runtime_conf` when we are
+#: handed an externally created session (e.g. the verification driver's).
+RUNTIME_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.cbo.enabled": "true",
+    "spark.sql.cbo.joinReorder.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.dynamicPartitionPruning.enabled": "true",
+    # The driver testdata's events table stores TIMESTAMP(NANOS) which the
+    # vanilla Spark parquet reader rejects; read as long + convert (catalog.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Naive parquet timestamps -> TIMESTAMP_NTZ: timezone-free semantics that
+    # match the reference's TIMESTAMP type exactly.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # 100 TB posture: partial aggregation pushed into the scan where possible.
+    "spark.sql.parquet.aggregatePushdown": "true",
+}
+
+
+def default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus and cpus.isdigit():
+        return int(cpus)
+    return os.cpu_count() or 8
+
+
+def get_session(
+    app_name: str = "duckdb-parachute-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (falling back to
+    ``local[*]``); on a real cluster callers pass their own master/deploy
+    config and only the SQL-level confs here matter.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    nshuffle = shuffle_partitions or default_parallelism()
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    static_conf = {
+        "spark.sql.shuffle.partitions": str(nshuffle),
+        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.ui.enabled": "false",
+        # At 100 TB: 128 MB splits keep task counts sane; local runs are
+        # unaffected (files are small).
+        "spark.sql.files.maxPartitionBytes": "134217728",
+    }
+    for k, v in {**static_conf, **RUNTIME_CONF, **(extra_conf or {})}.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    apply_runtime_conf(spark)
+    return spark
+
+
+def apply_runtime_conf(spark: SparkSession) -> SparkSession:
+    """Best-effort apply dynamic confs to an existing session.
+
+    Used when an external harness hands us its own SparkSession: every conf in
+    RUNTIME_CONF is runtime-settable in Spark 4.x, but we tolerate failures so
+    a locked-down session still works for most queries.
+    """
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
