@@ -1,0 +1,145 @@
+"""Deduplication for training-data pipelines (extension goal, SURVEY M5).
+
+Exact dedup, MinHash+LSH near-dup, SimHash, n-gram Jaccard, embedding-cosine
+near-dup. No reference counterpart (DuckDB has none of these as operators) —
+designed Spark-first for the 100 TB case:
+
+- signatures/bands are Catalyst higher-order expressions (JVM, codegen) — the
+  full corpus is never pulled through Python;
+- candidate generation is an equi-join on band hashes (shuffle on band key),
+  NOT an O(n²) cross join;
+- verification (exact Jaccard / cosine) runs only on candidate pairs.
+
+MinHash permutations use md5(seed || shingle) so signatures are reproducible
+across engines (the SQL oracle computes the identical signature in DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from duckdb_parachute_spark.functions.textfns import ngram_shingles, word_shingles
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Exact dedup = hash-groupBy on the chosen columns (one shuffle)."""
+    return df.dropDuplicates(cols)
+
+
+def minhash_signature(text: Column, num_perm: int = 12, shingle_k: int = 3) -> Column:
+    """MinHash signature: array of num_perm minima of md5(i || shingle).
+
+    String-min over hex md5 is a valid uniform hash ordering and is identical
+    in any engine with md5 — the cross-engine-stable choice (xxhash64 would be
+    faster but is Spark-specific)."""
+    sh = word_shingles(text, shingle_k)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s)))),
+    )
+
+
+def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH banding: hash each band (contiguous signature slice) to one key."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.concat_ws(
+            "#", b.cast("string"), F.md5(F.concat_ws("|", F.slice(signature, b * rows_per_band + 1, rows_per_band)))
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 12,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id1 < id2) via MinHash + LSH banding.
+
+    Scale shape: explode bands (|docs|·bands rows) → shuffle on band key →
+    within-bucket self-join. Hot buckets (boilerplate text) are the skew risk;
+    AQE skew-join handles moderate cases, and callers can raise `bands`/
+    `num_perm` to sharpen buckets."""
+    rows_per_band = num_perm // bands
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        band_keys(minhash_signature(F.col(text_col), num_perm, shingle_k), bands, rows_per_band).alias("__bands"),
+    )
+    exploded = sig.select("__id", F.explode("__bands").alias("__band"))
+    a = exploded.select(F.col("__id").alias("id1"), "__band")
+    b = exploded.select(F.col("__id").alias("id2"), "__band")
+    return (
+        a.join(b, "__band")
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
+def simhash64(text: Column, shingle_k: int = 2) -> Column:
+    """64-bit SimHash over word-shingle xxhash64 values.
+
+    For each bit position: majority vote of shingle-hash bits (+1/-1),
+    folded back into one BIGINT. Pure Catalyst expressions; xxhash64 is
+    Spark-native (no SQL oracle — driver records rows-only)."""
+    sh = word_shingles(text, shingle_k)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+
+    def bit(i: int):
+        # shiftrightunsigned requires a literal int shift — unroll the 64
+        # positions in Python; Catalyst folds them into one projection.
+        vote = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+        return F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    return F.aggregate(
+        F.array(*[bit(i) for i in range(64)]),
+        F.lit(0).cast("long"),
+        # shiftleft|or, not acc*2+b: setting bit 63 must wrap, not raise
+        # under ANSI overflow checking.
+        lambda acc, b: F.shiftleft(acc, 1).bitwiseOR(b),
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit simhashes (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def ngram_jaccard(a: Column, b: Column, n: int = 3) -> Column:
+    """Character n-gram Jaccard similarity of two strings (set semantics)."""
+    sa = F.array_distinct(ngram_shingles(a, n))
+    sb = F.array_distinct(ngram_shingles(b, n))
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = (F.size(sa) + F.size(sb)).cast("double") - inter
+    return inter / F.greatest(union, F.lit(1.0))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float, bucket_col: str | None = None
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs above `threshold`.
+
+    With `bucket_col` (e.g. an LSH bucket or label) the self-join is
+    per-bucket — the scale path. Without it this is brute force (small inputs
+    only)."""
+    from duckdb_parachute_spark.functions.vector import array_cosine_similarity
+
+    keys = [bucket_col] if bucket_col else []
+    a = df.select(*keys, F.col(id_col).alias("id1"), F.col(vec_col).alias("__v1"))
+    b = df.select(*keys, F.col(id_col).alias("id2"), F.col(vec_col).alias("__v2"))
+    joined = a.join(b, keys) if keys else a.crossJoin(b)
+    sim = array_cosine_similarity(F.col("__v1"), F.col("__v2"))
+    return (
+        joined.where(F.col("id1") < F.col("id2"))
+        .withColumn("cosine", sim)
+        .where(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )

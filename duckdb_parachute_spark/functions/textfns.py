@@ -1,0 +1,68 @@
+"""Text-analysis primitives for training-data pipelines (extension goal,
+SURVEY M5): token counting, quality ratios, shingling — all Catalyst
+higher-order expressions, JVM-side, no Python in the hot path."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the language-ID heuristic. Chosen to
+#: be expressible identically in the SQL oracle.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "los", "que", "de"],
+}
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (extension goal: token counting)."""
+    return F.size(tokens(text))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / total chars (quality scoring)."""
+    n = F.length(text)
+    punct = n - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return punct.cast("double") / F.greatest(n, F.lit(1))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Stopword tokens / total tokens for a language's stopword list."""
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang])))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1))
+
+
+def word_shingles(text: Column, k: int) -> Column:
+    """k-word shingles: array of space-joined k-grams over the token stream.
+    transform(sequence(...)) keeps this a single codegen'd expression."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+
+
+def ngram_shingles(text: Column, n: int) -> Column:
+    """Character n-grams of a string (dedup shingling at char granularity)."""
+    ln = F.length(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(ln - (n - 1), F.lit(1))),
+        lambda i: text.substr(i, F.lit(n)),
+    )
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text
+    (extension goal: document fingerprinting). md5 on both engines yields the
+    same lowercase hex, so it is oracle-safe."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(normalized)

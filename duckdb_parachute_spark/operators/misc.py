@@ -1,0 +1,74 @@
+"""Small composite operators: DISTINCT ON, QUALIFY, positional join, top-N,
+LIMIT PERCENT, deterministic sampling (SURVEY §2.3/§2.6 rewrites)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def distinct_on(df: DataFrame, keys: list[str], order_by: list[Column]) -> DataFrame:
+    """DISTINCT ON (keys) ... ORDER BY — keep the first row per key group.
+
+    Reference: DISTINCT ON planned as hash aggregate
+    (src/execution/physical_plan/plan_distinct.cpp:88). Spark rewrite:
+    row_number over (partition by keys order by order_by) = 1 — one shuffle on
+    the keys, no materialized aggregate state for wide payloads."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def qualify(df: DataFrame, predicate: Column) -> DataFrame:
+    """QUALIFY clause (reference bind_select_node.cpp:525): filter on a window
+    expression — Spark lacks the clause; evaluating the window then filtering
+    is the exact rewrite the reference binder performs."""
+    return df.withColumn("__q", predicate).where(F.col("__q")).drop("__q")
+
+
+def positional_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_order: list[Column] | None = None,
+    right_order: list[Column] | None = None,
+) -> DataFrame:
+    """POSITIONAL JOIN (reference physical_positional_join.cpp): align two
+    relations row-by-row.
+
+    Spark has no inherent row order, so callers supply explicit orderings
+    (matching the reference's insertion-order semantics requires the inputs to
+    BE ordered); rows pair by 1-based position, outer-padding the shorter side
+    with NULLs like the reference does."""
+    lw = Window.orderBy(*(left_order or [F.monotonically_increasing_id()]))
+    rw = Window.orderBy(*(right_order or [F.monotonically_increasing_id()]))
+    lt = left.withColumn("__pos", F.row_number().over(lw))
+    rt = right.withColumn("__pos", F.row_number().over(rw))
+    return lt.join(rt, "__pos", "full_outer").drop("__pos")
+
+
+def top_n(df: DataFrame, order_by: list[Column], n: int) -> DataFrame:
+    """ORDER BY + LIMIT n → Catalyst plans TakeOrderedAndProject (the same
+    rewrite the reference's topn_optimizer.cpp:17 performs)."""
+    return df.orderBy(*order_by).limit(n)
+
+
+def limit_percent(df: DataFrame, pct: float, order_by: list[Column] | None = None) -> DataFrame:
+    """LIMIT n% (reference physical_limit_percent.cpp) — two-phase:
+    count then limit(ceil(count*pct))."""
+    n = df.count()
+    k = int(-(-n * pct // 100))  # ceil
+    if order_by:
+        df = df.orderBy(*order_by)
+    return df.limit(k)
+
+
+def sample_deterministic(df: DataFrame, key: Column, fraction_denominator: int) -> DataFrame:
+    """Deterministic 1/denominator 'sample' by hashing a key — the
+    reproducible analogue of SAMPLE/TABLESAMPLE (reference
+    physical_reservoir_sample.cpp uses seeded RNG; cross-engine hash-matching
+    requires a key-derived filter instead). For statistical sampling use
+    df.sample(fraction, seed) — Spark-native Bernoulli."""
+    return df.where(F.pmod(F.xxhash64(key), F.lit(fraction_denominator)) == 0)

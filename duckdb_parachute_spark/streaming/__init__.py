@@ -1,0 +1,101 @@
+"""Structured Streaming surface (SURVEY §2.10 — additive scope).
+
+The reference is batch-only ("streaming" there means pipelined execution,
+e.g. physical_streaming_limit.cpp — not event-time streaming). This module is
+the net-new streaming capability over the driver's `events` table shape:
+tumbling/sliding/session windows with watermarks, stateful dedup.
+
+All builders take/return streaming DataFrames; tests drive them with a
+file-source stream over events.parquet and Trigger.AvailableNow so results are
+deterministic and bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema: str = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string",
+) -> DataFrame:
+    """File-source stream over the events parquet layout.
+
+    The driver data stores ts as TIMESTAMP(NANOS); streaming reads use the
+    same nanos-as-long escape as the batch catalog and rebuild TIMESTAMP.
+
+    File-source streams require a *directory*; a path to a single parquet
+    file is split into (dir, pathGlobFilter) so both spellings work."""
+    reader = spark.readStream.schema(schema)
+    if path.endswith(".parquet") and "/" in path:
+        base, _, fname = path.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        path = base
+    raw = reader.parquet(path)
+    return raw.withColumn(
+        "ts",
+        F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP '1970-01-01 00:00:00')"),
+    )
+
+
+def windowed_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling/sliding event-time window aggregate with a watermark.
+
+    Watermark bounds state: late rows beyond it are dropped — this is the
+    correctness/cost dial Structured Streaming adds over the reference."""
+    w = F.window("ts", window_duration, slide) if slide else F.window("ts", window_duration)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w, "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def sessionized(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user (gap-based) — no reference counterpart."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("session_value"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup with bounded state (dropDuplicatesWithinWatermark)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_available_now(stream_df: DataFrame, query_name: str = "parachute_stream") -> list:
+    """Execute a streaming plan over all currently-available input
+    (Trigger.AvailableNow) into an in-memory sink; returns collected rows.
+    Deterministic: processes the full backlog then stops."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete" if stream_df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}").collect()

@@ -1,1 +1,377 @@
-"""Placeholder — populated in this round."""
+"""Aggregation operator coverage (SURVEY §2.4).
+
+Reference: PhysicalHashAggregate/PhysicalUngroupedAggregate
+(src/execution/operator/aggregate/physical_hash_aggregate.cpp,
+physical_ungrouped_aggregate.cpp), grouping sets binder
+(src/planner/binder/query_node/bind_select_node.cpp:515,632-644),
+distinct aggregates (distinct_aggregate_data.cpp), sorted aggregates
+(src/function/aggregate/sorted_aggregate_function.cpp), function manifests
+under extension/core_functions/aggregate/*/functions.json.
+
+Spark-first shapes: groupBy/rollup/cube + agg — Catalyst plans partial/final
+hash aggregation with map-side combine automatically, which is the
+shuffle-minimal strategy at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from duckdb_parachute_spark.catalog import load_table
+from duckdb_parachute_spark.workload import query
+
+
+def _dec(col, p=12, s=2):
+    return F.col(col).cast(f"decimal({p},{s})")
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_rf,
+           CAST(grouping(l_linestatus) AS INT) AS g_ls,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    """ROLLUP with GROUPING() ids (reference bind_select_node.cpp:632 grouping
+    sets expansion; executed as multi-set hash agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+            F.sum(_dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "sum_qty", "n")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT c_mktsegment, n_name, count(*) AS n,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY CUBE (c_mktsegment, n_name)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    """CUBE over a broadcast dim join."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .cube("c_mktsegment", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("c_acctbal")).cast("decimal(18,2)").alias("bal"),
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (SQL path — SURVEY §3.1 pass-through entry)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "agg_distinct_multi",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT l_partkey) AS n_part,
+           count(DISTINCT l_orderkey) AS n_ord,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_multi(spark, sf_dir):
+    """Multiple DISTINCT aggregates in one query (reference
+    distinct_aggregate_data.cpp; Spark plans Expand + two-stage agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.countDistinct("l_orderkey").alias("n_ord"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_filter_clause",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DECIMAL(18,2)) AS urgent_total,
+           count(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_filter_clause(spark, sf_dir):
+    """FILTER (WHERE …) on aggregates (SURVEY §2.4; test/sql/aggregate/)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.when(F.col("o_totalprice") > 100000, 1)).alias("n_big"),
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", _dec("o_totalprice")))
+        .cast("decimal(18,2)")
+        .alias("urgent_total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_stats_family",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(stddev_pop(l_quantity), 6) AS sdp_qty,
+           round(var_samp(l_discount), 6) AS var_disc,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qe,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qe,
+           round(covar_pop(l_quantity, l_extendedprice), 4) AS covp_qe
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats_family(spark, sf_dir):
+    """Algebraic aggregate family (reference
+    extension/core_functions/aggregate/algebraic/functions.json): stddev/var/
+    corr/covar — all Spark natives; rounded to absorb fp noise."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.stddev_pop("l_quantity"), 6).alias("sdp_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qe"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qe"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covp_qe"),
+    )
+
+
+@query(
+    "agg_minmax_by",
+    oracle="""
+    SELECT o_orderpriority,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           arg_max(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT)*10000000000 + o_orderkey) AS key_of_max,
+           arg_min(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT)*10000000000 + o_orderkey) AS key_of_min
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_minmax_by(spark, sf_dir):
+    """arg_min/arg_max (reference distributive/functions.json) → min_by/max_by.
+
+    Price ties would make arg_max nondeterministic in both engines, so the
+    ordering value packs (price_cents, orderkey) into one bigint — exact
+    integer math, unique per row, identical on both sides."""
+    o = load_table(spark, sf_dir, "orders")
+    rankval = (
+        F.round(F.col("o_totalprice") * 100).cast("bigint") * F.lit(10000000000).cast("bigint")
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.max_by("o_orderkey", rankval).alias("key_of_max"),
+        F.min_by("o_orderkey", rankval).alias("key_of_min"),
+    )
+
+
+@query(
+    "agg_string_agg_ordered",
+    oracle="""
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def agg_string_agg_ordered(spark, sf_dir):
+    """string_agg(x, sep ORDER BY x) (reference sorted_aggregate_function.cpp)
+    → Spark rewrite: array_sort(collect_list) + concat_ws (SURVEY §2.4)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"))
+    )
+
+
+@query(
+    "agg_list_collect",
+    oracle="""
+    SELECT n_regionkey, list_sort(list(n_name)) AS names,
+           CAST(count(*) AS BIGINT) AS n
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_list_collect(spark, sf_dir):
+    """list() aggregate (reference nested/functions.json) → collect_list;
+    sorted for deterministic comparison."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_sort(F.collect_list("n_name")).alias("names"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_median_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           round(median(o_totalprice), 4) AS med,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.90), 4) AS p90,
+           round(quantile_disc(o_totalprice, 0.5), 2) AS med_disc
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_median_percentiles(spark, sf_dir):
+    """Holistic aggregates (reference holistic/functions.json): median /
+    quantile_cont/disc → Spark median / percentile / percentile(…, disc-style
+    via array indexing is unnecessary: percentile_disc does not exist, but
+    DuckDB quantile_disc = lower-interpolation percentile; Spark 3.5+ has
+    percentile with exact interpolation and mode 'DISC' via expr)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.median("o_totalprice"), 4).alias("med"),
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.90)"), 4).alias("p90"),
+        F.round(F.expr("percentile_approx(o_totalprice, 0.5, 2147483647)"), 2).alias("med_disc"),
+    )
+
+
+@query(
+    "agg_bool_bit",
+    oracle="""
+    SELECT l_linestatus,
+           bool_and(l_quantity > 0) AS all_pos,
+           bool_or(l_discount > 0.09) AS any_big_disc,
+           CAST(bit_and(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS band,
+           CAST(bit_or(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS bor,
+           CAST(bit_xor(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS bxor,
+           CAST(count_if(l_returnflag = 'R') AS BIGINT) AS n_returned
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_bool_bit(spark, sf_dir):
+    """bool_and/bool_or/bit_and/bit_or/bit_xor/count_if (reference
+    distributive/functions.json) — all Spark natives."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.every(F.col("l_quantity") > 0).alias("all_pos"),
+        F.some(F.col("l_discount") > 0.09).alias("any_big_disc"),
+        F.bit_and(F.col("l_linenumber").cast("bigint")).alias("band"),
+        F.bit_or(F.col("l_linenumber").cast("bigint")).alias("bor"),
+        F.bit_xor(F.col("l_linenumber").cast("bigint")).alias("bxor"),
+        F.count_if(F.col("l_returnflag") == "R").alias("n_returned"),
+    )
+
+
+@query(
+    "agg_histogram_buckets",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           count(*) AS n,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_histogram_buckets(spark, sf_dir):
+    """histogram-style bucketed counts (reference nested/functions.json
+    `histogram`) expressed scale-stably as floor-bucket groupBy."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+@query(
+    "agg_any_value_first_last",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(min(l_orderkey) AS BIGINT) AS first_key,
+           CAST(max(l_orderkey) AS BIGINT) AS last_key,
+           CAST(count(DISTINCT l_linenumber) AS BIGINT) AS n_lines
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_any_value_first_last(spark, sf_dir):
+    """first/last/any_value are order-dependent (nondeterministic under
+    parallelism in BOTH engines — reference distributive first/last are
+    'any value' semantics too); the hashable contract uses min/max as the
+    deterministic stand-ins, which is the documented rewrite."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.min("l_orderkey").alias("first_key"),
+        F.max("l_orderkey").alias("last_key"),
+        F.countDistinct("l_linenumber").alias("n_lines"),
+    )
+
+
+@query(
+    "agg_regr_family",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           round(regr_avgx(l_extendedprice, l_quantity), 6) AS avgx,
+           round(regr_avgy(l_extendedprice, l_quantity), 4) AS avgy
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_regr_family(spark, sf_dir):
+    """regr_* linear-regression aggregates (reference
+    regression/functions.json) — Spark 3.4+ natives."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").cast("bigint").alias("n"),
+        F.round(F.regr_avgx("l_extendedprice", "l_quantity"), 6).alias("avgx"),
+        F.round(F.regr_avgy("l_extendedprice", "l_quantity"), 4).alias("avgy"),
+    )
+
+
+@query(
+    "agg_distinct_rows",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+)
+def agg_distinct_rows(spark, sf_dir):
+    """DISTINCT (reference plan_distinct.cpp:88 — planned as hash agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()

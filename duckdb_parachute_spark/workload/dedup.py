@@ -1,1 +1,145 @@
-"""Placeholder — populated in this round."""
+"""Dedup workload queries (extension goal, SURVEY M5) with cross-engine
+oracles where the algorithm is SQL-expressible (md5-based MinHash is, by
+construction; xxhash64-based SimHash is not → rows-only check)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from duckdb_parachute_spark.catalog import load_table
+from duckdb_parachute_spark.dedup import (
+    hamming64,
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    simhash64,
+)
+from duckdb_parachute_spark.operators import distinct_on
+from duckdb_parachute_spark.workload import query
+
+
+@query(
+    "dedup_exact_prefix",
+    oracle="""
+    SELECT prefix, CAST(min(doc_id) AS BIGINT) AS keeper_id,
+           CAST(count(*) AS BIGINT) AS group_size
+    FROM (SELECT doc_id,
+                 array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS prefix
+          FROM documents)
+    GROUP BY prefix
+    """,
+)
+def dedup_exact_prefix(spark, sf_dir):
+    """Exact dedup by derived key (first 3 words): hash-groupBy, keeping the
+    min doc_id per group — one shuffle, the canonical exact-dedup shape."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 3))
+    return (
+        d.select("doc_id", prefix.alias("prefix"))
+        .groupBy("prefix")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+# The MinHash signature is md5-based so the oracle can compute the identical
+# signature in DuckDB SQL (list_transform + list_min over shingles).
+_MINHASH_ORACLE = """
+WITH sh AS (
+    SELECT doc_id,
+           list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+           ) AS shingles
+    FROM documents
+), sig AS (
+    SELECT doc_id,
+           list_transform(generate_series(0, 11),
+               p -> list_min(list_transform(shingles, s -> md5(CAST(p AS VARCHAR) || '|' || s)))
+           ) AS signature
+    FROM sh
+), bands AS (
+    SELECT doc_id, b,
+           CAST(b AS VARCHAR) || '#' || md5(array_to_string(list_slice(signature, b*3 + 1, b*3 + 3), '|')) AS band_key
+    FROM sig, generate_series(0, 3) t(b)
+)
+SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+@query("dedup_minhash_pairs", oracle=_MINHASH_ORACLE)
+def dedup_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs (12 perms, 4 bands × 3 rows,
+    3-word shingles). Shuffle-on-band-key candidate generation — never O(n²).
+    The DuckDB oracle computes the identical md5-based signature."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", num_perm=12, bands=4, shingle_k=3)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(length(substr(text, 1, 60)) - 2, 1)),
+                   i -> substr(substr(text, 1, 60), i, 3))) AS grams
+        FROM documents WHERE doc_id < 60
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / greatest(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)), 1), 6) AS jaccard
+    FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Character-3-gram Jaccard similarity on adjacent-doc 60-char prefixes —
+    the exact-verification stage of a near-dup pipeline."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    pre = d.select("doc_id", F.substring("text", 1, 60).alias("t"))
+    a = pre.select(F.col("doc_id").alias("id1"), F.col("t").alias("t1"))
+    b = pre.select(F.col("doc_id").alias("id2"), F.col("t").alias("t2"))
+    pairs = a.join(b, b.id2 == a.id1 + 1)
+    return pairs.select(
+        "id1", "id2", F.round(ngram_jaccard(F.col("t1"), F.col("t2"), 3), 6).alias("jaccard")
+    )
+
+
+@query("dedup_simhash_clusters", oracle=None)
+def dedup_simhash_clusters(spark, sf_dir):
+    """SimHash near-dup: 64-bit signatures, pairs within hamming distance 12
+    among adjacent doc_ids (rows-only check: xxhash64 is Spark-specific)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    sigs = d.select("doc_id", simhash64(F.col("text"), 2).alias("sig"))
+    a = sigs.select(F.col("doc_id").alias("id1"), F.col("sig").alias("s1"))
+    b = sigs.select(F.col("doc_id").alias("id2"), F.col("sig").alias("s2"))
+    return (
+        a.join(b, b.id2 > a.id1)
+        .withColumn("hamming", hamming64(F.col("s1"), F.col("s2")).cast("bigint"))
+        .where(F.col("hamming") <= 12)
+        .select("id1", "id2", "hamming")
+    )
+
+
+@query(
+    "dedup_embedding_neardup",
+    oracle="""
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE a.vec_id < 120 AND b.vec_id < 120
+      AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.8
+    """,
+)
+def dedup_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs within label buckets (the bucketed
+    self-join is the 100 TB shape; label stands in for an LSH bucket)."""
+    from duckdb_parachute_spark.dedup import embedding_neardup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 120)
+    pairs = embedding_neardup_pairs(e, "vec_id", "embedding", 0.8, bucket_col="label")
+    return pairs.select("id1", "id2", F.round("cosine", 6).alias("cosine"))

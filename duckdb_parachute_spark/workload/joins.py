@@ -1,1 +1,240 @@
-"""Placeholder — populated in this round."""
+"""Join operator coverage (SURVEY §2.3).
+
+Reference join strategy selection: src/execution/physical_plan/
+plan_comparison_join.cpp:28-107 (equality → hash join; one inequality →
+piecewise merge join; two → IEJoin; arbitrary → blockwise NLJ; tiny → NLJ);
+AS-OF at plan_asof_join.cpp; positional at physical_positional_join.cpp.
+
+Spark: equality joins shuffle or broadcast (AQE decides); inequality joins
+compose equality pre-filters + range predicates so Catalyst keeps them out of
+cartesian territory; AS-OF and positional are our composite operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from duckdb_parachute_spark.catalog import load_table
+from duckdb_parachute_spark.operators import asof_join, distinct_on, positional_join
+from duckdb_parachute_spark.workload import query
+
+
+@query(
+    "join_semi_exists",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+)
+def join_semi_exists(spark, sf_dir):
+    """EXISTS → left-semi hash join (reference plan_comparison_join.cpp:66,
+    SEMI type; Spark left_semi)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_anti_not_exists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti_not_exists(spark, sf_dir):
+    """NOT EXISTS → left-anti join (reference ANTI hash join)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_left_outer_counts",
+    oracle="""
+    SELECT n_name, CAST(count(c_custkey) AS BIGINT) AS n_cust,
+           CAST(coalesce(sum(CAST(round(c_acctbal*100) AS BIGINT)), 0) AS BIGINT) AS bal_cents
+    FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_left_outer_counts(spark, sf_dir):
+    """LEFT OUTER join preserving empty groups (reference outer_join_marker.cpp
+    tracks matches; Spark native)."""
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        n.join(c, n.n_nationkey == c.c_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("c_custkey").alias("n_cust"),
+            F.coalesce(
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")), F.lit(0)
+            ).cast("bigint").alias("bal_cents"),
+        )
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT coalesce(c.k, s.k) AS nationkey,
+           CAST(coalesce(c.n_cust, 0) AS BIGINT) AS n_cust,
+           CAST(coalesce(s.n_supp, 0) AS BIGINT) AS n_supp
+    FROM (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1) c
+    FULL OUTER JOIN (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1) s
+    ON c.k = s.k
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    """FULL OUTER join of two aggregates (nations with customers but no
+    suppliers and vice versa survive)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, "k", "full_outer")
+        .select(
+            F.col("k").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).cast("bigint").alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).cast("bigint").alias("n_supp"),
+        )
+    )
+
+
+@query(
+    "join_cross_product",
+    oracle="""
+    SELECT a.r_name AS r1, b.r_name AS r2
+    FROM region a CROSS JOIN region b
+    WHERE a.r_regionkey < b.r_regionkey
+    """,
+)
+def join_cross_product(spark, sf_dir):
+    """Cartesian product (reference physical_cross_product.cpp) with a
+    post-filter — Catalyst plans BroadcastNestedLoopJoin on the tiny side."""
+    r = load_table(spark, sf_dir, "region")
+    a = r.select(F.col("r_name").alias("r1"), F.col("r_regionkey").alias("k1"))
+    b = r.select(F.col("r_name").alias("r2"), F.col("r_regionkey").alias("k2"))
+    return a.crossJoin(b).where(F.col("k1") < F.col("k2")).select("r1", "r2")
+
+
+@query(
+    "join_asof_purchase",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, ts, event_id, value FROM (
+            SELECT user_id, ts, event_id, value,
+                   row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'purchase') WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           p.event_id AS purchase_event_id,
+           round(p.value, 2) AS purchase_value,
+           p.ts AS purchase_ts
+    FROM events e ASOF LEFT JOIN purchases p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def join_asof_purchase(spark, sf_dir):
+    """AS-OF join (flagship custom operator, reference physical_asof_join.cpp;
+    semantics spec test/sql/join/asof/test_asof_join.test): each event joined
+    to the user's most recent purchase at-or-before its timestamp.
+
+    One shuffle on user_id for |events|+|purchases| rows — the scale-safe
+    union+window strategy (see operators/asof.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = distinct_on(
+        ev.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("event_id"), "value"
+        ),
+        keys=["user_id", "ts"],
+        order_by=[F.col("event_id").desc()],
+    ).select("user_id", "ts", F.col("event_id").alias("p_event_id"), F.col("value").alias("p_value"))
+    joined = asof_join(
+        ev.select("event_id", "user_id", "event_type", "ts"),
+        purchases,
+        on="ts",
+        by=["user_id"],
+        direction="backward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("p_event_id").alias("purchase_event_id"),
+        F.round("p_value", 2).alias("purchase_value"),
+        F.col("ts_right").alias("purchase_ts"),
+    )
+
+
+@query(
+    "join_range_inequality",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT strftime(a.d, '%Y-%m-%d') AS d1, strftime(b.d, '%Y-%m-%d') AS d2,
+           a.rev AS rev1, b.rev AS rev2
+    FROM daily a JOIN daily b
+      ON b.d > a.d AND b.d <= a.d + INTERVAL 3 DAY
+    WHERE a.rev > b.rev * 2
+    """,
+)
+def join_range_inequality(spark, sf_dir):
+    """Range (inequality) join — reference plans PiecewiseMergeJoin/IEJoin
+    (physical_piecewise_merge_join.cpp, physical_iejoin.cpp). Spark-first:
+    pre-aggregate to shrink inputs, then range-join the compact relation
+    (day-count sized, broadcastable at any SF since days don't scale with SF)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("decimal(18,2)").alias("rev")
+    )
+    a = daily.select(F.col("d").alias("d1"), F.col("rev").alias("rev1"))
+    b = daily.select(F.col("d").alias("d2"), F.col("rev").alias("rev2"))
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("d2") > F.col("d1")) & (F.col("d2") <= F.date_add(F.col("d1"), 3)),
+        )
+        .where(F.col("rev1") > F.col("rev2") * 2)
+        .select(
+            F.date_format("d1", "yyyy-MM-dd").alias("d1"),
+            F.date_format("d2", "yyyy-MM-dd").alias("d2"),
+            "rev1",
+            "rev2",
+        )
+    )
+
+
+@query(
+    "join_positional",
+    oracle="""
+    SELECT r_name, n_name FROM (
+        SELECT a.r_name, a.pos, b.n_name FROM
+            (SELECT r_name, row_number() OVER (ORDER BY r_name) AS pos FROM region) a
+            FULL OUTER JOIN
+            (SELECT n_name, row_number() OVER (ORDER BY n_name) AS pos FROM nation WHERE n_nationkey < 8) b
+            USING (pos))
+    """,
+)
+def join_positional(spark, sf_dir):
+    """POSITIONAL JOIN (reference physical_positional_join.cpp) — row-by-row
+    alignment of two explicitly-ordered relations, NULL-padded like the
+    reference's outer semantics."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_nationkey") < 8).select("n_name")
+    return positional_join(r, n, [F.col("r_name")], [F.col("n_name")]).select("r_name", "n_name")

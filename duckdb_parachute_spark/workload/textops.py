@@ -1,1 +1,159 @@
-"""Placeholder — populated in this round."""
+"""Text-analysis workload (training-data extension goals, SURVEY M5):
+token stats, quality scoring, language-ID heuristic, fingerprinting.
+All pure Catalyst expressions over the documents table; every query has an
+exact SQL oracle (the heuristics are defined to be engine-portable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from duckdb_parachute_spark.catalog import load_table
+from duckdb_parachute_spark.functions.textfns import (
+    STOPWORDS,
+    punct_ratio,
+    rolling_fingerprint,
+    token_count,
+    tokens,
+)
+from duckdb_parachute_spark.workload import query
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT lang,
+           CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
+           round(avg(len(string_split(trim(text), ' '))), 4) AS avg_tokens,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           round(avg(length(text)), 4) AS avg_len
+    FROM documents GROUP BY lang
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting per language (extension goal: token counting).
+    Driver docs are single-space separated → whitespace split is exact."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.trim(F.col("text")), " "))
+    return d.groupBy("lang").agg(
+        F.sum(ntok).cast("bigint").alias("total_tokens"),
+        F.round(F.avg(ntok), 4).alias("avg_tokens"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_len"),
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_char,
+           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok,
+           round(CAST(length(text) - length(replace(text, ' ', ''))
+                 AS DOUBLE) / greatest(length(text), 1), 6) AS space_ratio,
+           round(CAST(len(list_filter(string_split(lower(text), ' '),
+                                      t -> list_contains(['the','and','of','to','a'], t)))
+                 AS DOUBLE) / greatest(len(string_split(trim(text), ' ')), 1), 6) AS stop_ratio_en,
+           (length(text) >= 100 AND len(string_split(trim(text), ' ')) >= 20) AS passes_min_quality
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def text_quality_scores(spark, sf_dir):
+    """Quality scoring (extension goal): length/space/stopword ratios and a
+    pass/fail gate — the shape of a C4/FineWeb-style filter, as one codegen'd
+    projection."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    n_char = F.length("text")
+    n_tok = F.size(F.split(F.trim(F.col("text")), " "))
+    spaces = n_char - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    toks_lower = F.split(F.lower(F.col("text")), " ")
+    stop_hits = F.size(F.filter(toks_lower, lambda t: t.isin(*STOPWORDS["en"])))
+    return d.select(
+        "doc_id",
+        n_char.cast("bigint").alias("n_char"),
+        n_tok.cast("bigint").alias("n_tok"),
+        F.round(spaces.cast("double") / F.greatest(n_char, F.lit(1)), 6).alias("space_ratio"),
+        F.round(stop_hits.cast("double") / F.greatest(n_tok, F.lit(1)), 6).alias("stop_ratio_en"),
+        ((n_char >= 100) & (n_tok >= 20)).alias("passes_min_quality"),
+    )
+
+
+@query(
+    "text_lang_guess",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+           len(list_filter(string_split(lower(text), ' '), t -> list_contains(['the','and','of','to','a'], t))) AS s_en,
+           len(list_filter(string_split(lower(text), ' '), t -> list_contains(['der','die','und','das','ist'], t))) AS s_de,
+           len(list_filter(string_split(lower(text), ' '), t -> list_contains(['le','la','et','les','des'], t))) AS s_fr,
+           len(list_filter(string_split(lower(text), ' '), t -> list_contains(['el','la','los','que','de'], t))) AS s_es
+        FROM documents)
+    SELECT lang,
+           CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS guess,
+           CAST(count(*) AS BIGINT) AS n
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def text_lang_guess(spark, sf_dir):
+    """Language-ID heuristic (extension goal): stopword-hit argmax with a
+    deterministic tie order (en > de > fr > es), identical in the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    def hits(sw):
+        # The lambda must stay unary — pyspark derives HOF arity from the
+        # Python signature, so sw is captured via closure, not a default arg.
+        return F.size(F.filter(toks, lambda t: t.isin(*sw)))
+
+    scores = {lang: hits(sw) for lang, sw in STOPWORDS.items()}
+    guess = (
+        F.when((scores["en"] >= scores["de"]) & (scores["en"] >= scores["fr"]) & (scores["en"] >= scores["es"]), "en")
+        .when((scores["de"] >= scores["fr"]) & (scores["de"] >= scores["es"]), "de")
+        .when(scores["fr"] >= scores["es"], "fr")
+        .otherwise("es")
+    )
+    return d.select("lang", guess.alias("guess")).groupBy("lang", "guess").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "text_fingerprint_dups",
+    oracle="""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS BIGINT) AS n_unique
+    FROM documents GROUP BY source
+    """,
+)
+def text_fingerprint_dups(spark, sf_dir):
+    """Document fingerprinting (extension goal): md5 of normalized text,
+    distinct-count per source — md5 hex matches across engines by design."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(rolling_fingerprint(F.col("text"))).alias("n_unique"),
+    )
+
+
+@query(
+    "text_levenshtein_pairs",
+    oracle="""
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(levenshtein(substr(a.text, 1, 30), substr(b.text, 1, 30)) AS BIGINT) AS lev
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id < 40
+    """,
+)
+def text_levenshtein_pairs(spark, sf_dir):
+    """levenshtein (reference src/function/scalar/string/levenshtein.cpp) on
+    adjacent-doc prefixes — native in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("id1"), F.substring("text", 1, 30).alias("t1")).where(
+        F.col("id1") < 40
+    )
+    b = d.select(F.col("doc_id").alias("id2"), F.substring("text", 1, 30).alias("t2"))
+    return (
+        a.join(b, b.id2 == a.id1 + 1)
+        .select("id1", "id2", F.levenshtein("t1", "t2").cast("bigint").alias("lev"))
+    )

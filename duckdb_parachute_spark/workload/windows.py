@@ -1,1 +1,216 @@
-"""Placeholder — populated in this round."""
+"""Window function coverage (SURVEY §2.5).
+
+Reference: one physical window operator with hash-partition + per-partition
+sort (src/execution/operator/aggregate/physical_window.cpp), function
+executors in src/function/window/ (rank/dense_rank/ntile/percent_rank/
+cume_dist/row_number/first/last/lead/lag/nth_value + arbitrary aggregates over
+ROWS/RANGE frames), QUALIFY clause bound at
+src/planner/binder/query_node/bind_select_node.cpp:525.
+
+Spark mapping is direct: Window.partitionBy(...).orderBy(...) with
+rowsBetween/rangeBetween. The partition-by key is the shuffle key — at 100 TB
+these plans shuffle once on user_id and sort within partitions, exactly the
+reference's strategy distributed.
+
+Determinism: every orderBy carries a unique tiebreaker (event_id / orderkey).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from duckdb_parachute_spark.catalog import load_table
+from duckdb_parachute_spark.workload import query
+
+
+@query(
+    "window_ranks",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank()       OVER w2 AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w2 AS BIGINT) AS drnk,
+           CAST(ntile(4)     OVER w AS BIGINT) AS tile,
+           round(percent_rank() OVER w, 6) AS prnk,
+           round(cume_dist()    OVER w, 6) AS cdist
+    FROM events
+    WINDOW w  AS (PARTITION BY user_id ORDER BY value, event_id),
+           w2 AS (PARTITION BY user_id ORDER BY event_type)
+    """,
+)
+def window_ranks(spark, sf_dir):
+    """Ranking family over per-user partitions. w2 orders by a tie-heavy key
+    to exercise rank-vs-dense_rank peer semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    w2 = Window.partitionBy("user_id").orderBy("event_type")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w2).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w2).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("tile"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           round(value - lag(value)  OVER w, 2) AS dv_prev,
+           round(lead(value, 2, -1.0) OVER w, 2) AS v_next2,
+           lag(event_type) OVER w AS prev_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead(spark, sf_dir):
+    """lag/lead with offsets and defaults (reference
+    src/function/window/window_value_function.cpp)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("dv_prev"),
+        F.round(F.lead("value", 2, -1.0).over(w), 2).alias("v_next2"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+
+
+@query(
+    "window_running_frames",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg3,
+           round(max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING), 2) AS max_next3,
+           CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_user
+    FROM events
+    """,
+)
+def window_running_frames(spark, sf_dir):
+    """Aggregates over ROWS frames incl. forward-only frames (reference
+    window_segment_tree.cpp handles arbitrary frames; Spark evaluates the
+    same declaratively)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(base.rowsBetween(Window.unboundedPreceding, 0)), 2).alias("running_sum"),
+        F.round(F.avg("value").over(base.rowsBetween(-2, 0)), 4).alias("avg3"),
+        F.round(F.max("value").over(base.rowsBetween(1, 3)), 2).alias("max_next3"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_user"),
+    )
+
+
+@query(
+    "window_range_time",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last_hour,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS v_last_hour
+    FROM events
+    """,
+)
+def window_range_time(spark, sf_dir):
+    """RANGE frame over event-time (reference window frames, SURVEY §2.5) —
+    Spark rangeBetween needs a numeric sort key → epoch seconds.
+
+    DuckDB's epoch(ts) returns seconds as DOUBLE including the fractional
+    micros part; unix-seconds in Spark truncates — so both sides use the
+    exact micros-as-double expression."""
+    ev = load_table(spark, sf_dir, "events")
+    # epoch with fractional seconds, exact micros arithmetic on both sides
+    sec = (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000.0)).alias("sec")
+    ev2 = ev.withColumn("sec", sec)
+    w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-3600, 0)
+    return ev2.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 2).alias("v_last_hour"),
+    )
+
+
+@query(
+    "window_first_last_nth",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(value) OVER w AS first_v,
+           last_value(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v,
+           nth_value(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_first_last_nth(spark, sf_dir):
+    """first/last/nth value with whole-partition frames (last_value over the
+    default frame is a famous footgun in both engines — pinned explicitly)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(whole).alias("last_v"),
+        F.nth_value("value", 3).over(whole).alias("third_v"),
+    )
+
+
+@query(
+    "window_distinct_on",
+    oracle="""
+    SELECT user_id, event_id, event_type, round(value, 2) AS value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+    WHERE rn = 1
+    """,
+)
+def window_distinct_on(spark, sf_dir):
+    """DISTINCT ON (reference plans it as hash agg, plan_distinct.cpp:88;
+    SURVEY §2.4 rewrite) — latest event per user via our distinct_on operator."""
+    from duckdb_parachute_spark.operators import distinct_on
+
+    ev = load_table(spark, sf_dir, "events")
+    latest = distinct_on(ev, keys=["user_id"], order_by=[F.col("ts").desc(), F.col("event_id").desc()])
+    return latest.select("user_id", "event_id", "event_type", F.round("value", 2).alias("value"))
+
+
+@query(
+    "window_qualify_topn_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def window_qualify_topn_per_group(spark, sf_dir):
+    """QUALIFY rewrite (reference bind_select_node.cpp:525): top-3 orders per
+    priority — window + filter, Spark's native grouped-top-k pattern."""
+    from duckdb_parachute_spark.operators import qualify
+
+    o = load_table(spark, sf_dir, "orders")
+    ranked = qualify(
+        o,
+        F.row_number().over(
+            Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
+        )
+        <= 3,
+    )
+    return ranked.select("o_orderpriority", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))

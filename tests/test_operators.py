@@ -1,0 +1,133 @@
+"""Unit tests for composite operators on tiny literal frames (FIXTURES.md §5
+micro-fixture shapes), asserting against hand-computed expectations and the
+DuckDB oracle where the semantics are subtle (asof edge cases)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_parachute_spark.operators import (
+    asof_join,
+    distinct_on,
+    limit_percent,
+    positional_join,
+    recursive_cte,
+    sample_deterministic,
+    top_n,
+)
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [("A", 1, 100.0), ("A", 5, 101.0), ("A", 10, 102.0), ("B", 3, 50.0), ("C", 2, 7.0)],
+        "sym string, t int, price double",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 1, 99.0), ("A", 4, 99.5), ("A", 11, 100.5), ("B", 5, 49.0)],
+        "sym string, t int, bid double",
+    )
+    return trades, quotes
+
+
+def test_asof_backward_matches_duckdb(trades_quotes, spark):
+    trades, quotes = trades_quotes
+    got = asof_join(trades, quotes, on="t", by=["sym"]).toPandas()
+    con = duckdb.connect()
+    con.register("trades", trades.toPandas())
+    con.register("quotes", quotes.toPandas())
+    exp = con.sql(
+        """SELECT t.sym, t.t, t.price, q.bid AS bid, q.t AS t_right
+           FROM trades t ASOF LEFT JOIN quotes q ON t.sym = q.sym AND t.t >= q.t"""
+    ).df()
+    g = got.sort_values(["sym", "t"]).reset_index(drop=True)
+    e = exp.sort_values(["sym", "t"]).reset_index(drop=True)[g.columns]
+    assert g.astype(str).equals(e.astype(str)), f"\n{g}\nvs\n{e}"
+
+
+def test_asof_forward(trades_quotes):
+    trades, quotes = trades_quotes
+    got = {
+        (r["sym"], r["t"]): r["t_right"]
+        for r in asof_join(trades, quotes, on="t", by=["sym"], direction="forward").collect()
+    }
+    # forward: least quote t >= trade t
+    assert got[("A", 1)] == 1
+    assert got[("A", 5)] == 11
+    assert got[("A", 10)] == 11
+    assert got[("B", 3)] == 5
+    assert got[("C", 2)] is None
+
+
+def test_asof_tolerance(trades_quotes):
+    trades, quotes = trades_quotes
+    got = {
+        (r["sym"], r["t"]): r["t_right"]
+        for r in asof_join(trades, quotes, on="t", by=["sym"], tolerance=2).collect()
+    }
+    assert got[("A", 5)] == 4      # within 2
+    assert got[("A", 10)] is None  # last quote at 4 is 6 away
+    assert got[("A", 1)] == 1
+
+
+def test_asof_inner(trades_quotes):
+    trades, quotes = trades_quotes
+    rows = asof_join(trades, quotes, on="t", by=["sym"], how="inner").collect()
+    assert {(r["sym"], r["t"]) for r in rows} == {("A", 1), ("A", 5), ("A", 10)}
+
+
+def test_distinct_on(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 3), (1, "b", 5), (2, "c", 1)], "k int, v string, o int"
+    )
+    rows = distinct_on(df, ["k"], [F.col("o").desc()]).collect()
+    assert {(r["k"], r["v"]) for r in rows} == {(1, "b"), (2, "c")}
+
+
+def test_positional_join_padding(spark):
+    a = spark.createDataFrame([("x",), ("y",), ("z",)], "a string")
+    b = spark.createDataFrame([(1,), (2,)], "b int")
+    rows = positional_join(a, b, [F.col("a")], [F.col("b")]).collect()
+    pairs = {(r["a"], r["b"]) for r in rows}
+    assert pairs == {("x", 1), ("y", 2), ("z", None)}
+
+
+def test_recursive_cte_factorial(spark):
+    base = spark.createDataFrame([(1, 1)], "n int, f int")
+    out = recursive_cte(
+        base,
+        lambda prev: prev.where(F.col("n") < 6).select(
+            (F.col("n") + 1).alias("n"), (F.col("f") * (F.col("n") + 1)).alias("f")
+        ),
+        union_all=True,
+    )
+    assert {(r["n"], r["f"]) for r in out.collect()} == {
+        (1, 1), (2, 2), (3, 6), (4, 24), (5, 120), (6, 720)
+    }
+
+
+def test_recursive_cte_union_dedup_terminates(spark):
+    # cyclic graph: 0->1->2->0 ; UNION semantics must converge
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src int, dst int")
+    base = spark.createDataFrame([(0,)], "node int")
+
+    def step(prev):
+        return edges.join(prev, edges.src == prev.node).select(F.col("dst").alias("node"))
+
+    out = recursive_cte(base, step, union_all=False, max_iterations=10)
+    assert {r["node"] for r in out.collect()} == {0, 1, 2}
+
+
+def test_top_n_and_limit_percent(spark):
+    df = spark.range(100).withColumnRenamed("id", "x")
+    assert [r["x"] for r in top_n(df, [F.col("x").desc()], 3).collect()] == [99, 98, 97]
+    assert limit_percent(df, 10).count() == 10
+
+
+def test_sample_deterministic_stable(spark):
+    df = spark.range(1000)
+    a = sorted(r["id"] for r in sample_deterministic(df, F.col("id"), 10).collect())
+    b = sorted(r["id"] for r in sample_deterministic(df, F.col("id"), 10).collect())
+    assert a == b and 50 <= len(a) <= 200

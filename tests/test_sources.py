@@ -1,0 +1,126 @@
+"""Sources/sinks + multimodal plumbing + Relation API tests."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_parachute_spark.catalog import load_table
+from duckdb_parachute_spark.multimodal import decode_assets, frame_sample
+from duckdb_parachute_spark.relation import Relation
+from duckdb_parachute_spark.sources import (
+    copy_to,
+    read_blob,
+    read_csv_auto,
+    read_json_auto,
+    read_text,
+)
+
+TMP = "/root/repo/.tmp"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def tmpdir():
+    os.makedirs(TMP, exist_ok=True)
+    return TMP
+
+
+def test_csv_roundtrip_with_inference(spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    path = f"{TMP}/nation_csv"
+    copy_to(nation, path, fmt="csv", header=True)
+    back = read_csv_auto(spark, path)
+    assert back.count() == nation.count()
+    assert dict(back.dtypes)["n_nationkey"] == "int"  # inference worked
+
+
+def test_csv_rejects_malformed(spark):
+    path = f"{TMP}/bad.csv"
+    with open(path, "w") as f:
+        f.write("a,b\n1,2\nnot_an_int,3\n4,5\n")
+    df = read_csv_auto(spark, path, schema="a int, b int, _rejected_record string", inferSchema=False)
+    rows = df.collect()
+    rejected = [r for r in rows if r["_rejected_record"] is not None]
+    assert len(rejected) == 1 and "not_an_int" in rejected[0]["_rejected_record"]
+
+
+def test_json_roundtrip(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").limit(100)
+    path = f"{TMP}/events_json"
+    copy_to(ev.withColumn("ts", F.col("ts").cast("string")), path, fmt="json")
+    back = read_json_auto(spark, path)
+    assert back.count() == 100
+    assert "event_type" in back.columns
+
+
+def test_partitioned_write_prunes(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    path = f"{TMP}/orders_part"
+    copy_to(orders, path, fmt="parquet", partition_by=["o_orderstatus"])
+    assert os.path.isdir(f"{path}/o_orderstatus=F")  # hive layout
+    pruned = spark.read.parquet(path).where(F.col("o_orderstatus") == "F")
+    plan = pruned.explain_string() if hasattr(pruned, "explain_string") else pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.count() == orders.where(F.col("o_orderstatus") == "F").count()
+
+
+def test_read_text_and_blob(spark):
+    path = f"{TMP}/blobdir"
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/f1.bin", "wb") as f:
+        f.write(b"hello parachute")
+    blobs = read_blob(spark, path)
+    row = blobs.head()
+    assert bytes(row["content"]) == b"hello parachute"
+    txt = read_text(spark, f"{path}/f1.bin", whole_file=True)
+    assert txt.head()["value"] == "hello parachute"
+
+
+def test_multimodal_decode_plumbing(spark):
+    path = f"{TMP}/assets"
+    os.makedirs(path, exist_ok=True)
+    for i in range(4):
+        with open(f"{path}/img{i}.bin", "wb") as f:
+            f.write(bytes([i * 7 % 251] * (100 + i)))
+    decoded = decode_assets(read_blob(spark, path), modality="image")
+    rows = decoded.collect()
+    assert len(rows) == 4
+    assert all(len(r["feature"]) == 8 for r in rows)
+    assert all(r["n_bytes"] >= 100 for r in rows)
+    sampled = frame_sample(decoded.withColumn("n_frames", F.lit(4)), every_nth=2)
+    assert sampled.count() == 8  # 4 assets × frames {0, 2}
+
+
+def test_relation_api_chain(spark, sf_dir):
+    li = Relation(load_table(spark, sf_dir, "lineitem"))
+    out = (
+        li.filter("l_quantity > 10")
+        .aggregate("count(*) AS n, round(sum(l_extendedprice), 2) AS total", "l_returnflag")
+        .order("l_returnflag")
+        .to_df()
+    )
+    assert list(out.columns) == ["l_returnflag", "n", "total"]
+    assert out["n"].sum() > 0
+
+
+def test_relation_join_and_shortcuts(spark, sf_dir):
+    n = Relation(load_table(spark, sf_dir, "nation"))
+    r = Relation(load_table(spark, sf_dir, "region"))
+    joined = n.join(r, "n_regionkey = r_regionkey").value_counts("r_name")
+    rows = joined.fetchall()
+    assert sum(x["count"] for x in rows) == 25
+    top = Relation(load_table(spark, sf_dir, "orders")).max("o_totalprice").fetchone()
+    assert top["max_o_totalprice"] > 0
+
+
+def test_relation_map_pandas(spark):
+    rel = Relation(spark.range(10).withColumnRenamed("id", "x"))
+
+    def double_batches(it):
+        for pdf in it:
+            pdf["x"] = pdf["x"] * 2
+            yield pdf
+
+    out = rel.map(double_batches, "x bigint").fetchall()
+    assert sorted(r["x"] for r in out) == [i * 2 for i in range(10)]
