@@ -60,22 +60,40 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id1 < id2) via MinHash + LSH banding.
 
-    Scale shape: explode bands (|docs|·bands rows) → shuffle on band key →
-    within-bucket self-join. Hot buckets (boilerplate text) are the skew risk;
-    AQE skew-join handles moderate cases, and callers can raise `bands`/
-    `num_perm` to sharpen buckets."""
+    Scale shape: persist the signature table (tiny: id + num_perm hashes —
+    the expensive num_perm×shingles md5 pass runs exactly once, never
+    re-inlined by CollapseProject into each band lambda), explode to
+    (id, band_key), shuffle ONCE on band key, and generate pairs in-expression
+    from each bucket's sorted id list — no exploded self-join, no second scan
+    of the corpus. Hot buckets (boilerplate text) are the skew risk: each
+    bucket of k docs yields k·(k-1)/2 pairs in one row; raise `bands`/
+    `num_perm` to sharpen buckets, or pre-filter degenerate texts."""
     rows_per_band = num_perm // bands
     sig = df.select(
         F.col(id_col).alias("__id"),
-        band_keys(minhash_signature(F.col(text_col), num_perm, shingle_k), bands, rows_per_band).alias("__bands"),
+        minhash_signature(F.col(text_col), num_perm, shingle_k).alias("__sig"),
+    ).persist()
+    exploded = sig.select(
+        "__id",
+        F.explode(band_keys(F.col("__sig"), bands, rows_per_band)).alias("__band"),
     )
-    exploded = sig.select("__id", F.explode("__bands").alias("__band"))
-    a = exploded.select(F.col("__id").alias("id1"), "__band")
-    b = exploded.select(F.col("__id").alias("id2"), "__band")
+    buckets = (
+        exploded.groupBy("__band")
+        .agg(F.array_sort(F.collect_list("__id")).alias("__ids"))
+        .where(F.size("__ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("__ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__ids"), i + 2, F.size(F.col("__ids"))),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+            ),
+        )
+    )
     return (
-        a.join(b, "__band")
-        .where(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id1", "p.id2")
         .distinct()
     )
 

@@ -378,3 +378,514 @@ def tpch_q19(spark, sf_dir):
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 40))
     )
     return j.where(cond).agg(F.sum(_disc_price()).cast("decimal(22,4)").alias("revenue"))
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH eu AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ), shipped AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ), cand AS (
+        SELECT p_partkey, p_name, s_name, s_acctbal, n_name
+        FROM shipped JOIN part ON l_partkey = p_partkey
+                     JOIN eu ON l_suppkey = s_suppkey
+        WHERE p_size <= 15 AND p_type = 'LARGE'
+    )
+    SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_name
+    FROM cand c
+    WHERE s_acctbal = (SELECT min(s_acctbal) FROM cand c2 WHERE c2.p_partkey = c.p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark, sf_dir):
+    """TPC-H Q2 (queries/q02.sql) adapted: no partsupp in driver data, so the
+    part↔supplier relation is distinct (l_partkey, l_suppkey) from lineitem and
+    min ps_supplycost becomes min s_acctbal. Shape preserved: dimension-chain
+    broadcast join + correlated-min decorrelated into a grouped self-join
+    (reference flatten_dependent_join.cpp)."""
+    t = {n: load_table(spark, sf_dir, n) for n in ["supplier", "nation", "region", "part", "lineitem"]}
+    eu = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"].where(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = t["part"].where((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
+    shipped = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    cand = (
+        shipped.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name")
+    )
+    minb = cand.groupBy(F.col("p_partkey").alias("mk")).agg(F.min("s_acctbal").alias("mb"))
+    return (
+        cand.join(F.broadcast(minb), (F.col("p_partkey") == F.col("mk")) & (F.col("s_acctbal") == F.col("mb")))
+        .select(F.round("s_acctbal", 2).alias("s_acctbal"), "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(22,4)) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year, l_extendedprice, l_discount
+        FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                      JOIN orders   ON o_orderkey = l_orderkey
+                      JOIN customer ON c_custkey = o_custkey
+                      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7(spark, sf_dir):
+    """TPC-H Q7 (queries/q07.sql, FRANCE/GERMANY → NATION_1/NATION_2): two-
+    nation volume by year. Both nation joins broadcast; the disjunctive nation
+    pair predicate lands after them."""
+    t = {n: load_table(spark, sf_dir, n) for n in ["supplier", "lineitem", "orders", "customer", "nation"]}
+    n1 = t["nation"].select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_disc_price()).cast("decimal(22,4)").alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END) / sum(volume), 6) AS mkt_share
+    FROM (
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+                  JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN orders   ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                  JOIN region   ON n1.n_regionkey = r_regionkey
+                  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def tpch_q8(spark, sf_dir):
+    """TPC-H Q8 (queries/q08.sql, BRAZIL→NATION_3, STEEL type→ECONOMY):
+    national market share — conditional-sum ratio per year over a 7-table
+    star join (all dimensions broadcast, lineitem never leaves its shuffle)."""
+    t = {n: load_table(spark, sf_dir, n)
+         for n in ["part", "lineitem", "supplier", "orders", "customer", "nation", "region"]}
+    n1 = t["nation"].select(F.col("n_nationkey").alias("nk1"), F.col("n_regionkey").alias("rk1"))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("supp_nation"))
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    volume = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].where(F.col("p_type") == "ECONOMY")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("nk1"))
+        .join(F.broadcast(t["region"].where(F.col("r_name") == "AMERICA")), F.col("rk1") == F.col("r_regionkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("nk2"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(F.lit(0.0))) / F.sum(volume), 6
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "tpch_q9_product_type_profit",
+    oracle="""
+    SELECT nation, o_year, CAST(sum(amount) AS DECIMAL(25,4)) AS sum_profit
+    FROM (
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+               - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(4,2)) AS amount
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+                  JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN orders   ON o_orderkey = l_orderkey
+                  JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def tpch_q9(spark, sf_dir):
+    """TPC-H Q9 (queries/q09.sql): profit by supplier nation and year. Driver
+    data has no partsupp, so ps_supplycost*l_quantity becomes
+    p_retailprice*l_quantity — identical exact-decimal shape on both engines."""
+    t = {n: load_table(spark, sf_dir, n) for n in ["part", "lineitem", "supplier", "orders", "nation"]}
+    amount = _disc_price() - _dec("p_retailprice") * _dec("l_quantity", 4, 2)
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].where(F.col("p_name").like("%red%"))), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("decimal(25,4)").alias("sum_profit"))
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH pv AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(22,4)) AS value
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                      JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey, value FROM pv
+    WHERE CAST(value AS DOUBLE) > (SELECT CAST(sum(value) AS DOUBLE) * 0.001 FROM pv)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def tpch_q11(spark, sf_dir):
+    """TPC-H Q11 (queries/q11.sql, GERMANY→NATION_7): per-part value with a
+    HAVING against a global-total scalar subquery. partsupp absent → value is
+    summed discounted lineitem revenue. The global total is a 1-row broadcast
+    cross join (DuckDB plans the same via a delim join)."""
+    t = {n: load_table(spark, sf_dir, n) for n in ["lineitem", "supplier", "nation"]}
+    base = (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"].where(F.col("n_name") == "NATION_7")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    pv = base.groupBy("l_partkey").agg(F.sum(_disc_price()).cast("decimal(22,4)").alias("value"))
+    total = pv.agg((F.sum("value").cast("double") * F.lit(0.001)).alias("threshold"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .where(F.col("value").cast("double") > F.col("threshold"))
+        .select("l_partkey", "value")
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13(spark, sf_dir):
+    """TPC-H Q13 (queries/q13.sql, comment LIKE filter → o_orderpriority
+    filter): left outer join with join-side predicate, double aggregation —
+    customers with zero orders must survive as c_count = 0."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(22,4)) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (queries/q15.sql): the revenue view + max-revenue scalar
+    subquery. Exact-decimal revenue makes the equality comparison safe; the
+    max is a 1-row broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_disc_price()).cast("decimal(22,4)").alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q16_parts_supplier_relationship",
+    oracle="""
+    SELECT p_brand, p_type, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+         JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 4, 7, 10, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16(spark, sf_dir):
+    """TPC-H Q16 (queries/q16.sql): supplier count per part attribute. partsupp
+    → distinct lineitem pairs; the complaints-comment NOT IN becomes a
+    negative-acctbal NOT IN — an anti join on a broadcast-small exclusion."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 4, 7, 10, 14, 19, 23, 36, 45, 49)
+    )
+    excl = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(excl, ps.l_suppkey == excl.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS DOUBLE) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (
+          SELECT 0.2 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+def tpch_q17(spark, sf_dir):
+    """TPC-H Q17 (queries/q17.sql, container filter dropped): correlated
+    per-part average decorrelated into a grouped broadcast join (DuckDB's
+    flatten_dependent_join does the same). Quantities are whole-number doubles
+    ≤ 50 so the 0.2·avg threshold is bit-deterministic on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
+    th = li.groupBy(F.col("l_partkey").alias("tk")).agg((F.lit(0.2) * F.avg("l_quantity")).alias("th"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(th, F.col("l_partkey") == F.col("tk"))
+        .where(F.col("l_quantity") < F.col("th"))
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice")).cast("decimal(22,2)").cast("double") / F.lit(7.0), 2).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "tpch_q20_potential_promotion",
+    oracle="""
+    SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_4'
+      AND s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE 'blue%'
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY l_suppkey, l_partkey
+          HAVING sum(l_quantity) > 50
+      )
+    ORDER BY s_name
+    """,
+)
+def tpch_q20(spark, sf_dir):
+    """TPC-H Q20 (queries/q20.sql, CANADA→NATION_4, forest→blue): nested
+    semi-join chain — suppliers who shipped > 50 units of some blue part in
+    1996. The availqty>½·shipped predicate becomes the HAVING threshold
+    (partsupp absent); the grouped inner result is broadcast-small."""
+    t = {n: load_table(spark, sf_dir, n) for n in ["supplier", "nation", "lineitem", "part"]}
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    blue = t["part"].where(F.col("p_name").like("blue%"))
+    qualified = (
+        li.join(F.broadcast(blue), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        t["supplier"]
+        .join(F.broadcast(t["nation"].where(F.col("n_name") == "NATION_4")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qualified, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "tpch_q21_suppliers_kept_waiting",
+    oracle="""
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+                  JOIN orders ON o_orderkey = l1.l_orderkey
+                  JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND n_name = 'NATION_9'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def tpch_q21(spark, sf_dir):
+    """TPC-H Q21 (queries/q21.sql): suppliers who alone shipped late on
+    multi-supplier finished orders. receiptdate>commitdate (columns absent) →
+    'late' = shipped >30 days after order date. EXISTS → left-semi with a
+    non-equi conjunct, NOT EXISTS → left-anti (DuckDB plans SEMI/ANTI hash
+    joins, reference plan_comparison_join.cpp:66)."""
+    t = {n: load_table(spark, sf_dir, n) for n in ["supplier", "lineitem", "orders", "nation"]}
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    o = t["orders"].where(F.col("o_orderstatus") == "F")
+    l1 = (
+        t["lineitem"].join(o, F.col("l_orderkey") == F.col("o_orderkey")).where(late)
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = t["lineitem"].select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = (
+        t["lineitem"].join(o, F.col("l_orderkey") == F.col("o_orderkey")).where(late)
+        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    )
+    waiting = (
+        l1.join(l2, (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")), "left_semi")
+        .join(l3, (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")), "left_anti")
+    )
+    return (
+        waiting.join(
+            F.broadcast(
+                t["supplier"].join(
+                    F.broadcast(t["nation"].where(F.col("n_name") == "NATION_9")),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                )
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q22_global_sales_opportunity",
+    oracle="""
+    WITH pool AS (
+        SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        WHERE c_nationkey IN (1, 2, 3, 4, 5, 6)
+    )
+    SELECT c_nationkey AS cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS totacctbal
+    FROM pool p
+    WHERE c_acctbal > (
+            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+            FROM pool WHERE c_acctbal > 0.0
+          )
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = p.c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    ORDER BY cntrycode
+    """,
+)
+def tpch_q22(spark, sf_dir):
+    """TPC-H Q22 (queries/q22.sql, phone cntrycode → c_nationkey): customers
+    above the positive-balance average with no urgent orders (driver data has
+    no order-less customers). The average is computed as exact-decimal sum /
+    count so the threshold is bit-identical on both engines; NOT EXISTS →
+    left-anti join."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_nationkey").isin(1, 2, 3, 4, 5, 6))
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("ab")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("decimal(22,2)").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
