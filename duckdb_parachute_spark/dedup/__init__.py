@@ -33,11 +33,22 @@ def minhash_signature(text: Column, num_perm: int = 12, shingle_k: int = 3) -> C
     String-min over hex md5 is a valid uniform hash ordering and is identical
     in any engine with md5 — the cross-engine-stable choice (xxhash64 would be
     faster but is Spark-specific)."""
+    # Nesting direction matters for cost: `transform(perms, i -> min over
+    # shingles)` puts the shingle array in the lambda body, re-building it
+    # once per permutation. Instead fold ONCE over the shingles (argument
+    # position — evaluated a single time) and keep a running element-wise
+    # minimum of each shingle's num_perm hashes: exactly
+    # num_perm × |shingles| md5 calls per document.
     sh = word_shingles(text, shingle_k)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda i: F.array_min(F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s)))),
+    per_shingle = F.transform(
+        sh,
+        lambda s: F.transform(
+            F.sequence(F.lit(0), F.lit(num_perm - 1)),
+            lambda i: F.md5(F.concat(i.cast("string"), F.lit("|"), s)),
+        ),
     )
+    init = F.array_repeat(F.lit("~"), num_perm)  # '~' sorts after every hex digit
+    return F.aggregate(per_shingle, init, lambda acc, hs: F.zip_with(acc, hs, lambda a, b: F.least(a, b)))
 
 
 def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:

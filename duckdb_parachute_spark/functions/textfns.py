@@ -42,13 +42,20 @@ def stopword_ratio(text: Column, lang: str = "en") -> Column:
 
 def word_shingles(text: Column, k: int) -> Column:
     """k-word shingles: array of space-joined k-grams over the token stream.
-    transform(sequence(...)) keeps this a single codegen'd expression."""
+
+    Built as zip_with over k shifted slices rather than
+    transform(sequence, i -> slice(toks, i, k)): higher-order functions
+    re-evaluate lambda-BODY subexpressions per element, so the naive form
+    re-splits the text once per shingle (O(n²) per doc). Slices in argument
+    position are evaluated once. concat_ws skips the nulls zip_with pads
+    short docs with, matching truncated-tail shingle semantics."""
     toks = tokens(text)
     n = F.size(toks)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
+    m = F.greatest(n - (k - 1), F.lit(1))
+    acc = F.slice(toks, 1, m)
+    for j in range(1, k):
+        acc = F.zip_with(acc, F.slice(toks, j + 1, m), lambda a, b: F.concat_ws(" ", a, b))
+    return acc
 
 
 def ngram_shingles(text: Column, n: int) -> Column:
