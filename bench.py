@@ -46,6 +46,15 @@ def main() -> None:
         n for n in qs if n not in HEADLINE and os.environ.get("BENCH_ALL") == "1"
     ]
 
+    # Warm up the session once (JIT/codegen infrastructure, parquet reader
+    # classes, file listing) so per-query timings reflect steady state — the
+    # reference's runner likewise times runs after load (benchmark/
+    # benchmark_runner.cpp, 5-run protocol).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from duckdb_parachute_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "lineitem").limit(1).collect()
+
     timings: dict[str, float] = {}
     for name in names:
         fn = qs[name].fn
