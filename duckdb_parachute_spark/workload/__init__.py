@@ -51,6 +51,7 @@ def load_all() -> dict[str, QueryDef]:
         dedup,
         joins,
         jsonops,
+        pipelines,
         scalarfns,
         setops,
         similarity,

@@ -238,3 +238,47 @@ def join_positional(spark, sf_dir):
     r = load_table(spark, sf_dir, "region").select("r_name")
     n = load_table(spark, sf_dir, "nation").where(F.col("n_nationkey") < 8).select("n_name")
     return positional_join(r, n, [F.col("r_name")], [F.col("n_name")]).select("r_name", "n_name")
+
+
+@query(
+    "join_asof_forward_tolerance",
+    oracle="""
+    SELECT event_id, user_id, ts, next_purchase_ts
+    FROM (
+        SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+               (SELECT min(CAST(p.ts AS TIMESTAMP)) FROM events p
+                WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+                  AND CAST(p.ts AS TIMESTAMP) >= CAST(e.ts AS TIMESTAMP)) AS next_purchase_ts
+        FROM events e WHERE e.event_type = 'click'
+    )
+    WHERE next_purchase_ts IS NOT NULL
+      AND next_purchase_ts - ts <= INTERVAL 2 HOUR
+    """,
+)
+def join_asof_forward_tolerance(spark, sf_dir):
+    """Forward AS-OF join with tolerance (reference physical_asof_join.cpp —
+    'forward' = least right ts >= left ts): each click matched to the user's
+    next purchase within 2 hours, inner semantics. Same single-shuffle
+    union + window rewrite as backward (operators/asof.py), on the mirrored
+    ordering. Only the matched timestamp is projected (payload choice on
+    equal-ts ties would be nondeterministic in any engine)."""
+    from duckdb_parachute_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"))
+        .distinct()
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="ts",
+        right_on="p_ts",
+        by=["user_id"],
+        direction="forward",
+        tolerance=F.expr("INTERVAL 2 HOURS"),
+        how="inner",
+    )
+    return out.select("event_id", "user_id", "ts", F.col("p_ts").alias("next_purchase_ts"))

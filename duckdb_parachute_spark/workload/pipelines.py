@@ -1,0 +1,248 @@
+"""Pipeline-surface queries: Structured Streaming (SURVEY §2.10, additive —
+the reference is batch-only), multimodal binary-column plumbing, and
+file-format source/sink roundtrips (SURVEY §2.1).
+
+Streaming entries run the stream to completion with Trigger.AvailableNow into
+a memory sink and return the materialized result, so the driver's batch
+contract ((spark, sf_dir) -> DataFrame) and the DuckDB oracle both apply: the
+oracle recomputes the same event-time windows in SQL. That makes watermarking
+/ windowing corrections first-class hash-checked operators instead of
+rows-only smoke tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from duckdb_parachute_spark.catalog import load_table
+from duckdb_parachute_spark.workload import query
+
+
+def _run_stream(df, spark, name):
+    """Drive a streaming plan over the full backlog (AvailableNow) into a
+    memory sink; returns the result as a batch DataFrame."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000) AS window_start,
+           make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000 + 3600000000) AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling_counts(spark, sf_dir):
+    """Tumbling 1-hour event-time windows with watermark over a file-source
+    stream (Structured Streaming; no reference counterpart — SURVEY §2.10).
+    The oracle recomputes the same windows with epoch arithmetic, so the
+    streaming path is value-checked, not just smoke-tested."""
+    from duckdb_parachute_spark.streaming import read_event_stream, windowed_counts
+
+    ev = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    out = _run_stream(windowed_counts(ev, "1 hour"), spark, "q_stream_tumbling")
+    return out.select("window_start", "window_end", "event_type", "n", F.round("total", 4).alias("total"))
+
+
+@query(
+    "stream_sliding_counts",
+    oracle="""
+    SELECT make_timestamp(((epoch_us(CAST(ts AS TIMESTAMP)) // 1800000000) - k) * 1800000000) AS window_start,
+           event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events, (VALUES (0), (1)) offs(k)
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_counts(spark, sf_dir):
+    """Sliding windows (1 h window, 30 min slide): every event lands in two
+    overlapping windows. Oracle enumerates both window starts per event."""
+    from duckdb_parachute_spark.streaming import read_event_stream, windowed_counts
+
+    ev = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    out = _run_stream(windowed_counts(ev, "1 hour", slide="30 minutes"), spark, "q_stream_sliding")
+    return out.select("window_start", "event_type", "n")
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), grp AS (
+        SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS g
+        FROM gaps
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS session_value
+    FROM grp GROUP BY user_id, g
+    """,
+)
+def stream_session_windows(spark, sf_dir):
+    """Gap-based session windows per user (30 min inactivity closes the
+    session). The oracle is the classic gaps-and-islands rewrite — session
+    start = first event, end = last event + gap, matching
+    F.session_window semantics."""
+    from duckdb_parachute_spark.streaming import read_event_stream, sessionized
+
+    ev = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    out = _run_stream(sessionized(ev, gap="30 minutes"), spark, "q_stream_session")
+    return out.select(
+        "user_id", "session_start", "session_end", "n_events",
+        F.round("session_value", 4).alias("session_value"),
+    )
+
+
+@query(
+    "stream_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_keys(spark, sf_dir):
+    """Streaming stateful dedup (dropDuplicatesWithinWatermark): over one
+    AvailableNow backlog the surviving key set equals batch DISTINCT."""
+    from duckdb_parachute_spark.streaming import dedup_within_watermark, read_event_stream
+
+    ev = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    deduped = dedup_within_watermark(ev, ["user_id", "event_type"], "10 hours")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("q_stream_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("q_stream_dedup").select("user_id", "event_type")
+
+
+@query(
+    "mm_decode_features",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS path,
+           'image' AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(16 + (sub % 64) AS INT) AS width,
+           CAST(16 + ((sub // 64) % 64) AS INT) AS height,
+           1 AS n_frames
+    FROM (SELECT doc_id, text,
+                 list_sum(list_transform(generate_series(1, least(length(text), 64)),
+                                         i -> ascii(substr(text, i, 1)))) AS sub
+          FROM documents WHERE doc_id < 50)
+    """,
+)
+def mm_decode_features(spark, sf_dir):
+    """Multimodal decode plumbing (extension goal): documents' text bytes
+    stand in for image payloads; decode_assets runs the Arrow-batched
+    mapInPandas path with the deterministic fake decoder. The oracle replays
+    the fake decoder's byte arithmetic in SQL — the full distributed UDF
+    path is value-checked. Feature vector is checked via its width/height
+    projection (list<float> crossing two engines is compared elsewhere)."""
+    from duckdb_parachute_spark.multimodal import decode_assets
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    assets = d.select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    decoded = decode_assets(assets, "image")
+    return decoded.select("path", "modality", "n_bytes", "width", "height", "n_frames")
+
+
+@query(
+    "mm_frame_sampling",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS path, frame_idx
+    FROM documents, generate_series(0, 9) t(frame_idx)
+    WHERE doc_id < 20 AND frame_idx % 3 = 0
+    """,
+)
+def mm_frame_sampling(spark, sf_dir):
+    """Frame-sampling plumbing: synthesize 10 frames per asset, keep every
+    3rd (pure Catalyst posexplode — the shape video pipelines need)."""
+    from duckdb_parachute_spark.multimodal import frame_sample
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    decoded = d.select(F.col("doc_id").cast("string").alias("path"), F.lit(10).alias("n_frames"))
+    return frame_sample(decoded, every_nth=3).select("path", "frame_idx")
+
+
+def _tmp(leaf: str) -> str:
+    path = f"/root/repo/.tmp/{leaf}"
+    os.makedirs("/root/repo/.tmp", exist_ok=True)
+    return path
+
+
+@query(
+    "src_csv_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM read_csv('/root/repo/.tmp/rt_nation_csv/*.csv', header=true)
+    """,
+)
+def src_csv_roundtrip(spark, sf_dir):
+    """CSV sink + sniffer-style read-back (reference read_csv_auto,
+    src/execution/operator/csv_scanner/sniffer/csv_sniffer.cpp): write nation
+    as headered CSV, re-read with schema inference; the oracle is DuckDB's own
+    sniffer over the same bytes."""
+    from duckdb_parachute_spark.sources import copy_to, read_csv_auto
+
+    n = load_table(spark, sf_dir, "nation")
+    path = _tmp("rt_nation_csv")
+    copy_to(n, path, fmt="csv", header=True)
+    return read_csv_auto(spark, path).select("n_nationkey", "n_name", "n_regionkey")
+
+
+@query(
+    "src_json_roundtrip",
+    oracle="SELECT r_regionkey, r_name FROM read_json('/root/repo/.tmp/rt_region_json/*.json')",
+)
+def src_json_roundtrip(spark, sf_dir):
+    """JSON-lines sink + structure-inferring read-back (reference
+    extension/json/json_scan.cpp): region through newline-delimited JSON."""
+    from duckdb_parachute_spark.sources import copy_to, read_json_auto
+
+    r = load_table(spark, sf_dir, "region")
+    path = _tmp("rt_region_json")
+    copy_to(r, path, fmt="json")
+    return read_json_auto(spark, path).select("r_regionkey", "r_name")
+
+
+@query(
+    "src_partitioned_write",
+    oracle="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+    FROM read_parquet('/root/repo/.tmp/rt_orders_part/*/*.parquet', hive_partitioning=1)
+    GROUP BY o_orderstatus
+    """,
+)
+def src_partitioned_write(spark, sf_dir):
+    """Hive-partitioned parquet sink (reference COPY TO ... PARTITION_BY,
+    physical_copy_to_file.cpp:147): write orders partitioned by status,
+    read the partition tree back and aggregate per partition."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+    path = _tmp("rt_orders_part")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))

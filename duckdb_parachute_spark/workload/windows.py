@@ -214,3 +214,94 @@ def window_qualify_topn_per_group(spark, sf_dir):
         <= 3,
     )
     return ranked.select("o_orderpriority", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
+@query(
+    "window_groups_frame",
+    oracle="""
+    WITH g AS (
+        SELECT l_returnflag, l_quantity, sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS gs
+        FROM lineitem WHERE l_orderkey < 300
+        GROUP BY l_returnflag, l_quantity
+    ), gi AS (
+        SELECT *, row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS i FROM g
+    ), fr AS (
+        SELECT l_returnflag, l_quantity,
+               sum(gs) OVER (PARTITION BY l_returnflag ORDER BY i
+                             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS groups_sum
+        FROM gi
+    )
+    SELECT li.l_orderkey, li.l_linenumber, CAST(fr.groups_sum AS DECIMAL(25,2)) AS groups_sum
+    FROM lineitem li JOIN fr USING (l_returnflag, l_quantity)
+    WHERE li.l_orderkey < 300
+    """,
+)
+def window_groups_frame(spark, sf_dir):
+    """GROUPS frame mode (reference window_expression.hpp:16-30 — Spark has
+    no GROUPS frames): rewritten via per-peer-group partial sums + a ROWS
+    frame over the group table + join back (operators/frames.py). This DuckDB
+    build does not execute GROUPS frames ("not implemented yet"), so the
+    oracle evaluates the peer-group formulation in SQL instead."""
+    from duckdb_parachute_spark.operators.frames import groups_frame_sum
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 300)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_extendedprice")
+    )
+    out = groups_frame_sum(
+        li,
+        part=["l_returnflag"],
+        order="l_quantity",
+        value=F.col("l_extendedprice").cast("decimal(12,2)"),
+        preceding=1,
+        following=1,
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", F.col("groups_sum").cast("decimal(25,2)").alias("groups_sum")
+    )
+
+
+@query(
+    "window_exclude_modes",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                      EXCLUDE CURRENT ROW) AS DECIMAL(25,2)) AS excl_current,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                      EXCLUDE GROUP) AS DECIMAL(25,2)) AS excl_group,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                      EXCLUDE TIES) AS DECIMAL(25,2)) AS excl_ties
+    FROM lineitem WHERE l_orderkey < 300
+    """,
+)
+def window_exclude_modes(spark, sf_dir):
+    """EXCLUDE CURRENT ROW / GROUP / TIES (reference
+    window_expression.hpp:33, WindowExcludeMode — no Spark equivalent):
+    rewritten as arithmetic over partition-total, peer-group, and current
+    sums (operators/frames.py); exact-decimal so the subtraction is lossless."""
+    from duckdb_parachute_spark.operators.frames import exclude_sums
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 300)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_extendedprice")
+    )
+    out = exclude_sums(
+        li,
+        part=["l_returnflag"],
+        order="l_quantity",
+        value=F.col("l_extendedprice").cast("decimal(12,2)"),
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.col("excl_current").cast("decimal(25,2)").alias("excl_current"),
+        F.col("excl_group").cast("decimal(25,2)").alias("excl_group"),
+        F.col("excl_ties").cast("decimal(25,2)").alias("excl_ties"),
+    )
