@@ -49,12 +49,14 @@ def load_all() -> dict[str, QueryDef]:
     from duckdb_parachute_spark.workload import (  # noqa: F401
         aggregates,
         dedup,
+        dialect,
         joins,
         jsonops,
         pipelines,
         scalarfns,
         setops,
         similarity,
+        surface,
         textops,
         tpch,
         windows,

@@ -1,0 +1,205 @@
+"""Remaining capability-surface queries: UNION type emulation (§1.2),
+Python UDF/UDAF surface (§2.11), type-edge casts, approximate sketches,
+SUMMARIZE (§2.1), and the 2-inequality IEJoin shape (§2.3).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from duckdb_parachute_spark.catalog import load_table
+from duckdb_parachute_spark.workload import query
+
+
+@query(
+    "join_iejoin_two_inequalities",
+    oracle="""
+    SELECT a.o_orderkey AS k1, b.o_orderkey AS k2
+    FROM orders a JOIN orders b
+      ON a.o_orderdate < b.o_orderdate AND a.o_totalprice > b.o_totalprice
+    WHERE a.o_orderkey < 150 AND b.o_orderkey < 150
+    """,
+)
+def join_iejoin_two_inequalities(spark, sf_dir):
+    """Two-inequality self-join — the IEJoin case (reference
+    physical_iejoin.cpp, planned at plan_comparison_join.cpp:85-87). Spark
+    plans BNLJ; correct for bounded inputs. At 100 TB this needs interval
+    binning (bucket one predicate's range, equi-join on bucket, post-filter) —
+    the range-binned variant is join_range_inequality's strategy."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 150)
+    a = o.select(F.col("o_orderkey").alias("k1"), F.col("o_orderdate").alias("d1"),
+                 F.col("o_totalprice").alias("p1"))
+    b = o.select(F.col("o_orderkey").alias("k2"), F.col("o_orderdate").alias("d2"),
+                 F.col("o_totalprice").alias("p2"))
+    return (
+        a.join(b, (F.col("d1") < F.col("d2")) & (F.col("p1") > F.col("p2")))
+        .select("k1", "k2")
+    )
+
+
+@query(
+    "union_type_emulation",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(union_tag(u) AS VARCHAR) AS tag,
+           union_extract(u, 'num') AS num_val,
+           union_extract(u, 'txt') AS txt_val
+    FROM (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 2 = 0
+                    THEN CAST(union_value(num := o_custkey) AS UNION(num BIGINT, txt VARCHAR))
+                    ELSE CAST(union_value(txt := o_orderstatus) AS UNION(num BIGINT, txt VARCHAR)) END AS u
+        FROM orders WHERE o_orderkey < 100
+    )
+    """,
+)
+def union_type_emulation(spark, sf_dir):
+    """UNION type (reference types.hpp:232, union_extract/union_tag in
+    extension/core_functions/scalar/union/functions.json) emulated as a
+    tagged struct {tag, member...} per SURVEY §1.2 — the oracle uses DuckDB's
+    native UNION type, so the emulation is checked against the real thing."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 100)
+    is_num = F.col("o_orderkey") % 2 == 0
+    u = F.struct(
+        F.when(is_num, F.lit("num")).otherwise(F.lit("txt")).alias("tag"),
+        F.when(is_num, F.col("o_custkey")).alias("num"),
+        F.when(~is_num, F.col("o_orderstatus")).alias("txt"),
+    )
+    return o.select(
+        "o_orderkey",
+        u.getField("tag").alias("tag"),
+        u.getField("num").alias("num_val"),
+        u.getField("txt").alias("txt_val"),
+    )
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT doc_id, round(1.0 - exp(-length(text) / 100.0), 8) AS quality
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def udf_pandas_scalar(spark, sf_dir):
+    """Arrow-vectorized scalar pandas UDF (§2.11; reference Python UDF surface
+    tools/pythonpkg/src/python_udf.cpp with vectorized=True ≡ @pandas_udf):
+    the batch travels as Arrow, numpy computes, the oracle recomputes in SQL."""
+    import numpy as np
+
+    @pandas_udf("double")
+    def quality(texts: pd.Series) -> pd.Series:
+        return pd.Series(1.0 - np.exp(-texts.str.len().to_numpy() / 100.0))
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return d.select("doc_id", F.round(quality(F.col("text")), 8).alias("quality"))
+
+
+@query(
+    "udf_pandas_grouped_agg",
+    oracle="""
+    SELECT event_type, round(avg(value), 6) AS mean_value
+    FROM events GROUP BY event_type
+    """,
+)
+def udf_pandas_grouped_agg(spark, sf_dir):
+    """Grouped-aggregate pandas UDF (§2.11, C++ UDAF surface
+    udf_function.hpp:77 ≡ PandasUDFType.GROUPED_AGG): per-group pandas mean,
+    oracle-checked against SQL avg."""
+
+    @pandas_udf("double")
+    def pd_mean(v: pd.Series) -> float:
+        return float(v.mean())
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.round(pd_mean(F.col("value")), 6).alias("mean_value"))
+
+
+@query(
+    "types_edge_casts",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_quantity AS BIGINT) AS SMALLINT) AS q_small,
+           CAST(CAST(l_quantity AS BIGINT) AS TINYINT) AS q_tiny,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(37,8)) AS big_dec,
+           CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_str,
+           CAST(l_shipdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_months,
+           CAST(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS reparsed,
+           CAST(l_quantity > 25 AS VARCHAR) AS bool_str,
+           TRY_CAST('not a number' AS DOUBLE) AS bad_double,
+           CAST('123' AS BIGINT) + 1 AS parsed_int
+    FROM lineitem WHERE l_orderkey < 40
+    """,
+)
+def types_edge_casts(spark, sf_dir):
+    """Type-lattice edges (§1.2; reference src/function/cast/cast_rules.cpp):
+    narrowing int casts (in-range), DECIMAL(38) arithmetic, date/timestamp/
+    string roundtrips, interval month arithmetic, boolean→string, TRY_CAST
+    failure → NULL. Quantities are 1..50 so narrowing casts cannot overflow —
+    overflow *behavior* (error under ANSI mode) is pinned in unit tests, not
+    here, since the oracle comparison needs rows back."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 40)
+    q = F.col("l_quantity").cast("bigint")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        q.cast("smallint").alias("q_small"),
+        q.cast("tinyint").alias("q_tiny"),
+        (F.col("l_extendedprice").cast("decimal(18,4)") * F.col("l_discount").cast("decimal(18,4)"))
+        .cast("decimal(37,8)").alias("big_dec"),
+        F.col("l_shipdate").cast("date").cast("string").alias("ship_str"),
+        (F.col("l_shipdate") + F.expr("INTERVAL 3 MONTHS")).cast("timestamp_ntz").alias("plus_months"),
+        F.to_timestamp(F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss")).cast("timestamp_ntz").alias("reparsed"),
+        (F.col("l_quantity") > 25).cast("string").alias("bool_str"),
+        F.expr("try_cast('not a number' AS DOUBLE)").alias("bad_double"),
+        (F.lit("123").cast("bigint") + 1).alias("parsed_int"),
+    )
+
+
+@query("agg_approx_sketches", oracle=None)
+def agg_approx_sketches(spark, sf_dir):
+    """Approximate aggregates (reference approx_count_distinct = HLL
+    third_party/hyperloglog, approx_quantile = t-digest third_party/tdigest):
+    sketch internals are engine-specific so there is no value oracle
+    (rows-only check); unit tests bound the relative error instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", [0.25, 0.75]).alias("approx_iqr"),
+    )
+
+
+@query(
+    "summarize_stats",
+    oracle="""
+    SELECT 'l_quantity' AS col, CAST(count(l_quantity) AS BIGINT) AS n,
+           round(avg(l_quantity), 4) AS mean, round(stddev_samp(l_quantity), 4) AS std,
+           round(min(l_quantity), 2) AS min_v, round(max(l_quantity), 2) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', CAST(count(l_extendedprice) AS BIGINT),
+           round(avg(l_extendedprice), 4), round(stddev_samp(l_extendedprice), 4),
+           round(min(l_extendedprice), 2), round(max(l_extendedprice), 2)
+    FROM lineitem
+    """,
+)
+def summarize_stats(spark, sf_dir):
+    """SUMMARIZE / df.summary() (reference src/function/table/summary.cpp):
+    per-column count/mean/stddev/min/max, computed with typed aggregates
+    (df.summary() returns formatted strings; typed output is oracle-safe)."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def stats(c):
+        return li.agg(
+            F.lit(c).alias("col"),
+            F.count(c).alias("n"),
+            F.round(F.avg(c), 4).alias("mean"),
+            F.round(F.stddev_samp(c), 4).alias("std"),
+            F.round(F.min(c), 2).alias("min_v"),
+            F.round(F.max(c), 2).alias("max_v"),
+        )
+
+    return stats("l_quantity").unionAll(stats("l_extendedprice"))
