@@ -55,14 +55,21 @@ def main() -> None:
 
     load_table(spark, sf_dir, "lineitem").limit(1).collect()
 
+    # Per-query timing = min over BENCH_RUNS runs (default 2), mirroring the
+    # reference's 5-run protocol (benchmark/benchmark_runner.cpp): the first
+    # run of a plan shape pays Catalyst planning + whole-stage-codegen javac
+    # compilation that steady-state execution does not.
+    runs = int(os.environ.get("BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in names:
         fn = qs[name].fn
-        # warm the input listing/page cache once per query via a cheap plan build
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()  # full execution; driver-side materialization not needed
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best, n = float("inf"), 0
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()  # full execution; driver-side materialization not needed
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
     m = re.search(r"sf([\d.]+)", sf_dir)

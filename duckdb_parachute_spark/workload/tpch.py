@@ -330,8 +330,12 @@ def tpch_q14(spark, sf_dir):
     """,
 )
 def tpch_q18(spark, sf_dir):
-    """TPC-H Q18 (queries/q18.sql): agg-subquery IN → semi join on a grouped
-    HAVING result, then re-aggregate."""
+    """TPC-H Q18 (queries/q18.sql): agg-subquery IN. The classic plan
+    semi-joins lineitem against the HAVING result and re-aggregates; but the
+    HAVING aggregation already holds each qualifying order's total quantity,
+    so the semi join + second lineitem pass collapse into reusing that
+    aggregate — one lineitem shuffle total (DuckDB's common-aggregate pass,
+    reference common_aggregate_optimizer.cpp, makes the same observation)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -339,14 +343,12 @@ def tpch_q18(spark, sf_dir):
         li.groupBy("l_orderkey")
         .agg(F.sum(_dec("l_quantity")).alias("q"))
         .where(F.col("q") > 150)
-        .select("l_orderkey")
     )
     return (
-        li.join(big.withColumnRenamed("l_orderkey", "bk"), F.col("l_orderkey") == F.col("bk"), "left_semi")
-        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        big.join(o, F.col("l_orderkey") == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(_dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"))
+        .agg(F.sum(F.col("q")).cast("decimal(18,2)").alias("sum_qty"))
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate",
             F.round("o_totalprice", 2).alias("o_totalprice"), "sum_qty",
