@@ -282,3 +282,33 @@ def join_asof_forward_tolerance(spark, sf_dir):
         how="inner",
     )
     return out.select("event_id", "user_id", "ts", F.col("p_ts").alias("next_purchase_ts"))
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem JOIN (SELECT DISTINCT l_returnflag FROM lineitem) d USING (l_returnflag)
+    GROUP BY l_returnflag
+    """,
+)
+def join_salted_skew(spark, sf_dir):
+    """Salted join for hot keys (operators/skew.py — SURVEY §4.2 scale
+    posture, no reference counterpart: single-node radix partitioning has no
+    executor skew). l_returnflag is maximally skewed (3 values over the whole
+    fact table); salting scatters each hot key across 8 sub-partitions and
+    replicates the dimension side 8×. The oracle checks the join is
+    semantically a plain equi-join."""
+    from duckdb_parachute_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = li.select("l_returnflag").distinct()
+    joined = salted_join(li, dim, on="l_returnflag", hot_keys=["R", "A", "N"], salt=8)
+    return (
+        joined.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+        )
+    )

@@ -102,3 +102,18 @@ def sim_lsh_topk(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in e.where(F.col("vec_id") == 0).select("embedding").head()[0]]
     return lsh_topk(e.where(F.col("vec_id") != 0), qvec, 10, num_planes=4)
+
+
+@query("sim_ivf_topk", oracle=None)
+def sim_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (extension goal, the scale path beside LSH):
+    distributed Lloyd's k-means coarse quantizer + nprobe-list exact rerank
+    (similarity/__init__.py ivf_build_centroids / ivf_topk). Iterative
+    training is not SQL-expressible → rows-only driver check; unit tests
+    bound recall ≥ 0.6 vs brute force (tests/test_operators.py)."""
+    from duckdb_parachute_spark.similarity import ivf_build_centroids, ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.where(F.col("vec_id") == 7).head().embedding]
+    cents = ivf_build_centroids(e, n_centroids=8, iters=2)
+    return ivf_topk(e, cents, qv, 10, nprobe=3)

@@ -131,3 +131,47 @@ def test_sample_deterministic_stable(spark):
     a = sorted(r["id"] for r in sample_deterministic(df, F.col("id"), 10).collect())
     b = sorted(r["id"] for r in sample_deterministic(df, F.col("id"), 10).collect())
     assert a == b and 50 <= len(a) <= 200
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    from duckdb_parachute_spark.catalog import load_table
+    from duckdb_parachute_spark.similarity import (
+        brute_force_topk,
+        ivf_build_centroids,
+        ivf_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.where(F.col("vec_id") == 7).head().embedding]
+    cents = ivf_build_centroids(e, n_centroids=8, iters=2)
+    approx = {r.vec_id for r in ivf_topk(e, cents, qv, 10, nprobe=3).collect()}
+    exact = {r.vec_id for r in brute_force_topk(e, qv, 10).collect()}
+    assert len(approx & exact) / 10 >= 0.6
+    # probing every list must recover brute force exactly
+    full = [r.vec_id for r in ivf_topk(e, cents, qv, 10, nprobe=8).collect()]
+    assert full == [r.vec_id for r in brute_force_topk(e, qv, 10).collect()]
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from duckdb_parachute_spark.catalog import load_table
+    from duckdb_parachute_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag", "l_quantity")
+    dim = li.select("l_returnflag").distinct().withColumn("tag", F.concat(F.lit("t-"), "l_returnflag"))
+    salted = salted_join(li, dim, on="l_returnflag", hot_keys=["R"], salt=4)
+    plain = li.join(dim, "l_returnflag")
+    assert salted.count() == plain.count()
+    s = salted.groupBy("l_returnflag", "tag").count().collect()
+    p = plain.groupBy("l_returnflag", "tag").count().collect()
+    assert sorted(map(tuple, s)) == sorted(map(tuple, p))
+
+
+def test_salted_join_all_keys_and_left(spark, sf_dir):
+    from duckdb_parachute_spark.catalog import load_table
+    from duckdb_parachute_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type").limit(500)
+    dim = ev.select("event_type").distinct().where(F.col("event_type") != "click")
+    out = salted_join(ev, dim.withColumn("known", F.lit(True)), on="event_type", how="left")
+    got = {r.event_type: r.known for r in out.select("event_type", "known").distinct().collect()}
+    assert got["click"] is None and got.get("view") is True

@@ -1,0 +1,59 @@
+"""Unit tests for the SQL dialect rewrite layer (sqlx)."""
+
+from __future__ import annotations
+
+from duckdb_parachute_spark.sqlx import (
+    rewrite_distinct_on,
+    rewrite_intdiv,
+    rewrite_json_arrows,
+    rewrite_qualify,
+    rewrite_sample,
+    transpile,
+)
+
+
+def test_qualify_basic():
+    out = rewrite_qualify("SELECT a, row_number() OVER (ORDER BY b) rn FROM t QUALIFY rn = 1")
+    assert out.startswith("SELECT * FROM (")
+    assert "WHERE rn = 1" in out
+    assert "QUALIFY" not in out.upper().replace("__Q", "")
+
+
+def test_qualify_keeps_trailing_order_limit():
+    out = rewrite_qualify(
+        "SELECT a, rank() OVER (ORDER BY b) r FROM t QUALIFY r <= 2 ORDER BY a LIMIT 5"
+    )
+    assert out.rstrip().endswith("ORDER BY a LIMIT 5")
+    assert "WHERE r <= 2" in out
+
+
+def test_distinct_on():
+    out = rewrite_distinct_on(
+        "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v DESC"
+    )
+    assert "row_number() OVER (PARTITION BY k ORDER BY k, v DESC)" in out
+    assert "__rn = 1" in out
+
+
+def test_distinct_on_without_order_by():
+    out = rewrite_distinct_on("SELECT DISTINCT ON (k) k, v FROM t")
+    assert "PARTITION BY k ORDER BY k" in out
+
+
+def test_json_arrows():
+    out = rewrite_json_arrows("SELECT props -> 'k' AS a, props ->> 'x' AS b FROM t")
+    assert out.count("get_json_object(props, '$.k')") == 1
+    assert out.count("get_json_object(props, '$.x')") == 1
+
+
+def test_intdiv():
+    assert rewrite_intdiv("SELECT a // b FROM t") == "SELECT a DIV b FROM t"
+
+
+def test_sample():
+    assert "TABLESAMPLE (10 PERCENT)" in rewrite_sample("SELECT * FROM t USING SAMPLE 10%")
+
+
+def test_transpile_passthrough():
+    sql = "SELECT try_cast(a AS INT), b ILIKE '%x%' FROM t GROUP BY ALL"
+    assert transpile(sql) == sql
