@@ -57,8 +57,12 @@ def read_json_auto(spark: SparkSession, path: str, multiline: bool = False, **op
 
 
 def read_text(spark: SparkSession, path: str, whole_file: bool = False) -> DataFrame:
-    """read_text (reference read_file.cpp): line-per-row, or file-per-row."""
-    return spark.read.option("wholetext", whole_file).text(path)
+    """read_text (reference read_file.cpp): line-per-row, or file-per-row.
+
+    Note: must use the .text(wholetext=...) kwarg — .option("wholetext", True)
+    stringifies the Python bool to "True", which Spark's text source does not
+    parse as a boolean."""
+    return spark.read.text(path, wholetext=whole_file)
 
 
 def read_blob(spark: SparkSession, path: str) -> DataFrame:

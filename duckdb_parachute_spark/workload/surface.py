@@ -203,3 +203,90 @@ def summarize_stats(spark, sf_dir):
         )
 
     return stats("l_quantity").unionAll(stats("l_extendedprice"))
+
+
+@query(
+    "glob_file_listing",
+    oracle="""
+    SELECT regexp_extract(file, '([a-z]+)\\.parquet$', 1) AS table_name
+    FROM glob('/root/testdata/sf0.01/*.parquet')
+    ORDER BY table_name
+    """,
+)
+def glob_file_listing(spark, sf_dir):
+    """File-glob listing as a table (reference src/function/table/glob.cpp):
+    Spark side lists matching files via the binaryFile reader's path column
+    without reading payloads (pathGlobFilter + metadata-only projection)."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load("/root/testdata/sf0.01")
+        .select(F.regexp_extract(F.input_file_name(), r"([a-z]+)\.parquet$", 1).alias("table_name"))
+    )
+    return files.orderBy("table_name")
+
+
+@query(
+    "read_text_lines",
+    oracle="""
+    SELECT CAST(size AS BIGINT) AS n_chars
+    FROM read_text('/root/repo/.tmp/rt_region_json/*.json')
+    ORDER BY n_chars
+    """,
+)
+def read_text_lines(spark, sf_dir):
+    """Whole-file text scan (reference src/function/table/read_file.cpp
+    read_text): sizes of the JSON files the roundtrip query wrote — both
+    engines scan the same bytes. Depends on src_json_roundtrip having run
+    (registry order guarantees it)."""
+    from duckdb_parachute_spark.sources import copy_to, read_text
+    from duckdb_parachute_spark.catalog import load_table as _lt
+
+    # self-sufficient: (re)write the files so ordering doesn't matter
+    copy_to(_lt(spark, sf_dir, "region"), "/root/repo/.tmp/rt_region_json", fmt="json")
+    txt = read_text(spark, "/root/repo/.tmp/rt_region_json/*.json", whole_file=True)
+    return txt.select(F.length("value").cast("bigint").alias("n_chars")).orderBy("n_chars")
+
+
+@query(
+    "limit_percent",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows
+    FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 10%)
+    """,
+)
+def limit_percent(spark, sf_dir):
+    """LIMIT n% (reference physical_limit_percent.cpp): two-phase — count,
+    then limit(round(count*pct)) — per SURVEY §2.6. Compared on the row count
+    (the kept prefix is pinned by the ORDER BY on both engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    n = o.count()
+    kept = o.orderBy("o_orderkey").limit(int(n * 0.10))
+    return kept.agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@query(
+    "cte_materialized_reuse",
+    oracle="""
+    WITH hot AS MATERIALIZED (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_custkey
+    )
+    SELECT a.o_custkey, a.n_orders, b.n_orders AS n_again
+    FROM hot a JOIN hot b ON a.o_custkey = b.o_custkey
+    """,
+)
+def cte_materialized_reuse(spark, sf_dir):
+    """Materialized CTE consumed twice (reference physical_cte.cpp): the
+    Spark analogue is .cache() — both consumers read the materialization
+    instead of recomputing the aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    hot = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .cache()
+    )
+    b = hot.select(F.col("o_custkey").alias("ck"), F.col("n_orders").alias("n_again"))
+    return hot.join(b, F.col("o_custkey") == F.col("ck")).select("o_custkey", "n_orders", "n_again")
