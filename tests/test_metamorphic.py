@@ -1,0 +1,154 @@
+"""Metamorphic / property checks in the reference's verifier spirit
+(SURVEY §5: src/verification/* re-run transformed statements and compare;
+test/fuzzer holds sqlsmith-style regressions).
+
+1. Expression matrix: a seeded generator builds hundreds of random scalar
+   expressions over typed literal rows (ints, doubles, strings, NULLs) from a
+   grammar restricted to constructs with identical cross-engine semantics;
+   Spark and DuckDB evaluate the same SELECT and must agree cell-for-cell.
+2. AQE on/off: representative workload queries must return identical results
+   with adaptive execution disabled (the unoptimized-statement verifier
+   analogue — plan changes must never change semantics).
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from duckdb_parachute_spark.testkit.compare import compare_frames
+
+ROWS = [
+    (0, 1, 0.5, "alpha"),
+    (1, -3, -2.25, "Beta"),
+    (7, 7, 3.125, ""),
+    (-4, 2, 100.0, "gamma delta"),
+    (42, -1, -0.125, None),
+    (9, 0, 7.75, "Zed"),
+    (None, 5, None, "null-ish"),
+    (13, None, 2.5, "x"),
+]
+
+
+def _values_sql() -> str:
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)
+
+    rows = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in ROWS)
+    return f"(VALUES {rows}) t(i, j, x, s)"
+
+
+def _gen_exprs(seed: int, n: int) -> list[str]:
+    """Random expressions from a cross-engine-safe grammar.
+
+    Excluded on purpose: integer division/modulo by possibly-zero or negative
+    divisors, overflow-capable arithmetic, float formatting (doubles are
+    rounded), locale-sensitive string ops, implicit casts between unrelated
+    types."""
+    rng = random.Random(seed)
+    ints = ["i", "j", "CAST(2 AS BIGINT)", "CAST(-7 AS BIGINT)"]
+    dbls = ["x", "0.25", "-1.5"]
+    strs = ["s", "'k'", "''"]
+
+    def int_expr(d=0):
+        if d > 2 or rng.random() < 0.4:
+            return rng.choice(ints)
+        a, b = int_expr(d + 1), int_expr(d + 1)
+        op = rng.choice(["+", "-", "*"])
+        return f"({a} {op} {b})"
+
+    def dbl_expr(d=0):
+        if d > 2 or rng.random() < 0.4:
+            return rng.choice(dbls)
+        a, b = dbl_expr(d + 1), dbl_expr(d + 1)
+        return f"({a} {rng.choice(['+', '-', '*'])} {b})"
+
+    def str_expr(d=0):
+        if d > 1 or rng.random() < 0.5:
+            return rng.choice(strs)
+        kind = rng.randrange(3)
+        if kind == 0:
+            return f"upper({str_expr(d + 1)})"
+        if kind == 1:
+            # Found by this very test: DuckDB concat() skips NULL args
+            # (Postgres-style) while Spark concat() is NULL-propagating —
+            # a real dialect divergence. Neutralize with coalesce so the
+            # matrix checks the shared semantics.
+            return (
+                f"concat(coalesce({str_expr(d + 1)}, ''), "
+                f"coalesce({str_expr(d + 1)}, ''))"
+            )
+        return f"substr({str_expr(d + 1)}, 1, 3)"
+
+    def bool_expr(d=0):
+        if d > 1:
+            return f"({int_expr()} > {int_expr()})"
+        kind = rng.randrange(5)
+        if kind == 0:
+            return f"({int_expr()} {rng.choice(['<', '<=', '=', '>', '>='])} {int_expr()})"
+        if kind == 1:
+            return f"({dbl_expr()} {rng.choice(['<', '>'])} {dbl_expr()})"
+        if kind == 2:
+            return f"({bool_expr(d + 1)} AND {bool_expr(d + 1)})"
+        if kind == 3:
+            return f"({bool_expr(d + 1)} OR {bool_expr(d + 1)})"
+        return f"(NOT {bool_expr(d + 1)})"
+
+    out = []
+    for k in range(n):
+        kind = k % 5
+        if kind == 0:
+            out.append(f"CAST({int_expr()} AS BIGINT)")
+        elif kind == 1:
+            out.append(f"round({dbl_expr()}, 6)")
+        elif kind == 2:
+            out.append(str_expr())
+        elif kind == 3:
+            out.append(bool_expr())
+        else:
+            out.append(
+                f"CASE WHEN {bool_expr()} THEN {int_expr()} ELSE coalesce({int_expr()}, 0) END"
+            )
+    return out
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_expression_matrix_cross_engine(spark, seed):
+    exprs = _gen_exprs(seed, 60)
+    select = ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    sql = f"SELECT {select} FROM {_values_sql()}"
+    spark_pdf = spark.sql(sql).toPandas()
+    con = duckdb.connect()  # keep a reference: chaining would let GC close it
+    oracle_pdf = con.sql(sql).df()
+    res = compare_frames(f"exprs-seed{seed}", spark_pdf, oracle_pdf)
+    assert res.ok, str(res)
+
+
+AQE_QUERIES = [
+    "tpch_q5_local_supplier_volume",
+    "tpch_q18_large_volume_customer",
+    "window_qualify_topn_per_group",
+    "dedup_minhash_pairs",
+    "setop_union_intersect_except",
+]
+
+
+@pytest.mark.parametrize("name", AQE_QUERIES)
+def test_aqe_off_matches_aqe_on(spark, sf_dir, name):
+    from duckdb_parachute_spark.workload import load_all
+
+    qd = load_all()[name]
+    on = qd.fn(spark, sf_dir).toPandas()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        off = qd.fn(spark, sf_dir).toPandas()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    res = compare_frames(f"aqe-{name}", on, off)
+    assert res.ok, str(res)
