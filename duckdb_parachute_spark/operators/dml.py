@@ -1,0 +1,42 @@
+"""DML as rewrite over immutable tables (SURVEY §2.1 v1 posture).
+
+Reference: physical_insert.cpp / physical_delete.cpp / physical_update.cpp
+mutate base tables in place; upsert semantics in test/sql/upsert/. Spark's
+storage model (immutable files; ACID via table formats) maps DML to
+read→transform→rewrite: DELETE = anti-filter, UPDATE = conditional
+projection, INSERT = union, upsert/MERGE = key anti-join + union. On a real
+deployment these become Delta/Iceberg MERGE INTO; the logical rewrites below
+are the engine-level semantics, exercised against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def delete_where(df: DataFrame, cond: Column) -> DataFrame:
+    """DELETE WHERE cond → keep the complement (NULL-safe: rows where cond
+    is NULL are kept, matching SQL DELETE semantics)."""
+    return df.where(~F.coalesce(cond, F.lit(False)))
+
+
+def update_set(df: DataFrame, cond: Column, assignments: dict[str, Column]) -> DataFrame:
+    """UPDATE SET col=expr WHERE cond → conditional projection."""
+    out = df
+    for col, expr in assignments.items():
+        out = out.withColumn(col, F.when(F.coalesce(cond, F.lit(False)), expr).otherwise(F.col(col)))
+    return out
+
+
+def insert_into(df: DataFrame, rows: DataFrame) -> DataFrame:
+    """INSERT → union by name (schema-aligned)."""
+    return df.unionByName(rows)
+
+
+def upsert_on_key(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
+    """INSERT ... ON CONFLICT (key) DO UPDATE (reference test/sql/upsert/):
+    source rows win on key conflicts, non-conflicting target rows survive.
+    One anti-join shuffle + union — the MERGE INTO shape."""
+    keep = target.join(source.select(key), key, "left_anti")
+    return keep.unionByName(source)

@@ -93,3 +93,36 @@ def copy_to(
     for k, v in options.items():
         writer = writer.option(k, v)
     getattr(writer, fmt)(path)
+
+
+def export_database(spark: SparkSession, tables: dict[str, DataFrame], out_dir: str) -> None:
+    """EXPORT DATABASE (reference physical_export.cpp): dump every table as
+    parquet plus a schema manifest; `import_database` restores the catalog."""
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = {}
+    for name, df in tables.items():
+        df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
+        manifest[name] = df.schema.jsonValue()
+    with open(f"{out_dir}/schema.json", "w") as f:
+        json.dump(manifest, f)
+
+
+def import_database(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
+    """IMPORT DATABASE: read the manifest, register every table as a temp
+    view, return the DataFrames keyed by name."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    with open(f"{out_dir}/schema.json") as f:
+        manifest = json.load(f)
+    out = {}
+    for name, schema_json in manifest.items():
+        schema = StructType.fromJson(schema_json)
+        df = spark.read.schema(schema).parquet(f"{out_dir}/{name}")
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -166,3 +166,11 @@ def transpile(sql: str) -> str:
 def sql(spark: SparkSession, text: str) -> DataFrame:
     """Run DuckDB-flavored SQL on Spark (the M2 dialect entry point)."""
     return spark.sql(transpile(text))
+
+
+def sql_params(spark: SparkSession, text: str, params: dict) -> DataFrame:
+    """Parameterized SQL (SURVEY §3.3; reference prepared statements,
+    src/main/client_context.cpp:408 CreatePreparedStatement): named
+    :param markers bound at execution. Spark 3.4+ parameterized spark.sql
+    handles binding; the dialect rewrites run first."""
+    return spark.sql(transpile(text), args=params)

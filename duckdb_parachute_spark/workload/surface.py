@@ -290,3 +290,64 @@ def cte_materialized_reuse(spark, sf_dir):
     )
     b = hot.select(F.col("o_custkey").alias("ck"), F.col("n_orders").alias("n_again"))
     return hot.join(b, F.col("o_custkey") == F.col("ck")).select("o_custkey", "n_orders", "n_again")
+
+
+@query(
+    "dml_upsert_merge",
+    oracle="""
+    WITH source AS (
+        SELECT n_nationkey, 'UPDATED_' || n_name AS n_name, n_regionkey FROM nation
+        WHERE n_nationkey % 5 = 0
+        UNION ALL
+        SELECT 99, 'NEW_NATION', 0
+    )
+    SELECT * FROM (
+        SELECT t.* FROM nation t ANTI JOIN source s ON t.n_nationkey = s.n_nationkey
+        UNION ALL
+        SELECT * FROM source
+    )
+    """,
+)
+def dml_upsert_merge(spark, sf_dir):
+    """Upsert / INSERT ON CONFLICT DO UPDATE (reference test/sql/upsert/,
+    physical_insert.cpp): rewritten as key anti-join + union
+    (operators/dml.py upsert_on_key) — the MERGE INTO shape on immutable
+    storage. The oracle expresses the same semantics in SQL."""
+    from duckdb_parachute_spark.operators.dml import upsert_on_key
+
+    n = load_table(spark, sf_dir, "nation")
+    updates = (
+        n.where(F.col("n_nationkey") % 5 == 0)
+        .select("n_nationkey", F.concat(F.lit("UPDATED_"), "n_name").alias("n_name"), "n_regionkey")
+    )
+    new_row = spark.createDataFrame([(99, "NEW_NATION", 0)], "n_nationkey int, n_name string, n_regionkey int")
+    source = updates.unionByName(new_row)
+    return upsert_on_key(n, source, "n_nationkey")
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_totalprice > 100000 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark, sf_dir):
+    """Parameterized SQL (§3.3; reference prepared statements
+    client_context.cpp:408): named parameters bound at execution via
+    sqlx.sql_params — the oracle runs the equivalent constant-folded text."""
+    from duckdb_parachute_spark import sqlx
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return sqlx.sql_params(
+        spark,
+        """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        FROM orders
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        {"min_price": 100000, "status": "F"},
+    )

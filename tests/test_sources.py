@@ -124,3 +124,33 @@ def test_relation_map_pandas(spark):
 
     out = rel.map(double_batches, "x bigint").fetchall()
     assert sorted(r["x"] for r in out) == [i * 2 for i in range(10)]
+
+
+def test_export_import_database_roundtrip(spark, sf_dir, tmpdir):
+    from duckdb_parachute_spark.sources import export_database, import_database
+
+    tables = {n: load_table(spark, sf_dir, n) for n in ["region", "nation"]}
+    out = f"{TMP}/exported_db"
+    export_database(spark, tables, out)
+    back = import_database(spark, out)
+    assert set(back) == {"region", "nation"}
+    for n in back:
+        assert back[n].schema == tables[n].schema
+        assert back[n].count() == tables[n].count()
+    assert spark.table("nation").count() == tables["nation"].count()
+
+
+def test_dml_rewrites(spark, sf_dir):
+    from duckdb_parachute_spark.operators.dml import delete_where, insert_into, update_set
+
+    n = load_table(spark, sf_dir, "nation")
+    deleted = delete_where(n, F.col("n_regionkey") == 0)
+    assert deleted.where(F.col("n_regionkey") == 0).count() == 0
+    assert deleted.count() == n.count() - n.where("n_regionkey = 0").count()
+
+    updated = update_set(n, F.col("n_nationkey") == 3, {"n_name": F.lit("RENAMED")})
+    assert updated.where("n_name = 'RENAMED'").count() == 1
+    assert updated.count() == n.count()
+
+    extra = spark.createDataFrame([(99, "X", 1)], "n_nationkey int, n_name string, n_regionkey int")
+    assert insert_into(n.select("n_nationkey", "n_name", "n_regionkey"), extra).count() == n.count() + 1
