@@ -36,10 +36,17 @@ def recursive_cte(
         nxt = step(working)
         if not union_all:
             nxt = nxt.exceptAll(acc).distinct()
-        if (i + 1) % checkpoint_every == 0:
-            nxt = nxt.localCheckpoint(eager=True)
+        # The delta is consumed three times (emptiness probe, accumulator
+        # union, next step); an eager localCheckpoint materializes it once and
+        # cuts the lineage — without it every iteration recomputes the whole
+        # chain and the loop goes quadratic.
+        nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
             return acc if union_all else acc.distinct()
         acc = acc.unionAll(nxt)
+        if (i + 1) % checkpoint_every == 0:
+            # The accumulator's union tree also grows once per iteration;
+            # truncate it periodically (it can be large, so not every round).
+            acc = acc.localCheckpoint(eager=True)
         working = nxt
     raise RuntimeError(f"recursive_cte did not converge in {max_iterations} iterations")

@@ -99,3 +99,31 @@ def run_available_now(stream_df: DataFrame, query_name: str = "parachute_stream"
     )
     q.awaitTermination()
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}").collect()
+
+
+def running_user_totals(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState
+    (SURVEY §2.10): per-user running event count + value sum maintained in
+    GroupState across micro-batches — the arbitrary-stateful-processing
+    surface Spark adds over window aggregates. Emits one row per user per
+    batch with the updated totals; the final batch therefore holds the
+    complete per-user aggregate (batch-equivalent and oracle-checkable)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

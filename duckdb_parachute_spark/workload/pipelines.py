@@ -246,3 +246,39 @@ def src_partitioned_write(spark, sf_dir):
     o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
     back = spark.read.parquet(path)
     return back.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "stream_stateful_user_totals",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_user_totals(spark, sf_dir):
+    """Arbitrary stateful streaming (applyInPandasWithState, SURVEY §2.10):
+    per-user running totals held in GroupState. With an AvailableNow backlog
+    the last update per user equals the batch aggregate, which the oracle
+    recomputes — the custom-state path is value-checked end to end."""
+    from duckdb_parachute_spark.streaming import read_event_stream, running_user_totals
+
+    ev = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    q = (
+        running_user_totals(ev)
+        .writeStream.format("memory")
+        .queryName("q_stream_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("q_stream_stateful")
+    # keep the final update per user (earlier micro-batch rows are partials)
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "n_events", F.round("total_value", 4).alias("total_value"))
+    )
