@@ -1,0 +1,82 @@
+"""Plan-quality regression tests (SURVEY §4 posture): pushed filters, pruned
+columns, broadcast dimensions, bounded shuffles — the properties that keep the
+headline queries scale-safe. AQE is disabled for these assertions so the
+static plan is inspected deterministically (AQE only improves it at runtime).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from duckdb_parachute_spark.plans import assert_plan
+from duckdb_parachute_spark.workload import load_all
+
+
+@pytest.fixture(scope="module")
+def no_aqe(spark):
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    yield spark
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def _q(name, spark, sf_dir):
+    return load_all()[name].fn(spark, sf_dir)
+
+
+def test_q1_scan_agg_plan(no_aqe, spark, sf_dir):
+    # scan+filter+partial/final agg: exactly the one agg shuffle; the
+    # l_shipdate predicate must reach the parquet reader; only the 7 needed
+    # columns read.
+    s = assert_plan(
+        _q("tpch_q1_pricing_summary", spark, sf_dir),
+        max_shuffles=1,
+        require_pushed_filters=True,
+        max_scan_columns=7,
+    )
+    # map-side combine: partial aggregates must run before the exchange
+    from duckdb_parachute_spark.plans import physical_plan
+    assert "partial_sum" in physical_plan(_q("tpch_q1_pricing_summary", spark, sf_dir), mode="simple")
+
+
+def test_q3_broadcast_dims(no_aqe, spark, sf_dir):
+    # orders and customer broadcast; lineitem shuffles once for the agg.
+    assert_plan(
+        _q("tpch_q3_shipping_priority", spark, sf_dir),
+        max_shuffles=1,
+        min_broadcasts=2,
+        require_pushed_filters=True,
+    )
+
+
+def test_q5_single_fact_shuffle(no_aqe, spark, sf_dir):
+    # 6-table star: every dimension broadcasts; the fact table shuffles once
+    # (orders⋈lineitem equi-join is broadcast after the date filter at this
+    # SF; at larger SF AQE decides — the invariant is ≤2 data shuffles).
+    assert_plan(
+        _q("tpch_q5_local_supplier_volume", spark, sf_dir),
+        max_shuffles=2,
+        min_broadcasts=3,
+        require_pushed_filters=True,
+    )
+
+
+def test_minhash_bounded_shuffles(no_aqe, spark, sf_dir):
+    # signature scan (cached) -> band groupBy -> pair distinct: ≤3 shuffles,
+    # no cross joins, no O(n²) anywhere.
+    s = assert_plan(
+        _q("dedup_minhash_pairs", spark, sf_dir),
+        max_shuffles=3,
+    )
+    assert "CartesianProduct" not in s.text and "BroadcastNestedLoop" not in s.text
+
+
+def test_asof_single_shuffle(no_aqe, spark, sf_dir):
+    # the union+window rewrite: exactly one shuffle of (L+R) on the partition
+    # keys, never a range-join explosion.
+    s = assert_plan(_q("join_asof_purchase", spark, sf_dir), max_shuffles=2)
+    assert "CartesianProduct" not in s.text
+
+
+def test_topk_uses_take_ordered(no_aqe, spark, sf_dir):
+    s = assert_plan(_q("limit_offset_topn", spark, sf_dir))
+    assert "TakeOrderedAndProject" in s.text
