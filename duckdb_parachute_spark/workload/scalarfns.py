@@ -337,3 +337,59 @@ def regex_function_suite(spark, sf_dir):
         F.size(F.split(t, r"\s+")).alias("n_tokens"),
         F.regexp_extract(t, r"([a-z]+) ([a-z]+)", 2).alias("second_word"),
     )
+
+
+_METRIC_PAIRS = [
+    ("martha", "marhta"), ("dixon", "dicksonx"), ("kitten", "sitting"),
+    ("ca", "abc"), ("abcde", "abcdf"), ("same", "same"),
+    ("x", "xyz"), ("hello", "hallo"),
+]
+
+
+@query(
+    "string_metric_suite",
+    oracle="""
+    SELECT a, b,
+           hamming(a, a) AS ham_self,
+           CASE WHEN length(a) = length(b) THEN hamming(a, b) END AS ham,
+           round(jaccard(a, b), 6) AS jac,
+           round(jaro_winkler_similarity(a, b), 6) AS jw,
+           damerau_levenshtein(a, b) AS dl,
+           levenshtein(a, b) AS lev,
+           parse_dirpath('/data/raw/' || a || '.txt') AS dirname,
+           parse_filename('/data/raw/' || a || '.txt') AS filename,
+           format_bytes(length(a) * 123456) AS fmt_bytes,
+           to_base(length(a) * 255 + 1, 16) AS hexed,
+           strip_accents('àéî õü ÇÑ ' || a) AS folded
+    FROM (VALUES ('martha','marhta'), ('dixon','dicksonx'), ('kitten','sitting'),
+                 ('ca','abc'), ('abcde','abcdf'), ('same','same'),
+                 ('x','xyz'), ('hello','hallo')) t(a, b)
+    """,
+)
+def string_metric_suite(spark, sf_dir):
+    """String metrics + path/format helpers SURVEY §2.9 lists as Spark gaps:
+    hamming/jaccard as Catalyst set algebra, Jaro-Winkler and full
+    Damerau-Levenshtein as Arrow-vectorized UDFs (functions/metrics.py) —
+    all value-checked against the reference algorithms in DuckDB. DuckDB's
+    hamming() errors on unequal lengths (the oracle gates it the same way our
+    composition returns NULL), and its DP metrics are BYTE-based on
+    multi-byte text while ours are character-based — the pairs stay ASCII;
+    strip_accents is checked on a fixed accented prefix."""
+    from duckdb_parachute_spark.functions import metrics as M
+
+    df = spark.createDataFrame(_METRIC_PAIRS, "a string, b string")
+    a, b = F.col("a"), F.col("b")
+    return df.select(
+        "a", "b",
+        M.hamming_str(a, a).alias("ham_self"),
+        M.hamming_str(a, b).alias("ham"),
+        F.round(M.char_jaccard(a, b), 6).alias("jac"),
+        F.round(M.jaro_winkler_similarity(a, b), 6).alias("jw"),
+        M.damerau_levenshtein(a, b).alias("dl"),
+        F.levenshtein(a, b).alias("lev"),
+        M.parse_dirpath(F.concat(F.lit("/data/raw/"), a, F.lit(".txt"))).alias("dirname"),
+        M.parse_filename(F.concat(F.lit("/data/raw/"), a, F.lit(".txt"))).alias("filename"),
+        M.format_bytes(F.length(a) * 123456).alias("fmt_bytes"),
+        M.to_base(F.length(a) * 255 + 1, 16).alias("hexed"),
+        M.strip_accents(F.concat(F.lit("àéî õü ÇÑ "), a)).alias("folded"),
+    )
