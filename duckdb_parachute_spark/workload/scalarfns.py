@@ -393,3 +393,45 @@ def string_metric_suite(spark, sf_dir):
         M.to_base(F.length(a) * 255 + 1, 16).alias("hexed"),
         M.strip_accents(F.concat(F.lit("àéî õü ÇÑ "), a)).alias("folded"),
     )
+
+
+@query(
+    "epoch_timezone_suite",
+    oracle="""
+    SELECT event_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS epoch_s,
+           epoch_ms(CAST(ts AS TIMESTAMP)) AS epoch_millis,
+           make_timestamp(epoch_us(CAST(ts AS TIMESTAMP))) AS roundtrip,
+           strftime(CAST(timezone('America/New_York', CAST(ts AS TIMESTAMP)) AS TIMESTAMP),
+                    '%Y-%m-%d %H:%M:%S') AS ny_as_utc,
+           strftime(CAST(ts AS TIMESTAMP) + INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S') AS plus_90m,
+           CAST(date_diff('minute', TIMESTAMP '2024-01-01 00:00:00', CAST(ts AS TIMESTAMP)) AS BIGINT) AS mins_since
+    FROM events WHERE event_id < 200
+    """,
+)
+def epoch_timezone_suite(spark, sf_dir):
+    """Epoch + timezone conversions (reference epoch/epoch_ms/epoch_us in
+    date/functions.json; timezone() via the bundled ICU extension,
+    extension/icu/icu_extension.cpp:213): UTC session on both engines makes
+    naive-timestamp epoch math identical; the New-York conversion is compared
+    through its formatted UTC wall time. convert_timezone interprets the
+    naive value as NY wall time, matching DuckDB's timezone(tz, naive)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    ts = F.col("ts").cast("timestamp")
+    return ev.select(
+        "event_id",
+        F.unix_timestamp(ts).alias("epoch_s"),
+        F.unix_millis(ts).alias("epoch_millis"),
+        F.timestamp_micros(F.unix_micros(ts)).alias("roundtrip"),
+        F.date_format(
+            F.convert_timezone(F.lit("America/New_York"), F.lit("UTC"), F.col("ts")),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("ny_as_utc"),
+        F.date_format(ts + F.expr("INTERVAL 90 MINUTES"), "yyyy-MM-dd HH:mm:ss").alias("plus_90m"),
+        F.floor(
+            (F.unix_timestamp(ts) - F.unix_timestamp(F.lit("2024-01-01 00:00:00").cast("timestamp")))
+            / F.lit(60)
+        )
+        .cast("bigint")
+        .alias("mins_since"),
+    )
