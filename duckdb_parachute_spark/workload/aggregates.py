@@ -15,6 +15,7 @@ shuffle-minimal strategy at 100 TB.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from duckdb_parachute_spark.catalog import load_table
@@ -375,3 +376,50 @@ def agg_distinct_rows(spark, sf_dir):
     """DISTINCT (reference plan_distinct.cpp:88 — planned as hash agg)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "agg_advanced_stats",
+    oracle="""
+    WITH st AS (
+        SELECT l_returnflag AS flag,
+               round(skewness(l_extendedprice), 6) AS skew,
+               round(kurtosis(l_extendedprice), 6) AS kurt,
+               round(ln(product(1 + l_discount / 100)), 4) AS ln_product
+        FROM lineitem GROUP BY l_returnflag
+    ), en AS (
+        SELECT l_returnflag AS flag, round(entropy(l_linestatus), 6) AS status_entropy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT st.flag, skew, kurt, ln_product, status_entropy
+    FROM st JOIN en ON st.flag = en.flag
+    """,
+)
+def agg_advanced_stats(spark, sf_dir):
+    """Advanced statistical aggregates (reference distributive/functions.json:
+    skewness, kurtosis, entropy, product). DuckDB reports SAMPLE-adjusted
+    skewness/kurtosis while Spark's are population moments — the adjustments
+    are exact algebra on (n, population moment):
+      skew_sample = skew_pop * sqrt(n(n-1)) / (n-2)
+      kurt_sample = ((n+1)*kurt_pop + 6) * (n-1) / ((n-2)(n-3))
+    entropy is Shannon log2 over value frequencies (two-level aggregation);
+    product is compared in log space (ln(product) = sum(ln) — sequential
+    multiply and exp(sum ln) differ in ulps)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1)).cast("double")
+    skew_s = (F.skewness("l_extendedprice") * F.sqrt(n * (n - 1)) / (n - 2)).alias("_s")
+    kurt_s = (((n + 1) * F.kurtosis("l_extendedprice") + 6) * (n - 1) / ((n - 2) * (n - 3))).alias("_k")
+    st = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.round(skew_s, 6).alias("skew"),
+        F.round(kurt_s, 6).alias("kurt"),
+        F.round(F.sum(F.log(F.lit(1) + F.col("l_discount") / 100)), 4).alias("ln_product"),
+    )
+    counts = li.groupBy(F.col("l_returnflag").alias("flag"), "l_linestatus").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    en = (
+        counts.withColumn("t", F.sum("c").over(Window.partitionBy("flag")))
+        .groupBy("flag")
+        .agg(F.round(-F.sum((F.col("c") / F.col("t")) * F.log2(F.col("c") / F.col("t"))), 6).alias("status_entropy"))
+    )
+    return st.join(en, "flag")
