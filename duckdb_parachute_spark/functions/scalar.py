@@ -30,3 +30,48 @@ def jaccard_tokens(a: Column, b: Column) -> Column:
     sa, sb = F.array_distinct(F.split(a, r"\s+")), F.array_distinct(F.split(b, r"\s+"))
     inter = F.size(F.array_intersect(sa, sb)).cast("double")
     return inter / (F.size(sa) + F.size(sb) - F.size(F.array_intersect(sa, sb)))
+
+
+# -- ENUM emulation (SURVEY §1.2: ENUM → string + helpers) -------------------
+# Reference: enum_first/enum_last/enum_code/enum_range
+# (extension/core_functions/scalar/enum/functions.json). Spark has no enum
+# type; the emulation keeps the column as string (dictionary-encoded in
+# parquet anyway) and derives the enum operations from the declared value
+# list — the list is part of the schema contract, exactly like the
+# reference's CREATE TYPE.
+
+
+def enum_code(col, values: list[str]):
+    """0-based code of the value in the declared enum order (reference
+    enum_code; returns NULL for non-members like an invalid cast would)."""
+    pos = F.array_position(F.array(*[F.lit(v) for v in values]), col)
+    return F.when(pos > 0, (pos - 1).cast("int"))
+
+
+def enum_first(values: list[str]):
+    return F.lit(values[0])
+
+
+def enum_last(values: list[str]):
+    return F.lit(values[-1])
+
+
+def enum_range(values: list[str]):
+    return F.array(*[F.lit(v) for v in values])
+
+
+def sequence_ids(df, order_by, name: str = "seq_id"):
+    """nextval-style contiguous 1-based ids (reference
+    src/function/scalar/sequence/): distributed engines cannot hand out a
+    global counter cheaply — the deterministic equivalent is row_number over
+    an explicit total order (one shuffle). For sparse-but-parallel ids use
+    `unique_ids` instead."""
+    from pyspark.sql import Window
+
+    return df.withColumn(name, F.row_number().over(Window.orderBy(*order_by)))
+
+
+def unique_ids(df, name: str = "uid"):
+    """Parallel-safe sparse ids (monotonically_increasing_id): unique and
+    increasing per partition, NOT contiguous — document per reference gap."""
+    return df.withColumn(name, F.monotonically_increasing_id())

@@ -435,3 +435,57 @@ def epoch_timezone_suite(spark, sf_dir):
         .cast("bigint")
         .alias("mins_since"),
     )
+
+
+_STATUS_ENUM = ["F", "O", "P"]
+
+
+@query(
+    "enum_emulation_suite",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(enum_code(CAST(o_orderstatus AS ENUM('F','O','P'))) AS INT) AS code,
+           enum_first(CAST(o_orderstatus AS ENUM('F','O','P'))) AS first_v,
+           enum_last(CAST(o_orderstatus AS ENUM('F','O','P'))) AS last_v,
+           enum_range(CAST(o_orderstatus AS ENUM('F','O','P'))) AS range_v
+    FROM orders WHERE o_orderkey < 100
+    """,
+)
+def enum_emulation_suite(spark, sf_dir):
+    """ENUM type emulation (SURVEY §1.2; reference enum functions in
+    extension/core_functions/scalar/enum/): string column + declared value
+    list; enum_code/first/last/range derived from the list and checked
+    against DuckDB's native anonymous ENUM."""
+    from duckdb_parachute_spark.functions.scalar import (
+        enum_code,
+        enum_first,
+        enum_last,
+        enum_range,
+    )
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 100)
+    return o.select(
+        "o_orderkey",
+        enum_code(F.col("o_orderstatus"), _STATUS_ENUM).alias("code"),
+        enum_first(_STATUS_ENUM).alias("first_v"),
+        enum_last(_STATUS_ENUM).alias("last_v"),
+        enum_range(_STATUS_ENUM).alias("range_v"),
+    )
+
+
+@query(
+    "sequence_rownumber_ids",
+    oracle="""
+    SELECT row_number() OVER (ORDER BY n_nationkey) AS seq_id, n_name
+    FROM nation
+    """,
+)
+def sequence_rownumber_ids(spark, sf_dir):
+    """Sequences (reference src/function/scalar/sequence/ nextval): the
+    deterministic distributed equivalent — row_number over an explicit total
+    order. True global counters are unsafe at scale (SURVEY §2.9 sequences
+    note); sparse parallel ids exist as functions.scalar.unique_ids."""
+    from duckdb_parachute_spark.functions.scalar import sequence_ids
+
+    n = load_table(spark, sf_dir, "nation")
+    return sequence_ids(n, ["n_nationkey"]).select("seq_id", "n_name")
