@@ -126,3 +126,17 @@ def import_database(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def write_bucketed(
+    df: DataFrame, table: str, bucket_cols: list[str], n_buckets: int = 8, sort_cols: list[str] | None = None
+) -> None:
+    """Bucketed managed table (SURVEY §4.2 partitioning-aware aggregation /
+    co-located joins; the reference's analogue is pre-partitioned aggregation,
+    plan_aggregate.cpp:33): two tables bucketed on the same keys with the
+    same bucket count join WITHOUT a shuffle — the plan-level proof lives in
+    tests/test_plans.py::test_bucketed_join_no_shuffle."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)

@@ -80,3 +80,30 @@ def test_asof_single_shuffle(no_aqe, spark, sf_dir):
 def test_topk_uses_take_ordered(no_aqe, spark, sf_dir):
     s = assert_plan(_q("limit_offset_topn", spark, sf_dir))
     assert "TakeOrderedAndProject" in s.text
+
+
+def test_bucketed_join_no_shuffle(no_aqe, spark, sf_dir):
+    # Co-located join: both sides bucketed on the join key with equal bucket
+    # counts -> SortMergeJoin with ZERO exchanges (each bucket pairs 1:1).
+    # This is the 100 TB fact-fact join strategy when broadcast is impossible.
+    from duckdb_parachute_spark.catalog import load_table
+    from duckdb_parachute_spark.plans import assert_plan
+    from duckdb_parachute_spark.sources import write_bucketed
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(o.select("o_orderkey", "o_totalprice"), "b_orders", ["o_orderkey"], 8)
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            spark.table("b_lineitem").l_orderkey == spark.table("b_orders").o_orderkey,
+        )
+        s = assert_plan(joined, max_shuffles=0)
+        assert "SortMergeJoin" in s.text or "ShuffledHashJoin" in s.text
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -154,3 +154,16 @@ def test_dml_rewrites(spark, sf_dir):
 
     extra = spark.createDataFrame([(99, "X", 1)], "n_nationkey int, n_name string, n_regionkey int")
     assert insert_into(n.select("n_nationkey", "n_name", "n_regionkey"), extra).count() == n.count() + 1
+
+
+def test_arrow_interchange_roundtrip(spark, sf_dir):
+    # Arrow scan (reference src/function/table/arrow.cpp): pyarrow table ->
+    # DataFrame -> pyarrow, values preserved (Arrow-backed conversion on).
+    import pyarrow as pa
+
+    nation = load_table(spark, sf_dir, "nation")
+    tbl = pa.Table.from_pandas(nation.toPandas())
+    df = spark.createDataFrame(tbl.to_pandas())
+    assert df.count() == nation.count()
+    back = pa.Table.from_pandas(df.toPandas())
+    assert back.column("n_name").to_pylist() == tbl.column("n_name").to_pylist()
