@@ -23,3 +23,16 @@ __all__ = [
     "word_shingles",
     "ngram_shingles",
 ]
+
+
+def register_udfs(spark) -> None:
+    """Register the Python-backed gap functions for SQL use (SURVEY §2.11 —
+    the reference's con.create_function surface, pyconnection.cpp:136):
+    after this, spark.sql / sqlx.sql can call them by name."""
+    from duckdb_parachute_spark.functions.metrics import (
+        damerau_levenshtein,
+        jaro_winkler_similarity,
+    )
+
+    spark.udf.register("jaro_winkler_similarity", jaro_winkler_similarity)
+    spark.udf.register("damerau_levenshtein", damerau_levenshtein)

@@ -235,3 +235,58 @@ def unpivot_stack(spark, sf_dir):
         )
         .select("l_orderkey", "l_linenumber", "metric", F.round("val", 2).alias("val"))
     )
+
+
+@query(
+    "json_gap_suite",
+    oracle="""
+    SELECT event_id,
+           json_keys(props) AS jkeys,
+           json_valid(props) AS jvalid,
+           json_valid(substr(props, 2)) AS jbroken,
+           json_array_length('[1,2,3]') AS jarrlen,
+           json_merge_patch(props, '{"extra": 1, "k": null}') AS jmerged
+    FROM events WHERE event_id < 60
+    """,
+)
+def json_gap_suite(spark, sf_dir):
+    """JSON functions SURVEY §2.9 flags as Spark gaps (reference
+    extension/json/json_functions/): json_keys ≡ json_object_keys,
+    json_valid via try-parse (from_json NULL on failure ≡ invalid),
+    json_array_length native, json_merge_patch (RFC 7386: null deletes,
+    fields overwrite) composed from parsed maps re-serialized in key order —
+    props is flat {k: int}, which keeps the composition exact."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 60)
+    props = F.col("props")
+    parsed = F.from_json(props, "map<string,int>")
+    patch = F.from_json(F.lit('{"extra": 1, "k": null}'), "map<string,string>")
+    merged = F.map_filter(
+        F.map_zip_with(
+            F.transform_values(parsed, lambda k, v: v.cast("string")),
+            patch,
+            lambda k, v1, v2: F.when(
+                F.array_contains(F.from_json(F.lit('["extra","k"]'), "array<string>"), k),
+                v2,
+            ).otherwise(F.coalesce(v2, v1)),
+        ),
+        lambda k, v: v.isNotNull(),
+    )
+    merged_json = F.concat(
+        F.lit("{"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.map_entries(merged)),
+                lambda e: F.concat(F.lit('"'), e.getField("key"), F.lit('":'), e.getField("value")),
+            ),
+        ),
+        F.lit("}"),
+    )
+    return ev.select(
+        "event_id",
+        F.json_object_keys(props).alias("jkeys"),
+        F.from_json(props, "map<string,string>").isNotNull().alias("jvalid"),
+        F.from_json(F.expr("substring(props, 2)"), "map<string,string>").isNotNull().alias("jbroken"),
+        F.json_array_length(F.lit("[1,2,3]")).alias("jarrlen"),
+        merged_json.alias("jmerged"),
+    )

@@ -175,3 +175,15 @@ def test_salted_join_all_keys_and_left(spark, sf_dir):
     out = salted_join(ev, dim.withColumn("known", F.lit(True)), on="event_type", how="left")
     got = {r.event_type: r.known for r in out.select("event_type", "known").distinct().collect()}
     assert got["click"] is None and got.get("view") is True
+
+
+def test_register_udfs_for_sql(spark):
+    from duckdb_parachute_spark.functions import register_udfs
+
+    register_udfs(spark)
+    row = spark.sql(
+        "SELECT jaro_winkler_similarity('martha', 'marhta') AS jw, "
+        "damerau_levenshtein('ca', 'abc') AS dl"
+    ).head()
+    assert abs(row.jw - 0.9611111111111111) < 1e-12
+    assert row.dl == 2
