@@ -423,3 +423,69 @@ def agg_advanced_stats(spark, sf_dir):
         .agg(F.round(-F.sum((F.col("c") / F.col("t")) * F.log2(F.col("c") / F.col("t"))), 6).alias("status_entropy"))
     )
     return st.join(en, "flag")
+
+
+@query(
+    "h2o_groupby_lowcard",
+    oracle="""
+    SELECT l_returnflag AS id, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v1
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def h2o_groupby_lowcard(spark, sf_dir):
+    """H2O db-benchmark q1 shape (reference benchmark/h2oai/): sum by a
+    low-cardinality key — pure map-side combine, the exchange moves 3 rows
+    per mapper."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("id")).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("v1")
+    )
+
+
+@query(
+    "h2o_groupby_highcard",
+    oracle="""
+    SELECT l_orderkey AS id,
+           CAST(floor(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) * 10000 AS BIGINT) AS DOUBLE)
+                      / count(*)) AS BIGINT) AS v1_scaled,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def h2o_groupby_highcard(spark, sf_dir):
+    """H2O q3/q5 shape: mean by a high-cardinality key (~orders count
+    groups) — the partial-agg benefit shrinks as group count approaches row
+    count; AQE sizes the exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    num = (F.sum(F.col("l_extendedprice").cast("decimal(12,2)")) * 10000).cast("bigint").cast("double")
+    return li.groupBy(F.col("l_orderkey").alias("id")).agg(
+        F.floor(num / F.count(F.lit(1))).cast("bigint").alias("v1_scaled"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "h2o_top2_per_group",
+    oracle="""
+    SELECT id, v FROM (
+        SELECT l_returnflag AS id, round(l_extendedprice, 2) AS v,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        FROM lineitem
+    ) t WHERE rn <= 2
+    """,
+)
+def h2o_top2_per_group(spark, sf_dir):
+    """H2O q7 shape (largest two v per id): rank-and-filter window — one
+    shuffle on the group key, no global sort."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select(F.col("l_returnflag").alias("id"), F.round("l_extendedprice", 2).alias("v"))
+    )
