@@ -8,6 +8,9 @@ Reference dialect features handled (binder locations in the reference):
 - x -> 'k' / ->> 'k' extension/json (json_extract / json_extract_string)
 - a // b             integer division operator (src/function/scalar/operator/)
 - USING SAMPLE n%    src/include/duckdb/parser/parsed_data/sample_options.hpp
+- * EXCLUDE (...)    src/parser/expression/star_expression.cpp (exclude_list)
+- [1, 2] literals, 1-based x[i] subscripts and x[a:b] slices
+                     src/parser/transform/expression/transform_array_index.cpp
 
 Natively understood by Spark SQL already (no rewrite): TRY_CAST, ILIKE,
 GROUP BY ALL, ORDER BY ALL, FILTER (WHERE ...), VALUES lists, lambdas.
@@ -138,6 +141,105 @@ def rewrite_json_arrows(sql: str) -> str:
     return out
 
 
+_EXCLUDE_RE = re.compile(r"\*\s+EXCLUDE\s*\(([^)]*)\)", re.IGNORECASE)
+_EXCLUDE_BARE_RE = re.compile(r"\*\s+EXCLUDE\s+(\w+)", re.IGNORECASE)
+
+
+def rewrite_exclude(sql: str) -> str:
+    """* EXCLUDE (a, b) → * EXCEPT (a, b) (DuckDB star_expression exclude
+    list; Spark spells the same feature EXCEPT)."""
+    sql = _EXCLUDE_RE.sub(lambda m: f"* EXCEPT ({m.group(1)})", sql)
+    return _EXCLUDE_BARE_RE.sub(lambda m: f"* EXCEPT ({m.group(1)})", sql)
+
+
+def _operand_start(text: str, end: int) -> int:
+    """Start index of the expression ending at `end` (exclusive): walks back
+    over a balanced trailing ')' group, then an identifier/dot chain — the
+    same shape the JSON-arrow rewrite uses."""
+    k = end
+    if k > 0 and text[k - 1] == ")":
+        depth = 0
+        k -= 1
+        while k >= 0:
+            if text[k] == ")":
+                depth += 1
+            elif text[k] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            k -= 1
+    while k > 0 and (text[k - 1].isalnum() or text[k - 1] in "_."):
+        k -= 1
+    return k
+
+
+_NON_OPERAND_KEYWORDS = frozenset(
+    """select from where and or not then else when end in on by as values set
+    distinct all union except intersect case having limit offset join between
+    like ilike is returning exclude replace array""".split()
+)
+
+
+def rewrite_brackets(sql: str) -> str:
+    """DuckDB bracket syntax → Spark builtins:
+    - [e1, e2]  literal at expression position → array(e1, e2)
+    - x[i]      1-based subscript → element_at(x, i)   (Spark's x[i] is
+                0-based, so a plain passthrough would be off by one)
+    - x[a:b]    inclusive slice → slice(x, a, b - a + 1)
+    String literals are skipped; brackets directly after an identifier, ')',
+    or ']' are subscripts, anything else is a list literal."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        if ch != "[":
+            out.append(ch)
+            i += 1
+            continue
+        depth, j = 1, i + 1
+        while j < n and depth:
+            if sql[j] == "[":
+                depth += 1
+            elif sql[j] == "]":
+                depth -= 1
+            j += 1
+        inner = rewrite_brackets(sql[i + 1 : j - 1])
+        prefix = "".join(out)
+        prev = prefix.rstrip()
+        k = _operand_start(prev, len(prev)) if prev else 0
+        operand = prev[k:]
+        is_subscript = (
+            bool(prev)
+            and (prev[-1].isalnum() or prev[-1] in "_)]")
+            and operand.lower() not in _NON_OPERAND_KEYWORDS
+        )
+        if is_subscript:
+            head = prev[: len(prev) - len(operand)]
+            parts = _split_top_level(inner, ":")
+            if len(parts) == 2 and all(p.strip() for p in parts):
+                a, b = (p.strip() for p in parts)
+                repl = f"slice({operand}, {a}, ({b}) - ({a}) + 1)"
+            else:
+                repl = f"element_at({operand}, {inner})"
+            out = [head, repl]
+        else:
+            out.append(f"array({inner})")
+        i = j
+    return "".join(out)
+
+
 def rewrite_intdiv(sql: str) -> str:
     """a // b → a DIV b (Spark's integer division)."""
     return _INTDIV_RE.sub(r"\1 DIV \2", sql)
@@ -152,6 +254,8 @@ REWRITES = [
     rewrite_qualify,
     rewrite_distinct_on,
     rewrite_json_arrows,
+    rewrite_exclude,
+    rewrite_brackets,
     rewrite_intdiv,
     rewrite_sample,
 ]

@@ -91,6 +91,62 @@ def dialect_intdiv_groupall(spark, sf_dir):
     )
 
 
+_EXCLUDE_BRACKETS_SQL = """
+SELECT * EXCLUDE (n_name),
+       [n_nationkey, n_regionkey][2] AS rk_again,
+       [10, 20, 30, 40][2:3] AS mid,
+       ([5, 6, 7][1:2])[1] AS five
+FROM nation
+"""
+
+
+@query("dialect_exclude_brackets", oracle=_EXCLUDE_BRACKETS_SQL)
+def dialect_exclude_brackets(spark, sf_dir):
+    """* EXCLUDE star modifier (reference star_expression.cpp exclude_list →
+    Spark * EXCEPT), DuckDB [..] list literals (→ array), 1-based subscripts
+    (→ element_at, since Spark's native x[i] is 0-based), and inclusive [a:b]
+    slices (→ slice(x, a, b-a+1)) — all via sqlx.rewrite_exclude /
+    rewrite_brackets."""
+    _views(spark, sf_dir, "nation")
+    return sqlx.sql(spark, _EXCLUDE_BRACKETS_SQL)
+
+
+_GROUPING_SETS_SQL = """
+SELECT n_regionkey, n_nationkey % 2 AS parity,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(grouping(n_regionkey) AS INT) AS g_region
+FROM nation
+GROUP BY GROUPING SETS ((n_regionkey, n_nationkey % 2), (n_regionkey), ())
+"""
+
+
+@query("dialect_grouping_sets", oracle=_GROUPING_SETS_SQL)
+def dialect_grouping_sets(spark, sf_dir):
+    """GROUP BY GROUPING SETS + GROUPING() marker (reference
+    src/parser/transform/helpers/transform_groupby.cpp) — native in both
+    dialects; pins the passthrough path. NULL group placeholders and the
+    grouping() flag must agree across engines."""
+    _views(spark, sf_dir, "nation")
+    return sqlx.sql(spark, _GROUPING_SETS_SQL)
+
+
+_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(grouping(l_returnflag) AS INT) + CAST(grouping(l_linestatus) AS INT) AS lvl
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@query("dialect_cube_rollup", oracle=_CUBE_SQL)
+def dialect_cube_rollup(spark, sf_dir):
+    """GROUP BY CUBE — all 2^k grouping combinations (reference
+    transform_groupby.cpp CUBE expansion); native in both engines."""
+    _views(spark, sf_dir, "lineitem")
+    return sqlx.sql(spark, _CUBE_SQL)
+
+
 _FILTER_CLAUSE_SQL = """
 SELECT l_returnflag,
        CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS big_qty,

@@ -57,3 +57,40 @@ def test_sample():
 def test_transpile_passthrough():
     sql = "SELECT try_cast(a AS INT), b ILIKE '%x%' FROM t GROUP BY ALL"
     assert transpile(sql) == sql
+
+
+def test_exclude_paren_and_bare():
+    from duckdb_parachute_spark.sqlx import rewrite_exclude
+
+    assert rewrite_exclude("SELECT * EXCLUDE (a, b) FROM t") == "SELECT * EXCEPT (a, b) FROM t"
+    assert rewrite_exclude("SELECT t.* EXCLUDE b FROM t") == "SELECT t.* EXCEPT (b) FROM t"
+
+
+def test_bracket_list_literal_vs_subscript():
+    from duckdb_parachute_spark.sqlx import rewrite_brackets
+
+    assert rewrite_brackets("SELECT [1, 2, 3] AS xs") == "SELECT array(1, 2, 3) AS xs"
+    assert rewrite_brackets("SELECT xs[2] FROM t") == "SELECT element_at(xs, 2) FROM t"
+    # subscript binds to a full call chain, 1-based like DuckDB
+    assert (
+        rewrite_brackets("SELECT split(s, ',')[1] FROM t")
+        == "SELECT element_at(split(s, ','), 1) FROM t"
+    )
+    # keyword before '[' means literal, not subscript
+    assert rewrite_brackets("WHERE k IN [1,2]") == "WHERE k IN array(1,2)"
+    # nested literals; brackets inside strings untouched
+    assert rewrite_brackets("SELECT [[1],[2]] , 'a[1]'") == "SELECT array(array(1),array(2)) , 'a[1]'"
+
+
+def test_bracket_slice_inclusive():
+    from duckdb_parachute_spark.sqlx import rewrite_brackets
+
+    assert (
+        rewrite_brackets("SELECT xs[2:3] FROM t")
+        == "SELECT slice(xs, 2, (3) - (2) + 1) FROM t"
+    )
+
+
+def test_grouping_sets_passthrough():
+    sql = "SELECT a, count(*) FROM t GROUP BY GROUPING SETS ((a), ())"
+    assert transpile(sql) == sql
