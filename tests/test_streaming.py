@@ -81,3 +81,71 @@ def test_streaming_dedup(spark, event_stream):
     df = _run(deduped, spark, "dd_stream", "append")
     n_types = df.groupBy("user_id", "event_type").count().where(F.col("count") > 1).count()
     assert n_types == 0
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Multi-batch late-data semantics: a row arriving behind the watermark is
+    DROPPED from the windowed aggregate. Batches are fed as separate files
+    through checkpoint-preserving AvailableNow restarts, so the watermark
+    carries across micro-batches exactly as it would in a long-running job."""
+    import glob
+    import shutil
+
+    from duckdb_parachute_spark.streaming import windowed_counts
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+
+    def nanos(hour, minute=0):
+        return (hour * 3600 + minute * 60) * 10**9
+
+    def feed(i, rows):
+        df = spark.createDataFrame(
+            [(eid, t, 1, "click", 1.0, None) for eid, t in rows], schema
+        )
+        stage = str(tmp_path / f"stage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        shutil.copy(glob.glob(stage + "/part-*.parquet")[0], str(src / f"batch{i}.parquet"))
+
+    collected = []  # memory sink can't recover from a checkpoint; foreachBatch can
+
+    def run(i):
+        stream = read_event_stream(spark, str(src))
+        out = windowed_counts(stream, "1 hour", watermark="1 hour")
+        q = (
+            out.writeStream.foreachBatch(
+                lambda bdf, bid: collected.append(bdf.toPandas())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: three rows in the 10:00 window + one at 12:05 that advances the
+    # watermark to 11:05 once the batch commits
+    feed(1, [(1, nanos(10, 0)), (2, nanos(10, 10)), (3, nanos(10, 20)), (4, nanos(12, 5))])
+    run(1)
+    # batch 2: 10:15 is now behind the 11:05 watermark -> must be dropped;
+    # 13:05 advances the watermark to 12:05, finalizing the 10:00 window
+    feed(2, [(5, nanos(10, 15)), (6, nanos(13, 5))])
+    run(2)
+    # batch 3: 15:00 pushes the watermark past the 12:00 and 13:00 windows
+    feed(3, [(7, nanos(15, 0))])
+    run(3)
+
+    import pandas as pd
+
+    allout = pd.concat(collected, ignore_index=True)
+    w10 = allout[allout["window_start"].astype(str).str.contains("10:00:00")]
+    assert len(w10) == 1, f"window 10:00 emitted {len(w10)} times: {allout}"
+    assert int(w10["n"].iloc[0]) == 3  # late event 5 excluded
+    # every emitted row accounts only for on-time events (4 of them are in
+    # closed windows: 3 in 10:00, one each at 12:05/13:05; 15:00 still open)
+    assert int(allout["n"].sum()) == 5
