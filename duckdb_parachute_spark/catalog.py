@@ -56,12 +56,27 @@ def _ns_long_to_ntz(col):
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver table; normalizes nanosecond timestamps to NTZ."""
+    """Load one driver table; normalizes nanosecond timestamps to NTZ.
+
+    Memoized per session: the DataFrame (an immutable logical plan) is cached
+    on the session object, so repeated queries skip the parquet footer read
+    and schema analysis that otherwise dominate driver-side build time."""
+    cache = getattr(spark, "_parachute_table_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            spark._parachute_table_cache = cache
+        except Exception:  # noqa: BLE001 - exotic session proxy; just skip caching
+            pass
+    key = (os.path.abspath(sf_dir), name)
+    if key in cache:
+        return cache[key]
     apply_runtime_conf(spark)
     df = _read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
     for field, dtype in df.dtypes:
         if name == "events" and field == "ts" and dtype == "bigint":
             df = df.withColumn("ts", _ns_long_to_ntz("ts"))
+    cache[key] = df
     return df
 
 

@@ -90,16 +90,26 @@ def get_session(
     return spark
 
 
-def apply_runtime_conf(spark: SparkSession) -> SparkSession:
+def apply_runtime_conf(spark: SparkSession, force: bool = False) -> SparkSession:
     """Best-effort apply dynamic confs to an existing session.
 
     Used when an external harness hands us its own SparkSession: every conf in
     RUNTIME_CONF is runtime-settable in Spark 4.x, but we tolerate failures so
     a locked-down session still works for most queries.
+
+    Applied once per session (each conf.set is a py4j round-trip; hot paths
+    like catalog.load_table call this defensively). ``force=True`` re-applies,
+    e.g. after a test deliberately flipped one of these confs.
     """
+    if not force and getattr(spark, "_parachute_conf_applied", False):
+        return spark
     for k, v in RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass
+    try:
+        spark._parachute_conf_applied = True
+    except Exception:
+        pass
     return spark
