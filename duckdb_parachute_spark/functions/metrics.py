@@ -15,6 +15,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, LongType
 
 # -- Catalyst compositions ---------------------------------------------------
 
@@ -63,7 +64,7 @@ def format_bytes(n: Column) -> Column:
     def scaled(unit_pow: int, unit: str) -> Column:
         scale = float(1 << (10 * unit_pow))
         trunc = F.floor(n / scale * 10) / 10.0
-        return F.concat(F.format_number(trunc, 1), F.lit(" " + unit))
+        return F.concat(F.format_string("%.1f", trunc), F.lit(" " + unit))
 
     return (
         F.when(n < 1024, F.concat(n.cast("string"), F.lit(" bytes")))
@@ -93,7 +94,7 @@ def strip_accents(s: Column) -> Column:
 # -- DP metrics as Arrow-vectorized UDFs -------------------------------------
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def jaro_winkler_similarity(a: pd.Series, b: pd.Series) -> pd.Series:
     """Jaro-Winkler (standard p=0.1, prefix≤4 — matches the reference's
     jaro_winkler_similarity)."""
@@ -138,7 +139,7 @@ def jaro_winkler_similarity(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series([jw(x, y) for x, y in zip(a, b)])
 
 
-@pandas_udf("long")
+@pandas_udf(LongType())
 def damerau_levenshtein(a: pd.Series, b: pd.Series) -> pd.Series:
     """Full Damerau-Levenshtein (unrestricted transpositions — the reference's
     damerau_levenshtein, which gives d('ca','abc') = 2)."""

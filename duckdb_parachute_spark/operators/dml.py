@@ -22,11 +22,20 @@ def delete_where(df: DataFrame, cond: Column) -> DataFrame:
 
 
 def update_set(df: DataFrame, cond: Column, assignments: dict[str, Column]) -> DataFrame:
-    """UPDATE SET col=expr WHERE cond → conditional projection."""
-    out = df
-    for col, expr in assignments.items():
-        out = out.withColumn(col, F.when(F.coalesce(cond, F.lit(False)), expr).otherwise(F.col(col)))
-    return out
+    """UPDATE SET col=expr WHERE cond → conditional projection.
+
+    All RHS expressions are evaluated against the pre-update row in one
+    projection (SQL UPDATE is all-at-once: SET a=b, b=a swaps), matching the
+    reference's physical_update.cpp which binds every expression before any
+    column is written.
+    """
+    hit = F.coalesce(cond, F.lit(False))
+    return df.select(
+        *[
+            (F.when(hit, assignments[c]).otherwise(F.col(c)) if c in assignments else F.col(c)).alias(c)
+            for c in df.columns
+        ]
+    )
 
 
 def insert_into(df: DataFrame, rows: DataFrame) -> DataFrame:

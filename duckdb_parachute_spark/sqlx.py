@@ -55,21 +55,72 @@ def _split_top_level(text: str, sep: str = ",") -> list[str]:
     return parts
 
 
+def _search_depth0(pattern: re.Pattern, text: str, start: int = 0) -> re.Match | None:
+    """First match of `pattern` that sits at parenthesis depth 0."""
+    for m in pattern.finditer(text, start):
+        depth = 0
+        for ch in text[: m.start()]:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+        if depth == 0:
+            return m
+    return None
+
+
+_OVER_RE = re.compile(r"\bOVER\s*\(", re.IGNORECASE)
+
+
 def rewrite_qualify(sql: str) -> str:
     """QUALIFY <pred> → wrap the QUALIFY-less query and filter on the alias.
 
     DuckDB evaluates QUALIFY after window functions; the wrapped subquery
     exposes the select-list aliases, so predicates over window aliases work.
-    A trailing ORDER BY/LIMIT stays outside the wrapper."""
-    m = _QUALIFY_RE.search(sql)
+    Inline window expressions in the predicate (the canonical
+    ``QUALIFY row_number() OVER (ORDER BY x) = 1`` form) are hoisted into the
+    subquery's select list as synthetic ``__qw{i}`` aliases, since a window
+    function cannot run inside WHERE. The trailing ORDER BY / LIMIT is
+    detected at paren depth 0 only, so an ORDER BY *inside* an OVER(...) spec
+    is not mistaken for the query's trailing clause."""
+    m = _search_depth0(_QUALIFY_RE, sql)
     if not m:
         return sql
     head, tail = sql[: m.start()], sql[m.end() :]
-    # Split the tail into the predicate and any trailing ORDER BY / LIMIT.
-    trail_m = re.search(r"\b(ORDER\s+BY|LIMIT)\b", tail, re.IGNORECASE)
+    # Split the tail into the predicate and any trailing ORDER BY / LIMIT —
+    # depth-0 only, so OVER (ORDER BY ...) inside the predicate stays intact.
+    trail_m = _search_depth0(re.compile(r"\b(ORDER\s+BY|LIMIT)\b", re.IGNORECASE), tail)
     pred = tail[: trail_m.start()] if trail_m else tail
     trailer = tail[trail_m.start() :] if trail_m else ""
-    return f"SELECT * FROM ({head.strip()}) __q WHERE {pred.strip()} {trailer}"
+    head, pred = head.strip(), pred.strip()
+
+    # Hoist inline window expressions out of the predicate.
+    hoisted: list[str] = []
+    while True:
+        om = _OVER_RE.search(pred)
+        if not om:
+            break
+        # expression start: the function call (balanced parens + name) left of OVER
+        left = pred[: om.start()].rstrip()
+        k = _operand_start(left, len(left))
+        # expression end: the matching ')' of OVER's '('
+        depth, j = 1, om.end()
+        while j < len(pred) and depth:
+            if pred[j] == "(":
+                depth += 1
+            elif pred[j] == ")":
+                depth -= 1
+            j += 1
+        expr = pred[k:j]
+        alias = f"__qw{len(hoisted)}"
+        hoisted.append(f"{expr} AS {alias}")
+        pred = pred[:k] + alias + pred[j:]
+    if hoisted:
+        fm = _search_depth0(re.compile(r"\bFROM\b", re.IGNORECASE), head)
+        head = f"{head[: fm.start()].rstrip()}, {', '.join(hoisted)} {head[fm.start() :]}"
+        names = ", ".join(h.rsplit(" AS ", 1)[1] for h in hoisted)
+        return f"SELECT * EXCEPT ({names}) FROM ({head}) __q WHERE {pred} {trailer}"
+    return f"SELECT * FROM ({head}) __q WHERE {pred} {trailer}"
 
 
 def rewrite_distinct_on(sql: str) -> str:

@@ -86,14 +86,22 @@ def dedup_within_watermark(events: DataFrame, keys: list[str], watermark: str = 
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
-def run_available_now(stream_df: DataFrame, query_name: str = "parachute_stream") -> list:
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str = "parachute_stream",
+    output_mode: str = "append",
+) -> list:
     """Execute a streaming plan over all currently-available input
     (Trigger.AvailableNow) into an in-memory sink; returns collected rows.
-    Deterministic: processes the full backlog then stops."""
+    Deterministic: processes the full backlog then stops.
+
+    ``output_mode`` defaults to 'append' — the only mode valid for every
+    plan shape (non-aggregated streams reject 'complete'); pass 'complete'
+    explicitly to retain open windows of a windowed aggregate in the sink."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete" if stream_df.isStreaming else "append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -75,7 +75,11 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         if isinstance(v, dict):
             return "{" + ",".join(f"{k}:{norm(x)}" for k, x in sorted(v.items())) + "}"
         if v.__class__.__name__ == "Decimal":
-            return repr(float(v))
+            # Mirror the driver's str()-level strictness: Decimal('253942.00')
+            # must NOT silently equal float 253942.0 — queries are required to
+            # cast decimals to double at the output boundary instead
+            # (see workload/__init__.py _hashsafe_oracle).
+            return str(v)
         if isinstance(v, pd.Timestamp):
             return v.isoformat()
         if v.__class__.__name__ in ("datetime", "date"):

@@ -28,6 +28,7 @@ def _dec(col, p=12, s=2):
 
 @query(
     "agg_rollup",
+    cast_double=["sum_qty"],
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(grouping(l_returnflag) AS INT) AS g_rf,
@@ -56,6 +57,7 @@ def agg_rollup(spark, sf_dir):
 
 @query(
     "agg_cube",
+    cast_double=["bal"],
     oracle="""
     SELECT c_mktsegment, n_name, count(*) AS n,
            CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS bal
@@ -123,6 +125,7 @@ def agg_distinct_multi(spark, sf_dir):
 
 @query(
     "agg_filter_clause",
+    cast_double=["urgent_total"],
     oracle="""
     SELECT o_orderstatus,
            count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
@@ -223,6 +226,7 @@ def agg_string_agg_ordered(spark, sf_dir):
 
 @query(
     "agg_list_collect",
+    join_arrays=["names"],
     oracle="""
     SELECT n_regionkey, list_sort(list(n_name)) AS names,
            CAST(count(*) AS BIGINT) AS n

@@ -100,7 +100,7 @@ FROM nation
 """
 
 
-@query("dialect_exclude_brackets", oracle=_EXCLUDE_BRACKETS_SQL)
+@query("dialect_exclude_brackets", join_arrays=["mid"], oracle=_EXCLUDE_BRACKETS_SQL)
 def dialect_exclude_brackets(spark, sf_dir):
     """* EXCLUDE star modifier (reference star_expression.cpp exclude_list →
     Spark * EXCEPT), DuckDB [..] list literals (→ array), 1-based subscripts

@@ -181,6 +181,7 @@ def join_asof_purchase(spark, sf_dir):
 
 @query(
     "join_range_inequality",
+    cast_double=["rev1", "rev2"],
     oracle="""
     WITH daily AS (
         SELECT CAST(o_orderdate AS DATE) AS d,

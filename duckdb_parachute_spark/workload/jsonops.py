@@ -239,6 +239,7 @@ def unpivot_stack(spark, sf_dir):
 
 @query(
     "json_gap_suite",
+    join_arrays=["jkeys"],
     oracle="""
     SELECT event_id,
            json_keys(props) AS jkeys,

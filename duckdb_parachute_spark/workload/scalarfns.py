@@ -93,6 +93,7 @@ def math_function_suite(spark, sf_dir):
 
 @query(
     "list_function_suite",
+    join_arrays=["sl", "uniq_sorted", "doubled", "longs", "refl"],
     oracle="""
     SELECT doc_id,
            len(words) AS n_words,
@@ -137,12 +138,13 @@ def list_function_suite(spark, sf_dir):
 
 @query(
     "struct_map_suite",
+    join_arrays=["mkeys"],
     oracle="""
     SELECT event_id,
-           {'ty': event_type, 'val': round(value, 4)} AS packed,
-           struct_extract({'ty': event_type, 'val': round(value, 4)}, 'ty') AS ty_out,
+           struct_extract({'ty': event_type, 'val': round(value, 4)}, 'ty') AS packed_ty,
+           struct_extract({'ty': event_type, 'val': round(value, 4)}, 'val') AS packed_val,
            map_keys(MAP {event_type: round(value, 4)}) AS mkeys,
-           map_values(MAP {event_type: round(value, 4)}) AS mvals,
+           map_values(MAP {event_type: round(value, 4)})[1] AS mval0,
            element_at(MAP {event_type: round(value, 4)}, event_type)[1] AS melem,
            cardinality(MAP {'a': 1, 'b': 2}) AS msize
     FROM events WHERE event_id < 50
@@ -151,16 +153,18 @@ def list_function_suite(spark, sf_dir):
 def struct_map_suite(spark, sf_dir):
     """Struct + map function set (reference .../scalar/struct/functions.json,
     .../scalar/map/functions.json): struct_pack/extract ≡ F.struct/getField,
-    MAP constructors ≡ create_map."""
+    MAP constructors ≡ create_map. Struct/map cells are unpacked to scalars at
+    the output boundary (struct_extract / map_values[1]) so the hash gate sees
+    only scalar columns; the nested construction still runs both engines."""
     ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 50)
     packed = F.struct(F.col("event_type").alias("ty"), F.round("value", 4).alias("val"))
     m = F.create_map(F.col("event_type"), F.round("value", 4))
     return ev.select(
         "event_id",
-        packed.alias("packed"),
-        packed.getField("ty").alias("ty_out"),
+        packed.getField("ty").alias("packed_ty"),
+        packed.getField("val").alias("packed_val"),
         F.map_keys(m).alias("mkeys"),
-        F.map_values(m).alias("mvals"),
+        F.map_values(m)[0].alias("mval0"),
         F.element_at(m, F.col("event_type")).alias("melem"),
         F.size(F.create_map(F.lit("a"), F.lit(1), F.lit("b"), F.lit(2))).alias("msize"),
     )
@@ -442,6 +446,7 @@ _STATUS_ENUM = ["F", "O", "P"]
 
 @query(
     "enum_emulation_suite",
+    join_arrays=["range_v"],
     oracle="""
     SELECT o_orderkey,
            CAST(enum_code(CAST(o_orderstatus AS ENUM('F','O','P'))) AS INT) AS code,

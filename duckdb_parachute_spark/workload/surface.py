@@ -123,7 +123,7 @@ def udf_pandas_grouped_agg(spark, sf_dir):
     SELECT l_orderkey, l_linenumber,
            CAST(CAST(l_quantity AS BIGINT) AS SMALLINT) AS q_small,
            CAST(CAST(l_quantity AS BIGINT) AS TINYINT) AS q_tiny,
-           CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(37,8)) AS big_dec,
+           CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(37,8)) AS VARCHAR) AS big_dec,
            CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_str,
            CAST(l_shipdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_months,
            CAST(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS reparsed,
@@ -148,7 +148,7 @@ def types_edge_casts(spark, sf_dir):
         q.cast("smallint").alias("q_small"),
         q.cast("tinyint").alias("q_tiny"),
         (F.col("l_extendedprice").cast("decimal(18,4)") * F.col("l_discount").cast("decimal(18,4)"))
-        .cast("decimal(37,8)").alias("big_dec"),
+        .cast("decimal(37,8)").cast("string").alias("big_dec"),
         F.col("l_shipdate").cast("date").cast("string").alias("ship_str"),
         (F.col("l_shipdate") + F.expr("INTERVAL 3 MONTHS")).cast("timestamp_ntz").alias("plus_months"),
         F.to_timestamp(F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss")).cast("timestamp_ntz").alias("reparsed"),
@@ -168,7 +168,8 @@ def agg_approx_sketches(spark, sf_dir):
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-        F.percentile_approx("l_extendedprice", [0.25, 0.75]).alias("approx_iqr"),
+        F.percentile_approx("l_extendedprice", [0.25, 0.75])[0].alias("approx_p25"),
+        F.percentile_approx("l_extendedprice", [0.25, 0.75])[1].alias("approx_p75"),
     )
 
 

@@ -35,6 +35,7 @@ def _charge():
 
 @query(
     "tpch_q1_pricing_summary",
+    cast_double=["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"],
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
@@ -75,6 +76,7 @@ def tpch_q1(spark, sf_dir):
 
 @query(
     "tpch_q3_shipping_priority",
+    cast_double=["revenue"],
     oracle="""
     SELECT l_orderkey,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(22,4)) AS revenue,
@@ -141,6 +143,7 @@ def tpch_q4(spark, sf_dir):
 
 @query(
     "tpch_q5_local_supplier_volume",
+    cast_double=["revenue"],
     oracle="""
     SELECT n_name,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(22,4)) AS revenue
@@ -186,6 +189,7 @@ def tpch_q5(spark, sf_dir):
 
 @query(
     "tpch_q6_forecast_revenue",
+    cast_double=["revenue"],
     oracle="""
     SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(22,4)) AS revenue
     FROM lineitem
@@ -210,6 +214,7 @@ def tpch_q6(spark, sf_dir):
 
 @query(
     "tpch_q10_returned_items",
+    cast_double=["revenue"],
     oracle="""
     SELECT c_custkey, c_name,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(22,4)) AS revenue,
@@ -314,6 +319,7 @@ def tpch_q14(spark, sf_dir):
 
 @query(
     "tpch_q18_large_volume_customer",
+    cast_double=["sum_qty"],
     oracle="""
     SELECT c_name, c_custkey, o_orderkey, o_orderdate,
            round(o_totalprice, 2) AS o_totalprice,
@@ -360,6 +366,7 @@ def tpch_q18(spark, sf_dir):
 
 @query(
     "tpch_q19_disjunctive_predicates",
+    cast_double=["revenue"],
     oracle="""
     SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(22,4)) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -437,6 +444,7 @@ def tpch_q2(spark, sf_dir):
 
 @query(
     "tpch_q7_volume_shipping",
+    cast_double=["revenue"],
     oracle="""
     SELECT supp_nation, cust_nation, l_year,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(22,4)) AS revenue
@@ -538,6 +546,7 @@ def tpch_q8(spark, sf_dir):
 
 @query(
     "tpch_q9_product_type_profit",
+    cast_double=["sum_profit"],
     oracle="""
     SELECT nation, o_year, CAST(sum(amount) AS DECIMAL(25,4)) AS sum_profit
     FROM (
@@ -572,6 +581,7 @@ def tpch_q9(spark, sf_dir):
 
 @query(
     "tpch_q11_important_stock",
+    cast_double=["value"],
     oracle="""
     WITH pv AS (
         SELECT l_partkey,
@@ -640,6 +650,7 @@ def tpch_q13(spark, sf_dir):
 
 @query(
     "tpch_q15_top_supplier",
+    cast_double=["total_revenue"],
     oracle="""
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
@@ -847,6 +858,7 @@ def tpch_q21(spark, sf_dir):
 
 @query(
     "tpch_q22_global_sales_opportunity",
+    cast_double=["totacctbal"],
     oracle="""
     WITH pool AS (
         SELECT c_custkey, c_nationkey, c_acctbal FROM customer

@@ -218,6 +218,7 @@ def window_qualify_topn_per_group(spark, sf_dir):
 
 @query(
     "window_groups_frame",
+    cast_double=["groups_sum"],
     oracle="""
     WITH g AS (
         SELECT l_returnflag, l_quantity, sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS gs
@@ -264,6 +265,7 @@ def window_groups_frame(spark, sf_dir):
 
 @query(
     "window_exclude_modes",
+    cast_double=["excl_current", "excl_group", "excl_ties"],
     oracle="""
     SELECT l_orderkey, l_linenumber,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))

@@ -187,3 +187,22 @@ def test_register_udfs_for_sql(spark):
     ).head()
     assert abs(row.jw - 0.9611111111111111) < 1e-12
     assert row.dl == 2
+
+
+def test_format_bytes_matches_duckdb(spark):
+    # grouping separators must NOT appear: DuckDB prints '1022.9 KiB', not '1,022.9 KiB'
+    import duckdb
+
+    from duckdb_parachute_spark.functions import metrics as M
+
+    ns = [0, 999, 1023, 1024, 1047276, 10**6, 123456789, 1022 * 1024 + 950, 5 * 1024**4]
+    got = {
+        r.n: r.fb
+        for r in spark.createDataFrame([(n,) for n in ns], "n long")
+        .select("n", M.format_bytes(F.col("n")).alias("fb"))
+        .collect()
+    }
+    con = duckdb.connect()
+    for n in ns:
+        want = con.execute(f"SELECT format_bytes({n})").fetchone()[0]
+        assert got[n] == want, (n, got[n], want)

@@ -152,6 +152,12 @@ def test_dml_rewrites(spark, sf_dir):
     assert updated.where("n_name = 'RENAMED'").count() == 1
     assert updated.count() == n.count()
 
+    # SQL UPDATE is all-at-once: SET a=b, b=a must swap, every RHS reading
+    # the pre-update row (reference physical_update.cpp binds before writing)
+    swap = spark.createDataFrame([(10, 20)], "a int, b int")
+    swapped = update_set(swap, F.lit(True), {"a": F.col("b"), "b": F.col("a")}).first()
+    assert (swapped.a, swapped.b) == (20, 10)
+
     extra = spark.createDataFrame([(99, "X", 1)], "n_nationkey int, n_name string, n_regionkey int")
     assert insert_into(n.select("n_nationkey", "n_name", "n_regionkey"), extra).count() == n.count() + 1
 

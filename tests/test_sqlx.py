@@ -94,3 +94,22 @@ def test_bracket_slice_inclusive():
 def test_grouping_sets_passthrough():
     sql = "SELECT a, count(*) FROM t GROUP BY GROUPING SETS ((a), ())"
     assert transpile(sql) == sql
+
+
+def test_qualify_inline_window_hoisted():
+    # the canonical DuckDB form: window expression directly in QUALIFY
+    out = rewrite_qualify(
+        "SELECT g, x FROM t QUALIFY row_number() OVER (PARTITION BY g ORDER BY x DESC) = 1"
+    )
+    assert "AS __qw0" in out and "WHERE __qw0 = 1" in out
+    assert "EXCEPT (__qw0)" in out
+    # the ORDER BY inside OVER() must not be mistaken for a trailing clause
+    assert "OVER (PARTITION BY g ORDER BY x DESC)" in out
+
+
+def test_qualify_inline_window_with_trailer():
+    out = rewrite_qualify(
+        "SELECT g, x FROM t QUALIFY rank() OVER (ORDER BY x) <= 3 ORDER BY g LIMIT 2"
+    )
+    assert out.rstrip().endswith("ORDER BY g LIMIT 2")
+    assert "WHERE __qw0 <= 3" in out
