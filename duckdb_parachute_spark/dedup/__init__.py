@@ -142,6 +142,39 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_bits(text: Column, shingle_k: int = 2) -> Column:
+    """Cross-engine-reproducible 64-bit SimHash as a '0'/'1' bit string.
+
+    Like simhash64 but the per-shingle hash bits come from the md5 hex digest
+    (bit k = bit (3 - k%4) of hex digit k/4) instead of xxhash64, so a SQL
+    oracle can rebuild the identical signature in any engine with md5 — the
+    same portability choice minhash_signature makes.
+
+    One pass over the shingles: fold once, maintaining 64 running majority
+    votes (md5 computed once per shingle, never re-inlined per bit position);
+    emitted as a 64-char string so hamming distance is plain string hamming
+    in both engines."""
+    md5s = F.transform(word_shingles(text, shingle_k), lambda s: F.md5(s))
+    ks = F.sequence(F.lit(0), F.lit(63))
+    shifts = F.array(F.lit(8), F.lit(4), F.lit(2), F.lit(1))
+
+    def bitof(m, k):
+        c = m.substr((k.cast("int") / F.lit(4)).cast("int") + F.lit(1), F.lit(1))
+        a = F.ascii(c)
+        v = a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48))
+        shift = F.element_at(shifts, (k.cast("int") % F.lit(4)) + F.lit(1))
+        return (v.cast("int") / shift).cast("int") % F.lit(2)
+
+    votes = F.aggregate(
+        md5s,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, m: F.zip_with(acc, ks, lambda a, k: a + (bitof(m, k) * 2 - 1).cast("long")),
+    )
+    return F.array_join(
+        F.transform(votes, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))), ""
+    )
+
+
 def ngram_jaccard(a: Column, b: Column, n: int = 3) -> Column:
     """Character n-gram Jaccard similarity of two strings (set semantics)."""
     sa = F.array_distinct(ngram_shingles(a, n))

@@ -109,6 +109,7 @@ def load_all() -> dict[str, QueryDef]:
     """Import every workload module (side effect: registry population)."""
     from duckdb_parachute_spark.workload import (  # noqa: F401
         aggregates,
+        clickbench,
         dedup,
         dialect,
         joins,

@@ -1,6 +1,6 @@
-"""Dedup workload queries (extension goal, SURVEY M5) with cross-engine
-oracles where the algorithm is SQL-expressible (md5-based MinHash is, by
-construction; xxhash64-based SimHash is not → rows-only check)."""
+"""Dedup workload queries (extension goal, SURVEY M5). Every signature is
+md5-based by construction (MinHash and SimHash both), so each query carries a
+full DuckDB value oracle — no rows-only checks in this family."""
 
 from __future__ import annotations
 
@@ -8,10 +8,8 @@ from pyspark.sql import functions as F
 
 from duckdb_parachute_spark.catalog import load_table
 from duckdb_parachute_spark.dedup import (
-    hamming64,
     minhash_lsh_pairs,
     ngram_jaccard,
-    simhash64,
 )
 from duckdb_parachute_spark.operators import distinct_on
 from duckdb_parachute_spark.workload import query
@@ -107,18 +105,56 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-@query("dedup_simhash_clusters", oracle=None)
+# The md5-bit SimHash signature is engine-independent (see dedup.simhash_bits),
+# so the oracle rebuilds the identical 64-char bit string in DuckDB SQL and
+# the pair set hash-matches — upgraded from the rows-only check simhash64's
+# xxhash64 bits forced.
+_SIMHASH_ORACLE = """
+WITH sh AS (
+    SELECT doc_id,
+           list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' ')
+           ) AS shingles
+    FROM documents WHERE doc_id < 100
+), tok AS (
+    SELECT doc_id, md5(unnest(shingles)) AS h FROM sh
+), bits AS (
+    SELECT doc_id, k,
+           ((ascii(substr(h, k // 4 + 1, 1))
+             - CASE WHEN ascii(substr(h, k // 4 + 1, 1)) >= 97 THEN 87 ELSE 48 END)
+            // ([8, 4, 2, 1])[(k % 4) + 1]) % 2 AS bit
+    FROM tok, generate_series(0, 63) t(k)
+), votes AS (
+    SELECT doc_id, k, sum(2 * bit - 1) AS vote FROM bits GROUP BY doc_id, k
+), sig AS (
+    SELECT doc_id,
+           string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY k) AS s
+    FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(hamming(a.s, b.s) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON b.doc_id > a.doc_id
+WHERE hamming(a.s, b.s) <= 24
+"""
+
+
+@query("dedup_simhash_clusters", oracle=_SIMHASH_ORACLE)
 def dedup_simhash_clusters(spark, sf_dir):
-    """SimHash near-dup: 64-bit signatures, pairs within hamming distance 12
-    among adjacent doc_ids (rows-only check: xxhash64 is Spark-specific)."""
+    """SimHash near-dup: 64-bit md5-based signatures (dedup.simhash_bits —
+    one Catalyst fold per doc, no shuffle until the pair join), pairs within
+    hamming distance 24. Signature computed per-partition; the only shuffle
+    is the (tiny) signature self-join."""
+    from duckdb_parachute_spark.dedup import simhash_bits
+    from duckdb_parachute_spark.functions.metrics import hamming_str
+
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
-    sigs = d.select("doc_id", simhash64(F.col("text"), 2).alias("sig"))
+    sigs = d.select("doc_id", simhash_bits(F.col("text"), 2).alias("sig"))
     a = sigs.select(F.col("doc_id").alias("id1"), F.col("sig").alias("s1"))
     b = sigs.select(F.col("doc_id").alias("id2"), F.col("sig").alias("s2"))
     return (
         a.join(b, b.id2 > a.id1)
-        .withColumn("hamming", hamming64(F.col("s1"), F.col("s2")).cast("bigint"))
-        .where(F.col("hamming") <= 12)
+        .withColumn("hamming", hamming_str(F.col("s1"), F.col("s2")).cast("bigint"))
+        .where(F.col("hamming") <= 24)
         .select("id1", "id2", "hamming")
     )
 

@@ -206,3 +206,27 @@ def test_format_bytes_matches_duckdb(spark):
     for n in ns:
         want = con.execute(f"SELECT format_bytes({n})").fetchone()[0]
         assert got[n] == want, (n, got[n], want)
+
+
+def test_simhash_bits_portable(spark):
+    from duckdb_parachute_spark.dedup import simhash_bits
+    from duckdb_parachute_spark.functions.metrics import hamming_str
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "a completely different sentence with other words entirely"),
+        ],
+        "id long, text string",
+    ).select("id", simhash_bits(F.col("text"), 2).alias("sig"))
+    rows = {r.id: r.sig for r in df.collect()}
+    assert all(len(s) == 64 and set(s) <= {"0", "1"} for s in rows.values())
+    assert rows[1] == rows[2]  # identical text -> identical signature
+    d = (
+        spark.createDataFrame([(rows[1], rows[3])], "a string, b string")
+        .select(hamming_str(F.col("a"), F.col("b")).alias("h"))
+        .head()
+        .h
+    )
+    assert d > 0
