@@ -36,3 +36,24 @@ def register_udfs(spark) -> None:
 
     spark.udf.register("jaro_winkler_similarity", jaro_winkler_similarity)
     spark.udf.register("damerau_levenshtein", damerau_levenshtein)
+
+
+def register_udtfs(spark) -> None:
+    """Register Python UDTFs (SURVEY §2.2 PhysicalTableInOutFunction /
+    §2.11 UDTF surface — the reference's table-in-out functions,
+    physical_tableinout_function.cpp). Spark 3.5+ Python UDTFs run
+    row-at-a-time through Python: right for low-volume lateral expansion;
+    for corpus-scale transforms use mapInPandas (Arrow-batched) instead."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos bigint, token string")
+    class TokenizePositions:
+        """One row per whitespace token with its 1-based position."""
+
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, t in enumerate(text.split(" ")):
+                yield i + 1, t
+
+    spark.udtf.register("tokenize_positions", TokenizePositions)

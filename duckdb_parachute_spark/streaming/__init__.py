@@ -135,3 +135,33 @@ def running_user_totals(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "INTERVAL 0 SECONDS",
+    upper: str = "INTERVAL 10 MINUTES",
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream event-time interval join (SURVEY §2.10 — additive over
+    the batch-only reference): match right rows whose timestamp falls in
+    [left_ts + lower, left_ts + upper], same key.
+
+    Both sides carry watermarks so Spark can bound the join state buffers —
+    without them an outer stream-stream join is rejected and an inner one
+    buffers forever. The time-range condition is what lets the state manager
+    evict: rows older than watermark + upper are dropped."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    lcol, rcol = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (rcol >= lcol + F.expr(lower))
+        & (rcol <= lcol + F.expr(upper))
+    )
+    return lw.alias("l").join(rw.alias("r"), cond, how)

@@ -313,3 +313,26 @@ def join_salted_skew(spark, sf_dir):
             F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
         )
     )
+
+
+_LATERAL_SQL = """
+SELECT r.r_name, t.n_name, t.rk
+FROM region r, LATERAL (
+    SELECT n_name, CAST(row_number() OVER (ORDER BY n_name) AS BIGINT) AS rk
+    FROM nation WHERE n_regionkey = r.r_regionkey
+    ORDER BY n_name LIMIT 2
+) t
+"""
+
+
+@query("join_lateral_topn", oracle=_LATERAL_SQL)
+def join_lateral_topn(spark, sf_dir):
+    """Correlated LATERAL subquery (reference plans these as DelimJoin —
+    physical_delim_join.cpp + flatten_dependent_join.cpp; Spark 3.4+ has
+    native LATERAL). Top-2 nations per region: Catalyst decorrelates to a
+    join + per-key window rank, so the execution is one shuffle, not a
+    per-row replay of the subquery."""
+    from duckdb_parachute_spark.workload.dialect import _views
+
+    _views(spark, sf_dir, "region", "nation")
+    return spark.sql(_LATERAL_SQL)

@@ -282,3 +282,43 @@ def stream_stateful_user_totals(spark, sf_dir):
         .where(F.col("__rn") == 1)
         .select("user_id", "n_events", F.round("total_value", 4).alias("total_value"))
     )
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS error_id, a.user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 4 HOUR
+    WHERE a.event_type = 'click' AND b.event_type = 'error'
+      
+    """,
+)
+def stream_interval_join(spark, sf_dir):
+    """Stream-stream event-time interval join (streaming.interval_join;
+    SURVEY §2.10 additive — the reference cannot join two live streams).
+    Watermarks on both sides bound the join state so it runs on unbounded
+    input; driven to completion with AvailableNow, the result equals the
+    batch range join the oracle computes."""
+    from duckdb_parachute_spark.streaming import interval_join, read_event_stream
+
+    ev = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click")
+    errors = ev.where(F.col("event_type") == "error")
+    joined = interval_join(
+        clicks, errors, on="user_id", upper="INTERVAL 4 HOURS", watermark="8 hours"
+    ).select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("error_id"),
+        F.col("l.user_id").alias("user_id"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("q_stream_ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("q_stream_ssj")

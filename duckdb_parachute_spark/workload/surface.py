@@ -352,3 +352,35 @@ def sql_parameterized(spark, sf_dir):
         """,
         {"min_price": 100000, "status": "F"},
     )
+
+
+_UDTF_SQL = """
+SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.token AS token
+FROM (SELECT doc_id,
+             unnest(list_transform(range(1, len(words) + 1),
+                                   i -> {'pos': i, 'token': words[i]})) AS u
+      FROM (SELECT doc_id, string_split(text, ' ') AS words
+            FROM documents WHERE doc_id < 10))
+"""
+
+
+@query("udtf_tokenize_positions", oracle=_UDTF_SQL)
+def udtf_tokenize_positions(spark, sf_dir):
+    """Python UDTF via LATERAL (SURVEY §2.2 PhysicalTableInOutFunction,
+    reference physical_tableinout_function.cpp 138 LoC): each document row
+    expands to (pos, token) rows through a registered table function. The
+    row-at-a-time Python path is deliberate surface coverage — the
+    corpus-scale equivalent is unnest_explode_tokens (pure Catalyst
+    posexplode, no Python)."""
+    from duckdb_parachute_spark.functions import register_udtfs
+    from duckdb_parachute_spark.workload.dialect import _views
+
+    register_udtfs(spark)
+    _views(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM documents d, LATERAL tokenize_positions(d.text) t
+        WHERE d.doc_id < 10
+        """
+    )

@@ -126,6 +126,16 @@ def test_expression_matrix_cross_engine(spark, seed):
     spark_pdf = spark.sql(sql).toPandas()
     con = duckdb.connect()  # keep a reference: chaining would let GC close it
     oracle_pdf = con.sql(sql).df()
+    # random literal arithmetic yields DECIMAL on Spark but float on DuckDB's
+    # .df(); the strict compare (str-level, mirroring the driver) would flag
+    # scale-only differences, so bridge decimals to float here — registry
+    # queries instead cast at the output boundary and stay strict.
+    from decimal import Decimal
+
+    for pdf in (spark_pdf, oracle_pdf):
+        for c in pdf.columns:
+            if pdf[c].map(lambda v: isinstance(v, Decimal)).any():
+                pdf[c] = pdf[c].map(lambda v: float(v) if isinstance(v, Decimal) else v)
     res = compare_frames(f"exprs-seed{seed}", spark_pdf, oracle_pdf)
     assert res.ok, str(res)
 

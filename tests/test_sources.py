@@ -173,3 +173,17 @@ def test_arrow_interchange_roundtrip(spark, sf_dir):
     assert df.count() == nation.count()
     back = pa.Table.from_pandas(df.toPandas())
     assert back.column("n_name").to_pylist() == tbl.column("n_name").to_pylist()
+
+
+def test_sniff_csv(spark, tmp_path):
+    from duckdb_parachute_spark.sources import sniff_csv
+
+    p = str(tmp_path / "sniff.csv")
+    with open(p, "w") as f:
+        f.write("id;name;score\n1;alpha;1.5\n2;beta;2.25\n3;gamma;3.0\n")
+    out = {r.column_name: r for r in sniff_csv(spark, p).collect()}
+    assert set(out) == {"id", "name", "score"}
+    assert all(r.delimiter == ";" and r.has_header for r in out.values())
+    assert out["id"].column_type == "int"
+    assert out["score"].column_type == "double"
+    assert out["name"].column_type == "string"

@@ -149,3 +149,41 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # every emitted row accounts only for on-time events (4 of them are in
     # closed windows: 3 in 10:00, one each at 12:05/13:05; 15:00 still open)
     assert int(allout["n"].sum()) == 5
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, event_stream):
+    from duckdb_parachute_spark.streaming import interval_join
+
+    clicks = event_stream.where(F.col("event_type") == "click").where(F.col("event_id") < 2000)
+    errors = event_stream.where(F.col("event_type") == "error").where(F.col("event_id") < 2000)
+    joined = interval_join(
+        clicks, errors, on="user_id", upper="INTERVAL 5 MINUTES", watermark="30 minutes"
+    ).select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("error_id"),
+    )
+    got = _run(joined, spark, "ssj_stream", "append").toPandas()
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    bc = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("u"), F.col("ts").alias("lts")
+    )
+    be = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("user_id").alias("ru"), F.col("ts").alias("rts")
+    )
+    exp = (
+        bc.join(
+            be,
+            (F.col("u") == F.col("ru"))
+            & (F.col("rts") >= F.col("lts"))
+            & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .select("click_id", "error_id")
+        .toPandas()
+    )
+    assert len(got) > 0
+    key = ["click_id", "error_id"]
+    g = set(map(tuple, got[key].itertuples(index=False)))
+    e = set(map(tuple, exp[key].itertuples(index=False)))
+    assert g == e
+
