@@ -32,6 +32,28 @@ HEADLINE = [
 ]
 
 
+def _forcer(df):
+    """Return a closure that fully executes `df`, materializing EVERY output
+    column (a bare .count() would let Catalyst prune unused window/join
+    columns and final sorts, under-measuring the query). Aggregating a hash
+    of all columns keeps the result a single engine-side row — no driver
+    transfer — while forcing each column's computation, like the reference
+    runner which fetches the full result (benchmark/benchmark_runner.cpp)."""
+    from pyspark.sql import functions as F
+
+    cols = [F.col(c) for c in df.columns]
+    try:
+        # analysis is eager: raises here for unhashable (map-typed) outputs
+        df.agg(F.sum(F.hash(*cols)))
+    except Exception:
+        return lambda: df.count()
+    # Rebuild the probe per run: re-collecting one Dataset object would reuse
+    # its shuffle map outputs across jobs (skipped stages) and under-measure
+    # every run after the first. A fresh Dataset → fresh RDD lineage → full
+    # re-execution each run.
+    return lambda: df.agg(F.sum(F.hash(*cols))).collect()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -55,19 +77,24 @@ def main() -> None:
 
     load_table(spark, sf_dir, "lineitem").limit(1).collect()
 
-    # Per-query timing = min over BENCH_RUNS runs (default 2), mirroring the
-    # reference's 5-run protocol (benchmark/benchmark_runner.cpp): the first
-    # run of a plan shape pays Catalyst planning + whole-stage-codegen javac
-    # compilation that steady-state execution does not.
-    runs = int(os.environ.get("BENCH_RUNS", "2"))
+    # Per-query timing = min over BENCH_RUNS runs (default 5), mirroring the
+    # reference's 5-run protocol (benchmark/benchmark_runner.cpp, default
+    # nruns=5): early runs pay whole-stage-codegen javac compilation + JVM
+    # JIT that steady-state execution does not. The DataFrame is built once
+    # and each timed run re-executes it end-to-end (df.count() plans a fresh
+    # job; no shuffle or result reuse across runs) — the prepared-statement
+    # posture of the reference's runner (§3.3: prepare once, execute N times);
+    # driver-side Python plan construction is not part of query execution.
+    runs = int(os.environ.get("BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     for name in names:
-        fn = qs[name].fn
-        best, n = float("inf"), 0
+        df = qs[name].fn(spark, sf_dir)
+        n = df.count()  # row count for the report (untimed)
+        force = _forcer(df)
+        best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()  # full execution; driver-side materialization not needed
+            force()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)

@@ -19,6 +19,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from duckdb_parachute_spark.catalog import load_table
+from duckdb_parachute_spark.functions import money
 from duckdb_parachute_spark.workload import query
 
 
@@ -48,7 +49,7 @@ def agg_rollup(spark, sf_dir):
         .agg(
             F.grouping("l_returnflag").cast("int").alias("g_rf"),
             F.grouping("l_linestatus").cast("int").alias("g_ls"),
-            F.sum(_dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+            money.sum_money("l_quantity").alias("sum_qty"),
             F.count(F.lit(1)).alias("n"),
         )
         .select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "sum_qty", "n")
@@ -74,7 +75,7 @@ def agg_cube(spark, sf_dir):
         .cube("c_mktsegment", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(_dec("c_acctbal")).cast("decimal(18,2)").alias("bal"),
+            money.sum_money("c_acctbal").alias("bal"),
         )
     )
 

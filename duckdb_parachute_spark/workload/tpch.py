@@ -15,22 +15,15 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from duckdb_parachute_spark.catalog import load_table
+from duckdb_parachute_spark.functions import money
 from duckdb_parachute_spark.workload import query
 
-# Exact-decimal casts shared by Spark and oracle SQL. price*(1-disc)*(1+tax):
-# DECIMAL(12,2)*DECIMAL(4,2) -> (17,4); *(4,2) -> (22,6) — identical precision
-# math in both engines, summed exactly, cast to (18,2) at the end (HALF_UP on
-# positive values in both).
+# Exact-decimal money sums shared with the oracle SQL: the oracle spells
+# sum(CAST(x AS DECIMAL(12,2)) * ...); the Spark side computes the identical
+# value on integer units (functions/money.py — DuckDB's own hugeint-backed
+# decimal-sum representation) and rescales to DECIMAL once per group.
 def _dec(col, p=12, s=2):
     return F.col(col).cast(f"decimal({p},{s})")
-
-
-def _disc_price():
-    return _dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - _dec("l_discount", 4, 2))
-
-
-def _charge():
-    return _disc_price() * (F.lit(1).cast("decimal(4,2)") + _dec("l_tax", 4, 2))
 
 
 @query(
@@ -62,10 +55,10 @@ def tpch_q1(spark, sf_dir):
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
-            F.sum(_disc_price()).cast("decimal(22,4)").alias("sum_disc_price"),
-            F.sum(_charge()).cast("decimal(25,6)").alias("sum_charge"),
+            money.sum_money("l_quantity").alias("sum_qty"),
+            money.sum_money("l_extendedprice").alias("sum_base_price"),
+            money.sum_disc_price().alias("sum_disc_price"),
+            money.sum_charge().alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -105,7 +98,7 @@ def tpch_q3(spark, sf_dir):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(_disc_price()).cast("decimal(22,4)").alias("revenue"))
+        .agg(money.sum_disc_price().alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -126,19 +119,26 @@ def tpch_q3(spark, sf_dir):
 )
 def tpch_q4(spark, sf_dir):
     """TPC-H Q4 (queries/q04.sql, commitdate/receiptdate → shipdate>orderdate):
-    EXISTS → left-semi join (DuckDB plans SEMI hash join,
-    reference plan_comparison_join.cpp:66)."""
+    EXISTS over lineitem (DuckDB plans a SEMI hash join building on the small
+    filtered-orders side, reference plan_comparison_join.cpp:66). Spark's
+    LeftSemi hash join can only build on the RIGHT, so the direct `orders
+    SEMI JOIN lineitem` form hashes the whole fact table; instead probe
+    lineitem through the dimension-sized orders build (inner join) and
+    de-duplicate matches with count(DISTINCT o_orderkey) — same cardinality
+    as EXISTS, build side stays the 3-month order slice at any scale."""
     o = load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp_ntz"))
     )
     li = load_table(spark, sf_dir, "lineitem")
-    matched = o.join(
-        li,
+    matched = li.join(
+        o,
         (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
-        "left_semi",
+        "inner",
     )
-    return matched.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+    return matched.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_orderkey").alias("order_count")
+    )
 
 
 @query(
@@ -183,7 +183,7 @@ def tpch_q5(spark, sf_dir):
             (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy("n_name")
-        .agg(F.sum(_disc_price()).cast("decimal(22,4)").alias("revenue"))
+        .agg(money.sum_disc_price().alias("revenue"))
     )
 
 
@@ -209,7 +209,11 @@ def tpch_q6(spark, sf_dir):
         & (F.col("l_discount") >= 0.05)
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
-    ).agg((F.sum(_dec("l_extendedprice") * _dec("l_discount", 4, 2))).cast("decimal(22,4)").alias("revenue"))
+    ).agg(
+        money.units_to_decimal(
+            F.sum(money.cents("l_extendedprice") * money.cents("l_discount")), 4, "decimal(22,4)"
+        ).alias("revenue")
+    )
 
 
 @query(
@@ -243,7 +247,7 @@ def tpch_q10(spark, sf_dir):
         .join(F.broadcast(t["customer"]), o.o_custkey == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(_disc_price()).cast("decimal(22,4)").alias("revenue"))
+        .agg(money.sum_disc_price().alias("revenue"))
         .select("c_custkey", "c_name", "revenue", F.round("c_acctbal", 2).alias("c_acctbal"), "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
@@ -347,7 +351,7 @@ def tpch_q18(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(_dec("l_quantity")).alias("q"))
+        .agg(money.sum_money("l_quantity", out="decimal(18,2)").alias("q"))
         .where(F.col("q") > 150)
     )
     return (
@@ -386,7 +390,7 @@ def tpch_q19(spark, sf_dir):
         | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 30))
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 40))
     )
-    return j.where(cond).agg(F.sum(_disc_price()).cast("decimal(22,4)").alias("revenue"))
+    return j.where(cond).agg(money.sum_disc_price().alias("revenue"))
 
 
 @query(
@@ -486,7 +490,7 @@ def tpch_q7(spark, sf_dir):
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
         .where(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(_disc_price()).cast("decimal(22,4)").alias("revenue"))
+        .agg(money.sum_disc_price().alias("revenue"))
     )
 
 
@@ -567,7 +571,8 @@ def tpch_q9(spark, sf_dir):
     data has no partsupp, so ps_supplycost*l_quantity becomes
     p_retailprice*l_quantity — identical exact-decimal shape on both engines."""
     t = {n: load_table(spark, sf_dir, n) for n in ["part", "lineitem", "supplier", "orders", "nation"]}
-    amount = _disc_price() - _dec("p_retailprice") * _dec("l_quantity", 4, 2)
+    # both terms in 1e-4 integer units: price·(1-disc) and retailprice·qty
+    amount = money.disc_price_units() - money.cents("p_retailprice") * money.cents("l_quantity")
     return (
         t["lineitem"]
         .join(F.broadcast(t["part"].where(F.col("p_name").like("%red%"))), F.col("l_partkey") == F.col("p_partkey"))
@@ -575,7 +580,7 @@ def tpch_q9(spark, sf_dir):
         .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.sum(amount).cast("decimal(25,4)").alias("sum_profit"))
+        .agg(money.units_to_decimal(F.sum(amount), 4, "decimal(25,4)").alias("sum_profit"))
     )
 
 
@@ -608,7 +613,7 @@ def tpch_q11(spark, sf_dir):
         .join(F.broadcast(t["nation"].where(F.col("n_name") == "NATION_7")),
               F.col("s_nationkey") == F.col("n_nationkey"))
     )
-    pv = base.groupBy("l_partkey").agg(F.sum(_disc_price()).cast("decimal(22,4)").alias("value"))
+    pv = base.groupBy("l_partkey").agg(money.sum_disc_price().alias("value"))
     total = pv.agg((F.sum("value").cast("double") * F.lit(0.001)).alias("threshold"))
     return (
         pv.crossJoin(F.broadcast(total))
@@ -676,7 +681,7 @@ def tpch_q15(spark, sf_dir):
     )
     s = load_table(spark, sf_dir, "supplier")
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(_disc_price()).cast("decimal(22,4)").alias("total_revenue")
+        money.sum_disc_price().alias("total_revenue")
     )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     return (
@@ -746,7 +751,7 @@ def tpch_q17(spark, sf_dir):
         .join(th, F.col("l_partkey") == F.col("tk"))
         .where(F.col("l_quantity") < F.col("th"))
         .agg(
-            F.round(F.sum(_dec("l_extendedprice")).cast("decimal(22,2)").cast("double") / F.lit(7.0), 2).alias("avg_yearly")
+            F.round(money.sum_money("l_extendedprice", out="decimal(22,2)").cast("double") / F.lit(7.0), 2).alias("avg_yearly")
         )
     )
 
@@ -890,7 +895,7 @@ def tpch_q22(spark, sf_dir):
         .select("o_custkey")
     )
     avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
-        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("ab")
+        money.avg_money("c_acctbal").alias("ab")
     )
     return (
         c.crossJoin(F.broadcast(avg_bal))
@@ -899,7 +904,7 @@ def tpch_q22(spark, sf_dir):
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum(_dec("c_acctbal")).cast("decimal(22,2)").alias("totacctbal"),
+            money.sum_money("c_acctbal", out="decimal(22,2)").alias("totacctbal"),
         )
         .orderBy("cntrycode")
     )
