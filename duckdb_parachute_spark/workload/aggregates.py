@@ -494,3 +494,47 @@ def h2o_top2_per_group(spark, sf_dir):
         .where(F.col("rn") <= 2)
         .select(F.col("l_returnflag").alias("id"), F.round("l_extendedprice", 2).alias("v"))
     )
+
+
+@query(
+    "agg_mode_mad",
+    oracle="""
+    WITH counts AS (
+        SELECT o_orderstatus, o_orderpriority, count(*) AS c
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ), md AS (
+        SELECT o_orderstatus, o_orderpriority AS mode_priority FROM (
+            SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                                         ORDER BY c DESC, o_orderpriority) AS rn
+            FROM counts) WHERE rn = 1
+    ), dev AS (
+        SELECT o_orderstatus, round(mad(o_totalprice), 4) AS price_mad
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT md.o_orderstatus, mode_priority, price_mad
+    FROM md JOIN dev ON md.o_orderstatus = dev.o_orderstatus
+    """,
+)
+def agg_mode_mad(spark, sf_dir):
+    """mode + mad (reference holistic/functions.json: mode.cpp, mad in
+    quantile.cpp). `mode` is tie-broken to the smallest most-frequent value on
+    BOTH engines (DuckDB's native mode leaves ties unspecified, so the oracle
+    spells the same deterministic composition); `mad` = median(abs(x -
+    median(x))) — Spark lacks it, composed as a two-pass median with the
+    per-group median broadcast back (scale-safe: both passes are hash
+    aggregates on the group key)."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("c"), "o_orderpriority")
+    md = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"))
+    )
+    med = o.groupBy("o_orderstatus").agg(F.median("o_totalprice").alias("m"))
+    dev = (
+        o.join(F.broadcast(med), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(F.round(F.median(F.abs(F.col("o_totalprice") - F.col("m"))), 4).alias("price_mad"))
+    )
+    return md.join(dev, "o_orderstatus").select("o_orderstatus", "mode_priority", "price_mad")

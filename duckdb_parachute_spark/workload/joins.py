@@ -336,3 +336,44 @@ def join_lateral_topn(spark, sf_dir):
 
     _views(spark, sf_dir, "region", "nation")
     return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "join_range_binned_followups",
+    oracle="""
+    SELECT p.event_id AS purchase_id, CAST(count(*) AS BIGINT) AS n_followups
+    FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+         JOIN events e
+           ON e.user_id = p.user_id
+          AND e.ts >  p.ts
+          AND e.ts <= p.ts + INTERVAL 10 MINUTE
+    GROUP BY p.event_id
+    """,
+)
+def join_range_binned_followups(spark, sf_dir):
+    """Point-in-interval join at scale (reference PhysicalIEJoin,
+    physical_iejoin.cpp; single-range PiecewiseMergeJoin): events within 10
+    minutes after each purchase, counted per purchase. Catalyst would plan the
+    raw inequality join as a nested loop; operators/rangejoin.py instead bins
+    the time axis (bin = interval width → ≤2 bins per interval) and hash-joins
+    on (user_id, bin) — linear shuffle volume at any scale."""
+    from duckdb_parachute_spark.operators.rangejoin import point_in_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    micros = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731 - UTC session: NTZ cast is zone-free
+    points = ev.select(F.col("user_id"), micros("ts").alias("t"))
+    win = F.lit(600 * 1_000_000)  # 10 minutes in micros
+    intervals = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            micros("ts").alias("lo"),
+            (micros("ts") + win).alias("hi"),
+        )
+    )
+    joined = point_in_interval_join(
+        points, intervals, point="t", lo="lo", hi="hi",
+        bin_width=600e6, by=["user_id"], lo_open=True,
+    )
+    return joined.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("n_followups"))

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from duckdb_parachute_spark.catalog import load_table
+from duckdb_parachute_spark.functions import money
 from duckdb_parachute_spark.workload import query
 
 
@@ -383,4 +384,41 @@ def udtf_tokenize_positions(spark, sf_dir):
         FROM documents d, LATERAL tokenize_positions(d.text) t
         WHERE d.doc_id < 10
         """
+    )
+
+
+@query(
+    "dml_update_delete",
+    cast_double=["total_bal"],
+    oracle="""
+    WITH updated AS (
+        SELECT c_nationkey,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 100.0
+                    ELSE c_acctbal END AS bal
+        FROM customer
+    )
+    SELECT c_nationkey, count(*) AS n,
+           CAST(sum(CAST(bal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_bal
+    FROM updated WHERE NOT (bal < 0.0)
+    GROUP BY c_nationkey
+    """,
+)
+def dml_update_delete(spark, sf_dir):
+    """UPDATE ... WHERE + DELETE ... WHERE as logical rewrites over immutable
+    storage (operators/dml.py; reference physical_update.cpp /
+    physical_delete.cpp): raise BUILDING balances by 100, then delete
+    now-negative accounts, and aggregate the surviving table. The oracle
+    spells the same pipeline as CASE projection + complement filter."""
+    from duckdb_parachute_spark.operators.dml import delete_where, update_set
+
+    c = load_table(spark, sf_dir, "customer")
+    updated = update_set(
+        c,
+        F.col("c_mktsegment") == "BUILDING",
+        {"c_acctbal": F.col("c_acctbal") + F.lit(100.0)},
+    )
+    survived = delete_where(updated, F.col("c_acctbal") < 0.0)
+    return survived.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        money.sum_money("c_acctbal").alias("total_bal"),
     )

@@ -230,3 +230,23 @@ def test_simhash_bits_portable(spark):
         .h
     )
     assert d > 0
+
+
+def test_point_in_interval_join_bounds(spark):
+    from duckdb_parachute_spark.operators.rangejoin import point_in_interval_join
+
+    pts = spark.createDataFrame(
+        [("u", 0.0), ("u", 5.0), ("u", 10.0), ("u", 17.0), ("v", 5.0)],
+        "k string, t double",
+    )
+    iv = spark.createDataFrame([("u", 5.0, 10.0)], "k string, lo double, hi double")
+    got = lambda **kw: sorted(  # noqa: E731
+        r.t for r in point_in_interval_join(pts, iv, "t", "lo", "hi", 4.0, by=["k"], **kw).collect()
+    )
+    assert got() == [5.0, 10.0]                       # closed-closed
+    assert got(lo_open=True) == [10.0]                # (lo, hi]
+    assert got(hi_open=True) == [5.0]                 # [lo, hi)
+    assert got(lo_open=True, hi_open=True) == []      # open-open
+    # bin width smaller than the interval still finds every match
+    wide = point_in_interval_join(pts, iv, "t", "lo", "hi", 1.5, by=["k"])
+    assert sorted(r.t for r in wide.collect()) == [5.0, 10.0]
