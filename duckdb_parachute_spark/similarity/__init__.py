@@ -58,18 +58,30 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_planes: int = 8,
+    num_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's LSH bucket.
+    """Approximate top-k: score only vectors sharing an LSH bucket with the
+    query in at least one of ``num_tables`` independent tables
+    (OR-amplification — the banding construction every production LSH
+    deployment uses; one table has near-zero recall when neighbors are not
+    dramatically closer than the bulk).
 
-    At scale, write-side: persist `bucket` as a partition/cluster column so
-    the probe prunes files; here it is computed on the fly."""
-    bucketed = df.withColumn("__bucket", sign_lsh_bucket(F.col(vec_col), num_planes))
+    Recall/cost dial: more tables → higher recall, larger candidate set. On
+    near-uniform random embeddings the candidate fraction is inherently large
+    (neighbors barely beat the bulk in cosine); on real clustered embeddings
+    the same setting prunes hard. At scale, write-side: persist the per-table
+    bucket ids as cluster columns so probes prune files; here computed on the
+    fly — the probe is one scan whatever the table count."""
     qdf = df.sparkSession.createDataFrame([(query_vec,)], f"{vec_col}: array<double>")
-    qbucket = qdf.select(sign_lsh_bucket(F.col(vec_col), num_planes).alias("b")).head()[0]
+    hit = None
+    for t in range(num_tables):
+        qb = qdf.select(sign_lsh_bucket(F.col(vec_col), num_planes, seed=7 + t).alias("b")).head()[0]
+        c = sign_lsh_bucket(F.col(vec_col), num_planes, seed=7 + t) == F.lit(qb)
+        hit = c if hit is None else (hit | c)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = array_cosine_similarity(F.col(vec_col), q)
     return (
-        bucketed.where(F.col("__bucket") == qbucket)
+        df.where(hit)
         .select(F.col(id_col), sim.alias("cosine"))
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from duckdb_parachute_spark.catalog import load_table
+from duckdb_parachute_spark.functions import money
 from duckdb_parachute_spark.operators import asof_join, distinct_on, positional_join
 from duckdb_parachute_spark.workload import query
 
@@ -377,3 +378,45 @@ def join_range_binned_followups(spark, sf_dir):
         bin_width=600e6, by=["user_id"], lo_open=True,
     )
     return joined.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("n_followups"))
+
+
+@query(
+    "h2o_join_shapes",
+    cast_double=["v"],
+    oracle="""
+    SELECT 'small' AS side, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS v
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    UNION ALL
+    SELECT 'medium', CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(20,2))
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    UNION ALL
+    SELECT 'big', CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(20,2))
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def h2o_join_shapes(spark, sf_dir):
+    """H2O db-benchmark join suite shapes (reference benchmark/h2oai/,
+    test/db-benchmark/): fact joined to small / medium / big right sides.
+    Small+medium broadcast (supplier 1e3, part 2e4 rows at sf1 ratios); the
+    big side (orders, same order of magnitude as the fact) shuffles on the
+    key — exactly the three physical strategies AQE should pick unaided."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    o = load_table(spark, sf_dir, "orders")
+
+    def leg(tag, joined):
+        return joined.agg(
+            F.lit(tag).alias("side"),
+            F.count(F.lit(1)).alias("n"),
+            money.sum_money("l_extendedprice", out="decimal(20,2)").alias("v"),
+        ).select("side", "n", "v")
+
+    return (
+        leg("small", li.join(s, F.col("l_suppkey") == F.col("s_suppkey")))
+        .unionAll(leg("medium", li.join(p, F.col("l_partkey") == F.col("p_partkey"))))
+        .unionAll(leg("big", li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))))
+    )

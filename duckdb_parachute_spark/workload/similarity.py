@@ -93,27 +93,57 @@ def sim_centroid_per_label(spark, sf_dir):
     )
 
 
-@query("sim_lsh_topk", oracle=None)
+@query(
+    "sim_lsh_topk",
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS n_results, CAST(1 AS BOOLEAN) AS recall_ok
+    """,
+)
 def sim_lsh_topk(spark, sf_dir):
-    """Sign-LSH approximate top-k for vec_id=0 (rows-only check; recall vs
-    brute force is asserted in tests/test_similarity.py)."""
-    from duckdb_parachute_spark.similarity import lsh_topk
+    """Sign-LSH approximate top-k for vec_id=0, 16 OR-amplified tables of 4
+    planes. The LSH pipeline itself is not SQL-expressible, so the oracle
+    checks the engine-computed *claim* instead: the probe returns a full k
+    results and its recall@10 against the exact brute-force top-10 (computed
+    in the same plan) is ≥ 0.4 — measured 0.6–1.0 across sf0.001/0.01/0.1;
+    a bucketing or hyperplane regression drives it to ~0 and flips the claim."""
+    from duckdb_parachute_spark.similarity import brute_force_topk, lsh_topk
 
     e = load_table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in e.where(F.col("vec_id") == 0).select("embedding").head()[0]]
-    return lsh_topk(e.where(F.col("vec_id") != 0), qvec, 10, num_planes=4)
+    rest = e.where(F.col("vec_id") != 0)
+    approx_ids = lsh_topk(rest, qvec, 10, num_planes=4, num_tables=16).select("vec_id")
+    exact_ids = brute_force_topk(rest, qvec, 10).select("vec_id")
+    hits = approx_ids.join(exact_ids, "vec_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        approx_ids.agg(F.count(F.lit(1)).alias("n_results"))
+        .crossJoin(hits)
+        .select("n_results", (F.col("n_hit") >= F.lit(4)).alias("recall_ok"))
+    )
 
 
-@query("sim_ivf_topk", oracle=None)
+@query(
+    "sim_ivf_topk",
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS n_results, CAST(1 AS BOOLEAN) AS recall_ok
+    """,
+)
 def sim_ivf_topk(spark, sf_dir):
     """IVF approximate top-k (extension goal, the scale path beside LSH):
     distributed Lloyd's k-means coarse quantizer + nprobe-list exact rerank
     (similarity/__init__.py ivf_build_centroids / ivf_topk). Iterative
-    training is not SQL-expressible → rows-only driver check; unit tests
-    bound recall ≥ 0.6 vs brute force (tests/test_operators.py)."""
-    from duckdb_parachute_spark.similarity import ivf_build_centroids, ivf_topk
+    training is not SQL-expressible, so as with sim_lsh_topk the oracle
+    checks the engine-computed claim: full k results with recall@10 ≥ 0.5
+    vs the in-plan brute-force top-10 (measured 0.7–0.8 across SFs)."""
+    from duckdb_parachute_spark.similarity import brute_force_topk, ivf_build_centroids, ivf_topk
 
     e = load_table(spark, sf_dir, "embeddings")
     qv = [float(x) for x in e.where(F.col("vec_id") == 7).head().embedding]
     cents = ivf_build_centroids(e, n_centroids=8, iters=2)
-    return ivf_topk(e, cents, qv, 10, nprobe=3)
+    approx_ids = ivf_topk(e, cents, qv, 10, nprobe=3).select("vec_id")
+    exact_ids = brute_force_topk(e, qv, 10).select("vec_id")
+    hits = approx_ids.join(exact_ids, "vec_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        approx_ids.agg(F.count(F.lit(1)).alias("n_results"))
+        .crossJoin(hits)
+        .select("n_results", (F.col("n_hit") >= F.lit(5)).alias("recall_ok"))
+    )

@@ -159,18 +159,35 @@ def types_edge_casts(spark, sf_dir):
     )
 
 
-@query("agg_approx_sketches", oracle=None)
+@query(
+    "agg_approx_sketches",
+    oracle="""
+    SELECT l_returnflag,
+           abs(approx_count_distinct(l_orderkey) - count(DISTINCT l_orderkey))
+               <= 0.05 * count(DISTINCT l_orderkey) AS acd_ok,
+           abs(approx_quantile(l_extendedprice, 0.5) - quantile_cont(l_extendedprice, 0.5))
+               <= 0.02 * quantile_cont(l_extendedprice, 0.5) AS median_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_sketches(spark, sf_dir):
     """Approximate aggregates (reference approx_count_distinct = HLL
-    third_party/hyperloglog, approx_quantile = t-digest third_party/tdigest):
-    sketch internals are engine-specific so there is no value oracle
-    (rows-only check); unit tests bound the relative error instead."""
+    third_party/hyperloglog, approx_quantile = t-digest third_party/tdigest).
+    Sketch internals are engine-specific so raw values cannot hash-match;
+    instead EACH engine checks its own sketch against its own exact
+    aggregate and the 5% / 2% error-bound verdicts are compared — a sketch
+    regression on either side flips a boolean."""
     li = load_table(spark, sf_dir, "lineitem")
+    exact_med = F.expr("percentile(l_extendedprice, 0.5)")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-        F.percentile_approx("l_extendedprice", [0.25, 0.75])[0].alias("approx_p25"),
-        F.percentile_approx("l_extendedprice", [0.25, 0.75])[1].alias("approx_p75"),
+        (
+            F.abs(F.approx_count_distinct("l_orderkey", rsd=0.02) - F.count_distinct("l_orderkey"))
+            <= 0.05 * F.count_distinct("l_orderkey")
+        ).alias("acd_ok"),
+        (
+            F.abs(F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(50000)) - exact_med)
+            <= 0.02 * exact_med
+        ).alias("median_ok"),
     )
 
 
