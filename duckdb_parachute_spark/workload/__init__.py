@@ -133,6 +133,7 @@ def load_all() -> dict[str, QueryDef]:
         similarity,
         surface,
         textops,
+        tpcds,
         tpch,
         windows,
     )
