@@ -48,7 +48,15 @@ def _hashsafe_oracle(oracle: str, cast_double: tuple, join_arrays: tuple) -> str
     """
     reps = [f"CAST({c} AS DOUBLE) AS {c}" for c in cast_double]
     reps += [f"array_to_string({c}, ',') AS {c}" for c in join_arrays]
-    return f"SELECT * REPLACE ({', '.join(reps)}) FROM (\n{oracle}\n) AS _hashsafe"
+    # Multi-statement oracles (e.g. CREATE TEMP MACRO …; SELECT …) wrap only
+    # the final probe statement — DDL can't sit inside a subquery. Statement
+    # split is the last top-level ';' (no oracle in this corpus carries a
+    # semicolon inside a literal).
+    prefix = ""
+    if ";" in oracle:
+        prefix, _, oracle = oracle.rpartition(";")
+        prefix += ";\n"
+    return f"{prefix}SELECT * REPLACE ({', '.join(reps)}) FROM (\n{oracle}\n) AS _hashsafe"
 
 
 def query(
@@ -127,6 +135,7 @@ def load_all() -> dict[str, QueryDef]:
         dialect,
         joins,
         jsonops,
+        macros,
         pipelines,
         scalarfns,
         setops,

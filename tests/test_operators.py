@@ -250,3 +250,26 @@ def test_point_in_interval_join_bounds(spark):
     # bin width smaller than the interval still finds every match
     wide = point_in_interval_join(pts, iv, "t", "lo", "hi", 1.5, by=["k"])
     assert sorted(r.t for r in wide.collect()) == [5.0, 10.0]
+
+
+def test_sql_macros_scalar_and_table(spark):
+    from duckdb_parachute_spark.functions import macros
+
+    macros.create_scalar_macro(spark, "t_add_pct", "x DOUBLE, pct DOUBLE", "DOUBLE", "x * (1.0 + pct / 100.0)")
+    assert spark.sql("SELECT t_add_pct(200.0, 50.0) AS v").head().v == 300.0
+
+    spark.range(6).selectExpr("id", "id * id AS sq").createOrReplaceTempView("t_macro_src")
+    macros.create_table_macro(
+        spark, "t_big_sq", "thresh BIGINT", "id BIGINT, sq BIGINT",
+        "SELECT id, sq FROM t_macro_src WHERE sq > thresh",
+    )
+    got = macros.call_table_macro(spark, "t_big_sq", 9).orderBy("id").collect()
+    assert [(r.id, r.sq) for r in got] == [(4, 16), (5, 25)]
+
+    # macro expansion is bind-time: the UDF body folds into the plan (no
+    # python eval / black-box call nodes)
+    plan = spark.sql("SELECT * FROM t_big_sq(9)")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+
+    macros.drop_macro(spark, "t_add_pct")
+    macros.drop_macro(spark, "t_big_sq")
