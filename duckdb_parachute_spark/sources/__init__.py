@@ -189,3 +189,17 @@ def sniff_csv(spark: SparkSession, path: str, sample_rows: int = 1000) -> DataFr
     return spark.createDataFrame(
         rows, "column_name string, column_type string, delimiter string, has_header boolean"
     )
+
+
+def repeat_row(spark: SparkSession, *values, num_rows: int) -> DataFrame:
+    """repeat_row TVF (reference src/function/table/repeat.cpp): emit the
+    given row ``num_rows`` times, columns named column0..columnN like the
+    reference. Distributed as a spark.range over the row count — constant
+    columns attach as literals, so a huge num_rows never materializes
+    driver-side."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(num_rows)
+    return df.select(
+        *[F.lit(v).alias(f"column{i}") for i, v in enumerate(values)]
+    )

@@ -141,6 +141,7 @@ def load_all() -> dict[str, QueryDef]:
         setops,
         similarity,
         surface,
+        system,
         textops,
         tpcds,
         tpch,

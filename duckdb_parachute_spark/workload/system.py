@@ -1,0 +1,122 @@
+"""System-surface workload queries: catalog TVFs, repeat_row, collations.
+
+Reference: src/function/table/system/ (duckdb_tables/duckdb_columns),
+src/function/table/repeat.cpp (repeat_row), built-in NOCASE/NOACCENT
+collations + extension/icu/icu_extension.cpp:119 (icu_collate_*).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from duckdb_parachute_spark.catalog import TABLES, load_table
+from duckdb_parachute_spark.functions import collate, system
+from duckdb_parachute_spark.sources import repeat_row
+from duckdb_parachute_spark.workload import query
+
+_TABLE_LIST = ", ".join(f"'{t}'" for t in TABLES)
+
+
+@query(
+    "sys_columns_catalog",
+    oracle=f"""
+    SELECT table_name, column_name, CAST(column_index AS BIGINT) AS column_index,
+           replace(data_type, 'TIMESTAMP_NS', 'TIMESTAMP') AS data_type
+    FROM duckdb_columns()
+    WHERE table_name IN ({_TABLE_LIST})
+    ORDER BY table_name, column_index
+    """,
+)
+def sys_columns_catalog(spark, sf_dir):
+    """duckdb_columns() parity: per-column catalog rows with DuckDB-normalized
+    type names (system/duckdb_columns.cpp). TIMESTAMP_NS collapses to
+    TIMESTAMP on the oracle side — the loader normalizes nanosecond parquet
+    timestamps to TIMESTAMP_NTZ (catalog.py), so both engines report the
+    logical type."""
+    return system.duckdb_columns(spark, sf_dir).select(
+        "table_name", "column_name", "column_index", "data_type"
+    ).orderBy("table_name", "column_index")
+
+
+@query(
+    "sys_tables_catalog",
+    oracle=f"""
+    SELECT table_name, CAST(count(*) AS BIGINT) AS column_count
+    FROM duckdb_columns()
+    WHERE table_name IN ({_TABLE_LIST})
+    GROUP BY table_name
+    ORDER BY table_name
+    """,
+)
+def sys_tables_catalog(spark, sf_dir):
+    """duckdb_tables() parity: one catalog row per bound table with its
+    column count (system/duckdb_tables.cpp). The oracle derives the same
+    shape from duckdb_columns() because the driver binds tables as views."""
+    return system.duckdb_tables(spark, sf_dir).select("table_name", "column_count").orderBy(
+        "table_name"
+    )
+
+
+@query(
+    "src_repeat_row",
+    cast_double=["column2"],
+    oracle="""
+    SELECT * FROM repeat_row(CAST(42 AS BIGINT), 'x', CAST(2.5 AS DOUBLE), num_rows=7)
+    """,
+)
+def src_repeat_row(spark, sf_dir):
+    """repeat_row TVF (src/function/table/repeat.cpp): constant row × 7,
+    reference column naming (column0..columnN)."""
+    return repeat_row(spark, 42, "x", 2.5, num_rows=7)
+
+
+@query(
+    "collate_nocase_group",
+    oracle="""
+    SELECT min(lower(name_mixed)) AS name_key, count(*) AS n
+    FROM (
+        SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_name) ELSE p_name END AS name_mixed
+        FROM part
+    )
+    GROUP BY name_mixed COLLATE NOCASE
+    ORDER BY name_key
+    LIMIT 100
+    """,
+)
+def collate_nocase_group(spark, sf_dir):
+    """NOCASE collation in GROUP BY: mixed-case part names collapse into one
+    group per case-insensitive key. DuckDB groups on the collation key
+    internally; Spark groups on the explicit collation_key expression —
+    identical group sets. The output key is min(lower(name)) (constant within
+    a NOCASE group), never the raw representative, whose case would be
+    nondeterministic on both engines."""
+    p = load_table(spark, sf_dir, "part")
+    mixed = F.when(F.col("p_partkey") % 2 == 0, F.upper("p_name")).otherwise(F.col("p_name"))
+    return (
+        p.select(mixed.alias("name_mixed"))
+        .groupBy(collate.collation_key(F.col("name_mixed"), "NOCASE").alias("_key"))
+        .agg(F.min(F.lower("name_mixed")).alias("name_key"), F.count(F.lit(1)).alias("n"))
+        .select("name_key", "n")
+        .orderBy("name_key")
+        .limit(100)
+    )
+
+
+@query(
+    "collate_noaccent_filter",
+    oracle="""
+    SELECT s FROM (VALUES ('café'), ('cafe'), ('CAFE'), ('thé'), ('the'), ('tea'), ('Café')) t(s)
+    WHERE s COLLATE NOCASE.NOACCENT = 'Cafe'
+       OR s COLLATE NOCASE.NOACCENT = 'The'
+    ORDER BY s
+    """,
+)
+def collate_noaccent_filter(spark, sf_dir):
+    """Combined NOCASE.NOACCENT collation in a filter — DuckDB's dot-chained
+    collation spec (CollationBinding composes the key functions; the Spark
+    side chains lower ∘ strip_accents the same way)."""
+    src = spark.createDataFrame(
+        [("café",), ("cafe",), ("CAFE",), ("thé",), ("the",), ("tea",), ("Café",)], "s string"
+    )
+    key = collate.collation_key(F.col("s"), "NOCASE.NOACCENT")
+    return src.where((key == "cafe") | (key == "the")).orderBy("s")
