@@ -140,9 +140,16 @@ class Relation:
     df_ = to_df  # PyRelation .df()
 
     def arrow(self):
-        import pyarrow as pa
+        """Arrow materialization (reference src/function/table/arrow.cpp /
+        ArrowQueryResult): PySpark 4's toArrow() ships Arrow record batches
+        from the JVM without a pandas detour; the pandas fallback covers
+        older sessions."""
+        try:
+            return self.df.toArrow()
+        except AttributeError:
+            import pyarrow as pa
 
-        return pa.Table.from_pandas(self.df.toPandas())
+            return pa.Table.from_pandas(self.df.toPandas())
 
     def fetchall(self) -> list:
         return self.df.collect()

@@ -203,3 +203,26 @@ def repeat_row(spark: SparkSession, *values, num_rows: int) -> DataFrame:
     return df.select(
         *[F.lit(v).alias(f"column{i}") for i, v in enumerate(values)]
     )
+
+
+def from_arrow(spark: SparkSession, table) -> DataFrame:
+    """Arrow ingestion (reference src/function/table/arrow.cpp — DuckDB scans
+    client pyarrow Tables/RecordBatchReaders zero-copy). PySpark 4's
+    createDataFrame accepts a pyarrow Table directly and ships it to the JVM
+    as Arrow record batches (no pandas or row conversion). Client Arrow data
+    is driver-resident by nature — use this for dimension/lookup ingestion;
+    bulk facts belong in spark.read."""
+    import pyarrow as pa
+
+    if isinstance(table, pa.RecordBatchReader):
+        table = table.read_all()
+    elif isinstance(table, (pa.RecordBatch, list)):
+        batches = table if isinstance(table, list) else [table]
+        table = pa.Table.from_batches(batches)
+    return spark.createDataFrame(table)
+
+
+def to_arrow(df: DataFrame):
+    """Arrow export (reference ArrowQueryResult / duckdb .arrow()): Arrow
+    batches straight from the JVM via PySpark 4's toArrow()."""
+    return df.toArrow()

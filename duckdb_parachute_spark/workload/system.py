@@ -120,3 +120,40 @@ def collate_noaccent_filter(spark, sf_dir):
     )
     key = collate.collation_key(F.col("s"), "NOCASE.NOACCENT")
     return src.where((key == "cafe") | (key == "the")).orderBy("s")
+
+
+@query(
+    "arrow_scan_roundtrip",
+    oracle="""
+    SELECT r_name, count(*) AS n_nations, min(n_name) AS first_nation, max(n_name) AS last_nation
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+)
+def arrow_scan_roundtrip(spark, sf_dir):
+    """Arrow scan (reference src/function/table/arrow.cpp): the nation dim
+    arrives as a client-side pyarrow Table (read via pyarrow.parquet, exactly
+    how a reference user hands DuckDB an Arrow object) and is bound as a
+    DataFrame through Arrow record batches, then joined against a
+    Spark-native scan of region. Dimension-sized by design — Arrow client
+    data lives on the driver; the fact-table path stays spark.read."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from duckdb_parachute_spark.sources import from_arrow
+
+    arrow_nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    n = from_arrow(spark, arrow_nation)
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+            F.max("n_name").alias("last_nation"),
+        )
+        .orderBy("r_name")
+    )

@@ -187,3 +187,30 @@ def test_sniff_csv(spark, tmp_path):
     assert out["id"].column_type == "int"
     assert out["score"].column_type == "double"
     assert out["name"].column_type == "string"
+
+
+def test_arrow_interchange_roundtrip(spark):
+    import pyarrow as pa
+
+    from duckdb_parachute_spark.sources import from_arrow, to_arrow
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 2, 3], pa.int64()),
+            "s": ["a", "b", None],
+            "vec": pa.array([[1.0, 2.0], [3.0], None], pa.list_(pa.float32())),
+        }
+    )
+    df = from_arrow(spark, t)
+    assert dict(df.dtypes) == {"k": "bigint", "s": "string", "vec": "array<float>"}
+    back = to_arrow(df.orderBy("k"))
+    assert back.num_rows == 3
+    assert back.column("k").to_pylist() == [1, 2, 3]
+    assert back.column("s").to_pylist() == ["a", "b", None]
+    assert back.column("vec").to_pylist()[0] == [1.0, 2.0]
+
+    # RecordBatch / reader inputs bind too (arrow.cpp accepts all three)
+    rb = t.to_batches()[0]
+    assert from_arrow(spark, rb).count() == 3
+    reader = pa.RecordBatchReader.from_batches(t.schema, t.to_batches())
+    assert from_arrow(spark, reader).count() == 3
