@@ -57,3 +57,49 @@ def point_in_interval_join(
     hi_ok = F.col(point) < F.col(hi) if hi_open else F.col(point) <= F.col(hi)
     joined = p.join(iv, on=by + [_BIN], how="inner").where(lo_ok & hi_ok)
     return joined.drop(_BIN)
+
+
+def inequality_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_axis: Column,
+    right_axis: Column,
+    bin_width: float,
+    strict: bool = True,
+    extra: Column | None = None,
+) -> DataFrame:
+    """Distributed theta-join on ``left_axis < right_axis`` (the IEJoin /
+    piecewise-merge case — reference physical_iejoin.cpp:1057,
+    physical_piecewise_merge_join.cpp) via bucket replication.
+
+    Catalyst's only native plan for a pure-inequality join is
+    BroadcastNestedLoopJoin — O(|L|·|R|) and broadcast-bound. The scale plan
+    quantizes the comparison axis into fixed-width bins and turns the
+    inequality into an EQUI join: a left row in bin i matches right rows in
+    bins [i, max_bin], so the left side is replicated once per candidate bin
+    (fan-out ≤ axis_range / bin_width), hash-joined on the bin id, and the
+    exact predicate re-checked. Work and shuffle volume are linear in
+    |L|·fan_out + |R| — pick ``bin_width`` ≈ axis_range / 16..64 to trade
+    replication against false candidate pairs. Same co-location idea as the
+    reference's merge-join range partitioning, expressed as one hash shuffle.
+
+    ``right_axis``'s max is fetched with a scalar aggregate (one tiny driver
+    round-trip, like the IVF probe's centroid ids — never data-sized).
+    ``extra`` is any additional join predicate, applied after the equi join
+    (the second inequality of an IEJoin goes here).
+    """
+    l_bin = bin_of(left_axis, bin_width)
+    r_bin = bin_of(right_axis, bin_width)
+    max_bin = right.select(F.max(r_bin).alias("m")).head()
+    if max_bin is None or max_bin.m is None:
+        return left.join(right, F.lit(False))  # empty right side
+    top = F.lit(int(max_bin.m))
+    # sequence(start, stop) runs DESCENDING when start > stop — rows beyond
+    # the right side's max bin must emit no candidates instead.
+    bins = F.when(l_bin <= top, F.sequence(l_bin, top)).otherwise(F.array().cast("array<long>"))
+    lf = left.withColumn(_BIN, F.explode(bins))
+    rf = right.withColumn(_BIN, r_bin)
+    exact = left_axis < right_axis if strict else left_axis <= right_axis
+    if extra is not None:
+        exact = exact & extra
+    return lf.join(rf, on=[_BIN], how="inner").where(exact).drop(_BIN)

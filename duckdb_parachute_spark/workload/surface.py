@@ -26,19 +26,30 @@ from duckdb_parachute_spark.workload import query
 )
 def join_iejoin_two_inequalities(spark, sf_dir):
     """Two-inequality self-join — the IEJoin case (reference
-    physical_iejoin.cpp, planned at plan_comparison_join.cpp:85-87). Spark
-    plans BNLJ; correct for bounded inputs. At 100 TB this needs interval
-    binning (bucket one predicate's range, equi-join on bucket, post-filter) —
-    the range-binned variant is join_range_inequality's strategy."""
+    physical_iejoin.cpp:1057, planned at plan_comparison_join.cpp:85-87).
+
+    Catalyst would fall back to BroadcastNestedLoopJoin for a pure-inequality
+    condition; this plans the scale path instead: the date axis (days) is
+    quantized into 90-day bins, the first inequality becomes a bin-replicated
+    EQUI join (operators/rangejoin.inequality_join), and both exact
+    predicates re-check after the hash join. Linear shuffle volume at any
+    input size — tests/test_plans.py asserts no BNLJ/CartesianProduct
+    appears."""
+    from duckdb_parachute_spark.operators.rangejoin import inequality_join
+
+    epoch = F.lit("1992-01-01").cast("date")
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 150)
     a = o.select(F.col("o_orderkey").alias("k1"), F.col("o_orderdate").alias("d1"),
-                 F.col("o_totalprice").alias("p1"))
+                 F.col("o_totalprice").alias("p1"),
+                 F.datediff(F.to_date("o_orderdate"), epoch).alias("day1"))
     b = o.select(F.col("o_orderkey").alias("k2"), F.col("o_orderdate").alias("d2"),
-                 F.col("o_totalprice").alias("p2"))
-    return (
-        a.join(b, (F.col("d1") < F.col("d2")) & (F.col("p1") > F.col("p2")))
-        .select("k1", "k2")
+                 F.col("o_totalprice").alias("p2"),
+                 F.datediff(F.to_date("o_orderdate"), epoch).alias("day2"))
+    joined = inequality_join(
+        a, b, a.day1, b.day2, bin_width=90.0,
+        strict=True, extra=F.col("p1") > F.col("p2"),
     )
+    return joined.select("k1", "k2")
 
 
 @query(

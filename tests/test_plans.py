@@ -107,3 +107,31 @@ def test_bucketed_join_no_shuffle(no_aqe, spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_iejoin_no_nested_loop(no_aqe, spark, sf_dir):
+    # Two-inequality join must take the bin-replicated equi path: a real hash
+    # or sort-merge join on the bin key, never an O(n^2) fallback
+    # (reference physical_iejoin.cpp's job, distributed).
+    s = assert_plan(_q("join_iejoin_two_inequalities", spark, sf_dir))
+    assert "BroadcastNestedLoop" not in s.text
+    assert "CartesianProduct" not in s.text
+    assert any(j in s.text for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_inequality_join_matches_naive(spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_parachute_spark.operators.rangejoin import inequality_join
+
+    a = spark.createDataFrame([(i, float(i % 7)) for i in range(40)], "ka long, xa double")
+    b = spark.createDataFrame([(j, float(j % 5)) for j in range(40)], "kb long, xb double")
+    fast = inequality_join(a, b, a.xa, b.xb, bin_width=2.0)
+    naive = a.join(b, a.xa < b.xb)
+    assert sorted((r.ka, r.kb) for r in fast.collect()) == sorted(
+        (r.ka, r.kb) for r in naive.collect()
+    )
+    # non-strict + extra predicate
+    fast2 = inequality_join(a, b, a.xa, b.xb, bin_width=2.0, strict=False, extra=a.ka > b.kb)
+    naive2 = a.join(b, (a.xa <= b.xb) & (a.ka > b.kb))
+    assert fast2.count() == naive2.count()
