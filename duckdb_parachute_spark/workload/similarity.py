@@ -147,3 +147,83 @@ def sim_ivf_topk(spark, sf_dir):
         .crossJoin(hits)
         .select("n_results", (F.col("n_hit") >= F.lit(5)).alias("recall_ok"))
     )
+
+
+@query(
+    "sim_ivf_pruned_probe",
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS n_results,
+           CAST(1 AS BOOLEAN) AS pruned_ok,
+           CAST(1 AS BOOLEAN) AS consistent_ok
+    """,
+)
+def sim_ivf_pruned_probe(spark, sf_dir):
+    """IVF probe through a PERSISTED index: the centroid assignment is
+    written as a partition column (one parquet directory per inverted list,
+    similarity/write_ivf_index), and the probe's centroid_id filter prunes
+    whole directories at planning time. Claims checked in-plan: the probe
+    returns full k; it physically read fewer index files than exist
+    (input_file_name() under partition pruning); and its result id-set equals
+    the on-the-fly IVF probe with identical centroids/nprobe. The plan-level
+    pruning assertion lives in tests/test_plans.py::test_ivf_index_partition_pruning."""
+    import os
+    import tempfile
+
+    from duckdb_parachute_spark.similarity import (
+        ivf_build_centroids,
+        ivf_topk,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.where(F.col("vec_id") == 7).head().embedding]
+    cents_rows = ivf_build_centroids(e, n_centroids=8, iters=2).collect()
+    cents = spark.createDataFrame(cents_rows, "centroid_id int, centroid array<double>")
+    tag = os.path.basename(os.path.abspath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"parachute_ivf_index_{tag}")
+    write_ivf_index(e, cents, path)
+
+    probe = ivf_topk_indexed(spark, path, cents, qv, 10, nprobe=3)
+    fly_ids = ivf_topk(e, cents, qv, 10, nprobe=3).select("vec_id")
+    consistent = probe.select("vec_id").join(fly_ids, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_same")
+    )
+
+    # pruning evidence: the probed partitions' file set vs the whole index —
+    # same ranking ivf_topk_indexed uses, so this counts exactly what it read
+    from duckdb_parachute_spark.functions.vector import array_cosine_similarity
+
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    probed = [
+        r.centroid_id
+        for r in cents.select(
+            "centroid_id", array_cosine_similarity(F.col("centroid"), q).alias("s")
+        )
+        .orderBy(F.desc("s"), "centroid_id")
+        .limit(3)
+        .collect()
+    ]
+    all_files = (
+        spark.read.parquet(path).select(F.input_file_name().alias("f")).distinct().agg(
+            F.count(F.lit(1)).alias("n_all")
+        )
+    )
+    read_files = (
+        spark.read.parquet(path)
+        .where(F.col("centroid_id").isin(probed))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_read"))
+    )
+    return (
+        probe.agg(F.count(F.lit(1)).alias("n_results"))
+        .crossJoin(all_files)
+        .crossJoin(read_files)
+        .crossJoin(consistent)
+        .select(
+            "n_results",
+            (F.col("n_read") < F.col("n_all")).alias("pruned_ok"),
+            (F.col("n_same") == 10).alias("consistent_ok"),
+        )
+    )

@@ -135,3 +135,43 @@ def test_inequality_join_matches_naive(spark):
     fast2 = inequality_join(a, b, a.xa, b.xb, bin_width=2.0, strict=False, extra=a.ka > b.kb)
     naive2 = a.join(b, (a.xa <= b.xb) & (a.ka > b.kb))
     assert fast2.count() == naive2.count()
+
+
+def test_ivf_index_partition_pruning(no_aqe, spark, sf_dir, tmp_path):
+    # The persisted IVF index is partitioned by centroid_id; a probe's isin
+    # filter must become a PartitionFilter (directory pruning at planning
+    # time) and physically read fewer files than the index holds.
+    from pyspark.sql import functions as F
+
+    from duckdb_parachute_spark.catalog import load_table
+    from duckdb_parachute_spark.plans import physical_plan
+    from duckdb_parachute_spark.similarity import ivf_build_centroids, write_ivf_index
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents_rows = ivf_build_centroids(e, n_centroids=8, iters=1).collect()
+    cents = spark.createDataFrame(cents_rows, "centroid_id int, centroid array<double>")
+    path = str(tmp_path / "ivf_idx")
+    write_ivf_index(e, cents, path)
+
+    pruned = spark.read.parquet(path).where(F.col("centroid_id").isin([1, 2]))
+    plan = physical_plan(pruned)
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+
+    n_all = spark.read.parquet(path).select(F.input_file_name()).distinct().count()
+    n_read = pruned.select(F.input_file_name()).distinct().count()
+    assert 0 < n_read < n_all
+
+
+def test_lsh_index_probe_matches_flyweight(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from duckdb_parachute_spark.catalog import load_table
+    from duckdb_parachute_spark.similarity import lsh_topk, lsh_topk_indexed, write_lsh_index
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.where(F.col("vec_id") == 0).head().embedding]
+    path = str(tmp_path / "lsh_idx")
+    write_lsh_index(e, path, num_planes=4, seed=7)
+    idx_ids = {r.vec_id for r in lsh_topk_indexed(spark, path, qv, 10, num_planes=4, seed=7).collect()}
+    fly_ids = {r.vec_id for r in lsh_topk(e, qv, 10, num_planes=4, num_tables=1).collect()}
+    assert idx_ids == fly_ids and len(idx_ids) == 10
