@@ -19,25 +19,41 @@ from pyspark.sql import functions as F
 def read_event_stream(
     spark: SparkSession,
     path: str,
-    schema: str = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string",
 ) -> DataFrame:
     """File-source stream over the events parquet layout.
 
-    The driver data stores ts as TIMESTAMP(NANOS); streaming reads use the
-    same nanos-as-long escape as the batch catalog and rebuild TIMESTAMP.
+    The driver data has shipped ts as TIMESTAMP(NANOS) in some generations
+    and TIMESTAMP(MICROS) in others — streams must declare a schema up
+    front, so the actual unit is sniffed from one parquet footer (a
+    driver-side metadata read, never data-sized). Nanos use the same
+    nanos-as-long escape as the batch catalog and rebuild the timestamp;
+    micros read natively.
 
     File-source streams require a *directory*; a path to a single parquet
     file is split into (dir, pathGlobFilter) so both spellings work."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    probe = path if path.endswith(".parquet") else sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+    ts_type = pq.read_schema(probe).field("ts").type
+    nanos = getattr(ts_type, "unit", None) == "ns" or str(ts_type) in ("int64", "long")
+    ts_decl = "ts bigint" if nanos else "ts timestamp"
+    schema = f"event_id bigint, {ts_decl}, user_id bigint, event_type string, value double, props string"
+
     reader = spark.readStream.schema(schema)
     if path.endswith(".parquet") and "/" in path:
         base, _, fname = path.rpartition("/")
         reader = reader.option("pathGlobFilter", fname)
         path = base
     raw = reader.parquet(path)
-    return raw.withColumn(
-        "ts",
-        F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP '1970-01-01 00:00:00')"),
-    )
+    if nanos:
+        raw = raw.withColumn(
+            "ts",
+            F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP '1970-01-01 00:00:00')"),
+        )
+    return raw
 
 
 def windowed_counts(
