@@ -262,3 +262,246 @@ def cb_daily_active_users(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@query(
+    "cb_like_filter_stats",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS c, min(props) AS first_prop
+    FROM events
+    WHERE props LIKE '%"k": 1%' AND event_type <> 'error'
+    GROUP BY event_type
+    ORDER BY c DESC, event_type
+    LIMIT 10
+    """,
+)
+def cb_like_filter_stats(spark, sf_dir):
+    """ClickBench q20/q21 shape (benchmark/clickbench/queries/q20.sql,
+    q21.sql: URL LIKE '%google%' + MIN/COUNT per phrase): a contains-LIKE
+    predicate that cannot prune row groups, evaluated in the scan stage, then
+    a low-cardinality group with min-string and count."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.where(F.col("props").like('%"k": 1%') & (F.col("event_type") != "error"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("props").alias("first_prop"))
+        .orderBy(F.desc("c"), "event_type")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_wide_sum_battery",
+    oracle="""
+    SELECT """
+    + ", ".join(f"CAST(sum(event_id + {k}) AS BIGINT) AS s{k}" for k in range(30))
+    + """
+    FROM events
+    """,
+)
+def cb_wide_sum_battery(spark, sf_dir):
+    """ClickBench q30 shape (queries/q30.sql: 90 SUM(ResolutionWidth + k)
+    columns): a very wide ungrouped aggregate — one scan, 30 parallel
+    accumulators, all in a single whole-stage-codegen pass. Integer sums so
+    both engines are exact."""
+    ev = _ev(spark, sf_dir)
+    return ev.agg(
+        *[F.sum(F.col("event_id") + k).cast("bigint").alias(f"s{k}") for k in range(30)]
+    )
+
+
+@query(
+    "cb_pair_count_topk",
+    oracle="""
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+    FROM events
+    GROUP BY user_id, event_type
+    ORDER BY c DESC, user_id, event_type
+    LIMIT 10
+    """,
+)
+def cb_pair_count_topk(spark, sf_dir):
+    """ClickBench q16/q17 shape (queries/q16.sql, q17.sql: GROUP BY UserID,
+    SearchPhrase ORDER BY COUNT(*) DESC LIMIT 10): high-cardinality composite
+    group + top-k heap, the partial-agg + TakeOrderedAndProject plan."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "user_id", "event_type")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_point_lookup",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events WHERE event_id = 4242
+    """,
+)
+def cb_point_lookup(spark, sf_dir):
+    """ClickBench q18 shape (queries/q18.sql: WHERE UserID = <const>): a
+    point predicate pushed to the parquet reader — row-group stats skip
+    everything outside the matching range (the reference's zonemap path,
+    src/storage/table/column_data.cpp:386)."""
+    ev = _ev(spark, sf_dir)
+    return ev.where(F.col("event_id") == 4242).select("event_id", "user_id", "event_type")
+
+
+@query(
+    "cb_string_sort_limit",
+    oracle="""
+    SELECT DISTINCT props FROM events WHERE props <> ''
+    ORDER BY props LIMIT 10
+    """,
+)
+def cb_string_sort_limit(spark, sf_dir):
+    """ClickBench q22 shape (queries/q22.sql: SELECT SearchPhrase ... ORDER BY
+    SearchPhrase LIMIT 10): distinct strings + lexicographic top-k."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.where(F.col("props") != "")
+        .select("props")
+        .distinct()
+        .orderBy("props")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_having_avg_len",
+    oracle="""
+    SELECT event_type,
+           round(CAST(sum(length(props)) AS DOUBLE) / count(*), 4) AS avg_len,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events WHERE props <> ''
+    GROUP BY event_type
+    HAVING count(*) > 50
+    ORDER BY avg_len DESC, event_type
+    LIMIT 25
+    """,
+)
+def cb_having_avg_len(spark, sf_dir):
+    """ClickBench q28 shape (queries/q28.sql: AVG(STRLEN(URL)) ... HAVING
+    COUNT(*) > 100000): aggregate-filtered groups with an average string
+    length — computed as exact int-sum / count in double so both engines
+    round identically."""
+    ev = _ev(spark, sf_dir).where(F.col("props") != "")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.sum(F.length("props")).cast("double") / F.count(F.lit(1)), 4).alias("avg_len"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .where(F.col("c") > 50)
+        .orderBy(F.desc("avg_len"), "event_type")
+        .limit(25)
+    )
+
+
+@query(
+    "cb_distinct_users_per_type",
+    oracle="""
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS u
+    FROM events WHERE props <> ''
+    GROUP BY event_type
+    ORDER BY u DESC, event_type
+    LIMIT 10
+    """,
+)
+def cb_distinct_users_per_type(spark, sf_dir):
+    """ClickBench q12/q14 shape (queries/q12.sql, q14.sql: COUNT(DISTINCT
+    UserID) per phrase): distinct-count per group — Spark expands to a
+    two-level aggregate (distinct on (type,user) then count), the same
+    de-dup-then-count the reference plans."""
+    ev = _ev(spark, sf_dir).where(F.col("props") != "")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("u"))
+        .orderBy(F.desc("u"), "event_type")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_date_window_offset",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS pv
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-25 00:00:00'
+      AND event_type = 'view'
+    GROUP BY 1
+    ORDER BY pv DESC, day
+    LIMIT 10 OFFSET 5
+    """,
+)
+def cb_date_window_offset(spark, sf_dir):
+    """ClickBench q39 shape (queries/q39.sql: date-ranged pageview counts
+    with LIMIT ... OFFSET): pushed time-range + type filters, daily rollup,
+    ordered page starting at an offset."""
+    ev = _ev(spark, sf_dir).where(
+        (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit("2024-01-25 00:00:00").cast("timestamp_ntz"))
+        & (F.col("event_type") == "view")
+    )
+    grouped = (
+        ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("pv"))
+        .orderBy(F.desc("pv"), "day")
+    )
+    return grouped.offset(5).limit(10)
+
+
+@query(
+    "cb_multi_agg_pairs",
+    oracle="""
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c,
+           CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+           round(CAST(sum(event_id) AS DOUBLE) / count(*), 4) AS avg_eid
+    FROM events
+    GROUP BY user_id, event_type
+    ORDER BY c DESC, user_id, event_type
+    LIMIT 10
+    """,
+)
+def cb_multi_agg_pairs(spark, sf_dir):
+    """ClickBench q33 shape (queries/q33.sql: WatchID, ClientIP groups with
+    COUNT / SUM(IsRefresh) / AVG(ResolutionWidth)): composite-key group with
+    mixed count/conditional-sum/average — averages as exact-sum/count."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).cast("bigint").alias("n_big"),
+            F.round(F.sum("event_id").cast("double") / F.count(F.lit(1)), 4).alias("avg_eid"),
+        )
+        .orderBy(F.desc("c"), "user_id", "event_type")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_regex_key_extract",
+    oracle="""
+    SELECT regexp_extract(props, '"k": (\\d+)', 1) AS k_str, CAST(count(*) AS BIGINT) AS n
+    FROM events
+    WHERE regexp_matches(props, '"k": \\d+')
+    GROUP BY 1
+    ORDER BY n DESC, k_str
+    LIMIT 15
+    """,
+)
+def cb_regex_key_extract(spark, sf_dir):
+    """ClickBench REGEXP shape (queries/q28.sql uses REGEXP_REPLACE over
+    Referer): regex match + capture-group extraction feeding a group-count —
+    both engines run the same RE2-class pattern in the scan stage."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.where(F.col("props").rlike('"k": \\d+'))
+        .groupBy(F.regexp_extract("props", '"k": (\\d+)', 1).alias("k_str"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "k_str")
+        .limit(15)
+    )
