@@ -798,3 +798,326 @@ def tpcds_q35(spark, sf_dir):
         )
         .orderBy("n_name", "c_mktsegment")
     )
+
+
+@query(
+    "tpcds_q88_time_bands",
+    oracle="""
+    SELECT * FROM
+      (SELECT CAST(count(*) AS BIGINT) AS h8 FROM events
+        WHERE hour(ts) = 8 AND event_type IN ('click','view')) s1,
+      (SELECT CAST(count(*) AS BIGINT) AS h9_early FROM events
+        WHERE hour(ts) = 9 AND minute(ts) < 30 AND event_type IN ('click','view')) s2,
+      (SELECT CAST(count(*) AS BIGINT) AS h9_late FROM events
+        WHERE hour(ts) = 9 AND minute(ts) >= 30 AND event_type IN ('click','view')) s3,
+      (SELECT CAST(count(*) AS BIGINT) AS h10 FROM events
+        WHERE hour(ts) = 10 AND event_type IN ('click','view')) s4,
+      (SELECT CAST(count(*) AS BIGINT) AS h11 FROM events
+        WHERE hour(ts) = 11 AND event_type IN ('click','view')) s5,
+      (SELECT CAST(count(*) AS BIGINT) AS h12 FROM events
+        WHERE hour(ts) = 12 AND event_type IN ('click','view')) s6
+    """,
+)
+def tpcds_q88(spark, sf_dir):
+    """TPC-DS Q88 shape (queries/88.sql): six independently-filtered scalar
+    counts cross-joined into one row — the time-band census. Spark computes
+    all six bands in ONE scan via conditional aggregation (equivalent by
+    disjointness of the bands; the reference optimizer shares the scan the
+    same way), avoiding six scans and five cross joins."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type").isin("click", "view"))
+    h, m = F.hour("ts"), F.minute("ts")
+
+    def band(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+
+    return ev.agg(
+        band(h == 8, "h8"),
+        band((h == 9) & (m < 30), "h9_early"),
+        band((h == 9) & (m >= 30), "h9_late"),
+        band(h == 10, "h10"),
+        band(h == 11, "h11"),
+        band(h == 12, "h12"),
+    )
+
+
+@query(
+    "tpcds_q34_count_distribution",
+    oracle="""
+    SELECT c_name, dn.l_orderkey, cnt
+    FROM (
+        SELECT l_orderkey, o_custkey, CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE day(o_orderdate) BETWEEN 1 AND 3 OR day(o_orderdate) BETWEEN 25 AND 28
+        GROUP BY l_orderkey, o_custkey
+    ) dn
+    JOIN customer ON o_custkey = c_custkey
+    WHERE cnt BETWEEN 5 AND 7
+    ORDER BY c_name, dn.l_orderkey
+    LIMIT 100
+    """,
+)
+def tpcds_q34(spark, sf_dir):
+    """TPC-DS Q34/Q73 shape (queries/34.sql, 73.sql): per-ticket line counts
+    under disjunctive calendar filters, banded (cnt BETWEEN ...), joined back
+    to the customer dim for names. The count distribution is computed on the
+    fact join before the dimension join — the group-filter reduces the rows
+    that reach customer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.dayofmonth("o_orderdate").between(1, 3)) | (F.dayofmonth("o_orderdate").between(25, 28))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    dn = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt").between(5, 7))
+    )
+    return (
+        dn.join(c, dn.o_custkey == c.c_custkey)
+        .select("c_name", "l_orderkey", "cnt")
+        .orderBy("c_name", "l_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpcds_q49_return_rank_union",
+    oracle="""
+    WITH perf AS (
+        SELECT CASE WHEN l_linenumber % 2 = 0 THEN 'even' ELSE 'odd' END AS channel,
+               l_partkey AS item,
+               round(CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                     / CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 6) AS return_ratio
+        FROM lineitem
+        GROUP BY 1, 2
+        HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 0
+    ), ranked AS (
+        SELECT channel, item, return_ratio,
+               CAST(rank() OVER (PARTITION BY channel ORDER BY return_ratio DESC, item) AS BIGINT) AS return_rank
+        FROM perf
+    )
+    SELECT channel, item, return_ratio, return_rank
+    FROM ranked
+    WHERE return_rank <= 10
+    ORDER BY channel, return_rank
+    """,
+)
+def tpcds_q49(spark, sf_dir):
+    """TPC-DS Q49 shape (queries/49.sql): per-channel worst-return-ratio
+    rankings unioned across channels. The reference unions three per-channel
+    subqueries; here the channel is a derived column so one grouped pass +
+    one channel-partitioned rank window covers all channels — the plan the
+    reference optimizer reaches via CTE sharing. Ratios divide exact decimal
+    sums in double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = money.cents("l_quantity")
+    perf = (
+        li.groupBy(
+            F.when(F.col("l_linenumber") % 2 == 0, "even").otherwise("odd").alias("channel"),
+            F.col("l_partkey").alias("item"),
+        )
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", qty).otherwise(F.lit(0))).alias("__ret"),
+            F.sum(qty).alias("__tot"),
+        )
+        .where(F.col("__tot") > 0)
+        .select(
+            "channel",
+            "item",
+            F.round(F.col("__ret").cast("double") / F.col("__tot").cast("double"), 6).alias(
+                "return_ratio"
+            ),
+        )
+    )
+    w = Window.partitionBy("channel").orderBy(F.col("return_ratio").desc(), "item")
+    return (
+        perf.select("channel", "item", "return_ratio", F.rank().over(w).cast("bigint").alias("return_rank"))
+        .where(F.col("return_rank") <= 10)
+        .orderBy("channel", "return_rank")
+    )
+
+
+@query(
+    "tpcds_q15_disjunctive_dims",
+    cast_double=["total"],
+    oracle="""
+    SELECT n_name, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE n_name IN ('FRANCE', 'GERMANY', 'EGYPT')
+       OR CAST(c_acctbal AS DECIMAL(12,2)) > CAST(9000 AS DECIMAL(12,2))
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def tpcds_q15(spark, sf_dir):
+    """TPC-DS Q15 shape (queries/15.sql: zip-prefix IN-list OR state IN-list
+    OR amount threshold): disjunctive dimension predicates that defeat simple
+    pushdown — the filter runs after the dim join, revenue grouped by
+    geography."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    cond = F.col("n_name").isin("FRANCE", "GERMANY", "EGYPT") | (
+        F.col("c_acctbal").cast("decimal(12,2)") > F.lit(9000).cast("decimal(12,2)")
+    )
+    return (
+        joined.where(cond)
+        .groupBy("n_name")
+        .agg(money.sum_money("o_totalprice").alias("total"))
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "tpcds_q93_net_after_returns",
+    cast_double=["net_revenue"],
+    oracle="""
+    SELECT o_custkey,
+           CAST(sum(CASE WHEN l_returnflag = 'R'
+                         THEN CAST(0 AS DECIMAL(12,2))
+                         ELSE CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS net_revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_custkey
+    ORDER BY net_revenue DESC, o_custkey
+    LIMIT 20
+    """,
+)
+def tpcds_q93(spark, sf_dir):
+    """TPC-DS Q93 shape (queries/93.sql: sales net of returned quantity per
+    customer, top by total): the returns side folds into a conditional sum
+    (our returnflag plays store_returns), one fact shuffle on the customer
+    key, top-k heap on the exact decimal total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    price = money.cents("l_extendedprice")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            money.units_to_decimal(
+                F.sum(F.when(F.col("l_returnflag") == "R", F.lit(0)).otherwise(price)),
+                2,
+                "decimal(18,2)",
+            ).alias("net_revenue")
+        )
+        .orderBy(F.desc("net_revenue"), "o_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpcds_q41_distinct_dim_subquery",
+    oracle="""
+    SELECT DISTINCT p_name
+    FROM part
+    WHERE p_name IN (
+        SELECT p_name FROM part
+        GROUP BY p_name
+        HAVING count(DISTINCT p_brand) >= 2
+    )
+    ORDER BY p_name
+    LIMIT 50
+    """,
+)
+def tpcds_q41(spark, sf_dir):
+    """TPC-DS Q41 shape (queries/41.sql: DISTINCT i_product_name filtered by
+    a dimension-only subquery with a HAVING count): a pure-dimension query —
+    the IN-subquery becomes a broadcast semi join against the grouped dim."""
+    p = load_table(spark, sf_dir, "part")
+    multi = (
+        p.groupBy("p_name")
+        .agg(F.countDistinct("p_brand").alias("nb"))
+        .where(F.col("nb") >= 2)
+        .select("p_name")
+    )
+    return (
+        p.join(F.broadcast(multi), "p_name", "leftsemi")
+        .select("p_name")
+        .distinct()
+        .orderBy("p_name")
+        .limit(50)
+    )
+
+
+@query(
+    "tpcds_q95_double_semi",
+    cast_double=["total"],
+    oracle="""
+    SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
+    FROM orders
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING count(DISTINCT l_suppkey) >= 2
+    )
+    AND o_orderkey IN (
+        SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    )
+    """,
+)
+def tpcds_q95(spark, sf_dir):
+    """TPC-DS Q95 shape (queries/95.sql: ws_order_number IN two different
+    subqueries — multi-warehouse orders that also appear in returns): two
+    aggregate-defined semi joins stacked on the same key. The oracle's
+    sum runs over DISTINCT orders; Spark joins the deduplicated keys so each
+    order counts once."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    multi_supp = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .where(F.col("ns") >= 2)
+        .select("l_orderkey")
+    )
+    returned = li.where(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    return (
+        o.join(multi_supp, o.o_orderkey == multi_supp.l_orderkey, "leftsemi")
+        .join(returned, o.o_orderkey == returned.l_orderkey, "leftsemi")
+        .agg(
+            F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
+            money.sum_money("o_totalprice").alias("total"),
+        )
+    )
+
+
+@query(
+    "tpcds_q54_revenue_segments",
+    oracle="""
+    SELECT segment, CAST(count(*) AS BIGINT) AS num_customers,
+           CAST(segment * 5000 AS BIGINT) AS segment_base
+    FROM (
+        SELECT o_custkey,
+               CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / 5000) AS BIGINT) AS segment
+        FROM orders
+        GROUP BY o_custkey
+    )
+    GROUP BY segment
+    HAVING count(*) > 2
+    ORDER BY segment
+    LIMIT 40
+    """,
+)
+def tpcds_q54(spark, sf_dir):
+    """TPC-DS Q54 shape (queries/54.sql: CAST(revenue/50 AS INT) AS segment →
+    segment histogram): per-customer exact revenue bucketed into fixed-width
+    segments, then the segment census. Two shuffles total (customer agg,
+    segment agg) — both keyed aggregations."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.floor(money.sum_money("o_totalprice").cast("double") / 5000).cast("bigint").alias("segment")
+    )
+    return (
+        per_cust.groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("num_customers"))
+        .where(F.col("num_customers") > 2)
+        .select("segment", "num_customers", (F.col("segment") * 5000).cast("bigint").alias("segment_base"))
+        .orderBy("segment")
+        .limit(40)
+    )
