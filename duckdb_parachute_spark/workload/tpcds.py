@@ -490,6 +490,10 @@ def tpcds_q70(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_nationkey", "n_name", "r_name")
         .agg(money.sum_disc_price().alias("rev"))
+        # dimension-sized (one row per nation) but consumed by BOTH the
+        # ranking subquery and the rollup — persist so the fact-table
+        # aggregation underneath runs once (the reference shares the CTE)
+        .persist()
     )
     wr = Window.partitionBy("r_name").orderBy(F.col("rev").desc(), "n_nationkey")
     top = (
