@@ -22,6 +22,13 @@ parse error on the rewritten text. The test strategy mirrors the reference's
 verifier idea (src/verification/): the ORIGINAL DuckDB-dialect string runs on
 the DuckDB oracle while the REWRITTEN string runs on Spark, and results must
 hash-match.
+
+A sqlglot-based transpiler (SURVEY M2's eventual plan) would replace the
+token anchors with a real AST; that migration is blocked in this environment
+— sqlglot is not installed and the build forbids adding packages — so the
+fail-loud metamorphic tests above remain the safety net. The rewriter's
+public surface (``sql()``/``rewrite()``) is already the shape a transpiler
+would slot into.
 """
 
 from __future__ import annotations
