@@ -373,7 +373,7 @@ def cb_string_sort_limit(spark, sf_dir):
     "cb_having_avg_len",
     oracle="""
     SELECT event_type,
-           round(CAST(sum(length(props)) AS DOUBLE) / count(*), 4) AS avg_len,
+           CAST(sum(length(props)) AS DOUBLE) / count(*) AS avg_len,
            CAST(count(*) AS BIGINT) AS c
     FROM events WHERE props <> ''
     GROUP BY event_type
@@ -391,7 +391,7 @@ def cb_having_avg_len(spark, sf_dir):
     return (
         ev.groupBy("event_type")
         .agg(
-            F.round(F.sum(F.length("props")).cast("double") / F.count(F.lit(1)), 4).alias("avg_len"),
+            (F.sum(F.length("props")).cast("double") / F.count(F.lit(1))).alias("avg_len"),
             F.count(F.lit(1)).alias("c"),
         )
         .where(F.col("c") > 50)
@@ -458,7 +458,7 @@ def cb_date_window_offset(spark, sf_dir):
     oracle="""
     SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c,
            CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
-           round(CAST(sum(event_id) AS DOUBLE) / count(*), 4) AS avg_eid
+           CAST(sum(event_id) AS DOUBLE) / count(*) AS avg_eid
     FROM events
     GROUP BY user_id, event_type
     ORDER BY c DESC, user_id, event_type
@@ -475,7 +475,7 @@ def cb_multi_agg_pairs(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("c"),
             F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).cast("bigint").alias("n_big"),
-            F.round(F.sum("event_id").cast("double") / F.count(F.lit(1)), 4).alias("avg_eid"),
+            (F.sum("event_id").cast("double") / F.count(F.lit(1))).alias("avg_eid"),
         )
         .orderBy(F.desc("c"), "user_id", "event_type")
         .limit(10)

@@ -28,7 +28,11 @@ exact-sum / exact-count evaluated in double on final values (never a
 float accumulation, whose summation order differs across engines); every
 rank() ORDER BY carries unique tiebreakers with explicit NULLS placement
 (Spark defaults NULLS FIRST on ASC, DuckDB NULLS LAST — never rely on the
-default).
+default). Ratios and averages of exact values are deliberately NOT
+round()ed: both engines compute the identical IEEE quotient, while round()
+itself diverges on exact half-way values (Spark rounds the shortest decimal
+repr HALF_UP, DuckDB rounds the binary value) — a sum/count landing on
+x.xxxx5 flips them.
 """
 
 from __future__ import annotations
@@ -112,8 +116,8 @@ def tpcds_q01(spark, sf_dir):
     oracle=f"""
     SELECT p_brand, p_type,
            CAST(itemrevenue AS DECIMAL(22,4)) AS itemrevenue,
-           round(CAST(itemrevenue AS DOUBLE) * 100.0
-                 / CAST(sum(itemrevenue) OVER (PARTITION BY p_brand) AS DOUBLE), 5) AS revenueratio
+           CAST(itemrevenue AS DOUBLE) * 100.0
+                 / CAST(sum(itemrevenue) OVER (PARTITION BY p_brand) AS DOUBLE) AS revenueratio
     FROM (
         SELECT p_brand, p_type, CAST({_DISC} AS DECIMAL(22,4)) AS itemrevenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -146,10 +150,9 @@ def tpcds_q12(spark, sf_dir):
             "p_brand",
             "p_type",
             "itemrevenue",
-            F.round(
+            (
                 F.col("itemrevenue").cast("double") * 100.0
-                / F.sum("itemrevenue").over(w).cast("double"),
-                5,
+                / F.sum("itemrevenue").over(w).cast("double")
             ).alias("revenueratio"),
         )
         .orderBy("p_brand", "p_type")
@@ -167,8 +170,8 @@ def tpcds_q12(spark, sf_dir):
                         r_name ASC NULLS FIRST,
                         n_name ASC NULLS FIRST) AS BIGINT) AS rank_within_parent
     FROM (
-        SELECT round(CAST({_DISC} AS DOUBLE)
-                     / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 6) AS gross_margin,
+        SELECT CAST({_DISC} AS DOUBLE)
+                     / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS gross_margin,
                r_name, n_name,
                CAST(GROUPING(r_name) + GROUPING(n_name) AS BIGINT) AS lochierarchy,
                CAST(GROUPING(n_name) AS BIGINT) AS g_nation
@@ -201,9 +204,8 @@ def tpcds_q36(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
     agg = base.rollup("r_name", "n_name").agg(
-        F.round(
-            money.sum_disc_price().cast("double") / money.sum_money("l_extendedprice").cast("double"),
-            6,
+        (
+            money.sum_disc_price().cast("double") / money.sum_money("l_extendedprice").cast("double")
         ).alias("gross_margin"),
         (F.grouping("r_name") + F.grouping("n_name")).cast("bigint").alias("lochierarchy"),
         F.grouping("n_name").cast("bigint").alias("g_nation"),
@@ -249,7 +251,7 @@ def tpcds_q36(spark, sf_dir):
         FROM v1
     )
     SELECT n_name, yr, moy, sum_sales,
-           round(avg_monthly, 4) AS avg_monthly, psum, nsum
+           avg_monthly, psum, nsum
     FROM v2
     WHERE yr = 1998 AND avg_monthly > 0
       AND abs(CAST(sum_sales AS DOUBLE) - avg_monthly) / avg_monthly > 0.05
@@ -307,7 +309,7 @@ def tpcds_q47(spark, sf_dir):
             "yr",
             "moy",
             "sum_sales",
-            F.round("avg_monthly", 4).alias("avg_monthly"),
+            "avg_monthly",
             "psum",
             "nsum",
         )
@@ -594,8 +596,8 @@ def tpcds_q21(spark, sf_dir):
         GROUP BY 1
     )
     SELECT y.week_seq AS week_seq,
-           round(CAST(y.mon_sales AS DOUBLE) / nullif(CAST(x.mon_sales AS DOUBLE), 0), 4) AS mon_ratio,
-           round(CAST(y.fri_sales AS DOUBLE) / nullif(CAST(x.fri_sales AS DOUBLE), 0), 4) AS fri_ratio
+           CAST(y.mon_sales AS DOUBLE) / nullif(CAST(x.mon_sales AS DOUBLE), 0) AS mon_ratio,
+           CAST(y.fri_sales AS DOUBLE) / nullif(CAST(x.fri_sales AS DOUBLE), 0) AS fri_ratio
     FROM wk x JOIN wk y ON y.week_seq = x.week_seq + 52
     WHERE y.week_seq BETWEEN 52 AND 103
     ORDER BY y.week_seq
@@ -634,13 +636,11 @@ def tpcds_q59(spark, sf_dir):
         .where(F.col("week_seq").between(52, 103))
         .select(
             "week_seq",
-            F.round(
-                F.col("mon_sales").cast("double") / F.nullif(F.col("x_mon").cast("double"), F.lit(0.0)),
-                4,
+            (
+                F.col("mon_sales").cast("double") / F.nullif(F.col("x_mon").cast("double"), F.lit(0.0))
             ).alias("mon_ratio"),
-            F.round(
-                F.col("fri_sales").cast("double") / F.nullif(F.col("x_fri").cast("double"), F.lit(0.0)),
-                4,
+            (
+                F.col("fri_sales").cast("double") / F.nullif(F.col("x_fri").cast("double"), F.lit(0.0))
             ).alias("fri_ratio"),
         )
         .orderBy("week_seq")
@@ -704,9 +704,9 @@ def tpcds_q23(spark, sf_dir):
     oracle="""
     WITH part_perf AS (
         SELECT l_partkey,
-               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
                      * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
-                     / count(*), 4) AS avg_rev
+                     / count(*) AS avg_rev
         FROM lineitem
         GROUP BY l_partkey
     ), asc_rank AS (
@@ -737,9 +737,7 @@ def tpcds_q44(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     perf = li.groupBy("l_partkey").agg(
-        F.round(
-            money.sum_disc_price().cast("double") / F.count(F.lit(1)), 4
-        ).alias("avg_rev")
+        (money.sum_disc_price().cast("double") / F.count(F.lit(1))).alias("avg_rev")
     )
     wa = Window.orderBy(F.col("avg_rev").asc(), "l_partkey")
     wd = Window.orderBy(F.col("avg_rev").desc(), "l_partkey")
@@ -762,7 +760,7 @@ def tpcds_q44(spark, sf_dir):
     oracle="""
     SELECT n_name, c_mktsegment,
            count(*) AS cnt,
-           round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_bal,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_bal,
            CAST(max(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS max_bal,
            CAST(min(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS min_bal
     FROM customer
@@ -794,8 +792,17 @@ def tpcds_q35(spark, sf_dir):
         .groupBy("n_name", "c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(
-                F.sum(money.cents("c_acctbal")).cast("double") / 100.0 / F.count(F.lit(1)), 4
+            # exact decimal sum -> double -> ONE division, the same IEEE op
+            # on bit-identical inputs in both engines — deliberately NOT
+            # rounded: round() differs across engines on exact half-way
+            # values (Spark rounds the shortest decimal repr HALF_UP, DuckDB
+            # rounds the binary value), and a tie like sum/count = x.xxxx5
+            # flips them; the raw quotient is already deterministic.
+            (
+                money.units_to_decimal(
+                    F.sum(money.cents("c_acctbal")), 2, "decimal(18,2)"
+                ).cast("double")
+                / F.count(F.lit(1))
             ).alias("avg_bal"),
             F.max(bal_dec).cast("double").alias("max_bal"),
             F.min(bal_dec).cast("double").alias("min_bal"),
@@ -891,8 +898,8 @@ def tpcds_q34(spark, sf_dir):
     WITH perf AS (
         SELECT CASE WHEN l_linenumber % 2 = 0 THEN 'even' ELSE 'odd' END AS channel,
                l_partkey AS item,
-               round(CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
-                     / CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 6) AS return_ratio
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                     / CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS return_ratio
         FROM lineitem
         GROUP BY 1, 2
         HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 0
@@ -929,9 +936,7 @@ def tpcds_q49(spark, sf_dir):
         .select(
             "channel",
             "item",
-            F.round(F.col("__ret").cast("double") / F.col("__tot").cast("double"), 6).alias(
-                "return_ratio"
-            ),
+            (F.col("__ret").cast("double") / F.col("__tot").cast("double")).alias("return_ratio"),
         )
     )
     w = Window.partitionBy("channel").orderBy(F.col("return_ratio").desc(), "item")
