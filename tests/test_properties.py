@@ -57,3 +57,42 @@ def test_decimal_mult_precision_rules(spark, oracle, v):
         f"AS DECIMAL(18,4)) AS r"
     )
     assert spark.sql(sql).head()[0] == oracle.sql(sql).fetchone()[0]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)), min_size=1, max_size=12),
+    st.sampled_from([1.0, 2.5, 7.0]),
+)
+def test_inequality_join_property(spark, pairs, bin_width):
+    """Bucket-replicated theta join == naive inequality join for any inputs
+    and bin width (operators/rangejoin.inequality_join)."""
+    from duckdb_parachute_spark.operators.rangejoin import inequality_join
+
+    a = spark.createDataFrame(
+        [(i, float(x)) for i, (x, _) in enumerate(pairs)], "ka long, xa double"
+    )
+    b = spark.createDataFrame(
+        [(j, float(y)) for j, (_, y) in enumerate(pairs)], "kb long, xb double"
+    )
+    fast = sorted((r.ka, r.kb) for r in inequality_join(a, b, a.xa, b.xb, bin_width).collect())
+    naive = sorted((r.ka, r.kb) for r in a.join(b, a.xa < b.xb).collect())
+    assert fast == naive
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.text(alphabet="aAbBcC éÉàÀ", min_size=0, max_size=6), min_size=1, max_size=8))
+def test_collation_key_matches_duckdb(spark, oracle, values):
+    """NOCASE.NOACCENT grouping cardinality agrees with DuckDB's COLLATE
+    (functions/collate.collation_key vs the real collation)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_parachute_spark.functions.collate import collation_key
+
+    rows = ", ".join("('" + v.replace("'", "''") + "')" for v in values)
+    d = oracle.sql(
+        f"SELECT count(*) FROM (SELECT 1 FROM (VALUES {rows}) t(s) GROUP BY s COLLATE NOCASE.NOACCENT)"
+    ).fetchone()[0]
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    s = df.groupBy(collation_key(F.col("s"), "NOCASE.NOACCENT")).count().count()
+    assert s == d
