@@ -133,6 +133,7 @@ def load_all() -> dict[str, QueryDef]:
         clickbench,
         dedup,
         dialect,
+        job,
         joins,
         jsonops,
         macros,
