@@ -175,3 +175,11 @@ def test_lsh_index_probe_matches_flyweight(spark, sf_dir, tmp_path):
     idx_ids = {r.vec_id for r in lsh_topk_indexed(spark, path, qv, 10, num_planes=4, seed=7).collect()}
     fly_ids = {r.vec_id for r in lsh_topk(e, qv, 10, num_planes=4, num_tables=1).collect()}
     assert idx_ids == fly_ids and len(idx_ids) == 10
+
+
+def test_job_chain_broadcasts_single_fact_scan(no_aqe, spark, sf_dir):
+    # Nine-table JOB-shaped star: every dimension must broadcast; the
+    # lineitem fact never shuffles before the final aggregate.
+    s = assert_plan(_q("job_chain_two_regions", spark, sf_dir))
+    assert s.broadcasts >= 5
+    assert "CartesianProduct" not in s.text and "BroadcastNestedLoop" not in s.text
