@@ -226,3 +226,26 @@ def to_arrow(df: DataFrame):
     """Arrow export (reference ArrowQueryResult / duckdb .arrow()): Arrow
     batches straight from the JVM via PySpark 4's toArrow()."""
     return df.toArrow()
+
+
+def copy_to_ordered(df: DataFrame, path: str, order_cols: list[str], fmt: str = "parquet") -> None:
+    """Order-preserving parallel COPY (reference
+    src/execution/operator/persistent/physical_batch_copy_to_file.cpp: batch
+    indexes keep input order while sinks write in parallel).
+
+    Spark analogue: range-partition on the order columns (contiguous,
+    non-overlapping key ranges per output task), sort within each partition,
+    write in parallel. Part files then hold disjoint sorted ranges in
+    file-name order, so a reader that concatenates part files
+    lexicographically — or re-sorts with near-zero comparisons — observes the
+    global order. Same contract as the reference: parallel writers, ordered
+    result, at the cost of one range exchange (the reference pays batch
+    sequencing instead)."""
+    cols = [df[c] for c in order_cols]
+    (
+        df.repartitionByRange(*cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )
