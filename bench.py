@@ -60,9 +60,17 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", cpus)
 
     from duckdb_parachute_spark import get_session
+    from duckdb_parachute_spark.session import scaled_shuffle_partitions
     from duckdb_parachute_spark.workload import load_all
 
-    spark = get_session(app_name="parachute-bench", master=f"local[{cpus}]")
+    spark = get_session(
+        app_name="parachute-bench",
+        master=f"local[{cpus}]",
+        # ~64 MB of input per shuffle partition: fuller partitions at bench
+        # scale (scheduling floor dominates below that), AQE-coalesced
+        # thousands at 100 TB — same dial, data-sized (session.py).
+        shuffle_partitions=scaled_shuffle_partitions(sf_dir),
+    )
     qs = load_all()
     names = [n for n in HEADLINE if n in qs] + [
         n for n in qs if n not in HEADLINE and os.environ.get("BENCH_ALL") == "1"

@@ -113,3 +113,28 @@ def apply_runtime_conf(spark: SparkSession, force: bool = False) -> SparkSession
     except Exception:
         pass
     return spark
+
+
+def scaled_shuffle_partitions(data_dir: str, floor: int = 8, ceiling: int = 2000) -> int:
+    """Shuffle partition count sized to the data, not the machine.
+
+    The rule that holds from laptop to cluster: target ~64 MB of input per
+    shuffle partition (reference analogue: DuckDB sizes morsels to fixed row
+    counts, src/parallel/task_scheduler.cpp — same idea, constant work per
+    unit of parallelism). A 25 MB scale factor gets the floor (fewer, fuller
+    partitions — task scheduling dominates below that); 100 TB gets the
+    ceiling (AQE coalesces further at runtime). Callers pass the input
+    directory; unknown/missing dirs fall back to core count."""
+    import os
+
+    try:
+        total = 0
+        for root, _, files in os.walk(data_dir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(root, f))
+        if total == 0:
+            return default_parallelism()
+        return max(floor, min(ceiling, max(default_parallelism() * (total > 2**33), total // (64 * 2**20))))
+    except OSError:
+        return default_parallelism()
