@@ -35,6 +35,58 @@ TABLES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Tables whose cardinality is FIXED regardless of scale factor (TPC-H spec:
+#: nation = 25 rows, region = 5 rows). Always safe to broadcast.
+FIXED_CARDINALITY = {"nation", "region"}
+
+#: Default on-disk parquet footprint above which a join side loses its
+#: broadcast hint. Compressed parquet expands roughly 3-5x as an in-memory
+#: hash relation, so 64 MiB on disk ~ a few hundred MB per executor — beyond
+#: that the hint would OOM a 100 TB-scale cluster and AQE's runtime broadcast
+#: conversion (which sees *actual* post-filter sizes) is the right mechanism.
+BROADCAST_CAP_BYTES = 64 << 20
+
+
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk bytes of a driver table (single file or directory of parts)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _dirs, files in os.walk(path)
+            for f in files
+        )
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 1 << 60  # unknown source: assume huge, never hint
+
+
+def maybe_broadcast(df: DataFrame, sf_dir: str, *tables: str) -> DataFrame:
+    """Size-gated broadcast hint for join sides built from driver tables.
+
+    The reference (DuckDB) always builds a hash table on the dimension side
+    because it is single-node; on Spark an unconditional ``F.broadcast`` of a
+    table that GROWS with scale factor (customer/part/supplier all scale
+    linearly with sf) ships the whole table to every executor and OOMs at the
+    100 TB target. Policy:
+
+    - fixed-cardinality tables (nation/region) always keep the hint;
+    - any other side keeps the hint only while the combined on-disk footprint
+      of its contributing base ``tables`` is under the cap
+      (``SPARK_GRAFT_BROADCAST_CAP`` env override, default 64 MiB);
+    - over the cap the plain plan is returned: the join runs as a shuffle
+      join, and AQE converts it back to broadcast at runtime iff the
+      *post-filter* side is actually small — the scale-correct decision.
+    """
+    growing = [t for t in tables if t not in FIXED_CARDINALITY]
+    if not growing:
+        return F.broadcast(df)
+    cap = int(os.environ.get("SPARK_GRAFT_BROADCAST_CAP", BROADCAST_CAP_BYTES))
+    if sum(table_bytes(sf_dir, t) for t in growing) <= cap:
+        return F.broadcast(df)
+    return df
+
 
 def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     try:

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from duckdb_parachute_spark.catalog import load_table
+from duckdb_parachute_spark.catalog import load_table, maybe_broadcast
 from duckdb_parachute_spark.workload import query
 
 
@@ -48,7 +48,7 @@ def job_star_selective_min(spark, sf_dir):
     )
     n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "FRANCE")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(maybe_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(o, li.l_orderkey == o.o_orderkey)
@@ -111,7 +111,7 @@ def job_chain_two_regions(spark, sf_dir):
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
         .join(F.broadcast(r2), F.col("s_rk") == F.col("r2_key"))
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(maybe_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
         .where(F.col("cust_region") != F.col("supp_region"))
         .groupBy("cust_region", "supp_region")
         .agg(F.count(F.lit(1)).alias("n"), F.min("p_name").alias("first_part"))

@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from duckdb_parachute_spark.catalog import load_table
+from duckdb_parachute_spark.catalog import load_table, maybe_broadcast
 from duckdb_parachute_spark.functions import money
 from duckdb_parachute_spark.workload import query
 
@@ -140,7 +140,7 @@ def tpcds_q12(spark, sf_dir):
     )
     p = load_table(spark, sf_dir, "part")
     g = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(maybe_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type")
         .agg(money.sum_disc_price().alias("itemrevenue"))
     )
@@ -419,7 +419,7 @@ def tpcds_q67(spark, sf_dir):
     opposite NULL orders."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    base = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+    base = li.join(maybe_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey).select(
         F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("category"),
         "p_brand",
         F.year("l_shipdate").cast("bigint").alias("yr"),
@@ -557,7 +557,7 @@ def tpcds_q21(spark, sf_dir):
     pivot_ts = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
     qty_cents = money.cents("l_quantity")
     agg = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(maybe_broadcast(s, sf_dir, "supplier"), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name", "s_name")
         .agg(
@@ -693,8 +693,8 @@ def tpcds_q23(spark, sf_dir):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(freq), "l_partkey", "leftsemi")
-        .join(F.broadcast(best), "o_custkey", "leftsemi")
+        .join(maybe_broadcast(freq, sf_dir, "part"), "l_partkey", "leftsemi")
+        .join(maybe_broadcast(best, sf_dir, "customer"), "o_custkey", "leftsemi")
         .agg(money.sum_disc_price().alias("total"))
     )
 
@@ -748,8 +748,8 @@ def tpcds_q44(spark, sf_dir):
     return (
         asc_r.join(desc_r, "rnk")
         .where(F.col("rnk") <= 10)
-        .join(F.broadcast(p1), F.col("d_partkey") == F.col("p1_key"))
-        .join(F.broadcast(p2), F.col("l_partkey") == F.col("p2_key"))
+        .join(maybe_broadcast(p1, sf_dir, "part"), F.col("d_partkey") == F.col("p1_key"))
+        .join(maybe_broadcast(p2, sf_dir, "part"), F.col("l_partkey") == F.col("p2_key"))
         .select(F.col("rnk").cast("bigint").alias("rnk"), "best_performing", "worst_performing")
         .orderBy("rnk")
     )
@@ -1046,7 +1046,7 @@ def tpcds_q41(spark, sf_dir):
         .select("p_name")
     )
     return (
-        p.join(F.broadcast(multi), "p_name", "leftsemi")
+        p.join(maybe_broadcast(multi, sf_dir, "part"), "p_name", "leftsemi")
         .select("p_name")
         .distinct()
         .orderBy("p_name")

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from duckdb_parachute_spark.catalog import load_table
+from duckdb_parachute_spark.catalog import load_table, maybe_broadcast
 from duckdb_parachute_spark.functions import money
 from duckdb_parachute_spark.workload import query
 
@@ -96,7 +96,7 @@ def tpch_q3(spark, sf_dir):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(money.sum_disc_price().alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -177,9 +177,9 @@ def tpch_q5(spark, sf_dir):
     return (
         t["lineitem"]
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(t["customer"], sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(dim),
+            maybe_broadcast(dim, sf_dir, "supplier"),
             (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy("n_name")
@@ -244,7 +244,7 @@ def tpch_q10(spark, sf_dir):
     li = t["lineitem"].where(F.col("l_returnflag") == "R")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(t["customer"]), o.o_custkey == F.col("c_custkey"))
+        .join(maybe_broadcast(t["customer"], sf_dir, "customer"), o.o_custkey == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(money.sum_disc_price().alias("revenue"))
@@ -309,7 +309,7 @@ def tpch_q14(spark, sf_dir):
     p = load_table(spark, sf_dir, "part")
     disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(maybe_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0)
@@ -356,7 +356,7 @@ def tpch_q18(spark, sf_dir):
     )
     return (
         big.join(o, F.col("l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum(F.col("q")).cast("decimal(18,2)").alias("sum_qty"))
         .select(
@@ -384,7 +384,7 @@ def tpch_q19(spark, sf_dir):
     join+filter predicates — exercises OR-predicate pushdown through a join."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(maybe_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
         | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 30))
@@ -433,13 +433,13 @@ def tpch_q2(spark, sf_dir):
     p = t["part"].where((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
     shipped = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
     cand = (
-        shipped.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        shipped.join(maybe_broadcast(p, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(eu, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name")
     )
     minb = cand.groupBy(F.col("p_partkey").alias("mk")).agg(F.min("s_acctbal").alias("mb"))
     return (
-        cand.join(F.broadcast(minb), (F.col("p_partkey") == F.col("mk")) & (F.col("s_acctbal") == F.col("mb")))
+        cand.join(maybe_broadcast(minb, sf_dir, "part"), (F.col("p_partkey") == F.col("mk")) & (F.col("s_acctbal") == F.col("mb")))
         .select(F.round("s_acctbal", 2).alias("s_acctbal"), "s_name", "n_name", "p_partkey", "p_name")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -484,8 +484,8 @@ def tpch_q7(spark, sf_dir):
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(t["customer"], sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(t["supplier"], sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
         .where(pair)
@@ -532,12 +532,12 @@ def tpch_q8(spark, sf_dir):
     volume = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return (
         t["lineitem"]
-        .join(F.broadcast(t["part"].where(F.col("p_type") == "ECONOMY")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(t["part"].where(F.col("p_type") == "ECONOMY"), sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(t["customer"], sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("nk1"))
         .join(F.broadcast(t["region"].where(F.col("r_name") == "AMERICA")), F.col("rk1") == F.col("r_regionkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(t["supplier"], sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("nk2"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -575,9 +575,9 @@ def tpch_q9(spark, sf_dir):
     amount = money.disc_price_units() - money.cents("p_retailprice") * money.cents("l_quantity")
     return (
         t["lineitem"]
-        .join(F.broadcast(t["part"].where(F.col("p_name").like("%red%"))), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(t["part"].where(F.col("p_name").like("%red%")), sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(t["supplier"], sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(money.units_to_decimal(F.sum(amount), 4, "decimal(25,4)").alias("sum_profit"))
@@ -609,7 +609,7 @@ def tpch_q11(spark, sf_dir):
     t = {n: load_table(spark, sf_dir, n) for n in ["lineitem", "supplier", "nation"]}
     base = (
         t["lineitem"]
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(t["supplier"], sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(t["nation"].where(F.col("n_name") == "NATION_7")),
               F.col("s_nationkey") == F.col("n_nationkey"))
     )
@@ -687,7 +687,7 @@ def tpch_q15(spark, sf_dir):
     return (
         rev.crossJoin(F.broadcast(mx))
         .where(F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(maybe_broadcast(s, sf_dir, "supplier"), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -720,7 +720,7 @@ def tpch_q16(spark, sf_dir):
     ps = li.select("l_partkey", "l_suppkey").distinct()
     return (
         ps.join(excl, ps.l_suppkey == excl.s_suppkey, "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(p, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -747,7 +747,7 @@ def tpch_q17(spark, sf_dir):
     p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
     th = li.groupBy(F.col("l_partkey").alias("tk")).agg((F.lit(0.2) * F.avg("l_quantity")).alias("th"))
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(maybe_broadcast(p, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .join(th, F.col("l_partkey") == F.col("tk"))
         .where(F.col("l_quantity") < F.col("th"))
         .agg(
@@ -786,7 +786,7 @@ def tpch_q20(spark, sf_dir):
     )
     blue = t["part"].where(F.col("p_name").like("blue%"))
     qualified = (
-        li.join(F.broadcast(blue), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(maybe_broadcast(blue, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("q"))
         .where(F.col("q") > 50)
@@ -846,11 +846,13 @@ def tpch_q21(spark, sf_dir):
     )
     return (
         waiting.join(
-            F.broadcast(
+            maybe_broadcast(
                 t["supplier"].join(
                     F.broadcast(t["nation"].where(F.col("n_name") == "NATION_9")),
                     F.col("s_nationkey") == F.col("n_nationkey"),
-                )
+                ),
+                sf_dir,
+                "supplier",
             ),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )

@@ -177,6 +177,46 @@ def test_lsh_index_probe_matches_flyweight(spark, sf_dir, tmp_path):
     assert idx_ids == fly_ids and len(idx_ids) == 10
 
 
+def test_broadcast_gate_both_postures(no_aqe, spark, sf_dir, monkeypatch):
+    # The size gate (catalog.maybe_broadcast): at test SF the sf-scaling dims
+    # are tiny, so the hint stays and the star join broadcasts; with the cap
+    # forced to 0 (emulating the 100 TB regime where customer/part/supplier
+    # exceed any broadcast budget) the SAME query builds a shuffle join —
+    # no unconditional broadcast of a scale-growing table survives.
+    from duckdb_parachute_spark.plans import physical_plan
+
+    hinted = physical_plan(_q("tpch_q3_shipping_priority", spark, sf_dir))
+    assert "BroadcastHashJoin" in hinted
+    monkeypatch.setenv("SPARK_GRAFT_BROADCAST_CAP", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        gated = physical_plan(_q("tpch_q3_shipping_priority", spark, sf_dir))
+        assert "SortMergeJoin" in gated or "ShuffledHashJoin" in gated
+        assert "BroadcastHashJoin" not in gated
+        # q5 keeps fixed-cardinality (nation/region) broadcastable by policy,
+        # but none of customer/supplier/part may be hinted over the cap.
+        gated5 = physical_plan(_q("tpch_q5_local_supplier_volume", spark, sf_dir))
+        assert "SortMergeJoin" in gated5 or "ShuffledHashJoin" in gated5
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_maybe_broadcast_policy(spark, sf_dir, monkeypatch):
+    from duckdb_parachute_spark.catalog import load_table, maybe_broadcast, table_bytes
+
+    assert table_bytes(sf_dir, "customer") > 0
+    assert table_bytes(sf_dir, "no_such_table") == 1 << 60
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    monkeypatch.setenv("SPARK_GRAFT_BROADCAST_CAP", "0")
+    # over-cap growing table: plan unchanged (same object, no hint node)
+    assert maybe_broadcast(c, sf_dir, "customer") is c
+    # fixed-cardinality tables are hinted regardless of cap
+    assert maybe_broadcast(n, sf_dir, "nation") is not n
+    monkeypatch.setenv("SPARK_GRAFT_BROADCAST_CAP", str(1 << 40))
+    assert maybe_broadcast(c, sf_dir, "customer") is not c
+
+
 def test_job_chain_broadcasts_single_fact_scan(no_aqe, spark, sf_dir):
     # Nine-table JOB-shaped star: every dimension must broadcast; the
     # lineitem fact never shuffles before the final aggregate.
