@@ -106,15 +106,20 @@ def query(
 # in natural order.
 
 
-def _graded_green() -> set[str]:
-    """Names hash-graded green in any prior round's CORRECTNESS file."""
+def _graded_green() -> tuple[set[str], int]:
+    """(names hash-graded green in any prior round, latest round number)."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     green: set[str] = set()
+    latest = 0
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m:
+            latest = max(latest, int(m.group(1)))
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -123,7 +128,7 @@ def _graded_green() -> set[str]:
         for name, rec in data.items():
             if isinstance(rec, dict) and rec.get("hash_match") is True:
                 green.add(name)
-    return green
+    return green, latest
 
 
 def load_all() -> dict[str, QueryDef]:
@@ -149,7 +154,19 @@ def load_all() -> dict[str, QueryDef]:
         windows,
     )
 
-    green = _graded_green()
-    ordered = {n: QUERIES[n] for n in QUERIES if n not in green}
-    ordered.update(QUERIES)
+    green, latest_round = _graded_green()
+    fresh = [n for n in QUERIES if n not in green]
+    tail = [n for n in QUERIES if n in green]
+    # Never-graded queries lead so their status lands in the next CORRECTNESS
+    # file. The already-green tail ROTATES by 50 slots per recorded round:
+    # the driver only grades the first 50 entries, so a stable order would
+    # re-grade the same green queries forever and a regression elsewhere
+    # would go unseen. With the shift, every query is re-checked every
+    # ~len/50 rounds.
+    if tail:
+        k = (50 * latest_round) % len(tail)
+        tail = tail[k:] + tail[:k]
+    ordered = {n: QUERIES[n] for n in fresh}
+    for n in tail:
+        ordered[n] = QUERIES[n]
     return ordered
