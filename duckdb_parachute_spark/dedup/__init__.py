@@ -61,24 +61,22 @@ def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
-def minhash_lsh_pairs(
+#: Default LSH bucket-size cap: a bucket of k members emits k·(k-1)/2 pairs
+#: from ONE grouped row, so an uncapped boilerplate bucket (k ~ 1e5 on web
+#: corpora) would materialize ~5e9 pairs in a single task. 10k members
+#: (~5e7 pairs, tens of MB) is the largest bucket a task should ever expand.
+DEFAULT_MAX_BUCKET = 10_000
+
+
+def _lsh_buckets(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    num_perm: int = 12,
-    bands: int = 4,
-    shingle_k: int = 3,
+    num_perm: int,
+    bands: int,
+    shingle_k: int,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (id1 < id2) via MinHash + LSH banding.
-
-    Scale shape: persist the signature table (tiny: id + num_perm hashes —
-    the expensive num_perm×shingles md5 pass runs exactly once, never
-    re-inlined by CollapseProject into each band lambda), explode to
-    (id, band_key), shuffle ONCE on band key, and generate pairs in-expression
-    from each bucket's sorted id list — no exploded self-join, no second scan
-    of the corpus. Hot buckets (boilerplate text) are the skew risk: each
-    bucket of k docs yields k·(k-1)/2 pairs in one row; raise `bands`/
-    `num_perm` to sharpen buckets, or pre-filter degenerate texts."""
+    """(band_key, sorted member ids) per LSH bucket with >= 2 members."""
     rows_per_band = num_perm // bands
     sig = df.select(
         F.col(id_col).alias("__id"),
@@ -88,11 +86,41 @@ def minhash_lsh_pairs(
         "__id",
         F.explode(band_keys(F.col("__sig"), bands, rows_per_band)).alias("__band"),
     )
-    buckets = (
+    return (
         exploded.groupBy("__band")
         .agg(F.array_sort(F.collect_list("__id")).alias("__ids"))
         .where(F.size("__ids") > 1)
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 12,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id1 < id2) via MinHash + LSH banding.
+
+    Scale shape: persist the signature table (tiny: id + num_perm hashes —
+    the expensive num_perm×shingles md5 pass runs exactly once, never
+    re-inlined by CollapseProject into each band lambda), explode to
+    (id, band_key), shuffle ONCE on band key, and generate pairs in-expression
+    from each bucket's sorted id list — no exploded self-join, no second scan
+    of the corpus.
+
+    Hot buckets (boilerplate/empty text) are the skew risk: a bucket of k
+    docs yields k·(k-1)/2 pairs from one row, unbounded on real corpora.
+    Buckets over ``max_bucket_size`` are therefore EXCLUDED (pass None to
+    disable); such a bucket carries no near-dup signal anyway — it is the
+    corpus' boilerplate class, and `minhash_lsh_overflow` reports exactly
+    what was dropped so callers can route those docs to an exact-dedup or
+    pre-filter pass instead."""
+    buckets = _lsh_buckets(df, id_col, text_col, num_perm, bands, shingle_k)
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("__ids") <= max_bucket_size)
     pairs = F.flatten(
         F.transform(
             F.col("__ids"),
@@ -106,6 +134,32 @@ def minhash_lsh_pairs(
         buckets.select(F.explode(pairs).alias("p"))
         .select("p.id1", "p.id2")
         .distinct()
+    )
+
+
+def minhash_lsh_overflow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 12,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+    sample_ids: int = 5,
+) -> DataFrame:
+    """Side-channel for the buckets `minhash_lsh_pairs` capped away.
+
+    One row per over-cap bucket: band key, member count, and a bounded
+    id sample (never the full membership — that is the blowup being
+    avoided). Empty result = the cap did not bite."""
+    buckets = _lsh_buckets(df, id_col, text_col, num_perm, bands, shingle_k)
+    return (
+        buckets.where(F.size("__ids") > max_bucket_size)
+        .select(
+            F.col("__band").alias("band_key"),
+            F.size("__ids").cast("bigint").alias("bucket_size"),
+            F.slice("__ids", 1, sample_ids).alias("id_sample"),
+        )
     )
 
 
@@ -185,15 +239,28 @@ def ngram_jaccard(a: Column, b: Column, n: int = 3) -> Column:
 
 
 def embedding_neardup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float, bucket_col: str | None = None
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    bucket_col: str | None = None,
+    allow_bruteforce: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs above `threshold`.
 
     With `bucket_col` (e.g. an LSH bucket or label) the self-join is
-    per-bucket — the scale path. Without it this is brute force (small inputs
-    only)."""
+    per-bucket — the scale path. Without it this is an O(n²) cross join,
+    which at 100 TB is never what anyone meant — so the unbucketed form must
+    be requested explicitly with ``allow_bruteforce=True`` (small inputs:
+    evaluation sets, per-partition verification)."""
     from duckdb_parachute_spark.functions.vector import array_cosine_similarity
 
+    if bucket_col is None and not allow_bruteforce:
+        raise ValueError(
+            "embedding_neardup_pairs without bucket_col is O(n²); pass a "
+            "bucket_col (LSH bucket / IVF centroid / label) or opt in "
+            "explicitly with allow_bruteforce=True on small inputs"
+        )
     keys = [bucket_col] if bucket_col else []
     a = df.select(*keys, F.col(id_col).alias("id1"), F.col(vec_col).alias("__v1"))
     b = df.select(*keys, F.col(id_col).alias("id2"), F.col(vec_col).alias("__v2"))

@@ -94,11 +94,20 @@ def pairwise_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_col: str | None = None,
+    allow_bruteforce: bool = False,
 ) -> DataFrame:
     """k nearest neighbors for every vector (within optional buckets).
 
-    Without a bucket column this is the O(n²) brute-force building block —
-    callers at scale must provide bucketing (LSH/IVF partition)."""
+    Without a bucket column this is the O(n²) brute-force building block, so
+    the unbucketed form must be requested explicitly with
+    ``allow_bruteforce=True`` — callers at scale must provide bucketing
+    (LSH/IVF partition) instead of silently cross-joining the corpus."""
+    if bucket_col is None and not allow_bruteforce:
+        raise ValueError(
+            "pairwise_knn without bucket_col is O(n²); pass a bucket_col "
+            "(LSH bucket / IVF centroid) or opt in explicitly with "
+            "allow_bruteforce=True on small inputs"
+        )
     keys = [bucket_col] if bucket_col else []
     a = df.select(*keys, F.col(id_col).alias("id1"), F.col(vec_col).alias("__v1"))
     b = df.select(*keys, F.col(id_col).alias("id2"), F.col(vec_col).alias("__v2"))

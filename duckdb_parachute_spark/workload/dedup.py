@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from duckdb_parachute_spark.catalog import load_table
 from duckdb_parachute_spark.dedup import (
+    minhash_lsh_overflow,
     minhash_lsh_pairs,
     ngram_jaccard,
 )
@@ -74,6 +75,73 @@ def dedup_minhash_pairs(spark, sf_dir):
     The DuckDB oracle computes the identical md5-based signature."""
     d = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, "doc_id", "text", num_perm=12, bands=4, shingle_k=3)
+
+
+# Capped variant of the MinHash bucket pipeline: buckets over the size cap
+# are excluded from pair generation (the hot-bucket OOM guard) and reported
+# through the overflow side-channel instead.
+_MINHASH_BANDS_CTE = """
+WITH sh AS (
+    SELECT doc_id,
+           list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+           ) AS shingles
+    FROM documents
+), sig AS (
+    SELECT doc_id,
+           list_transform(generate_series(0, 11),
+               p -> list_min(list_transform(shingles, s -> md5(CAST(p AS VARCHAR) || '|' || s)))
+           ) AS signature
+    FROM sh
+), bands AS (
+    SELECT doc_id, b,
+           CAST(b AS VARCHAR) || '#' || md5(array_to_string(list_slice(signature, b*3 + 1, b*3 + 3), '|')) AS band_key
+    FROM sig, generate_series(0, 3) t(b)
+)
+"""
+
+
+@query(
+    "dedup_hot_bucket_cap",
+    oracle=_MINHASH_BANDS_CTE
+    + """
+    SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+    FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    WHERE a.band_key IN (
+        SELECT band_key FROM bands GROUP BY band_key HAVING count(*) BETWEEN 2 AND 2
+    )
+    """,
+)
+def dedup_hot_bucket_cap(spark, sf_dir):
+    """MinHash+LSH pairs with the hot-bucket cap active (max 2 members):
+    over-cap buckets emit NO pairs — the guard that bounds the k·(k-1)/2
+    per-bucket pair blowup on boilerplate-heavy corpora. Cap 2 is
+    deliberately tiny so the sf0.01 corpus exercises the capped branch."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", num_perm=12, bands=4, shingle_k=3, max_bucket_size=2
+    )
+
+
+@query(
+    "dedup_hot_bucket_overflow",
+    join_arrays=["id_sample"],
+    oracle=_MINHASH_BANDS_CTE
+    + """
+    SELECT band_key, CAST(count(*) AS BIGINT) AS bucket_size,
+           list_slice(list_sort(list(doc_id)), 1, 5) AS id_sample
+    FROM bands GROUP BY band_key HAVING count(*) > 2
+    """,
+)
+def dedup_hot_bucket_overflow(spark, sf_dir):
+    """The overflow side-channel for the capped MinHash run: one row per
+    over-cap bucket with its size and a bounded id sample — what a pipeline
+    routes to exact-dedup / boilerplate filtering instead of pair expansion."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_overflow(
+        d, "doc_id", "text", num_perm=12, bands=4, shingle_k=3, max_bucket_size=2
+    )
 
 
 @query(

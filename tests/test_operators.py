@@ -208,6 +208,61 @@ def test_format_bytes_matches_duckdb(spark):
         assert got[n] == want, (n, got[n], want)
 
 
+def test_lsh_hot_bucket_cap(spark):
+    # Cap semantics: capped pairs ⊆ uncapped pairs; disabling the cap (None)
+    # or setting it above every bucket is identical to uncapped; the overflow
+    # side-channel reports exactly the over-cap buckets with bounded samples.
+    from duckdb_parachute_spark.dedup import minhash_lsh_overflow, minhash_lsh_pairs
+
+    boiler = [(i, "lorem ipsum dolor sit amet common boilerplate text") for i in range(8)]
+    uniq = [
+        (10, "alpha beta gamma delta epsilon zeta"),
+        (11, "alpha beta gamma delta epsilon eta"),
+        (12, "totally unrelated words appear here instead"),
+    ]
+    df = spark.createDataFrame(boiler + uniq, "doc_id long, text string")
+
+    def pairset(cap):
+        return {
+            (r.id1, r.id2)
+            for r in minhash_lsh_pairs(
+                df, "doc_id", "text", num_perm=12, bands=4, shingle_k=3, max_bucket_size=cap
+            ).collect()
+        }
+
+    uncapped = pairset(None)
+    capped = pairset(4)
+    assert capped <= uncapped
+    # the 8-member boilerplate bucket is excluded; the 2-member near-dup kept
+    assert (10, 11) in capped
+    assert not any(a < 8 and b < 8 for a, b in capped)
+    assert pairset(100) == uncapped
+    over = minhash_lsh_overflow(
+        df, "doc_id", "text", num_perm=12, bands=4, shingle_k=3, max_bucket_size=4
+    ).collect()
+    assert over and all(r.bucket_size == 8 and len(r.id_sample) == 5 for r in over)
+
+
+def test_bruteforce_guards_raise(spark):
+    import pytest as _pytest
+
+    from duckdb_parachute_spark.dedup import embedding_neardup_pairs
+    from duckdb_parachute_spark.similarity import pairwise_knn
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="O\\(n²\\)"):
+        embedding_neardup_pairs(df, "vec_id", "embedding", 0.5)
+    with _pytest.raises(ValueError, match="O\\(n²\\)"):
+        pairwise_knn(df, 1)
+    # explicit opt-in still works
+    assert embedding_neardup_pairs(
+        df, "vec_id", "embedding", -1.0, allow_bruteforce=True
+    ).count() == 1
+    assert pairwise_knn(df, 1, allow_bruteforce=True).count() == 2
+
+
 def test_simhash_bits_portable(spark):
     from duckdb_parachute_spark.dedup import simhash_bits
     from duckdb_parachute_spark.functions.metrics import hamming_str
