@@ -80,14 +80,42 @@ def to_base(n: Column, base: int) -> Column:
     return F.conv(n.cast("string"), 10, base)
 
 
-_ACCENT_SRC = "àáâãäåèéêëìíîïòóôõöùúûüýÿñçÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÝÑÇ"
-_ACCENT_DST = "aaaaaaeeeeiiiiooooouuuuyyncAAAAAAEEEEIIIIOOOOOUUUUYNC"
+def _accent_tables() -> tuple[str, str]:
+    """Generate full-BMP accent-fold tables at import time.
+
+    The reference's strip_accents (utf8proc-based) removes combining marks
+    under CANONICAL decomposition only — 'é'→'e', 'ώ'→'ω', 'ё'→'е', and a
+    bare U+0301 is deleted, while compatibility forms ('ﬁ', 'ĳ') pass
+    through. The same semantics fit a single JVM-side translate: every BMP
+    codepoint whose NFD is one base letter plus combining marks maps to the
+    base, and every standalone combining mark (category Mn) maps to nothing
+    (translate deletes src chars beyond the dst length — they must sit at
+    the END of src)."""
+    import sys
+    import unicodedata
+
+    src, dst, marks = [], [], []
+    for cp in range(0x80, 0x10000):
+        if 0xD800 <= cp <= 0xDFFF:
+            continue
+        ch = chr(cp)
+        if unicodedata.category(ch) == "Mn":
+            marks.append(ch)
+            continue
+        d = unicodedata.normalize("NFD", ch)
+        if len(d) >= 2 and all(unicodedata.category(c) == "Mn" for c in d[1:]):
+            src.append(ch)
+            dst.append(d[0])
+    return "".join(src) + "".join(marks), "".join(dst)
+
+
+_ACCENT_SRC, _ACCENT_DST = _accent_tables()
 
 
 def strip_accents(s: Column) -> Column:
-    """Latin-1 accent folding (reference strip_accents uses full NFD; this
-    covers the Latin-1 repertoire via translate — extend the tables for more
-    scripts)."""
+    """Unicode accent folding (reference strip_accents semantics): combining
+    marks are stripped under canonical decomposition for the whole BMP, for
+    precomposed and decomposed input alike — one JVM-side translate, no UDF."""
     return F.translate(s, _ACCENT_SRC, _ACCENT_DST)
 
 

@@ -90,13 +90,25 @@ def inequality_join(
     """
     l_bin = bin_of(left_axis, bin_width)
     r_bin = bin_of(right_axis, bin_width)
-    max_bin = right.select(F.max(r_bin).alias("m")).head()
-    if max_bin is None or max_bin.m is None:
+    bounds = right.select(F.min(r_bin).alias("lo"), F.max(r_bin).alias("hi")).head()
+    if bounds is None or bounds.hi is None:
         return left.join(right, F.lit(False))  # empty right side
-    top = F.lit(int(max_bin.m))
+    # A left outlier far below the right range must not expand into one bin
+    # per unit of the gap (a single giant F.sequence array = per-task OOM):
+    # bins below the right MIN match every right row ≥ min anyway, so clamp
+    # the sequence start to the right side's min bin.
+    n_bins = int(bounds.hi) - int(bounds.lo) + 1
+    if n_bins > 1_000_000:
+        raise ValueError(
+            f"inequality_join: right axis spans {n_bins} bins at "
+            f"bin_width={bin_width}; increase bin_width (≈ axis_range/64) to "
+            "bound the per-row replication fan-out"
+        )
+    top = F.lit(int(bounds.hi))
+    start = F.greatest(l_bin, F.lit(int(bounds.lo)))
     # sequence(start, stop) runs DESCENDING when start > stop — rows beyond
     # the right side's max bin must emit no candidates instead.
-    bins = F.when(l_bin <= top, F.sequence(l_bin, top)).otherwise(F.array().cast("array<long>"))
+    bins = F.when(l_bin <= top, F.sequence(start, top)).otherwise(F.array().cast("array<long>"))
     lf = left.withColumn(_BIN, F.explode(bins))
     rf = right.withColumn(_BIN, r_bin)
     exact = left_axis < right_axis if strict else left_axis <= right_axis

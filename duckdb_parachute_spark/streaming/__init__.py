@@ -19,15 +19,23 @@ from pyspark.sql import functions as F
 def read_event_stream(
     spark: SparkSession,
     path: str,
+    nanos: bool | None = None,
 ) -> DataFrame:
     """File-source stream over the events parquet layout.
 
     The driver data has shipped ts as TIMESTAMP(NANOS) in some generations
     and TIMESTAMP(MICROS) in others — streams must declare a schema up
     front, so the actual unit is sniffed from one parquet footer (a
-    driver-side metadata read, never data-sized). Nanos use the same
-    nanos-as-long escape as the batch catalog and rebuild the timestamp;
-    micros read natively.
+    driver-side metadata read, never data-sized; subdirectories are probed
+    too). An empty watch directory is a NORMAL state for a streaming source
+    (files arrive later), so when nothing is probeable — or the caller pins
+    the unit via ``nanos`` — the micros default applies.
+
+    Type note: the batch catalog normalizes events.ts to TIMESTAMP_NTZ, but
+    Structured Streaming REQUIRES the event-time column to be TimestampType
+    (withWatermark raises EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ), so
+    the stream declares ``ts timestamp``; the session pins UTC
+    (session.py), making the two representations value-identical.
 
     File-source streams require a *directory*; a path to a single parquet
     file is split into (dir, pathGlobFilter) so both spellings work."""
@@ -36,9 +44,16 @@ def read_event_stream(
 
     import pyarrow.parquet as pq
 
-    probe = path if path.endswith(".parquet") else sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
-    ts_type = pq.read_schema(probe).field("ts").type
-    nanos = getattr(ts_type, "unit", None) == "ns" or str(ts_type) in ("int64", "long")
+    if nanos is None:
+        nanos = False  # default when the watch dir is empty: micros, NTZ
+        candidates = (
+            [path]
+            if path.endswith(".parquet")
+            else sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        )
+        if candidates:
+            ts_type = pq.read_schema(candidates[0]).field("ts").type
+            nanos = getattr(ts_type, "unit", None) == "ns" or str(ts_type) in ("int64", "long")
     ts_decl = "ts bigint" if nanos else "ts timestamp"
     schema = f"event_id bigint, {ts_decl}, user_id bigint, event_type string, value double, props string"
 

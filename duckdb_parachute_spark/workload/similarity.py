@@ -180,8 +180,12 @@ def sim_ivf_pruned_probe(spark, sf_dir):
     qv = [float(x) for x in e.where(F.col("vec_id") == 7).head().embedding]
     cents_rows = ivf_build_centroids(e, n_centroids=8, iters=2).collect()
     cents = spark.createDataFrame(cents_rows, "centroid_id int, centroid array<double>")
+    # run-scoped path: keyed by the Spark application id as well as the SF,
+    # so two concurrent runs over the same scale factor cannot race on the
+    # index files (one overwriting while the other probes).
     tag = os.path.basename(os.path.abspath(sf_dir))
-    path = os.path.join(tempfile.gettempdir(), f"parachute_ivf_index_{tag}")
+    app_id = spark.sparkContext.applicationId
+    path = os.path.join(tempfile.gettempdir(), f"parachute_ivf_index_{tag}_{app_id}")
     write_ivf_index(e, cents, path)
 
     probe = ivf_topk_indexed(spark, path, cents, qv, 10, nprobe=3)

@@ -81,7 +81,16 @@ def test_inequality_join_property(spark, pairs, bin_width):
 
 
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
-@given(st.lists(st.text(alphabet="aAbBcC éÉàÀ", min_size=0, max_size=6), min_size=1, max_size=8))
+@given(
+    st.lists(
+        # beyond Latin-1: Latin Extended (čČāĀ), Greek (ώΏ), Cyrillic (ёЁ),
+        # a decomposed combining acute, and CJK passthrough — the NOACCENT
+        # key must agree with DuckDB's NFD-based collation on all of them.
+        st.text(alphabet="aAbBcC éÉàÀčČāĀñÑüÜώΏёЁ北" + "́", min_size=0, max_size=6),
+        min_size=1,
+        max_size=8,
+    )
+)
 def test_collation_key_matches_duckdb(spark, oracle, values):
     """NOCASE.NOACCENT grouping cardinality agrees with DuckDB's COLLATE
     (functions/collate.collation_key vs the real collation)."""

@@ -33,6 +33,16 @@ def _run(stream_df, spark, name, mode):
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def test_read_event_stream_empty_dir(spark, tmp_path):
+    # An empty watch directory is the normal pre-first-file state of a
+    # streaming source: must build (micros default schema), not IndexError.
+    df = read_event_stream(spark, str(tmp_path))
+    assert df.isStreaming
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    # explicit unit override skips probing entirely
+    assert dict(read_event_stream(spark, str(tmp_path), nanos=True).dtypes)["ts"] == "timestamp"
+
+
 def test_windowed_counts_match_batch(spark, sf_dir, event_stream):
     got = _run(windowed_counts(event_stream, "1 hour"), spark, "wc_stream", "append").toPandas()
     ev = load_table(spark, sf_dir, "events")
