@@ -150,6 +150,7 @@ def load_all() -> dict[str, QueryDef]:
         system,
         textops,
         tpcds,
+        tpcds2,
         tpch,
         windows,
     )
