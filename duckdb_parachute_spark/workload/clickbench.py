@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from duckdb_parachute_spark.catalog import load_table
+from duckdb_parachute_spark.functions import money
 from duckdb_parachute_spark.workload import query
 
 
@@ -504,4 +505,327 @@ def cb_regex_key_extract(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "k_str")
         .limit(15)
+    )
+
+
+@query(
+    "cb_not_like_multi_agg",
+    oracle="""
+    SELECT event_type, min(props) AS min_props, CAST(count(*) AS BIGINT) AS c,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS u
+    FROM events
+    WHERE props LIKE '%"k"%' AND props NOT LIKE '%"k": 9%' AND event_type <> ''
+    GROUP BY event_type
+    ORDER BY c DESC, event_type
+    LIMIT 10
+    """,
+)
+def cb_not_like_multi_agg(spark, sf_dir):
+    """ClickBench q23 shape (queries/q23.sql: Title LIKE + URL NOT LIKE +
+    MIN/COUNT/COUNT DISTINCT per phrase): positive and negated contains-LIKE
+    on the same scan feeding a multi-aggregate group."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.where(
+            F.col("props").like('%"k"%')
+            & ~F.col("props").like('%"k": 9%')
+            & (F.col("event_type") != "")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min("props").alias("min_props"),
+            F.count(F.lit(1)).alias("c"),
+            F.count_distinct("user_id").alias("u"),
+        )
+        .orderBy(F.desc("c"), "event_type")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_wide_row_time_topn",
+    oracle="""
+    SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS t, user_id, event_type,
+           round(value, 4) AS value, props
+    FROM events
+    WHERE props LIKE '%"k": 4%'
+    ORDER BY ts, event_id
+    LIMIT 10
+    """,
+)
+def cb_wide_row_time_topn(spark, sf_dir):
+    """ClickBench q24 shape (queries/q24.sql: SELECT * WHERE URL LIKE ...
+    ORDER BY EventTime LIMIT 10): full-width rows through a contains filter
+    and a time-ordered TopN — TakeOrderedAndProject on every column, the
+    row-reconstruction stress test. ts rendered at second precision (the
+    engines' parquet nanos handling differs below that)."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.where(F.col("props").like('%"k": 4%'))
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("t"),
+            "user_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            "props",
+        )
+        .orderBy(F.col("t"), "event_id")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_projection_two_orders",
+    oracle="""
+    SELECT * FROM (
+        SELECT 'by_time' AS ord, event_type, event_id FROM (
+            SELECT event_type, event_id FROM events WHERE event_type <> ''
+            ORDER BY ts, event_id LIMIT 5
+        )
+        UNION ALL
+        SELECT 'by_value' AS ord, event_type, event_id FROM (
+            SELECT event_type, event_id FROM events WHERE event_type <> ''
+            ORDER BY event_type, event_id LIMIT 5
+        )
+    ) u
+    ORDER BY ord, event_id
+    """,
+)
+def cb_projection_two_orders(spark, sf_dir):
+    """ClickBench q25+q26 shape (queries/q25.sql, q26.sql: the same narrow
+    projection under a time ordering vs a lexicographic ordering): two TopN
+    plans over one scan, unioned — Catalyst reuses the exchange."""
+    ev = _ev(spark, sf_dir).where(F.col("event_type") != "")
+    by_time = (
+        ev.orderBy("ts", "event_id")
+        .limit(5)
+        .select(F.lit("by_time").alias("ord"), "event_type", "event_id")
+    )
+    by_val = (
+        ev.orderBy("event_type", "event_id")
+        .limit(5)
+        .select(F.lit("by_value").alias("ord"), "event_type", "event_id")
+    )
+    return by_time.unionAll(by_val).orderBy("ord", "event_id")
+
+
+@query(
+    "cb_avg_len_having",
+    cast_double=["l"],
+    oracle="""
+    SELECT user_id % 50 AS grp,
+           CAST(sum(length(props)) AS DOUBLE) / count(*) AS l,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events WHERE props <> ''
+    GROUP BY user_id % 50
+    HAVING count(*) > 20
+    ORDER BY l DESC, grp
+    LIMIT 25
+    """,
+)
+def cb_avg_len_having(spark, sf_dir):
+    """ClickBench q28 shape (queries/q28.sql: AVG(STRLEN(URL)) per counter
+    HAVING COUNT > N): average string length per bucketed key with a HAVING
+    gate — avg spelled as exact integer length-sum / count so the double
+    quotient is engine-identical."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.where(F.col("props") != "")
+        .groupBy((F.col("user_id") % 50).alias("grp"))
+        .agg(
+            (F.sum(F.length("props")).cast("double") / F.count(F.lit(1))).alias("l"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .where(F.col("c") > 20)
+        .orderBy(F.desc("l"), "grp")
+        .limit(25)
+    )
+
+
+@query(
+    "cb_regex_replace_domain",
+    cast_double=["l"],
+    oracle="""
+    SELECT regexp_replace(props, '[0-9]+', '#', 'g') AS k,
+           CAST(sum(length(props)) AS DOUBLE) / count(*) AS l,
+           CAST(count(*) AS BIGINT) AS c,
+           min(props) AS m
+    FROM events WHERE props <> ''
+    GROUP BY k
+    HAVING count(*) > 10
+    ORDER BY l DESC, k
+    LIMIT 25
+    """,
+)
+def cb_regex_replace_domain(spark, sf_dir):
+    """ClickBench q29 shape (queries/q29.sql: REGEXP_REPLACE(Referer,
+    domain-pattern) + AVG(STRLEN)/COUNT/MIN with HAVING): regex
+    normalization as the GROUP key over the full scan — the regex-heavy
+    tail of the suite (digit runs -> '#' stands in for the domain
+    extraction; Spark's regexp_replace is global by default, DuckDB takes
+    the 'g' flag)."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.where(F.col("props") != "")
+        .groupBy(F.regexp_replace("props", "[0-9]+", "#").alias("k"))
+        .agg(
+            (F.sum(F.length("props")).cast("double") / F.count(F.lit(1))).alias("l"),
+            F.count(F.lit(1)).alias("c"),
+            F.min("props").alias("m"),
+        )
+        .where(F.col("c") > 10)
+        .orderBy(F.desc("l"), "k")
+        .limit(25)
+    )
+
+
+@query(
+    "cb_two_key_profile",
+    cast_double=["avg_value"],
+    oracle="""
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c,
+           CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS hi,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value
+    FROM events
+    GROUP BY user_id, event_type
+    ORDER BY c DESC, user_id, event_type
+    LIMIT 10
+    """,
+)
+def cb_two_key_profile(spark, sf_dir):
+    """ClickBench q33 shape (queries/q33.sql: WatchID, ClientIP GROUP BY with
+    COUNT / SUM(IsRefresh) / AVG): high-cardinality two-key group with a
+    mixed aggregate battery, top-10 by count. avg from exact decimal sum."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).alias("hi"),
+            (F.sum(money.cents("value")).cast("double") / F.lit(100.0) / F.count(F.lit(1))).alias("avg_value"),
+        )
+        .orderBy(F.desc("c"), "user_id", "event_type")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_filtered_pageviews_topk",
+    oracle="""
+    SELECT props, CAST(count(*) AS BIGINT) AS pageviews
+    FROM events
+    WHERE user_id % 62 = 0
+      AND ts >= TIMESTAMP '2024-01-03 00:00:00' AND ts < TIMESTAMP '2024-01-28 00:00:00'
+      AND event_type <> 'error' AND props <> ''
+    GROUP BY props
+    ORDER BY pageviews DESC, props
+    LIMIT 10
+    """,
+)
+def cb_filtered_pageviews_topk(spark, sf_dir):
+    """ClickBench q37 shape (queries/q37.sql: CounterID + date-range +
+    flag-filtered URL pageview top-10): a multi-predicate slice (key
+    modulus, time window, type exclusion) into a string-group TopN."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.where(
+            (F.col("user_id") % 62 == 0)
+            & (F.col("ts") >= F.lit("2024-01-03 00:00:00").cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit("2024-01-28 00:00:00").cast("timestamp_ntz"))
+            & (F.col("event_type") != "error")
+            & (F.col("props") != "")
+        )
+        .groupBy("props")
+        .agg(F.count(F.lit(1)).alias("pageviews"))
+        .orderBy(F.desc("pageviews"), "props")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_offset_pageviews",
+    oracle="""
+    SELECT props, CAST(count(*) AS BIGINT) AS pageviews
+    FROM events
+    WHERE event_type IN ('view', 'click')
+    GROUP BY props
+    ORDER BY pageviews DESC, props
+    LIMIT 10 OFFSET 40
+    """,
+)
+def cb_offset_pageviews(spark, sf_dir):
+    """ClickBench q39/q41/q42 shape (queries/q39.sql …: top-10 pageviews at
+    OFFSET 1000): ranked aggregation read at an offset — LIMIT+OFFSET over
+    a deterministic (tiebroken) ordering."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.where(F.col("event_type").isin("view", "click"))
+        .groupBy("props")
+        .agg(F.count(F.lit(1)).alias("pageviews"))
+        .orderBy(F.desc("pageviews"), "props")
+        .offset(40)
+        .limit(10)
+    )
+
+
+@query(
+    "cb_traffic_src_dst",
+    oracle="""
+    SELECT event_type,
+           CASE WHEN user_id % 7 = 0 AND user_id % 3 = 0 THEN props ELSE '' END AS src,
+           user_id % 5 AS dst,
+           CAST(count(*) AS BIGINT) AS pageviews
+    FROM events
+    WHERE event_type <> 'error'
+    GROUP BY event_type, src, dst
+    ORDER BY pageviews DESC, event_type, src, dst
+    LIMIT 10 OFFSET 20
+    """,
+)
+def cb_traffic_src_dst(spark, sf_dir):
+    """ClickBench q40 shape (queries/q40.sql: TraficSourceID battery with a
+    CASE-derived Src column in the GROUP BY): grouping on a conditional
+    expression plus raw keys, ranked with an offset."""
+    ev = _ev(spark, sf_dir)
+    src = F.when(
+        ((F.col("user_id") % 7) == 0) & ((F.col("user_id") % 3) == 0), F.col("props")
+    ).otherwise(F.lit(""))
+    return (
+        ev.where(F.col("event_type") != "error")
+        .groupBy(
+            "event_type", src.alias("src"), (F.col("user_id") % 5).alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("pageviews"))
+        .orderBy(F.desc("pageviews"), "event_type", "src", "dst")
+        .offset(20)
+        .limit(10)
+    )
+
+
+@query(
+    "cb_minute_series_offset",
+    oracle="""
+    SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS m,
+           CAST(count(*) AS BIGINT) AS pageviews
+    FROM events
+    WHERE event_type IN ('view', 'click', 'purchase')
+    GROUP BY m
+    ORDER BY m
+    LIMIT 10 OFFSET 100
+    """,
+)
+def cb_minute_series_offset(spark, sf_dir):
+    """ClickBench q43 shape (queries/q43.sql: per-minute DATE_TRUNC series
+    with LIMIT OFFSET): time-bucketed counts read as an ordered page —
+    minute truncation rendered as a string so both engines' parquet
+    timestamp units agree."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.where(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy(F.date_format(F.date_trunc("minute", "ts"), "yyyy-MM-dd HH:mm").alias("m"))
+        .agg(F.count(F.lit(1)).alias("pageviews"))
+        .orderBy("m")
+        .offset(100)
+        .limit(10)
     )
