@@ -65,6 +65,46 @@ def limit_percent(df: DataFrame, pct: float, order_by: list[Column] | None = Non
     return df.limit(k)
 
 
+def reservoir_sample(df: DataFrame, k: int, key: Column | str, seed: int = 42) -> DataFrame:
+    """Fixed-size deterministic sample: exactly min(k, n) rows, uniform over
+    the input, independent of partitioning and arrival order.
+
+    The reference's reservoir operator (physical_reservoir_sample.cpp) keeps
+    a k-slot reservoir with a seeded RNG — inherently order-dependent, so a
+    distributed engine can't reproduce it row-for-row. The equivalent with
+    the same guarantees: rank every row by a seeded hash of a unique key and
+    keep the k smallest. Spark plans this as TakeOrderedAndProject —
+    per-partition top-k then a k-row merge on the driver side of the
+    exchange, never a global sort. md5 (not xxhash64) so an external SQL
+    engine can reproduce the exact sample."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat_ws("|", F.lit(str(seed)), c.cast("string")))
+    return df.withColumn("__rs", h).orderBy("__rs").limit(k).drop("__rs")
+
+
+def pivot_dynamic(
+    df: DataFrame,
+    group_cols: list[str],
+    pivot_col: str,
+    agg: Column,
+    max_values: int = 1000,
+) -> DataFrame:
+    """PIVOT with automatic IN-value discovery (reference binder expands an
+    unlisted PIVOT's values from a distinct scan — physical_pivot.cpp plus
+    the binder's pivot expansion). Two deterministic phases: a distinct scan
+    of the pivot column (sorted, capped at ``max_values`` — a pivot wider
+    than that is a schema bug, not a query) collected to the driver, then
+    the regular Spark pivot with the explicit list, which keeps the
+    aggregate single-pass. Column order = sorted values, so the output
+    schema is stable across runs and engines."""
+    vals = [
+        r[0]
+        for r in df.select(pivot_col).distinct().orderBy(pivot_col).limit(max_values).collect()
+        if r[0] is not None
+    ]
+    return df.groupBy(*group_cols).pivot(pivot_col, vals).agg(agg)
+
+
 def sample_deterministic(df: DataFrame, key: Column, fraction_denominator: int) -> DataFrame:
     """Deterministic 1/denominator 'sample' by hashing a key — the
     reproducible analogue of SAMPLE/TABLESAMPLE (reference

@@ -117,3 +117,209 @@ def job_chain_two_regions(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"), F.min("p_name").alias("first_part"))
         .orderBy("cust_region", "supp_region")
     )
+
+
+@query(
+    "job_clique_cross_predicates",
+    oracle="""
+    SELECT min(p_name) AS first_part, min(s_name) AS first_supplier,
+           min(c_name) AS first_customer, CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE p_size BETWEEN 10 AND 20
+      AND s_acctbal > 3000
+      AND c_acctbal > 3000
+      AND c_nationkey = s_nationkey
+    """,
+)
+def job_clique_cross_predicates(spark, sf_dir):
+    """JOB clique shape (e.g. reference 11*.benchmark: dims constrained
+    against EACH OTHER, not only the fact): part+supplier+customer filters
+    plus a customer-supplier nation equality that only binds after both
+    sides join — the join-order trap where a greedy planner picks the
+    cross-dim predicate too late. Dims are size-gated broadcasts; the
+    nation equality lands as a post-join filter on the single fact pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size").between(10, 20))
+    s = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 3000)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 3000)
+    return (
+        li.join(maybe_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
+        .join(maybe_broadcast(s, sf_dir, "supplier"), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(maybe_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .agg(
+            F.min("p_name").alias("first_part"),
+            F.min("s_name").alias("first_supplier"),
+            F.min("c_name").alias("first_customer"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "job_chain_selective_middle",
+    oracle="""
+    SELECT min(o_orderdate) AS first_date, min(c_name) AS first_customer,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderpriority = '1-URGENT'
+      AND o_orderstatus = 'F'
+      AND r_name = 'ASIA'
+      AND l_quantity > 45
+    """,
+)
+def job_chain_selective_middle(spark, sf_dir):
+    """JOB chain shape (reference 3*/8* chains: fact->mid->dim where the
+    MIDDLE table carries the selective predicate): orders filters to the
+    urgent-finished slice, so the right plan probes lineitem through the
+    small filtered middle instead of joining the chain outward-in."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "F")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(maybe_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .agg(
+            F.min("o_orderdate").alias("first_date"),
+            F.min("c_name").alias("first_customer"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "job_disjunctive_dims",
+    oracle="""
+    SELECT min(p_name) AS first_part, min(n_name) AS first_nation,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE (p_type = 'PROMO' OR p_size < 5)
+      AND (n_name IN ('FRANCE', 'GERMANY') OR s_acctbal < 500)
+    """,
+)
+def job_disjunctive_dims(spark, sf_dir):
+    """JOB disjunctive shape (reference 14*/19*-style OR'd dim predicates):
+    disjunctions straddle two dimensions, so neither filter alone prunes the
+    fact — the planner must keep both dims early and evaluate the OR after
+    each join. The p-side OR is pushable into the part scan; the
+    nation-or-acctbal OR can only run post-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") == "PROMO") | (F.col("p_size") < 5)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(maybe_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
+        .join(maybe_broadcast(s, sf_dir, "supplier"), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .where(F.col("n_name").isin("FRANCE", "GERMANY") | (F.col("s_acctbal") < 500))
+        .agg(
+            F.min("p_name").alias("first_part"),
+            F.min("n_name").alias("first_nation"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "job_two_fact_bridge",
+    oracle="""
+    SELECT n_name, CAST(count(DISTINCT o_custkey) AS BIGINT) AS customers,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem l1
+    JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey AND l1.l_linenumber < l2.l_linenumber
+    JOIN orders   ON l1.l_orderkey = o_orderkey
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE l1.l_returnflag = 'R' AND l2.l_returnflag = 'N'
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def job_two_fact_bridge(spark, sf_dir):
+    """JOB self-join shape (reference 32*/33* link two movie_link sides):
+    the fact table joins ITSELF on the bridge key with a role inequality
+    (returned line paired with a kept line of the same order) — both fact
+    scans co-shuffle on l_orderkey, one exchange each, never broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = li.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_linenumber", "l_suppkey"
+    )
+    l2 = li.where(F.col("l_returnflag") == "N").select(
+        F.col("l_orderkey").alias("k2"), F.col("l_linenumber").alias("ln2")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l1.join(l2, (F.col("l_orderkey") == F.col("k2")) & (F.col("l_linenumber") < F.col("ln2")))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(maybe_broadcast(s, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count_distinct("o_custkey").alias("customers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "job_snowflake_depth",
+    oracle="""
+    SELECT r_name, CAST(count(*) AS BIGINT) AS n,
+           min(s_name) AS first_supplier, min(p_name) AS first_part
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE p_name LIKE '%blue%' AND l_discount >= 0.05
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+)
+def job_snowflake_depth(spark, sf_dir):
+    """JOB snowflake shape (reference 4*-style depth-3 dimension chains):
+    fact -> supplier -> nation -> region, with the selective LIKE on the
+    OTHER branch (part) — the chain must stay broadcast end-to-end while
+    the part filter does the pruning."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_discount") >= 0.05)
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%blue%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(maybe_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
+        .join(maybe_broadcast(s, sf_dir, "supplier"), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("s_name").alias("first_supplier"),
+            F.min("p_name").alias("first_part"),
+        )
+        .orderBy("r_name")
+    )

@@ -213,6 +213,36 @@ def pivot_status_by_priority(spark, sf_dir):
 
 
 @query(
+    "pivot_dynamic_values",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(coalesce(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END), 0) AS BIGINT) AS "1-URGENT",
+           CAST(coalesce(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END), 0) AS BIGINT) AS "2-HIGH",
+           CAST(coalesce(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END), 0) AS BIGINT) AS "3-MEDIUM",
+           CAST(coalesce(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END), 0) AS BIGINT) AS "4-NOT SPECIFIED",
+           CAST(coalesce(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END), 0) AS BIGINT) AS "5-LOW"
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def pivot_dynamic_values(spark, sf_dir):
+    """Dynamic PIVOT: the IN-values are DISCOVERED from a sorted distinct
+    scan, not listed by the caller — the reference binder's unlisted-PIVOT
+    expansion (physical_pivot.cpp + pivot binder). Two-phase:
+    distinct-collect (bounded, driver-side) then the single-pass pivot
+    aggregate; column order = sorted discovered values, so the schema is
+    deterministic (operators/misc.pivot_dynamic)."""
+    from duckdb_parachute_spark.operators.misc import pivot_dynamic
+
+    o = load_table(spark, sf_dir, "orders")
+    out = pivot_dynamic(o, ["o_orderstatus"], "o_orderpriority", F.count(F.lit(1)))
+    vals = [c for c in out.columns if c != "o_orderstatus"]
+    out = out.na.fill(0, vals)
+    return out.select(
+        "o_orderstatus", *[F.col(f"`{v}`").cast("bigint").alias(v) for v in vals]
+    )
+
+
+@query(
     "unpivot_stack",
     oracle="""
     SELECT l_orderkey, l_linenumber, metric, round(val, 2) AS val

@@ -274,6 +274,33 @@ def sample_deterministic_hash(spark, sf_dir):
 
 
 @query(
+    "sample_reservoir_fixed",
+    oracle="""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang FROM documents
+        ORDER BY md5('42|' || CAST(doc_id AS VARCHAR))
+        LIMIT 25
+    ) s
+    ORDER BY doc_id
+    """,
+)
+def sample_reservoir_fixed(spark, sf_dir):
+    """Fixed-size (k=25) reservoir sample (reference
+    physical_reservoir_sample.cpp's FIXED-count mode): exactly k rows,
+    uniform, reproducible — rank by seeded md5 of the unique key, keep the
+    k smallest (operators/misc.reservoir_sample). Spark executes it as
+    TakeOrderedAndProject (per-partition top-k + k-row merge), and the md5
+    ranking lets any SQL engine regenerate the identical sample."""
+    from duckdb_parachute_spark.operators.misc import reservoir_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        reservoir_sample(d.select("doc_id", "lang"), 25, "doc_id", seed=42)
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "limit_offset_topn",
     oracle="""
     SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice

@@ -223,3 +223,10 @@ def test_job_chain_broadcasts_single_fact_scan(no_aqe, spark, sf_dir):
     s = assert_plan(_q("job_chain_two_regions", spark, sf_dir))
     assert s.broadcasts >= 5
     assert "CartesianProduct" not in s.text and "BroadcastNestedLoop" not in s.text
+
+
+def test_job_two_fact_bridge_no_nested_loop(no_aqe, spark, sf_dir):
+    # Fact self-join on the bridge key with a role inequality: must be an
+    # equi join on l_orderkey (inequality as residual), never a nested loop.
+    s = assert_plan(_q("job_two_fact_bridge", spark, sf_dir))
+    assert "CartesianProduct" not in s.text and "BroadcastNestedLoop" not in s.text
