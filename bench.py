@@ -26,8 +26,11 @@ HEADLINE = [
     "agg_rollup",
     "window_ranks",
     "join_asof_purchase",
+    "join_iejoin_two_inequalities",
+    "tpcds_q67_rollup_topk",
     "dedup_minhash_pairs",
     "sim_topk_bruteforce",
+    "sim_ivf_pruned_probe",
     "text_quality_scores",
 ]
 
