@@ -35,7 +35,14 @@ def recursive_cte(
     for i in range(max_iterations):
         nxt = step(working)
         if not union_all:
-            nxt = nxt.exceptAll(acc).distinct()
+            # Two-stage dedup: most regenerated rows come from the previous
+            # delta (a graph step's back-edges), so dedup against the SMALL
+            # previous delta first — the expensive full-history exceptAll
+            # then runs on a much smaller left side. The acc-wide pass stays
+            # O(|acc|) per iteration (exact UNION semantics require it; the
+            # reference pays the same via its working-table hash lookup),
+            # with lineage bounded by the periodic checkpoint below.
+            nxt = nxt.distinct().exceptAll(working).exceptAll(acc)
         # The delta is consumed three times (emptiness probe, accumulator
         # union, next step); an eager localCheckpoint materializes it once and
         # cuts the lineage — without it every iteration recomputes the whole

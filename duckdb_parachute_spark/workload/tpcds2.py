@@ -1084,3 +1084,173 @@ def tpcds_q3(spark, sf_dir):
         .orderBy("d_year", F.desc("sum_agg"), "p_brand")
         .limit(100)
     )
+
+
+@query(
+    "tpcds_q31_growth_compare",
+    cast_double=["g1", "g2"],
+    oracle=f"""
+    WITH q AS (
+        SELECT s_nationkey AS nk, CAST(quarter(l_shipdate) AS INT) AS qoy,
+               CAST(sum(CASE WHEN l_returnflag <> 'R' THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(22,2)) AS kept,
+               CAST(sum(CASE WHEN l_returnflag  = 'R' THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(22,2)) AS ret
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        WHERE year(l_shipdate) = 1997
+        GROUP BY s_nationkey, quarter(l_shipdate)
+    )
+    SELECT a.nk,
+           CAST(b.kept AS DOUBLE) / CAST(a.kept AS DOUBLE) AS g1,
+           CAST(b.ret  AS DOUBLE) / CAST(a.ret  AS DOUBLE) AS g2
+    FROM q a JOIN q b ON a.nk = b.nk AND a.qoy = 1 AND b.qoy = 2
+    WHERE a.kept > 0 AND a.ret > 0
+      AND CAST(b.kept AS DOUBLE) / CAST(a.kept AS DOUBLE)
+        > CAST(b.ret  AS DOUBLE) / CAST(a.ret  AS DOUBLE)
+    ORDER BY a.nk
+    """,
+)
+def tpcds_q31(spark, sf_dir):
+    """TPC-DS Q31 shape (queries/31.sql): quarter-over-quarter growth rates
+    of TWO channels per geography, keeping geographies where channel 1 grew
+    faster — a self-join of the per-(geo, quarter) aggregate with two
+    cross-channel ratio comparisons, each a raw IEEE quotient of exact
+    decimal sums."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.year("l_shipdate") == 1997)
+    s = load_table(spark, sf_dir, "supplier")
+    kept_c = F.when(F.col("l_returnflag") != "R", money.cents("l_extendedprice")).otherwise(F.lit(0))
+    ret_c = F.when(F.col("l_returnflag") == "R", money.cents("l_extendedprice")).otherwise(F.lit(0))
+    q = (
+        li.join(maybe_broadcast(s, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("s_nationkey").alias("nk"), F.quarter("l_shipdate").cast("int").alias("qoy"))
+        .agg(
+            money.units_to_decimal(F.sum(kept_c), 2, "decimal(22,2)").alias("kept"),
+            money.units_to_decimal(F.sum(ret_c), 2, "decimal(22,2)").alias("ret"),
+        )
+    )
+    a = q.where(F.col("qoy") == 1).select("nk", F.col("kept").alias("k1"), F.col("ret").alias("r1"))
+    b = q.where(F.col("qoy") == 2).select(
+        F.col("nk").alias("nk2"), F.col("kept").alias("k2"), F.col("ret").alias("r2")
+    )
+    g1 = F.col("k2").cast("double") / F.col("k1").cast("double")
+    g2 = F.col("r2").cast("double") / F.col("r1").cast("double")
+    return (
+        a.join(b, F.col("nk") == F.col("nk2"))
+        .where((F.col("k1") > 0) & (F.col("r1") > 0))
+        .withColumn("g1", g1)
+        .withColumn("g2", g2)
+        .where(F.col("g1") > F.col("g2"))
+        .select("nk", "g1", "g2")
+        .orderBy("nk")
+    )
+
+
+@query(
+    "tpcds_q76_null_channel_counts",
+    cast_double=["total_price"],
+    oracle="""
+    SELECT channel, col_name, CAST(count(*) AS BIGINT) AS sales_cnt,
+           CAST(sum(CAST(price AS DECIMAL(12,2))) AS DECIMAL(25,2)) AS total_price
+    FROM (
+        SELECT 'supplier' AS channel, 'dim_miss' AS col_name, l_extendedprice AS price
+        FROM lineitem LEFT JOIN part
+          ON l_partkey = p_partkey AND p_size > 10
+        WHERE p_partkey IS NULL
+        UNION ALL
+        SELECT 'customer' AS channel, 'dim_miss' AS col_name, o_totalprice AS price
+        FROM orders LEFT JOIN customer
+          ON o_custkey = c_custkey AND c_acctbal > 0
+        WHERE c_custkey IS NULL
+    ) u
+    GROUP BY channel, col_name
+    ORDER BY channel, col_name
+    """,
+)
+def tpcds_q76(spark, sf_dir):
+    """TPC-DS Q76 shape (queries/76.sql: counts of fact rows whose dim key
+    is NULL, per channel, UNION ALL'd then grouped): the NULL-key audit.
+    Driver data has full integrity, so the 'missing dimension' rows are
+    produced the way real pipelines hit them — a LEFT join whose dim side
+    carries an extra predicate, probed with IS NULL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size") > 10)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 0)
+    sup = (
+        li.join(maybe_broadcast(p, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"), "left")
+        .where(F.col("p_partkey").isNull())
+        .select(
+            F.lit("supplier").alias("channel"),
+            F.lit("dim_miss").alias("col_name"),
+            F.col("l_extendedprice").alias("price"),
+        )
+    )
+    cust = (
+        o.join(maybe_broadcast(c, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"), "left")
+        .where(F.col("c_custkey").isNull())
+        .select(
+            F.lit("customer").alias("channel"),
+            F.lit("dim_miss").alias("col_name"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    return (
+        sup.unionAll(cust)
+        .groupBy("channel", "col_name")
+        .agg(
+            F.count(F.lit(1)).alias("sales_cnt"),
+            money.sum_money("price", out="decimal(25,2)").alias("total_price"),
+        )
+        .orderBy("channel", "col_name")
+    )
+
+
+@query(
+    "tpcds_q25_threeway_chain",
+    cast_double=["sold_total", "returned_total"],
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CAST(ls.l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(25,2)) AS sold_total,
+           CAST(sum(CAST(lr.l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(25,2)) AS returned_total,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem ls
+    JOIN lineitem lr ON ls.l_orderkey = lr.l_orderkey AND lr.l_returnflag = 'R'
+                    AND ls.l_linenumber <> lr.l_linenumber
+    JOIN orders   ON ls.l_orderkey = o_orderkey
+    JOIN supplier ON ls.l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE ls.l_returnflag = 'N' AND o_orderstatus = 'F'
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def tpcds_q25(spark, sf_dir):
+    """TPC-DS Q25 shape (queries/25.sql: store_sales ⋈ store_returns ⋈
+    catalog_sales chained through item+customer, stats per store): a
+    fact-fact-fact chain — kept lines paired with returned lines of the
+    same finished order, rolled up per supplier nation. Both fact scans
+    co-shuffle on l_orderkey; dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ls = li.where(F.col("l_returnflag") == "N")
+    lr = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("rk"),
+        F.col("l_linenumber").alias("rln"),
+        F.col("l_extendedprice").alias("r_price"),
+    )
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        ls.join(
+            lr,
+            (F.col("l_orderkey") == F.col("rk")) & (F.col("l_linenumber") != F.col("rln")),
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(maybe_broadcast(s, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            money.sum_money("l_extendedprice", out="decimal(25,2)").alias("sold_total"),
+            money.sum_money("r_price", out="decimal(25,2)").alias("returned_total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("n_name")
+    )

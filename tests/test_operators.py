@@ -216,8 +216,9 @@ def test_lsh_hot_bucket_cap(spark):
 
     boiler = [(i, "lorem ipsum dolor sit amet common boilerplate text") for i in range(8)]
     uniq = [
+        # identical pair -> shares every band, survives any cap >= 2
         (10, "alpha beta gamma delta epsilon zeta"),
-        (11, "alpha beta gamma delta epsilon eta"),
+        (11, "alpha beta gamma delta epsilon zeta"),
         (12, "totally unrelated words appear here instead"),
     ]
     df = spark.createDataFrame(boiler + uniq, "doc_id long, text string")
