@@ -230,3 +230,10 @@ def test_job_two_fact_bridge_no_nested_loop(no_aqe, spark, sf_dir):
     # equi join on l_orderkey (inequality as residual), never a nested loop.
     s = assert_plan(_q("job_two_fact_bridge", spark, sf_dir))
     assert "CartesianProduct" not in s.text and "BroadcastNestedLoop" not in s.text
+
+
+def test_tpcds_q25_fact_coshuffle(no_aqe, spark, sf_dir):
+    # Three-way chain: both lineitem slices co-shuffle on l_orderkey and the
+    # dims broadcast — exactly the two fact exchanges, nothing else.
+    s = assert_plan(_q("tpcds_q25_threeway_chain", spark, sf_dir), max_shuffles=3)
+    assert "CartesianProduct" not in s.text and "BroadcastNestedLoop" not in s.text
