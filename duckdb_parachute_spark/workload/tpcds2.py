@@ -1254,3 +1254,189 @@ def tpcds_q25(spark, sf_dir):
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "tpcds_q13_bracket_avgs",
+    cast_double=["avg_qty", "avg_price", "sum_price"],
+    oracle="""
+    SELECT CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(25,2)) AS DOUBLE) AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+    WHERE (c_mktsegment = 'BUILDING' AND l_extendedprice BETWEEN 1000 AND 3000 AND l_quantity BETWEEN 1 AND 20)
+       OR (c_mktsegment = 'MACHINERY' AND l_extendedprice BETWEEN 2000 AND 5000 AND l_quantity BETWEEN 10 AND 40)
+       OR (c_mktsegment = 'HOUSEHOLD' AND l_extendedprice BETWEEN 500 AND 2000 AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def tpcds_q13(spark, sf_dir):
+    """TPC-DS Q13 shape (queries/13.sql): ungrouped averages under THREE
+    OR'd demographic brackets, each tying a dim attribute to a fact price
+    AND quantity band — the canonical disjunctive-bracket scan where no
+    single band is pushable but the union of fact ranges is. Averages are
+    exact-sum / count quotients."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def bracket(seg, plo, phi, qlo, qhi):
+        return (
+            (F.col("c_mktsegment") == seg)
+            & F.col("l_extendedprice").between(plo, phi)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+
+    cond = (
+        bracket("BUILDING", 1000, 3000, 1, 20)
+        | bracket("MACHINERY", 2000, 5000, 10, 40)
+        | bracket("HOUSEHOLD", 500, 2000, 20, 50)
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(maybe_broadcast(c, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .where(cond)
+        .agg(
+            (F.sum(money.cents("l_quantity")).cast("double") / F.lit(100.0) / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(money.cents("l_extendedprice")).cast("double") / F.lit(100.0) / F.count(F.lit(1))).alias("avg_price"),
+            money.sum_money("l_extendedprice", out="decimal(25,2)").cast("double").alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "tpcds_q48_bracket_sum",
+    oracle="""
+    SELECT CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(25,2)) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND ((n_name IN ('FRANCE', 'GERMANY', 'RUSSIA') AND l_extendedprice BETWEEN 0 AND 2000)
+        OR (n_name IN ('CHINA', 'JAPAN', 'INDIA') AND l_extendedprice BETWEEN 1500 AND 4000)
+        OR (n_name IN ('BRAZIL', 'CANADA', 'PERU') AND l_extendedprice BETWEEN 3000 AND 25000))
+    """,
+    cast_double=["total_qty"],
+)
+def tpcds_q48(spark, sf_dir):
+    """TPC-DS Q48 shape (queries/48.sql): one big conditional sum under
+    geography×price-band OR brackets (state/price -> nation/price) — the
+    sum-only sibling of Q13."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cond = (
+        (F.col("n_name").isin("FRANCE", "GERMANY", "RUSSIA") & F.col("l_extendedprice").between(0, 2000))
+        | (F.col("n_name").isin("CHINA", "JAPAN", "INDIA") & F.col("l_extendedprice").between(1500, 4000))
+        | (F.col("n_name").isin("BRAZIL", "CANADA", "PERU") & F.col("l_extendedprice").between(3000, 25000))
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(maybe_broadcast(c, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .where(cond)
+        .agg(money.sum_money("l_quantity", out="decimal(25,2)").alias("total_qty"))
+    )
+
+
+@query(
+    "tpcds_q46_geo_mismatch",
+    cast_double=["amt"],
+    oracle="""
+    SELECT c_name, o_orderkey, CAST(dn.amt AS DECIMAL(25,4)) AS amt
+    FROM (
+        SELECT o_orderkey, o_custkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(25,4)) AS amt,
+               min(s_nationkey) AS ship_nation
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                      JOIN supplier ON l_suppkey = s_suppkey
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        GROUP BY o_orderkey, o_custkey
+        HAVING count(DISTINCT s_nationkey) = 1
+    ) dn JOIN customer ON o_custkey = c_custkey
+    WHERE dn.ship_nation <> c_nationkey
+    ORDER BY c_name, o_orderkey
+    LIMIT 100
+    """,
+)
+def tpcds_q46(spark, sf_dir):
+    """TPC-DS Q46 shape (queries/46.sql: per-ticket totals where the
+    customer's current city differs from the sale-time address): per-order
+    totals restricted to single-nation shipments (HAVING on a distinct
+    count), then joined to the customer and kept when the ship nation
+    differs from the customer's — the mismatch-HAVING archetype."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    dn = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(maybe_broadcast(s, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(
+            money.sum_disc_price(out="decimal(25,4)").alias("amt"),
+            F.min("s_nationkey").alias("ship_nation"),
+            F.count_distinct("s_nationkey").alias("n_nations"),
+        )
+        .where(F.col("n_nations") == 1)
+    )
+    return (
+        dn.join(maybe_broadcast(c, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("ship_nation") != F.col("c_nationkey"))
+        .select("c_name", "o_orderkey", "amt")
+        .orderBy("c_name", "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpcds_q79_best_store_visit",
+    cast_double=["profit"],
+    oracle=f"""
+    SELECT c_name, n_name, profit
+    FROM (
+        SELECT o_custkey AS cust, s_nationkey AS nk,
+               CAST({_DISC} AS DECIMAL(25,4)) AS profit,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CAST({_DISC} AS DECIMAL(25,4)) DESC, s_nationkey
+               ) AS rn
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                      JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY o_custkey, s_nationkey
+    ) best
+    JOIN customer ON cust = c_custkey
+    JOIN nation ON nk = n_nationkey
+    WHERE rn = 1 AND cust < 300
+    ORDER BY c_name
+    """,
+)
+def tpcds_q79(spark, sf_dir):
+    """TPC-DS Q79 shape (queries/79.sql: each customer's most profitable
+    store visit): argmax-per-group — profit per (customer, store-nation),
+    rank 1 within customer by profit with a key tiebreaker, re-joined to
+    the dims for display."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 300)
+    n = load_table(spark, sf_dir, "nation")
+    g = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(maybe_broadcast(s, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("o_custkey").alias("cust"), F.col("s_nationkey").alias("nk"))
+        .agg(money.sum_disc_price(out="decimal(25,4)").alias("profit"))
+    )
+    w = W.partitionBy("cust").orderBy(F.desc("profit"), "nk")
+    best = g.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        best.join(maybe_broadcast(c, sf_dir, "customer"), F.col("cust") == F.col("c_custkey"), "inner")
+        .join(F.broadcast(n), F.col("nk") == F.col("n_nationkey"))
+        .select("c_name", "n_name", "profit")
+        .orderBy("c_name")
+    )
