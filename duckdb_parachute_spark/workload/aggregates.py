@@ -44,13 +44,19 @@ def agg_rollup(spark, sf_dir):
     """ROLLUP with GROUPING() ids (reference bind_select_node.cpp:632 grouping
     sets expansion; executed as multi-set hash agg)."""
     li = load_table(spark, sf_dir, "lineitem")
+    # Pre-aggregate to the finest grain so the rollup's Expand runs over the
+    # 6-row grouped relation instead of 3x the fact table (sum and count are
+    # both decomposable; identical integer-unit result).
+    fine = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(money.cents("l_quantity")).alias("__u"), F.count(F.lit(1)).alias("__n")
+    )
     return (
-        li.rollup("l_returnflag", "l_linestatus")
+        fine.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.grouping("l_returnflag").cast("int").alias("g_rf"),
             F.grouping("l_linestatus").cast("int").alias("g_ls"),
-            money.sum_money("l_quantity").alias("sum_qty"),
-            F.count(F.lit(1)).alias("n"),
+            money.units_to_decimal(F.sum("__u"), 2, "decimal(18,2)").alias("sum_qty"),
+            F.sum("__n").cast("bigint").alias("n"),
         )
         .select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "sum_qty", "n")
     )
@@ -70,12 +76,18 @@ def agg_cube(spark, sf_dir):
     """CUBE over a broadcast dim join."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
-    return (
+    fine = (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .cube("c_mktsegment", "n_name")
+        .groupBy("c_mktsegment", "n_name")
+        .agg(F.sum(money.cents("c_acctbal")).alias("__u"), F.count(F.lit(1)).alias("__n"))
+    )
+    # cube's 4-way Expand runs over the (segment x nation) grouped relation,
+    # not the customer table — decomposable re-aggregation, same values.
+    return (
+        fine.cube("c_mktsegment", "n_name")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            money.sum_money("c_acctbal").alias("bal"),
+            F.sum("__n").cast("bigint").alias("n"),
+            money.units_to_decimal(F.sum("__u"), 2, "decimal(18,2)").alias("bal"),
         )
     )
 

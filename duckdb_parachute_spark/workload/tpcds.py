@@ -203,9 +203,17 @@ def tpcds_q36(spark, sf_dir):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
-    agg = base.rollup("r_name", "n_name").agg(
+    # finest-grain pre-aggregation: the rollup's 3-way Expand then runs over
+    # ~|nation| rows instead of the joined fact stream (sums decompose; the
+    # margin quotient is computed from the re-aggregated exact units).
+    fine = base.groupBy("r_name", "n_name").agg(
+        F.sum(money.disc_price_units()).alias("__du"),
+        F.sum(money.cents("l_extendedprice")).alias("__pu"),
+    )
+    agg = fine.rollup("r_name", "n_name").agg(
         (
-            money.sum_disc_price().cast("double") / money.sum_money("l_extendedprice").cast("double")
+            money.units_to_decimal(F.sum("__du"), 4, "decimal(22,4)").cast("double")
+            / money.units_to_decimal(F.sum("__pu"), 2, "decimal(18,2)").cast("double")
         ).alias("gross_margin"),
         (F.grouping("r_name") + F.grouping("n_name")).cast("bigint").alias("lochierarchy"),
         F.grouping("n_name").cast("bigint").alias("g_nation"),
@@ -425,8 +433,17 @@ def tpcds_q67(spark, sf_dir):
         F.year("l_shipdate").cast("bigint").alias("yr"),
         "l_quantity",
     )
-    agg = base.rollup("category", "p_brand", "yr").agg(
-        money.sum_money("l_quantity").alias("sum_qty")
+    # Rollup's Expand multiplies its input 4x (one copy per grouping set);
+    # fed the raw fact rows that is 4x|lineitem| through the aggregate. Sum
+    # is decomposable, so pre-aggregate to the finest grain FIRST (one fact
+    # shuffle) and run the rollup's Expand over the tiny grouped relation,
+    # re-aggregating the integer-unit partials — bit-identical result, and
+    # the 100 TB shape: Expand cost goes from O(fact) to O(groups).
+    fine = base.groupBy("category", "p_brand", "yr").agg(
+        F.sum(money.cents("l_quantity")).alias("__units")
+    )
+    agg = fine.rollup("category", "p_brand", "yr").agg(
+        money.units_to_decimal(F.sum("__units"), 2, "decimal(18,2)").alias("sum_qty")
     )
     w = Window.partitionBy("category").orderBy(
         F.col("sum_qty").desc(),
