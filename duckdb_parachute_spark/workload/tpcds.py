@@ -21,6 +21,8 @@ Shapes covered (reference query in parens):
 - frequent-items ∩ best-customers semi-join funnel (q23)
 - best/worst rank pairing (q44)
 - EXISTS-filtered customer profile stats (q35)
+(second tranche in workload/tpcds2.py: q3/q5/q8/q13/q16/q25/q28/q31/q32/q38/
+q39/q46/q48/q53/q61/q62/q63/q65/q66/q75/q76/q77/q79/q87/q89/q90/q94/q97)
 
 Determinism: money stays in exact DECIMAL (functions/money.py integer-unit
 sums) until the hash-safe double boundary; every windowed average is

@@ -208,6 +208,37 @@ def test_format_bytes_matches_duckdb(spark):
         assert got[n] == want, (n, got[n], want)
 
 
+def test_reservoir_sample_properties(spark):
+    # exactly k rows; same sample under any partitioning/arrival order;
+    # different seed -> (almost surely) different sample; k >= n -> all rows.
+    from duckdb_parachute_spark.operators.misc import reservoir_sample
+
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(500)], "id long, v string")
+    s1 = sorted(r.id for r in reservoir_sample(df, 50, "id", seed=7).collect())
+    assert len(s1) == 50
+    s2 = sorted(r.id for r in reservoir_sample(df.repartition(17), 50, "id", seed=7).collect())
+    assert s1 == s2
+    s3 = sorted(r.id for r in reservoir_sample(df, 50, "id", seed=8).collect())
+    assert s1 != s3
+    assert len(reservoir_sample(df, 1000, "id").collect()) == 500
+
+
+def test_pivot_dynamic_matches_explicit(spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_parachute_spark.operators.misc import pivot_dynamic
+
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 3), ("b", "z", 4), ("a", None, 9)],
+        "g string, p string, v long",
+    )
+    dyn = pivot_dynamic(df, ["g"], "p", F.sum("v"))
+    exp = df.groupBy("g").pivot("p", ["x", "y", "z"]).agg(F.sum("v"))
+    # discovered columns are the sorted non-null distinct values
+    assert dyn.columns == ["g", "x", "y", "z"]
+    assert sorted(map(tuple, dyn.collect())) == sorted(map(tuple, exp.collect()))
+
+
 def test_lsh_hot_bucket_cap(spark):
     # Cap semantics: capped pairs ⊆ uncapped pairs; disabling the cap (None)
     # or setting it above every bucket is identical to uncapped; the overflow
