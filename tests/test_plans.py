@@ -119,6 +119,30 @@ def test_iejoin_no_nested_loop(no_aqe, spark, sf_dir):
     assert any(j in s.text for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
 
 
+def test_inequality_join_outlier_clamped(spark):
+    # A left row FAR below the right range must not expand one bin per unit
+    # of the gap: the sequence start clamps to the right min bin, so the
+    # fan-out stays bounded by the right side's span while results match.
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from duckdb_parachute_spark.operators.rangejoin import inequality_join
+
+    a = spark.createDataFrame(
+        [(0, -1_000_000.0)] + [(i, float(i)) for i in range(1, 5)], "ka long, xa double"
+    )
+    b = spark.createDataFrame([(j, float(j)) for j in range(5)], "kb long, xb double")
+    fast = inequality_join(a, b, a.xa, b.xb, bin_width=1.0)
+    naive = a.join(b, a.xa < b.xb)
+    assert sorted((r.ka, r.kb) for r in fast.collect()) == sorted(
+        (r.ka, r.kb) for r in naive.collect()
+    )
+    # and a bin width that would need >1M bins is rejected up front
+    wide = spark.createDataFrame([(0, 0.0), (1, 2e9)], "kb long, xb double")
+    with _pytest.raises(ValueError, match="bins"):
+        inequality_join(a, wide, a.xa, F.col("xb"), bin_width=1.0)
+
+
 def test_inequality_join_matches_naive(spark):
     from pyspark.sql import functions as F
 
