@@ -549,7 +549,7 @@ def cb_not_like_multi_agg(spark, sf_dir):
            round(value, 4) AS value, props
     FROM events
     WHERE props LIKE '%"k": 4%'
-    ORDER BY ts, event_id
+    ORDER BY strftime(ts, '%Y-%m-%d %H:%M:%S'), event_id
     LIMIT 10
     """,
 )
