@@ -225,6 +225,23 @@ def test_broadcast_gate_both_postures(no_aqe, spark, sf_dir, monkeypatch):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
 
+def test_broadcast_gate_metamorphic_results(no_aqe, spark, sf_dir, monkeypatch):
+    # The gate must change ONLY the physical plan, never the results: the
+    # same query under hinted (default cap) and gated-off (cap=0) postures
+    # returns identical rows.
+    def rows(name):
+        return sorted(map(tuple, _q(name, spark, sf_dir).collect()))
+
+    hinted = {n: rows(n) for n in ("tpch_q5_local_supplier_volume", "tpch_q9_product_type_profit")}
+    monkeypatch.setenv("SPARK_GRAFT_BROADCAST_CAP", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for n, want in hinted.items():
+            assert rows(n) == want, n
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
 def test_maybe_broadcast_policy(spark, sf_dir, monkeypatch):
     from duckdb_parachute_spark.catalog import load_table, maybe_broadcast, table_bytes
 
