@@ -92,16 +92,26 @@ def pivot_dynamic(
     """PIVOT with automatic IN-value discovery (reference binder expands an
     unlisted PIVOT's values from a distinct scan — physical_pivot.cpp plus
     the binder's pivot expansion). Two deterministic phases: a distinct scan
-    of the pivot column (sorted, capped at ``max_values`` — a pivot wider
-    than that is a schema bug, not a query) collected to the driver, then
-    the regular Spark pivot with the explicit list, which keeps the
-    aggregate single-pass. Column order = sorted values, so the output
-    schema is stable across runs and engines."""
+    of the pivot column (sorted) collected to the driver, then the regular
+    Spark pivot with the explicit list, which keeps the aggregate
+    single-pass. Column order = sorted values, so the output schema is
+    stable across runs and engines. A pivot wider than ``max_values``
+    RAISES rather than silently truncating — a thousand-column pivot is a
+    schema bug, and dropping values would silently change results."""
     vals = [
         r[0]
-        for r in df.select(pivot_col).distinct().orderBy(pivot_col).limit(max_values).collect()
-        if r[0] is not None
+        for r in df.select(pivot_col)
+        .where(F.col(pivot_col).isNotNull())
+        .distinct()
+        .orderBy(pivot_col)
+        .limit(max_values + 1)
+        .collect()
     ]
+    if len(vals) > max_values:
+        raise ValueError(
+            f"pivot_dynamic: column {pivot_col!r} has more than {max_values} "
+            "distinct values; pass an explicit value list or raise max_values"
+        )
     return df.groupBy(*group_cols).pivot(pivot_col, vals).agg(agg)
 
 

@@ -237,6 +237,11 @@ def test_pivot_dynamic_matches_explicit(spark):
     # discovered columns are the sorted non-null distinct values
     assert dyn.columns == ["g", "x", "y", "z"]
     assert sorted(map(tuple, dyn.collect())) == sorted(map(tuple, exp.collect()))
+    # wider than max_values must raise, never silently truncate
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="distinct values"):
+        pivot_dynamic(df, ["g"], "p", F.sum("v"), max_values=2)
 
 
 def test_lsh_hot_bucket_cap(spark):
