@@ -162,9 +162,20 @@ def rewrite_distinct_on(sql: str) -> str:
     )
 
 
-def rewrite_json_arrows(sql: str) -> str:
+def rewrite_json_arrows(sql: str, _parts: list[str] | None = None) -> str:
     """col -> 'k' → get_json_object(col, '$.k'); ->> is the text variant —
-    both map to get_json_object (string result) on Spark."""
+    both map to get_json_object (string result) on Spark.
+
+    ``_parts`` is transpile()'s literal-mask table: the arrow's key literal
+    arrives masked as a placeholder and is restored here (only when it
+    directly follows an arrow), so this rewrite keeps seeing its argument
+    while arrows INSIDE string literals stay hidden."""
+    if _parts is not None:
+        sql = re.sub(
+            r"(->>?\s*)\x00(\d+)\x00",
+            lambda m: m.group(1) + _parts[int(m.group(2))],
+            sql,
+        )
 
     def arrow(m: re.Match) -> str:
         return f"__ARROW__('$.{m.group(1)}')"
@@ -319,10 +330,29 @@ REWRITES = [
 ]
 
 
+_LIT_RE = re.compile(r"'(?:[^']|'')*'")
+_PH_RE = re.compile(r"\x00(\d+)\x00")
+
+
 def transpile(sql: str) -> str:
+    # Mask string literals first: a token rewriter must never fire on text
+    # INSIDE a literal ('use QUALIFY here', 'x // y', 'a -> b'). Literals
+    # become inert \x00N\x00 placeholders for every rewrite; the json-arrow
+    # rule gets the mask table so the key literal that belongs to an arrow
+    # is restored for it, and everything is unmasked at the end.
+    parts: list[str] = []
+
+    def stash(m: re.Match) -> str:
+        parts.append(m.group(0))
+        return f"\x00{len(parts) - 1}\x00"
+
+    masked = _LIT_RE.sub(stash, sql)
     for rw in REWRITES:
-        sql = rw(sql)
-    return sql
+        if rw is rewrite_json_arrows:
+            masked = rw(masked, _parts=parts)
+        else:
+            masked = rw(masked)
+    return _PH_RE.sub(lambda m: parts[int(m.group(1))], masked)
 
 
 def sql(spark: SparkSession, text: str) -> DataFrame:

@@ -113,3 +113,23 @@ def test_qualify_inline_window_with_trailer():
     )
     assert out.rstrip().endswith("ORDER BY g LIMIT 2")
     assert "WHERE __qw0 <= 3" in out
+
+
+def test_literals_are_inert():
+    # No rewrite may fire on text INSIDE a string literal, while the same
+    # token outside literals still rewrites.
+    assert transpile("SELECT 'a -> b' AS s") == "SELECT 'a -> b' AS s"
+    assert transpile("SELECT 'use QUALIFY here' AS s FROM t") == (
+        "SELECT 'use QUALIFY here' AS s FROM t"
+    )
+    assert transpile("SELECT '[1,2]' AS s") == "SELECT '[1,2]' AS s"
+    assert (
+        transpile("SELECT a // 2 FROM t WHERE s = 'x // y'")
+        == "SELECT a DIV 2 FROM t WHERE s = 'x // y'"
+    )
+    # doubled-quote escapes survive round-trip
+    assert transpile("SELECT 1 WHERE s = 'it''s'") == "SELECT 1 WHERE s = 'it''s'"
+    # the arrow's own key literal still reaches the rewrite through the mask
+    assert transpile("SELECT props -> 'k' AS a FROM t") == (
+        "SELECT get_json_object(props, '$.k') AS a FROM t"
+    )
