@@ -82,7 +82,12 @@ def maybe_broadcast(df: DataFrame, sf_dir: str, *tables: str) -> DataFrame:
     growing = [t for t in tables if t not in FIXED_CARDINALITY]
     if not growing:
         return F.broadcast(df)
-    cap = int(os.environ.get("SPARK_GRAFT_BROADCAST_CAP", BROADCAST_CAP_BYTES))
+    try:
+        cap = int(os.environ.get("SPARK_GRAFT_BROADCAST_CAP", BROADCAST_CAP_BYTES))
+    except (TypeError, ValueError):
+        # Malformed / human-formatted override ("64m"): degrade to the
+        # default rather than failing every query build.
+        cap = BROADCAST_CAP_BYTES
     if sum(table_bytes(sf_dir, t) for t in growing) <= cap:
         return F.broadcast(df)
     return df

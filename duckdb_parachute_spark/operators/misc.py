@@ -76,10 +76,22 @@ def reservoir_sample(df: DataFrame, k: int, key: Column | str, seed: int = 42) -
     keep the k smallest. Spark plans this as TakeOrderedAndProject —
     per-partition top-k then a k-row merge on the driver side of the
     exchange, never a global sort. md5 (not xxhash64) so an external SQL
-    engine can reproduce the exact sample."""
+    engine can reproduce the exact sample.
+
+    The key itself tiebreaks the ordering: with a non-unique key, two rows
+    can share a hash, and a hash-only sort would make the limit(k) boundary
+    depend on partitioning. Sorting by (hash, key) pins the boundary for any
+    given key multiset; callers wanting row-exact determinism should still
+    pass a unique key."""
     c = F.col(key) if isinstance(key, str) else key
     h = F.md5(F.concat_ws("|", F.lit(str(seed)), c.cast("string")))
-    return df.withColumn("__rs", h).orderBy("__rs").limit(k).drop("__rs")
+    return (
+        df.withColumn("__rs", h)
+        .withColumn("__rk", c.cast("string"))
+        .orderBy("__rs", "__rk")
+        .limit(k)
+        .drop("__rs", "__rk")
+    )
 
 
 def pivot_dynamic(

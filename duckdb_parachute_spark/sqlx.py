@@ -206,6 +206,12 @@ def rewrite_json_arrows(sql: str, _parts: list[str] | None = None) -> str:
         operand = out[k:j].strip()
         close = out.index("')", idx) + 2
         path = out[idx + len("__ARROW__(") : close - 1]
+        if _parts is not None:
+            # Re-mask the freshly built '$.k' literal so the later rewrite
+            # passes (intdiv, sample, ...) never see inside it — a key like
+            # 'a//b' would otherwise be rewritten to '$.a DIV b'.
+            _parts.append(path)
+            path = f"\x00{len(_parts) - 1}\x00"
         out = out[:k] + f"get_json_object({operand}, {path})" + out[close:]
     return out
 

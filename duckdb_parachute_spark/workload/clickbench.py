@@ -82,7 +82,8 @@ def cb_distinct_entities(spark, sf_dir):
 @query(
     "cb_minmax_time_range",
     oracle="""
-    SELECT min(ts) AS first_ts, max(ts) AS last_ts,
+    SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
            CAST(date_diff('day', min(ts), max(ts)) AS BIGINT) AS span_days
     FROM events
     """,
@@ -90,11 +91,13 @@ def cb_distinct_entities(spark, sf_dir):
 def cb_minmax_time_range(spark, sf_dir):
     """ClickBench q06 shape: time-range scan (min/max prunes via parquet
     row-group stats — at 100 TB this touches only footers + one row group
-    per file boundary)."""
+    per file boundary). Timestamps render at second precision: the engines'
+    parquet nanos handling differs below that (same rule as
+    cb_wide_row_time_topn)."""
     ev = _ev(spark, sf_dir)
     return ev.agg(
-        F.min("ts").alias("first_ts"),
-        F.max("ts").alias("last_ts"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
         F.datediff(F.max("ts").cast("date"), F.min("ts").cast("date"))
         .cast("bigint")
         .alias("span_days"),
@@ -703,7 +706,12 @@ def cb_two_key_profile(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("c"),
             F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).alias("hi"),
-            (F.sum(money.cents("value")).cast("double") / F.lit(100.0) / F.count(F.lit(1))).alias("avg_value"),
+            # Mirror the oracle's CAST(value AS DECIMAL(12,2)) exactly (same
+            # tie-rounding) rather than money.cents' floor(x*100+0.5), which
+            # assumes 2-decimal round-trippable doubles.
+            (F.sum(F.col("value").cast("decimal(12,2)")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_value"
+            ),
         )
         .orderBy(F.desc("c"), "user_id", "event_type")
         .limit(10)
