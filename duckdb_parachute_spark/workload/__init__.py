@@ -151,6 +151,7 @@ def load_all() -> dict[str, QueryDef]:
         textops,
         tpcds,
         tpcds2,
+        tpcds3,
         tpch,
         windows,
     )
