@@ -837,3 +837,383 @@ def cb_minute_series_offset(spark, sf_dir):
         .offset(100)
         .limit(10)
     )
+
+
+@query(
+    "cb_date_minmax",
+    oracle="""
+    SELECT strftime(min(CAST(ts AS DATE)), '%Y-%m-%d') AS first_day,
+           strftime(max(CAST(ts AS DATE)), '%Y-%m-%d') AS last_day
+    FROM events
+    """,
+)
+def cb_date_minmax(spark, sf_dir):
+    """ClickBench q07 shape (queries/q07.sql: MIN/MAX(EventDate)): the
+    date-granular min/max scan — answered entirely from parquet row-group
+    statistics at scale. Rendered as date strings so the engines' parquet
+    timestamp units cannot differ in the output."""
+    ev = _ev(spark, sf_dir)
+    return ev.agg(
+        F.date_format(F.min(F.col("ts").cast("date")), "yyyy-MM-dd").alias("first_day"),
+        F.date_format(F.max(F.col("ts").cast("date")), "yyyy-MM-dd").alias("last_day"),
+    )
+
+
+@query(
+    "cb_region_battery",
+    cast_double=["sum_value", "avg_value"],
+    oracle="""
+    SELECT user_id % 32 AS region,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value,
+           CAST(count(*) AS BIGINT) AS c,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS users
+    FROM events
+    GROUP BY region
+    ORDER BY c DESC, region
+    LIMIT 10
+    """,
+)
+def cb_region_battery(spark, sf_dir):
+    """ClickBench q10 shape (queries/q10.sql: RegionID with SUM / COUNT /
+    AVG / COUNT(DISTINCT UserID)): a mixed battery including an exact
+    distinct-count per low-cardinality group — Spark plans the distinct via
+    Expand on the same single shuffle."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy((F.col("user_id") % 32).alias("region"))
+        .agg(
+            F.sum(F.col("value").cast(_DEC)).cast(_DEC).alias("sum_value"),
+            F.count(F.lit(1)).alias("c"),
+            (F.sum(F.col("value").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias(
+                "avg_value"
+            ),
+            F.countDistinct("user_id").alias("users"),
+        )
+        .select("region", "sum_value", "c", "avg_value", "users")
+        .orderBy(F.desc("c"), "region")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_model_distinct_users",
+    oracle="""
+    SELECT CAST(props ->> 'k' AS VARCHAR) AS model,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS u
+    FROM events
+    WHERE event_type <> 'error'
+    GROUP BY model
+    ORDER BY u DESC, model
+    LIMIT 10
+    """,
+)
+def cb_model_distinct_users(spark, sf_dir):
+    """ClickBench q11 shape (queries/q11.sql: MobilePhoneModel with
+    COUNT(DISTINCT UserID) top-10): distinct users per extracted string key
+    — the JSON extraction runs JVM-side in the scan stage, the distinct
+    aggregates on one shuffle."""
+    ev = _ev(spark, sf_dir).where(F.col("event_type") != "error")
+    return (
+        ev.groupBy(F.get_json_object("props", "$.k").alias("model"))
+        .agg(F.countDistinct("user_id").alias("u"))
+        .orderBy(F.desc("u"), "model")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_engine_phrase_topk",
+    oracle="""
+    SELECT user_id % 13 AS engine, props AS phrase, CAST(count(*) AS BIGINT) AS c
+    FROM events
+    WHERE event_type <> 'error'
+    GROUP BY engine, phrase
+    ORDER BY c DESC, engine, phrase
+    LIMIT 10
+    """,
+)
+def cb_engine_phrase_topk(spark, sf_dir):
+    """ClickBench q15 shape (queries/q15.sql: SearchEngineID, SearchPhrase
+    top-10 by count): two-key group where one key is derived — one shuffle
+    on the composite, TakeOrderedAndProject top-10."""
+    ev = _ev(spark, sf_dir).where(F.col("event_type") != "error")
+    return (
+        ev.groupBy((F.col("user_id") % 13).alias("engine"), F.col("props").alias("phrase"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "engine", "phrase")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_user_minute_phrase",
+    oracle="""
+    SELECT user_id, CAST(minute(ts) AS BIGINT) AS m, props AS phrase,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events
+    GROUP BY user_id, m, phrase
+    ORDER BY c DESC, user_id, m, phrase
+    LIMIT 10
+    """,
+)
+def cb_user_minute_phrase(spark, sf_dir):
+    """ClickBench q19 shape (queries/q19.sql: UserID, extract(minute FROM
+    EventTime), SearchPhrase): high-cardinality three-key group with a
+    time-field extraction in the key — minute() is sub-second-precision
+    independent, so parquet nanos cannot flip it."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "user_id",
+            F.minute("ts").cast("long").alias("m"),
+            F.col("props").alias("phrase"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "user_id", "m", "phrase")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_phrase_time_scan",
+    oracle="""
+    SELECT props AS phrase
+    FROM events
+    WHERE event_type <> 'error'
+    ORDER BY strftime(ts, '%Y-%m-%d %H:%M:%S'), props, event_id
+    LIMIT 10
+    """,
+)
+def cb_phrase_time_scan(spark, sf_dir):
+    """ClickBench q27 shape (queries/q27.sql: SELECT SearchPhrase ... ORDER
+    BY EventTime LIMIT 10): a bare row-select TopN by event time — no
+    aggregation, TakeOrderedAndProject over the scan. The sort key renders
+    ts at second precision (nanos parquet generations differ below that)
+    with event_id as the unique tiebreaker, so the limit boundary is
+    engine-independent."""
+    ev = _ev(spark, sf_dir).where(F.col("event_type") != "error")
+    return (
+        ev.orderBy(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), "props", "event_id")
+        .limit(10)
+        .select(F.col("props").alias("phrase"))
+    )
+
+
+@query(
+    "cb_engine_ip_battery",
+    cast_double=["avg_value"],
+    oracle="""
+    SELECT user_id % 13 AS engine, user_id AS ip, CAST(count(*) AS BIGINT) AS c,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS refreshes,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+    FROM events
+    WHERE event_type <> 'error'
+    GROUP BY engine, ip
+    ORDER BY c DESC, engine, ip
+    LIMIT 10
+    """,
+)
+def cb_engine_ip_battery(spark, sf_dir):
+    """ClickBench q31 shape (queries/q31.sql: SearchEngineID, ClientIP with
+    COUNT / SUM(IsRefresh) / AVG(ResolutionWidth)): the wide-sum battery on
+    a two-key group — count, flag-sum, exact-decimal average in one
+    shuffle."""
+    ev = _ev(spark, sf_dir).where(F.col("event_type") != "error")
+    return (
+        ev.groupBy((F.col("user_id") % 13).alias("engine"), F.col("user_id").alias("ip"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("refreshes"),
+            (F.sum(F.col("value").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias(
+                "avg_value"
+            ),
+        )
+        .orderBy(F.desc("c"), "engine", "ip")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_url_topk_plain",
+    oracle="""
+    SELECT props AS url, CAST(count(*) AS BIGINT) AS c
+    FROM events
+    GROUP BY url
+    ORDER BY c DESC, url
+    LIMIT 10
+    """,
+)
+def cb_url_topk_plain(spark, sf_dir):
+    """ClickBench q34 shape (queries/q34.sql: URL top-10 by count, no
+    filter): the plain string-key heavy hitter — partial counts collapse
+    per partition before the single exchange."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy(F.col("props").alias("url"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "url")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_const_group_topk",
+    oracle="""
+    SELECT 1 AS one, props AS url, CAST(count(*) AS BIGINT) AS c
+    FROM events
+    GROUP BY one, url
+    ORDER BY c DESC, url
+    LIMIT 10
+    """,
+)
+def cb_const_group_topk(spark, sf_dir):
+    """ClickBench q35 shape (queries/q35.sql: GROUP BY 1, URL): a constant
+    in the grouping key — Catalyst folds the literal out of the exchange
+    key, so the plan is identical to the plain group."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy(F.lit(1).alias("one"), F.col("props").alias("url"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "url")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_ip_arith_groups",
+    oracle="""
+    SELECT user_id AS ip, user_id - 1 AS ip1, user_id - 2 AS ip2, user_id - 3 AS ip3,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events
+    GROUP BY ip, ip1, ip2, ip3
+    ORDER BY c DESC, ip
+    LIMIT 10
+    """,
+)
+def cb_ip_arith_groups(spark, sf_dir):
+    """ClickBench q36 shape (queries/q36.sql: ClientIP, ClientIP-1, -2, -3):
+    arithmetically-derived duplicate group keys — functionally one key, and
+    the optimizer shuffles once on the base column, carrying the derived
+    columns through."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.col("user_id").alias("ip"),
+            (F.col("user_id") - 1).alias("ip1"),
+            (F.col("user_id") - 2).alias("ip2"),
+            (F.col("user_id") - 3).alias("ip3"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "ip")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_title_filtered_topk",
+    oracle="""
+    SELECT props AS title, CAST(count(*) AS BIGINT) AS pageviews
+    FROM events
+    WHERE user_id % 62 = 0
+      AND ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-31 00:00:00'
+      AND event_type <> 'error' AND event_type <> 'view' AND props <> ''
+    GROUP BY title
+    ORDER BY pageviews DESC, title
+    LIMIT 10
+    """,
+)
+def cb_title_filtered_topk(spark, sf_dir):
+    """ClickBench q38 shape (queries/q38.sql: Title pageviews under
+    CounterID + date range + DontCountHits=0 + IsRefresh=0): a top-10 under
+    FOUR stacked predicates, all pushed into the scan stage before the
+    single group-by shuffle."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.where(
+            (F.col("user_id") % 62 == 0)
+            & (F.col("ts") >= F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit("2024-01-31 00:00:00").cast("timestamp_ntz"))
+            & (F.col("event_type") != "error")
+            & (F.col("event_type") != "view")
+            & (F.col("props") != "")
+        )
+        .groupBy(F.col("props").alias("title"))
+        .agg(F.count(F.lit(1)).alias("pageviews"))
+        .orderBy(F.desc("pageviews"), "title")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_point_hash_offset",
+    oracle="""
+    SELECT props AS urlhash, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS pageviews
+    FROM events
+    WHERE user_id % 62 = 0 AND event_type <> 'view'
+      AND user_id % 7 IN (1, 6)
+      AND CAST(props ->> 'k' AS BIGINT) % 10 = 2
+    GROUP BY urlhash, day
+    ORDER BY pageviews DESC, urlhash, day
+    LIMIT 10 OFFSET 5
+    """,
+)
+def cb_point_hash_offset(spark, sf_dir):
+    """ClickBench q41 shape (queries/q41.sql: URLHash, EventDate under a
+    RefererHash point filter and TraficSourceID IN list, LIMIT OFFSET): a
+    point-selective tail read — the hash-equality predicate prunes hard in
+    the scan, then a small group is paged at an offset."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.where(
+            (F.col("user_id") % 62 == 0)
+            & (F.col("event_type") != "view")
+            & (F.col("user_id") % 7).isin(1, 6)
+            & (F.get_json_object("props", "$.k").cast("bigint") % 10 == 2)
+        )
+        .groupBy(
+            F.col("props").alias("urlhash"),
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("pageviews"))
+        .orderBy(F.desc("pageviews"), "urlhash", "day")
+        .offset(5)
+        .limit(10)
+    )
+
+
+@query(
+    "cb_client_dims_offset",
+    oracle="""
+    SELECT CAST(floor(value / 50) * 50 AS BIGINT) AS width_bucket,
+           CAST(length(props) AS BIGINT) AS height,
+           CAST(count(*) AS BIGINT) AS pageviews
+    FROM events
+    WHERE user_id % 62 = 0 AND event_type <> 'view'
+      AND CAST(props ->> 'k' AS BIGINT) % 10 = 7
+    GROUP BY width_bucket, height
+    ORDER BY pageviews DESC, width_bucket, height
+    LIMIT 10 OFFSET 3
+    """,
+)
+def cb_client_dims_offset(spark, sf_dir):
+    """ClickBench q42 shape (queries/q42.sql: WindowClientWidth/Height under
+    a URLHash point filter, LIMIT OFFSET): two derived numeric dimensions
+    grouped under a point-selective predicate, read as an offset page."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.where(
+            (F.col("user_id") % 62 == 0)
+            & (F.col("event_type") != "view")
+            & (F.get_json_object("props", "$.k").cast("bigint") % 10 == 7)
+        )
+        .groupBy(
+            (F.floor(F.col("value") / 50) * 50).cast("long").alias("width_bucket"),
+            F.length("props").cast("long").alias("height"),
+        )
+        .agg(F.count(F.lit(1)).alias("pageviews"))
+        .orderBy(F.desc("pageviews"), "width_bucket", "height")
+        .offset(3)
+        .limit(10)
+    )

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from duckdb_parachute_spark.catalog import load_table
+from duckdb_parachute_spark.catalog import load_table, maybe_broadcast
 from duckdb_parachute_spark.functions import money
 from duckdb_parachute_spark.operators import asof_join, distinct_on, positional_join
 from duckdb_parachute_spark.workload import query
@@ -419,4 +419,144 @@ def h2o_join_shapes(spark, sf_dir):
         leg("small", li.join(s, F.col("l_suppkey") == F.col("s_suppkey")))
         .unionAll(leg("medium", li.join(p, F.col("l_partkey") == F.col("p_partkey"))))
         .unionAll(leg("big", li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))))
+    )
+
+
+@query(
+    "h2o_join_small_int",
+    cast_double=["v1", "v2"],
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS v1,
+           CAST(sum(CAST(s_acctbal AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS v2
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    """,
+)
+def h2o_join_small_int(spark, sf_dir):
+    """H2O join q01 (reference benchmark/h2oai/join/queries/q01.sql:
+    x JOIN small USING (id1)): fact joined to the SMALL side on an int key,
+    then the suite's count/sum checksum. supplier is x/1e6-sized in the
+    h2o ratios — the broadcast gate keeps the hint while it fits."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    return li.join(
+        maybe_broadcast(s, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        money.sum_money("l_extendedprice", out="decimal(20,2)").alias("v1"),
+        money.sum_money("s_acctbal", out="decimal(20,2)").alias("v2"),
+    )
+
+
+@query(
+    "h2o_join_medium_int",
+    cast_double=["v1", "v2"],
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS v1,
+           CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS v2
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def h2o_join_medium_int(spark, sf_dir):
+    """H2O join q02 (q02.sql: x JOIN medium USING (id2)): the MEDIUM side
+    (x/1e3-sized) on an int key — the regime where the broadcast-vs-shuffle
+    decision actually flips with scale, which is exactly what the size gate
+    (catalog.maybe_broadcast) decides from the on-disk footprint."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return li.join(
+        maybe_broadcast(p, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        money.sum_money("l_extendedprice", out="decimal(20,2)").alias("v1"),
+        money.sum_money("p_retailprice", out="decimal(20,2)").alias("v2"),
+    )
+
+
+@query(
+    "h2o_join_medium_left",
+    cast_double=["v1", "v2"],
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(p_partkey) AS BIGINT) AS matched,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS v1,
+           CAST(sum(CASE WHEN p_partkey IS NOT NULL THEN CAST(p_retailprice AS DECIMAL(12,2)) END) AS DECIMAL(20,2)) AS v2
+    FROM lineitem LEFT JOIN (SELECT * FROM part WHERE p_size <= 25) p ON l_partkey = p_partkey
+    """,
+)
+def h2o_join_medium_left(spark, sf_dir):
+    """H2O join q03 (q03.sql: x LEFT JOIN medium USING (id2)): the
+    row-preserving outer variant — misses survive with NULL payload (the
+    medium side is size-filtered so misses actually occur), checksums count
+    both total and matched rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 25)
+    return li.join(
+        maybe_broadcast(p, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"), "left"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("p_partkey").alias("matched"),
+        money.sum_money("l_extendedprice", out="decimal(20,2)").alias("v1"),
+        money.units_to_decimal(
+            F.sum(F.when(F.col("p_partkey").isNotNull(), money.cents("p_retailprice"))),
+            2,
+            "decimal(20,2)",
+        ).alias("v2"),
+    )
+
+
+@query(
+    "h2o_join_string_key",
+    cast_double=["v1", "v2"],
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS v1,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS v2
+    FROM (SELECT *, 'id' || CAST(o_custkey AS VARCHAR) AS sk FROM orders) x
+    JOIN (SELECT *, 'id' || CAST(c_custkey AS VARCHAR) AS sk FROM customer) m
+      USING (sk)
+    """,
+)
+def h2o_join_string_key(spark, sf_dir):
+    """H2O join q04 (q04.sql: x JOIN medium USING (id5) — the STRING-key
+    variant): both sides derive an 'id<N>' string key (h2o's id5 format)
+    and join on it — same cardinality as the int join, but the hash table
+    keys are strings, which is the suite's point (string hashing +
+    comparison cost)."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "sk", F.concat(F.lit("id"), F.col("o_custkey").cast("string"))
+    )
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "sk", F.concat(F.lit("id"), F.col("c_custkey").cast("string"))
+    )
+    return o.join(maybe_broadcast(c, sf_dir, "customer"), "sk").agg(
+        F.count(F.lit(1)).alias("n"),
+        money.sum_money("o_totalprice", out="decimal(20,2)").alias("v1"),
+        money.sum_money("c_acctbal", out="decimal(20,2)").alias("v2"),
+    )
+
+
+@query(
+    "h2o_join_big_big",
+    cast_double=["v1", "v2"],
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS v1,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS v2
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def h2o_join_big_big(spark, sf_dir):
+    """H2O join q05 (q05.sql: x JOIN big USING (id3)): both sides scale
+    with the dataset — at 100 TB neither fits an executor, so this MUST run
+    as a co-partitioned shuffle join. orders never gets a broadcast hint
+    (it is not behind maybe_broadcast here, deliberately): both sides
+    exchange on the key and AQE cannot be tempted into an OOM broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).agg(
+        F.count(F.lit(1)).alias("n"),
+        money.sum_money("l_extendedprice", out="decimal(20,2)").alias("v1"),
+        money.sum_money("o_totalprice", out="decimal(20,2)").alias("v2"),
     )

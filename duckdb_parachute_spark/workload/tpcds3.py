@@ -470,7 +470,7 @@ def tpcds_q34(spark, sf_dir):
                   JOIN customer ON o_custkey = c_custkey
                   JOIN nation   ON c_nationkey = n_nationkey
     WHERE l_shipdate >= {_TS96} AND l_shipdate < {_TS97}
-      AND (n_name IN ('FRANCE', 'GERMANY', 'EGYPT')
+      AND (n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
            OR c_custkey IN (SELECT o_custkey FROM orders
                             GROUP BY o_custkey HAVING count(*) >= 15))
     GROUP BY n_name
@@ -509,7 +509,7 @@ def tpcds_q45(spark, sf_dir):
             "left",
         )
         .where(
-            F.col("n_name").isin("FRANCE", "GERMANY", "EGYPT")
+            F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11")
             | F.col("__freq").isNotNull()
         )
         .groupBy("n_name")
@@ -1274,7 +1274,7 @@ def tpcds_q92(spark, sf_dir):
     FROM lineitem JOIN part     ON l_partkey = p_partkey
                   JOIN supplier ON l_suppkey = s_suppkey
                   JOIN nation   ON s_nationkey = n_nationkey
-    WHERE p_size = 25 AND n_name = 'CHINA'
+    WHERE p_size = 25 AND n_name = 'NATION_5'
       AND l_quantity BETWEEN 10 AND 40
       AND l_shipdate >= {_TS96} AND l_shipdate < {_TS97}
     """,
@@ -1292,7 +1292,7 @@ def tpcds_q96(spark, sf_dir):
         & (F.col("l_shipdate") < _ntz("1997-01-01 00:00:00"))
     )
     p = load_table(spark, sf_dir, "part").where(F.col("p_size") == 25).select("p_partkey")
-    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "CHINA")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_5")
     s = (
         load_table(spark, sf_dir, "supplier")
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
