@@ -15,6 +15,19 @@ aggregates, staying fully JVM-side:
     EXCLUDE CURRENT ROW = total - value
     EXCLUDE GROUP       = total - peer_sum
     EXCLUDE TIES        = total - peer_sum + value
+- EXCLUDE over a BOUNDED ROWS frame (round 6): peers (rows tied on the
+  ORDER value) are CONTIGUOUS in the sort, so the peer members inside the
+  global frame [i-p, i+f] are exactly a p-PRECEDING/f-FOLLOWING ROWS frame
+  inside the peer partition. Two native window sums — one over the global
+  frame, one over the peer-partitioned frame — give all three modes by
+  arithmetic, no joins, no data movement beyond the one partition sort.
+- Arbitrary aggregates over GROUPS frames (round 6): partial-combinable
+  aggregates (sum/count/avg/min/max) combine per-peer-group partials under
+  the ROWS frame; holistic aggregates get the frame's values as a flattened
+  array (groups_frame_collect) and evaluate as an array expression — the
+  same raw-value re-aggregation the reference's segment tree performs
+  (src/function/window/window_segment_tree.cpp), expressed as Catalyst
+  higher-order functions.
 """
 
 from __future__ import annotations
@@ -51,6 +64,132 @@ def groups_frame_sum(
         .drop("__gs", "__gi")
     )
     return df.join(framed, [*part, order])
+
+
+def groups_frame_agg(
+    df: DataFrame,
+    part: list[str],
+    order: str,
+    value: Column,
+    preceding: int,
+    following: int,
+    prefix: str = "groups_",
+) -> DataFrame:
+    """sum/count/avg/min/max of ``value`` over a GROUPS frame, as columns
+    ``{prefix}sum`` / ``{prefix}count`` / ``{prefix}avg`` / ``{prefix}min``
+    / ``{prefix}max``.
+
+    Generalizes groups_frame_sum to every partial-combinable aggregate: the
+    peer groups are pre-aggregated to (sum, count, min, max) partials, the
+    ROWS frame over the group table combines partials, and the result joins
+    back on the order value. avg is the exact sum/count quotient at the
+    final grain (never an average of averages)."""
+    grouped = df.groupBy(*part, order).agg(
+        F.sum(value).alias("__s"),
+        F.count(value).alias("__c"),
+        F.min(value).alias("__mn"),
+        F.max(value).alias("__mx"),
+    )
+    w_idx = Window.partitionBy(*part).orderBy(order)
+    w_frame = Window.partitionBy(*part).orderBy("__gi").rowsBetween(-preceding, following)
+    framed = (
+        grouped.withColumn("__gi", F.row_number().over(w_idx))
+        .withColumn(f"{prefix}sum", F.sum("__s").over(w_frame))
+        .withColumn(f"{prefix}count", F.sum("__c").over(w_frame))
+        .withColumn(f"{prefix}min", F.min("__mn").over(w_frame))
+        .withColumn(f"{prefix}max", F.max("__mx").over(w_frame))
+        .withColumn(
+            f"{prefix}avg",
+            F.col(f"{prefix}sum").cast("double") / F.col(f"{prefix}count"),
+        )
+        .drop("__s", "__c", "__mn", "__mx", "__gi")
+    )
+    return df.join(framed, [*part, order])
+
+
+def groups_frame_collect(
+    df: DataFrame,
+    part: list[str],
+    order: str,
+    value: Column,
+    preceding: int,
+    following: int,
+    out: str = "groups_vals",
+) -> DataFrame:
+    """The raw values of a GROUPS frame as an array column ``out`` — the
+    holistic-aggregate path (median/quantile/mode run as array expressions
+    over it). Peer groups collect their values once; the ROWS frame over
+    the group table concatenates the per-group arrays."""
+    grouped = df.groupBy(*part, order).agg(F.collect_list(value).alias("__vals"))
+    w_idx = Window.partitionBy(*part).orderBy(order)
+    w_frame = Window.partitionBy(*part).orderBy("__gi").rowsBetween(-preceding, following)
+    framed = (
+        grouped.withColumn("__gi", F.row_number().over(w_idx))
+        .withColumn(out, F.flatten(F.collect_list("__vals").over(w_frame)))
+        .drop("__vals", "__gi")
+    )
+    return df.join(framed, [*part, order])
+
+
+def array_median(arr: Column) -> Column:
+    """Exact median of a numeric array (lower/upper-middle average on even
+    counts — the reference's quantile_cont at 0.5), as a pure expression."""
+    sorted_arr = F.array_sort(arr)
+    n = F.size(sorted_arr)
+    lo = F.element_at(sorted_arr, ((n + 1) / 2).cast("int")).cast("double")
+    hi = F.element_at(sorted_arr, ((n + 2) / 2).cast("int")).cast("double")
+    return (lo + hi) / 2
+
+
+def exclude_rows_sums(
+    df: DataFrame,
+    part: list[str],
+    order: str,
+    value: Column,
+    preceding: int,
+    following: int,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """All three EXCLUDE modes of sum(value) over a BOUNDED
+    ROWS BETWEEN preceding PRECEDING AND following FOLLOWING frame, as
+    columns excl_current / excl_group / excl_ties.
+
+    Identity: rows tied on the ORDER value sort contiguously, so the frame's
+    intersection with the current row's peer group is itself a
+    p-PRECEDING/f-FOLLOWING ROWS frame within the peer partition. Hence
+        frame_sum  = sum OVER (part          ORDER BY idx ROWS p..f)
+        peer_part  = sum OVER (part ∪ {order} ORDER BY idx ROWS p..f)
+        EXCLUDE CURRENT ROW = frame_sum - value
+        EXCLUDE GROUP       = frame_sum - peer_part
+        EXCLUDE TIES        = frame_sum - peer_part + value
+    — two native window sums, zero joins.
+
+    ROWS-frame results are only well-defined up to tie order; pass
+    ``tiebreak`` columns to pin a total order (both sums share the one idx,
+    so the output is always self-consistent regardless)."""
+    tb = tiebreak or []
+    w_idx = Window.partitionBy(*part).orderBy(order, *tb)
+    d = df.withColumn("__idx", F.row_number().over(w_idx)).withColumn("__v", value)
+    w_global = Window.partitionBy(*part).orderBy("__idx").rowsBetween(-preceding, following)
+    w_peer = (
+        Window.partitionBy(*part, order).orderBy("__idx").rowsBetween(-preceding, following)
+    )
+    frame_sum = F.sum("__v").over(w_global)
+    peer_part = F.sum("__v").over(w_peer)
+    frame_cnt = F.count("__v").over(w_global)
+    peer_cnt = F.count("__v").over(w_peer)
+    # SQL: an aggregate over an EMPTY post-exclusion frame is NULL, not 0 —
+    # the subtraction identities must not manufacture a zero there.
+    return (
+        d.withColumn(
+            "excl_current",
+            F.when(frame_cnt > 1, frame_sum - F.col("__v")),
+        )
+        .withColumn("excl_group", F.when(frame_cnt > peer_cnt, frame_sum - peer_part))
+        # EXCLUDE TIES keeps the current row, so the frame is never empty.
+        .withColumn("excl_ties", frame_sum - peer_part + F.col("__v"))
+        .drop("__idx", "__v")
+    )
 
 
 def exclude_sums(

@@ -323,3 +323,278 @@ def job_snowflake_depth(spark, sf_dir):
         )
         .orderBy("r_name")
     )
+
+
+@query(
+    "job_cycle_closure",
+    oracle="""
+    SELECT min(s_name) AS first_supplier, min(c_name) AS first_customer,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE s_nationkey = c_nationkey
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    """,
+)
+def job_cycle_closure(spark, sf_dir):
+    """JOB cycle shape (reference 5*/17*-style cyclic join graphs: the join
+    graph closes a loop — here fact->supplier and fact->orders->customer
+    both reach nationkey, and the cycle-closing predicate
+    s_nationkey = c_nationkey is NOT an edge the optimizer can use as a
+    driving join; it must be applied as a residual filter after the chain.
+    JOB exists to punish planners that pick the cycle edge first."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(maybe_broadcast(s, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(maybe_broadcast(c, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("s_nationkey") == F.col("c_nationkey"))
+        .agg(
+            F.min("s_name").alias("first_supplier"),
+            F.min("c_name").alias("first_customer"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "job_dim_only_chain",
+    oracle="""
+    SELECT min(s_name) AS first_supplier, min(n_name) AS first_nation,
+           CAST(count(*) AS BIGINT) AS n
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name IN ('EUROPE', 'ASIA') AND s_acctbal > 0
+    """,
+)
+def job_dim_only_chain(spark, sf_dir):
+    """JOB dim-only chain (reference 6*-style queries touching only
+    dimension tables — keyword->movie_keyword->title without the big cast
+    fact): supplier->nation->region with no fact table at all. The entire
+    plan should be broadcast joins with zero exchanges of anything
+    fact-sized."""
+    s = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 0)
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name").isin("EUROPE", "ASIA"))
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .agg(
+            F.min("s_name").alias("first_supplier"),
+            F.min("n_name").alias("first_nation"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "job_multi_like_disjunction",
+    oracle="""
+    SELECT min(p_name) AS first_part, min(p_brand) AS first_brand,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE (p_name LIKE 'red%' OR p_name LIKE 'blue%' OR p_name LIKE '%gear%'
+           OR p_name LIKE '%anvil%')
+      AND l_quantity >= 25
+    """,
+)
+def job_multi_like_disjunction(spark, sf_dir):
+    """JOB multi-LIKE shape (reference 14*/19*-style info_type/keyword
+    batteries: a dim filtered by a union of LIKE patterns): four OR'd LIKEs
+    on the part dim. The disjunction still prunes the dim BEFORE the fact
+    join — the filtered part side stays broadcastable and lineitem never
+    shuffles."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 25)
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("red%")
+        | F.col("p_name").like("blue%")
+        | F.col("p_name").like("%gear%")
+        | F.col("p_name").like("%anvil%")
+    )
+    return li.join(maybe_broadcast(p, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey")).agg(
+        F.min("p_name").alias("first_part"),
+        F.min("p_brand").alias("first_brand"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "job_star_wide_five",
+    oracle="""
+    SELECT min(p_name) AS first_part, min(s_name) AS first_supplier,
+           min(c_name) AS first_customer, min(n_name) AS first_nation,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE p_size BETWEEN 10 AND 20
+      AND n_name IN ('NATION_2', 'NATION_12', 'NATION_22')
+      AND o_orderstatus = 'F'
+    """,
+)
+def job_star_wide_five(spark, sf_dir):
+    """JOB wide-star shape (reference 13*/23*-style 6+-table stars): five
+    joined tables with selectivity split across three of them. The planner
+    must order part/nation/status filters ahead of the two fact-sized
+    joins; lineitem and orders co-shuffle on orderkey once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size").between(10, 20))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_2", "NATION_12", "NATION_22")
+    )
+    return (
+        li.join(maybe_broadcast(p, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(s, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(maybe_broadcast(c, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .agg(
+            F.min("p_name").alias("first_part"),
+            F.min("s_name").alias("first_supplier"),
+            F.min("c_name").alias("first_customer"),
+            F.min("n_name").alias("first_nation"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "job_repeated_dim_roles",
+    oracle="""
+    SELECT min(n1.n_name) AS supp_nation, min(n2.n_name) AS cust_nation,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_name = 'NATION_4' AND n2.n_regionkey <> n1.n_regionkey
+    """,
+)
+def job_repeated_dim_roles(spark, sf_dir):
+    """JOB repeated-dim shape (reference queries joining name AS n1 and
+    name AS n2 under different roles): the SAME dimension appears twice —
+    supplier's nation pinned to one value, customer's nation constrained
+    relative to it (different region). Each role gets its own broadcast;
+    the cross-role predicate is residual."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    nt = load_table(spark, sf_dir, "nation")
+    n1 = nt.where(F.col("n_name") == "NATION_4").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("supp_nation_name"),
+        F.col("n_regionkey").alias("n1_region"),
+    )
+    n2 = nt.select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("cust_nation_name"),
+        F.col("n_regionkey").alias("n2_region"),
+    )
+    return (
+        li.join(maybe_broadcast(s, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(maybe_broadcast(c, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(F.col("n2_region") != F.col("n1_region"))
+        .agg(
+            F.min("supp_nation_name").alias("supp_nation"),
+            F.min("cust_nation_name").alias("cust_nation"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "job_two_fact_selective_ends",
+    oracle="""
+    SELECT min(o_orderdate) AS first_date, min(p_brand) AS first_brand,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE p_brand = 'Brand#7'
+      AND c_mktsegment = 'MACHINERY'
+      AND o_orderpriority = '1-URGENT'
+    """,
+)
+def job_two_fact_selective_ends(spark, sf_dir):
+    """JOB bridged-facts shape (reference 22*-style: cast_info and
+    movie_info both constrained through their own dims): two fact-sized
+    tables (orders, lineitem) joined in the middle while BOTH ends carry
+    the selective predicates (brand point filter on the part end, segment +
+    priority on the customer end). The planner must push both ends down
+    before the central fact-fact join."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#7")
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "MACHINERY")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(maybe_broadcast(p, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            maybe_broadcast(c, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_semi",
+        )
+        .agg(
+            F.min("o_orderdate").alias("first_date"),
+            F.min("p_brand").alias("first_brand"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "job_like_chain_topmin",
+    oracle="""
+    SELECT min(p_name) AS first_part, min(o_orderdate) AS first_date,
+           CAST(count(*) AS BIGINT) AS n
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%widget%'
+      AND p_type = 'PROMO'
+      AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    """,
+)
+def job_like_chain_topmin(spark, sf_dir):
+    """JOB LIKE-driven chain (reference 8*-style: a LIKE-filtered dim at
+    the head of a chain, MIN outputs): the doubly-filtered part dim (LIKE +
+    type equality) drives lineitem then orders. The dim filter lands in the
+    scan; the chain keeps ONE fact shuffle (lineitem-orders on orderkey)."""
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("%widget%") & (F.col("p_type") == "PROMO")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        li.join(maybe_broadcast(p, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .agg(
+            F.min("p_name").alias("first_part"),
+            F.min("o_orderdate").alias("first_date"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
