@@ -32,6 +32,11 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "sim_ivf_pruned_probe",
     "text_quality_scores",
+    # round-6 additions (VERDICT item 10): dynamic pivot, reservoir sample,
+    # and a tranche-3 TPC-DS shape (union + day pivot + YoY self-join)
+    "pivot_dynamic_values",
+    "sample_reservoir_fixed",
+    "tpcds_q2_week_pivot_yoy",
 ]
 
 

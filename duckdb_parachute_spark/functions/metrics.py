@@ -80,43 +80,123 @@ def to_base(n: Column, base: int) -> Column:
     return F.conv(n.cast("string"), 10, base)
 
 
-def _accent_tables() -> tuple[str, str]:
-    """Generate full-BMP accent-fold tables at import time.
+#: Marks by current Python Unicode data that the reference's bundled
+#: utf8proc (older Unicode tables) does NOT know, and therefore passes
+#: through strip_accents unchanged. Derived empirically: probed every
+#: mark/decomposable codepoint through DuckDB's strip_accents and kept the
+#: divergers (all are characters added in Unicode 14+). Excluded from our
+#: strip sets so both engines agree byte-for-byte.
+_UTF8PROC_UNKNOWN_MARKS = frozenset(
+    int(h, 16)
+    for h in (
+        "898 899 89a 89b 89c 89d 89e 89f 8ca 8cb 8cc 8cd 8ce 8cf 8d0 8d1 8d2 "
+        "b55 c3c d81 1715 180f 1abf 1ac0 1ac1 1ac2 1ac3 1ac4 1ac5 1ac6 1ac7 "
+        "1ac8 1ac9 1aca 1acb 1acc 1acd 1ace 1dfa a82c 10eab 10eac 10f82 10f83 "
+        "10f84 10f85 11070 11073 11074 110c2 111ce 111cf 11930 11931 11932 "
+        "11933 11934 11935 11937 11938 1193b 1193c 1193d 1193e 11940 11942 "
+        "11943 16fe4 16ff0 16ff1 1e2ae "
+        + " ".join(f"{cp:x}" for cp in range(0x1CF00, 0x1CF2E))
+        + " "
+        + " ".join(f"{cp:x}" for cp in range(0x1CF30, 0x1CF47))
+    ).split()
+)
 
-    The reference's strip_accents (utf8proc-based) removes combining marks
-    under CANONICAL decomposition only — 'é'→'e', 'ώ'→'ω', 'ё'→'е', and a
-    bare U+0301 is deleted, while compatibility forms ('ﬁ', 'ĳ') pass
-    through. The same semantics fit a single JVM-side translate: every BMP
-    codepoint whose NFD is one base letter plus combining marks maps to the
-    base, and every standalone combining mark (category Mn) maps to nothing
-    (translate deletes src chars beyond the dst length — they must sit at
-    the END of src)."""
-    import sys
+_STRIP_CATS = {"Mn", "Mc", "Me"}  # utf8proc STRIPMARK removes all three
+
+
+def _classify(cp: int) -> tuple[str, str] | None:
+    """(char, replacement) if strip_accents rewrites this codepoint, else
+    None. Three rewrite classes, matching utf8proc's decompose(STRIPMARK)
+    + recompose pipeline:
+    - standalone marks (Mn/Mc/Me) -> deleted;
+    - base+marks canonical decompositions -> the base char ('é'→'e');
+    - SINGLETON canonical decompositions -> the canonical char (CJK
+      compatibility ideographs: U+F902 '車'→U+8ECA; singletons never
+      recompose under NFC, so the reference emits the target).
+    Marks unknown to the reference's older utf8proc are left alone."""
     import unicodedata
 
-    src, dst, marks = [], [], []
-    for cp in range(0x80, 0x10000):
+    if cp in _UTF8PROC_UNKNOWN_MARKS:
+        return None
+    ch = chr(cp)
+    if unicodedata.category(ch) in _STRIP_CATS:
+        return (ch, "")
+    d = unicodedata.normalize("NFD", ch)
+    if len(d) >= 2 and all(unicodedata.category(c) in _STRIP_CATS for c in d[1:]):
+        # all-marks decomposition strips entirely; otherwise fold to base
+        return (ch, "") if unicodedata.category(d[0]) in _STRIP_CATS else (ch, d[0])
+    if len(d) == 1 and d != ch:
+        return (ch, d)
+    return None
+
+
+def _accent_tables() -> tuple[str, str, list[tuple[str, str]]]:
+    """Accent-fold tables at import time: a BMP (src, dst) pair for one
+    JVM-side translate — deletions sit at the END of src past dst's length,
+    which is how translate spells char removal — plus the astral rewrite
+    list. `translate` maps UTF-16 CODE UNITS, so astral chars (surrogate
+    pairs) can't ride it; they take the codepoint-map path below."""
+    src, dst, deleted, astral = [], [], [], []
+    for cp in range(0x80, 0x110000):
         if 0xD800 <= cp <= 0xDFFF:
             continue
-        ch = chr(cp)
-        if unicodedata.category(ch) == "Mn":
-            marks.append(ch)
+        rw = _classify(cp)
+        if rw is None:
             continue
-        d = unicodedata.normalize("NFD", ch)
-        if len(d) >= 2 and all(unicodedata.category(c) == "Mn" for c in d[1:]):
+        ch, repl = rw
+        if cp >= 0x10000:
+            astral.append((ch, repl))
+        elif repl:
             src.append(ch)
-            dst.append(d[0])
-    return "".join(src) + "".join(marks), "".join(dst)
+            dst.append(repl)
+        else:
+            deleted.append(ch)
+    return "".join(src) + "".join(deleted), "".join(dst), astral
 
 
-_ACCENT_SRC, _ACCENT_DST = _accent_tables()
+_ACCENT_SRC, _ACCENT_DST, _ASTRAL_TABLE = _accent_tables()
+_ASTRAL_RE = "[\\x{10000}-\\x{10FFFF}]"
+_ASTRAL_MAP_SQL: str | None = None
+
+
+def _astral_map() -> Column:
+    """Literal codepoint->replacement map for the astral rewrites (~1.4k
+    entries: CJK-compat singletons, 4 base+mark folds, astral marks -> '').
+    Built as ONE SQL literal so construction is a single parse, and
+    constant-folded by Catalyst into a literal map evaluated once."""
+    global _ASTRAL_MAP_SQL
+    if _ASTRAL_MAP_SQL is None:
+
+        def q(x: str) -> str:
+            return "'" + x.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+        keys = ",".join(q(ch) for ch, _ in _ASTRAL_TABLE)
+        vals = ",".join(q(repl) for _, repl in _ASTRAL_TABLE)
+        _ASTRAL_MAP_SQL = f"map_from_arrays(array({keys}), array({vals}))"
+    return F.expr(_ASTRAL_MAP_SQL)
 
 
 def strip_accents(s: Column) -> Column:
-    """Unicode accent folding (reference strip_accents semantics): combining
-    marks are stripped under canonical decomposition for the whole BMP, for
-    precomposed and decomposed input alike — one JVM-side translate, no UDF."""
-    return F.translate(s, _ACCENT_SRC, _ACCENT_DST)
+    """Unicode accent folding (reference strip_accents semantics — utf8proc
+    decompose(STRIPMARK) + recompose): marks of categories Mn/Mc/Me are
+    stripped under canonical decomposition across ALL planes, singleton
+    canonical decompositions (CJK compatibility ideographs) fold to their
+    canonical char, for precomposed and decomposed input alike. One
+    JVM-side translate covers the BMP; strings that actually contain
+    supplementary-plane characters (rlike-gated, rare) additionally run a
+    codepoint-map pass — split('') is codepoint-aware, so surrogate pairs
+    survive intact. No UDF anywhere. Known residual: decomposed Hangul
+    Jamo sequences are not recomposed (the reference's NFC pass would;
+    no mark stripping is involved)."""
+    out = F.translate(s, _ACCENT_SRC, _ACCENT_DST)
+    astral_mapped = F.array_join(
+        F.transform(
+            F.split(out, ""),
+            lambda c: F.coalesce(F.element_at(_astral_map(), c), c),
+        ),
+        "",
+    )
+    return F.when(out.rlike(_ASTRAL_RE), astral_mapped).otherwise(out)
 
 
 # -- DP metrics as Arrow-vectorized UDFs -------------------------------------

@@ -71,6 +71,26 @@ def read_event_stream(
     return raw
 
 
+def align_batch_types(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Bridge the stream/batch timestamp-type split in ONE place: cast every
+    TimestampType column (or just ``cols``) to TIMESTAMP_NTZ, the type the
+    batch catalog normalizes to (catalog.load_table).
+
+    Structured Streaming REQUIRES event-time columns to be TimestampType
+    (withWatermark rejects NTZ), while the batch side is NTZ by design
+    (timezone-free parquet nanos); the session pins UTC, so this cast is
+    value-preserving. Route every stream output headed for a batch
+    comparison or join through here rather than casting at call sites — a
+    missed cast makes Spark silently coerce a join key and (under a
+    non-UTC session someone sets later) silently SHIFT it."""
+    from pyspark.sql.types import TimestampType
+
+    names = cols or [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampType)]
+    for c in names:
+        df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
+    return df
+
+
 def windowed_counts(
     events: DataFrame,
     window_duration: str = "1 hour",

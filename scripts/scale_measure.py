@@ -1,0 +1,172 @@
+"""Measured scale-up (round-6 VERDICT item 6): convert the 100 TB
+fixed-floor-amortization claim from plan-shape argument into numbers.
+
+Generates a one-off 10x-sf0.1-equivalent dataset (facts replicated with
+key shifts; documents word-salted per copy so cross-copy texts are NOT
+near-duplicates and the dup rate stays linear), then times three
+compute-bound queries on BOTH engines at 1x and 10x:
+
+    dedup_minhash_pairs   (documents)
+    tpcds_q67_rollup_topk (lineitem + part)
+    window_ranks          (events)
+
+Usage:  python scripts/scale_measure.py [factor]   (default 10)
+
+Prints a markdown table for BASELINE.md. Writes the synthetic data under
+/tmp/parachute_scaleup/ — nothing outside the repo or /tmp is touched.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = f"/tmp/parachute_scaleup/x{FACTOR}"
+QUERIES = ["dedup_minhash_pairs", "tpcds_q67_rollup_topk", "window_ranks"]
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+
+
+def generate(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from duckdb_parachute_spark.catalog import load_table
+
+    if os.path.exists(OUT):
+        shutil.rmtree(OUT)
+    os.makedirs(OUT, exist_ok=True)
+    copies = list(range(FACTOR))
+
+    # Facts replicate with shifted keys (distinct entities per copy, same
+    # per-key row counts — the realistic scale-up shape); dims stay 1x.
+    li = load_table(spark, SRC, "lineitem")
+    max_ok = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+    li_n = None
+    ev = load_table(spark, SRC, "events")
+    max_ev = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    docs = load_table(spark, SRC, "documents")
+    max_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+
+    for i in copies:
+        part_li = li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * max_ok))
+        li_n = part_li if li_n is None else li_n.unionAll(part_li)
+    li_n.write.mode("overwrite").parquet(os.path.join(OUT, "lineitem.parquet"))
+
+    ev_n = None
+    for i in copies:
+        p = ev.withColumn("event_id", F.col("event_id") + F.lit(i * max_ev)).withColumn(
+            "user_id", F.col("user_id") + F.lit(i * 1000)
+        )
+        ev_n = p if ev_n is None else ev_n.unionAll(p)
+    ev_n.write.mode("overwrite").parquet(os.path.join(OUT, "events.parquet"))
+
+    # Word-salt each copy's text: every token gets a copy suffix, so shingle
+    # sets across copies are disjoint (cross-copy Jaccard = 0) and the
+    # near-dup pair count scales LINEARLY with the factor instead of
+    # quadratically pairing identical replicas.
+    d_n = None
+    for i in copies:
+        p = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * max_doc)).withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "), lambda w: F.concat(w, F.lit(f"_{i}"))
+                ),
+                " ",
+            ),
+        )
+        d_n = p if d_n is None else d_n.unionAll(p)
+    d_n.write.mode("overwrite").parquet(os.path.join(OUT, "documents.parquet"))
+
+    for t in TABLES:
+        dst = os.path.join(OUT, f"{t}.parquet")
+        if not os.path.exists(dst):
+            src = os.path.join(SRC, f"{t}.parquet")
+            (shutil.copytree if os.path.isdir(src) else shutil.copy)(src, dst)
+
+
+def time_spark(spark, sf_dir: str) -> dict[str, float]:
+    from duckdb_parachute_spark.workload import load_all
+
+    qs = load_all()
+    out = {}
+    for name in QUERIES:
+        df = qs[name].fn(spark, sf_dir)
+        df.count()  # warm (codegen, file listing)
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            qs[name].fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    return out
+
+
+def time_duckdb(sf_dir: str) -> dict[str, float]:
+    import duckdb
+
+    from duckdb_parachute_spark.workload import load_all
+
+    qs = load_all()
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count()}")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(sf_dir, f'{t}.parquet')}'"
+        )
+    out = {}
+    for name in QUERIES:
+        sql = qs[name].oracle
+        con.execute(sql).fetchall()  # warm
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    return out
+
+
+def main() -> None:
+    from duckdb_parachute_spark import get_session
+    from duckdb_parachute_spark.session import scaled_shuffle_partitions
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    spark = get_session(app_name="parachute-scale", master=f"local[{cpus}]")
+    print(f"generating {FACTOR}x data under {OUT} ...", file=sys.stderr)
+    generate(spark)
+    spark.stop()
+
+    results = {}
+    for tag, sf_dir in [("1x", SRC), (f"{FACTOR}x", OUT)]:
+        spark = get_session(
+            app_name=f"parachute-scale-{tag}",
+            master=f"local[{cpus}]",
+            shuffle_partitions=scaled_shuffle_partitions(sf_dir),
+        )
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        s = time_spark(spark, sf_dir)
+        spark.stop()
+        d = time_duckdb(sf_dir)
+        results[tag] = (s, d)
+        print(f"{tag}: spark={s} duckdb={d}", file=sys.stderr)
+
+    print("\n| query | DuckDB 1x | Spark 1x | ratio 1x | "
+          f"DuckDB {FACTOR}x | Spark {FACTOR}x | ratio {FACTOR}x |")
+    print("|---|---|---|---|---|---|---|")
+    s1, d1 = results["1x"]
+    sN, dN = results[f"{FACTOR}x"]
+    for q in QUERIES:
+        r1 = s1[q] / d1[q] if d1[q] else float("nan")
+        rN = sN[q] / dN[q] if dN[q] else float("nan")
+        print(f"| {q} | {d1[q]:.3f} | {s1[q]:.3f} | {r1:.2f}x "
+              f"| {dN[q]:.3f} | {sN[q]:.3f} | {rN:.2f}x |")
+
+
+if __name__ == "__main__":
+    main()

