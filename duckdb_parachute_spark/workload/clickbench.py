@@ -20,7 +20,6 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from duckdb_parachute_spark.catalog import load_table
-from duckdb_parachute_spark.functions import money
 from duckdb_parachute_spark.workload import query
 
 

@@ -23,6 +23,8 @@ import shutil
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = f"/tmp/parachute_scaleup/x{FACTOR}"
@@ -91,17 +93,26 @@ def generate(spark) -> None:
 
 
 def time_spark(spark, sf_dir: str) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
     from duckdb_parachute_spark.workload import load_all
 
     qs = load_all()
     out = {}
     for name in QUERIES:
         df = qs[name].fn(spark, sf_dir)
-        df.count()  # warm (codegen, file listing)
+
+        # bench.py's forcer: hash-aggregate EVERY column so Catalyst cannot
+        # prune the window/sort/join work a bare count() would skip.
+        def force():
+            d = qs[name].fn(spark, sf_dir)
+            d.agg(F.sum(F.hash(*[F.col(c) for c in d.columns]))).collect()
+
+        force()  # warm (codegen, file listing)
         best = float("inf")
         for _ in range(RUNS):
             t0 = time.perf_counter()
-            qs[name].fn(spark, sf_dir).count()
+            force()
             best = min(best, time.perf_counter() - t0)
         out[name] = round(best, 3)
     return out
@@ -116,9 +127,10 @@ def time_duckdb(sf_dir: str) -> dict[str, float]:
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(sf_dir, f'{t}.parquet')}'"
-        )
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        # Spark writes a DIRECTORY of part files; DuckDB wants a glob then.
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     out = {}
     for name in QUERIES:
         sql = qs[name].oracle

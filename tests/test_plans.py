@@ -278,3 +278,50 @@ def test_tpcds_q25_fact_coshuffle(no_aqe, spark, sf_dir):
     # dims broadcast — exactly the two fact exchanges, nothing else.
     s = assert_plan(_q("tpcds_q25_threeway_chain", spark, sf_dir), max_shuffles=3)
     assert "CartesianProduct" not in s.text and "BroadcastNestedLoop" not in s.text
+
+
+def test_h2o_big_big_is_shuffle_join(no_aqe, spark, sf_dir):
+    # Both sides scale with the dataset, so neither carries a broadcast
+    # HINT. At test SF the size-based autoBroadcastJoinThreshold still
+    # (correctly) broadcasts tiny orders; disabling it must yield a
+    # SortMergeJoin — proving the plan's broadcast is the planner's
+    # size-based call, not a forced hint that would OOM at 100 TB.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        s = assert_plan(_q("h2o_join_big_big", spark, sf_dir), max_shuffles=3)
+        assert "BroadcastHashJoin" not in s.text
+        assert "SortMergeJoin" in s.text
+        assert "CartesianProduct" not in s.text
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_job_cycle_closure_no_cartesian(no_aqe, spark, sf_dir):
+    # The cycle-closing predicate (s_nationkey = c_nationkey) must ride the
+    # equi-join chain as a residual filter, never become a join-less cross.
+    s = assert_plan(_q("job_cycle_closure", spark, sf_dir))
+    assert "CartesianProduct" not in s.text
+    assert "BroadcastNestedLoop" not in s.text
+
+
+def test_q72_week_offset_join_bounded(no_aqe, spark, sf_dir):
+    # Inventory week-offset join: partkey equality bounds the blowup; the
+    # two range predicates ride the equi-join — no nested loop, no cartesian.
+    s = assert_plan(_q("tpcds_q72_inventory_week_offset", spark, sf_dir))
+    assert "CartesianProduct" not in s.text
+    assert "BroadcastNestedLoop" not in s.text
+
+
+def test_q17_fact_fact_coshuffle(no_aqe, spark, sf_dir):
+    # Sale/return fact-fact join: both slices exchange on the SAME orderkey,
+    # then one agg shuffle — bounded total, no broadcast of a fact slice.
+    assert_plan(_q("tpcds_q17_sale_return_stats", spark, sf_dir), max_shuffles=4)
+
+
+def test_exclude_bounded_no_joins(no_aqe, spark, sf_dir):
+    # The bounded-ROWS EXCLUDE rewrite is pure window arithmetic: two window
+    # specs (global idx frame + peer-partitioned frame) and the final group —
+    # NO join anywhere in the plan.
+    s = assert_plan(_q("window_exclude_bounded", spark, sf_dir))
+    assert "Join" not in s.text
