@@ -148,7 +148,13 @@ def ivf_build_centroids(
         .orderBy("__h")
         .limit(n_centroids)
         .select(
-            F.row_number().over(Window.orderBy("__h")).alias("centroid_id"),
+            # The global window is BOUNDED by the preceding limit(n_centroids)
+            # — ≤ n_centroids rows ever reach it. The constant partition key
+            # says so explicitly (and silences WindowExec's moving-all-data
+            # warning, which is about unbounded inputs).
+            F.row_number()
+            .over(Window.partitionBy(F.lit(0)).orderBy("__h"))
+            .alias("centroid_id"),
             F.col("__v").alias("centroid"),
         )
     )

@@ -50,12 +50,19 @@ def _hashsafe_oracle(oracle: str, cast_double: tuple, join_arrays: tuple) -> str
     reps += [f"array_to_string({c}, ',') AS {c}" for c in join_arrays]
     # Multi-statement oracles (e.g. CREATE TEMP MACRO …; SELECT …) wrap only
     # the final probe statement — DDL can't sit inside a subquery. Statement
-    # split is the last top-level ';' (no oracle in this corpus carries a
-    # semicolon inside a literal).
+    # split is the last ';' OUTSIDE single-quoted literals (a ';' inside a
+    # string constant must not truncate the probe).
+    split_at = -1
+    in_lit = False
+    for i, ch in enumerate(oracle):
+        if ch == "'":
+            in_lit = not in_lit
+        elif ch == ";" and not in_lit:
+            split_at = i
     prefix = ""
-    if ";" in oracle:
-        prefix, _, oracle = oracle.rpartition(";")
-        prefix += ";\n"
+    if split_at >= 0:
+        prefix = oracle[:split_at] + ";\n"
+        oracle = oracle[split_at + 1 :]
     return f"{prefix}SELECT * REPLACE ({', '.join(reps)}) FROM (\n{oracle}\n) AS _hashsafe"
 
 

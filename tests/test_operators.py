@@ -395,3 +395,60 @@ def test_sql_macros_scalar_and_table(spark):
 
     macros.drop_macro(spark, "t_add_pct")
     macros.drop_macro(spark, "t_big_sq")
+
+
+def test_groups_frame_agg_and_collect(spark):
+    from duckdb_parachute_spark.operators.frames import (
+        array_median,
+        groups_frame_agg,
+        groups_frame_collect,
+    )
+
+    # partition p=1: order groups o=1 {10, 20}, o=2 {30}, o=3 {40}
+    df = spark.createDataFrame(
+        [(1, 1, 10), (1, 1, 20), (1, 2, 30), (1, 3, 40)], "p int, o int, v int"
+    )
+    out = groups_frame_agg(df, ["p"], "o", F.col("v"), preceding=1, following=1)
+    rows = {(r["o"], r["v"]): r for r in out.collect()}
+    # o=1 rows see groups {1,2}: sum 60, count 3, min 10, max 30
+    assert rows[(1, 10)]["groups_sum"] == 60
+    assert rows[(1, 10)]["groups_count"] == 3
+    assert rows[(1, 10)]["groups_min"] == 10
+    assert rows[(1, 10)]["groups_max"] == 30
+    assert abs(rows[(1, 10)]["groups_avg"] - 20.0) < 1e-12
+    # o=2 sees all three groups: sum 100
+    assert rows[(2, 30)]["groups_sum"] == 100
+    # o=3 sees groups {2,3}: sum 70
+    assert rows[(3, 40)]["groups_sum"] == 70
+
+    coll = groups_frame_collect(df, ["p"], "o", F.col("v"), 1, 1, out="vals")
+    med = {
+        r["o"]: r["m"]
+        for r in coll.withColumn("m", array_median(F.col("vals"))).collect()
+    }
+    # o=2 frame values {10,20,30,40}: even count -> (20+30)/2
+    assert med[2] == 25.0
+    # o=3 frame values {30,40}: (30+40)/2
+    assert med[3] == 35.0
+
+
+def test_exclude_rows_sums_identity(spark):
+    from duckdb_parachute_spark.operators.frames import exclude_rows_sums
+
+    # p=1 sorted by o with ties: o values [1,1,2,2,3]; v = o*10 (constant per
+    # peer group, so the frame sums are tie-order independent)
+    df = spark.createDataFrame(
+        [(1, 1, 1), (1, 1, 2), (1, 2, 3), (1, 2, 4), (1, 3, 5)], "p int, o int, id int"
+    ).withColumn("v", F.col("o") * 10)
+    out = exclude_rows_sums(
+        df, ["p"], "o", F.col("v"), preceding=1, following=1, tiebreak=["id"]
+    )
+    got = {r["id"]: (r["excl_current"], r["excl_group"], r["excl_ties"]) for r in out.collect()}
+    # idx order by (o, id): id1(10), id2(10), id3(20), id4(20), id5(30)
+    # id1: frame {id1,id2}=20 -> current: 10, group: NULL (all peers), ties: 10
+    assert got[1] == (10, None, 10)
+    # id3: frame {id2,id3,id4}=50 -> current: 30, group: 10, ties: 30
+    assert got[3] == (30, 10, 30)
+    # id5: frame {id4,id5}=50 -> current: 20; its peer group is just itself,
+    # so group also 20 and ties (which keeps the current row) is the full 50
+    assert got[5] == (20, 20, 50)
