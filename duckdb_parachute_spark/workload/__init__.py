@@ -159,6 +159,7 @@ def load_all() -> dict[str, QueryDef]:
         tpcds,
         tpcds2,
         tpcds3,
+        tpcds4,
         tpch,
         windows,
     )
