@@ -144,7 +144,9 @@ def test_recursive_cte_deep_union_flat_per_iteration(spark):
 
     t40 = run(40)
     t120 = run(120)
-    assert t120 < 5.0 * t40, (
+    # linear scaling gives ~3x; the pre-prefilter quadratic lands near 9x.
+    # 6x keeps headroom for a loaded machine while still separating the two.
+    assert t120 < 6.0 * t40, (
         f"3x deeper recursion cost {t120 / t40:.1f}x (t40={t40:.0f}s, t120={t120:.0f}s) "
         "— per-iteration history cost regressed"
     )
