@@ -11,6 +11,7 @@ import duckdb
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 DEC = st.decimals(
     min_value=Decimal("-99999.99"),
@@ -146,3 +147,102 @@ def test_strip_accents_full_plane_parity(spark, oracle):
         (samples[i], expected[i], got[i]) for i in range(len(samples)) if expected[i] != got[i]
     ]
     assert not bad, f"{len(bad)} mismatches, first: {bad[:3]}"
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=4), st.integers(min_value=1, max_value=5)),
+        min_size=2,
+        max_size=14,
+    ),
+    st.integers(min_value=0, max_value=3),
+    st.integers(min_value=0, max_value=3),
+)
+def test_exclude_rows_sums_matches_duckdb_native(spark, oracle, rows, prec, foll):
+    """exclude_rows_sums' peer-contiguity identity vs DuckDB's NATIVE
+    bounded-ROWS EXCLUDE executor on random fixtures. Values derive from the
+    ORDER key (constant per peer group), so the ROWS-frame sums are
+    tie-order independent, and comparison aggregates per peer group (the
+    permutation-invariant statistic — see window_exclude_bounded)."""
+    from duckdb_parachute_spark.operators.frames import exclude_rows_sums
+
+    data = [(p, o, i, o * 7) for i, (p, o) in enumerate(rows)]
+    df = spark.createDataFrame(data, "p int, o int, id int, v int")
+    got = (
+        exclude_rows_sums(df, ["p"], "o", F.col("v"), prec, foll, tiebreak=["id"])
+        .groupBy("p", "o")
+        .agg(
+            F.sum("excl_current").alias("ec"),
+            F.sum("excl_group").alias("eg"),
+            F.sum("excl_ties").alias("et"),
+        )
+        .collect()
+    )
+    vals = ", ".join(f"({p}, {o}, {i}, {v})" for p, o, i, v in data)
+    exp = {
+        (r[0], r[1]): (r[2], r[3], r[4])
+        for r in oracle.execute(
+            f"""
+            WITH t(p, o, id, v) AS (VALUES {vals}), per AS (
+                SELECT p, o,
+                    sum(v) OVER (PARTITION BY p ORDER BY o
+                                 ROWS BETWEEN {prec} PRECEDING AND {foll} FOLLOWING
+                                 EXCLUDE CURRENT ROW) AS ec,
+                    sum(v) OVER (PARTITION BY p ORDER BY o
+                                 ROWS BETWEEN {prec} PRECEDING AND {foll} FOLLOWING
+                                 EXCLUDE GROUP) AS eg,
+                    sum(v) OVER (PARTITION BY p ORDER BY o
+                                 ROWS BETWEEN {prec} PRECEDING AND {foll} FOLLOWING
+                                 EXCLUDE TIES) AS et
+                FROM t
+            )
+            SELECT p, o, sum(ec), sum(eg), sum(et) FROM per GROUP BY p, o
+            """
+        ).fetchall()
+    }
+    for r in got:
+        assert exp[(r["p"], r["o"])] == (r["ec"], r["eg"], r["et"]), (
+            f"mismatch at p={r['p']} o={r['o']}: "
+            f"spark={(r['ec'], r['eg'], r['et'])} duckdb={exp[(r['p'], r['o'])]}"
+        )
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),
+            st.integers(min_value=1, max_value=5),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    st.integers(min_value=0, max_value=2),
+    st.integers(min_value=0, max_value=2),
+)
+def test_groups_frame_agg_matches_reference_model(spark, rows, prec, foll):
+    """groups_frame_agg vs a direct Python model of the reference's GROUPS
+    frame semantics (window_segment_tree.cpp re-aggregates the raw values of
+    every peer group inside the frame)."""
+    from duckdb_parachute_spark.operators.frames import groups_frame_agg
+
+    df = spark.createDataFrame(rows, "p int, o int, v int")
+    got = groups_frame_agg(df, ["p"], "o", F.col("v"), prec, foll).collect()
+
+    from collections import defaultdict
+
+    by_part = defaultdict(lambda: defaultdict(list))
+    for p, o, v in rows:
+        by_part[p][o].append(v)
+    for r in got:
+        groups = sorted(by_part[r["p"]])
+        gi = groups.index(r["o"])
+        frame = groups[max(0, gi - prec) : gi + foll + 1]
+        vals = [v for g in frame for v in by_part[r["p"]][g]]
+        assert r["groups_sum"] == sum(vals)
+        assert r["groups_count"] == len(vals)
+        assert r["groups_min"] == min(vals)
+        assert r["groups_max"] == max(vals)
+        assert abs(r["groups_avg"] - sum(vals) / len(vals)) < 1e-9
