@@ -86,6 +86,29 @@ def to_base(n: Column, base: int) -> Column:
 #: mark/decomposable codepoint through DuckDB's strip_accents and kept the
 #: divergers (all are characters added in Unicode 14+). Excluded from our
 #: strip sets so both engines agree byte-for-byte.
+#: The delta below is valid ONLY against this Unicode table version — it is
+#: the empirical difference between Python 14.0.0 unicodedata and the
+#: reference's bundled utf8proc. A Python with different tables would
+#: silently change the generated translate maps and break byte-parity with
+#: the oracle, so fail loudly instead (re-derive by re-probing DuckDB's
+#: strip_accents over all marks/decomposables on the new Python).
+_DERIVED_AGAINST_UNIDATA = "14.0.0"
+
+
+def _check_unidata_version() -> None:
+    import unicodedata
+
+    if unicodedata.unidata_version != _DERIVED_AGAINST_UNIDATA:
+        raise RuntimeError(
+            "strip_accents parity tables were derived against Unicode "
+            f"{_DERIVED_AGAINST_UNIDATA} but this Python ships "
+            f"{unicodedata.unidata_version}; re-derive _UTF8PROC_UNKNOWN_MARKS "
+            "before trusting strip_accents/NOACCENT output"
+        )
+
+
+_check_unidata_version()
+
 _UTF8PROC_UNKNOWN_MARKS = frozenset(
     int(h, 16)
     for h in (

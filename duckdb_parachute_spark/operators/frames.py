@@ -36,6 +36,28 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _order_key(order: str) -> Column:
+    """ORDER key with DuckDB's default NULL placement (ASC ⇒ NULLS LAST;
+    Spark's default is NULLS FIRST) so the NULL peer group lands at the same
+    frame position as the oracle's."""
+    return F.col(order).asc_nulls_last()
+
+
+def _join_back(df: DataFrame, framed: DataFrame, keys: list[str]) -> DataFrame:
+    """Join frame results back to the base rows NULL-SAFELY: rows whose
+    partition/ORDER key is NULL form a real peer group in SQL GROUPS frames,
+    so the join-back must use IS NOT DISTINCT FROM, not plain equality
+    (which silently drops NULL-keyed rows)."""
+    renamed = framed
+    for k in keys:
+        renamed = renamed.withColumnRenamed(k, f"__rk_{k}")
+    cond = None
+    for k in keys:
+        c = df[k].eqNullSafe(renamed[f"__rk_{k}"])
+        cond = c if cond is None else cond & c
+    return df.join(renamed, cond).drop(*[f"__rk_{k}" for k in keys])
+
+
 def groups_frame_sum(
     df: DataFrame,
     part: list[str],
@@ -52,7 +74,7 @@ def groups_frame_sum(
     Spark frame mode expresses. Rewrite: per-group partial sums + ROWS frame
     over the group table + join back."""
     grouped = df.groupBy(*part, order).agg(F.sum(value).alias("__gs"))
-    w_idx = Window.partitionBy(*part).orderBy(order)
+    w_idx = Window.partitionBy(*part).orderBy(_order_key(order))
     w_frame = (
         Window.partitionBy(*part)
         .orderBy("__gi")
@@ -63,7 +85,7 @@ def groups_frame_sum(
         .withColumn(out, F.sum("__gs").over(w_frame))
         .drop("__gs", "__gi")
     )
-    return df.join(framed, [*part, order])
+    return _join_back(df, framed, [*part, order])
 
 
 def groups_frame_agg(
@@ -90,7 +112,7 @@ def groups_frame_agg(
         F.min(value).alias("__mn"),
         F.max(value).alias("__mx"),
     )
-    w_idx = Window.partitionBy(*part).orderBy(order)
+    w_idx = Window.partitionBy(*part).orderBy(_order_key(order))
     w_frame = Window.partitionBy(*part).orderBy("__gi").rowsBetween(-preceding, following)
     framed = (
         grouped.withColumn("__gi", F.row_number().over(w_idx))
@@ -98,13 +120,18 @@ def groups_frame_agg(
         .withColumn(f"{prefix}count", F.sum("__c").over(w_frame))
         .withColumn(f"{prefix}min", F.min("__mn").over(w_frame))
         .withColumn(f"{prefix}max", F.max("__mx").over(w_frame))
+        # all-NULL frames have count 0: avg must be NULL, and the division
+        # must not fire under ANSI mode.
         .withColumn(
             f"{prefix}avg",
-            F.col(f"{prefix}sum").cast("double") / F.col(f"{prefix}count"),
+            F.when(
+                F.col(f"{prefix}count") > 0,
+                F.col(f"{prefix}sum").cast("double") / F.col(f"{prefix}count"),
+            ),
         )
         .drop("__s", "__c", "__mn", "__mx", "__gi")
     )
-    return df.join(framed, [*part, order])
+    return _join_back(df, framed, [*part, order])
 
 
 def groups_frame_collect(
@@ -119,16 +146,25 @@ def groups_frame_collect(
     """The raw values of a GROUPS frame as an array column ``out`` — the
     holistic-aggregate path (median/quantile/mode run as array expressions
     over it). Peer groups collect their values once; the ROWS frame over
-    the group table concatenates the per-group arrays."""
+    the group table concatenates the per-group arrays.
+
+    Memory ceiling: each output row materializes its ENTIRE frame as one
+    array, so per-row cost is O(frame width) — the same raw-value
+    re-aggregation the reference's segment tree performs per frame, but held
+    in a single array value. A frame spanning k peer groups of ~m rows each
+    costs k*m elements per row; keep preceding+following bounded (hundreds
+    of groups, not 10^6) or switch the aggregate to the partial-combinable
+    path (groups_frame_agg) which carries O(1) state per group. Width
+    behavior is pinned by test_groups_frame_collect_wide_frame."""
     grouped = df.groupBy(*part, order).agg(F.collect_list(value).alias("__vals"))
-    w_idx = Window.partitionBy(*part).orderBy(order)
+    w_idx = Window.partitionBy(*part).orderBy(_order_key(order))
     w_frame = Window.partitionBy(*part).orderBy("__gi").rowsBetween(-preceding, following)
     framed = (
         grouped.withColumn("__gi", F.row_number().over(w_idx))
         .withColumn(out, F.flatten(F.collect_list("__vals").over(w_frame)))
         .drop("__vals", "__gi")
     )
-    return df.join(framed, [*part, order])
+    return _join_back(df, framed, [*part, order])
 
 
 def array_median(arr: Column) -> Column:
@@ -166,28 +202,37 @@ def exclude_rows_sums(
 
     ROWS-frame results are only well-defined up to tie order; pass
     ``tiebreak`` columns to pin a total order (both sums share the one idx,
-    so the output is always self-consistent regardless)."""
+    so the output is always self-consistent regardless).
+
+    NULL discipline (round 7): sum() ignores NULL inputs, so a NULL current
+    value contributes nothing — the subtraction identities coalesce NULL
+    operands to 0 rather than propagate — while an aggregate over an EMPTY
+    post-exclusion frame (no non-NULL values left) is NULL, gated by the
+    non-NULL counts."""
     tb = tiebreak or []
-    w_idx = Window.partitionBy(*part).orderBy(order, *tb)
+    w_idx = Window.partitionBy(*part).orderBy(_order_key(order), *tb)
     d = df.withColumn("__idx", F.row_number().over(w_idx)).withColumn("__v", value)
     w_global = Window.partitionBy(*part).orderBy("__idx").rowsBetween(-preceding, following)
     w_peer = (
         Window.partitionBy(*part, order).orderBy("__idx").rowsBetween(-preceding, following)
     )
-    frame_sum = F.sum("__v").over(w_global)
-    peer_part = F.sum("__v").over(w_peer)
-    frame_cnt = F.count("__v").over(w_global)
+    v = F.col("__v")
+    v0 = F.coalesce(v, F.lit(0))
+    v_nn = F.when(v.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    frame_sum = F.coalesce(F.sum("__v").over(w_global), F.lit(0))
+    peer_part = F.coalesce(F.sum("__v").over(w_peer), F.lit(0))
+    frame_cnt = F.count("__v").over(w_global)  # non-NULL values in the frame
     peer_cnt = F.count("__v").over(w_peer)
-    # SQL: an aggregate over an EMPTY post-exclusion frame is NULL, not 0 —
-    # the subtraction identities must not manufacture a zero there.
     return (
         d.withColumn(
             "excl_current",
-            F.when(frame_cnt > 1, frame_sum - F.col("__v")),
+            F.when(frame_cnt - v_nn > 0, frame_sum - v0),
         )
         .withColumn("excl_group", F.when(frame_cnt > peer_cnt, frame_sum - peer_part))
-        # EXCLUDE TIES keeps the current row, so the frame is never empty.
-        .withColumn("excl_ties", frame_sum - peer_part + F.col("__v"))
+        .withColumn(
+            "excl_ties",
+            F.when(frame_cnt - peer_cnt + v_nn > 0, frame_sum - peer_part + v0),
+        )
         .drop("__idx", "__v")
     )
 
@@ -199,15 +244,26 @@ def exclude_sums(
     value: Column,
 ) -> DataFrame:
     """All three EXCLUDE modes of sum(value) over the full-partition frame,
-    as columns excl_current / excl_group / excl_ties."""
+    as columns excl_current / excl_group / excl_ties. Same NULL discipline
+    as exclude_rows_sums: NULL values contribute 0 to the sums (coalesced,
+    not propagated), and a post-exclusion frame with no non-NULL values
+    yields NULL (count-gated)."""
     w_part = Window.partitionBy(*part)
     w_peers = Window.partitionBy(*part, order)
-    total = F.sum(value).over(w_part)
-    peers = F.sum(value).over(w_peers)
+    d = df.withColumn("__v", value)
+    v = F.col("__v")
+    v0 = F.coalesce(v, F.lit(0))
+    v_nn = F.when(v.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    total = F.coalesce(F.sum("__v").over(w_part), F.lit(0))
+    peers = F.coalesce(F.sum("__v").over(w_peers), F.lit(0))
+    total_cnt = F.count("__v").over(w_part)
+    peer_cnt = F.count("__v").over(w_peers)
     return (
-        df.withColumn("__v", value)
-        .withColumn("excl_current", total - F.col("__v"))
-        .withColumn("excl_group", total - peers)
-        .withColumn("excl_ties", total - peers + F.col("__v"))
+        d.withColumn("excl_current", F.when(total_cnt - v_nn > 0, total - v0))
+        .withColumn("excl_group", F.when(total_cnt > peer_cnt, total - peers))
+        .withColumn(
+            "excl_ties",
+            F.when(total_cnt - peer_cnt + v_nn > 0, total - peers + v0),
+        )
         .drop("__v")
     )

@@ -38,6 +38,23 @@ def _row_hash(df: DataFrame) -> Column:
     return F.xxhash64(F.struct(*[F.col(c) for c in df.columns]))
 
 
+def _prefilter_history(acc: DataFrame, cand: DataFrame) -> DataFrame:
+    """The history rows that can possibly affect ``cand.exceptAll(history)``:
+    semi-join the accumulator to the candidates' distinct row-hash set.
+    EXACT (not a bloom): a history row whose full-row hash matches no
+    candidate hash cannot equal any candidate, so dropping it cannot change
+    the except result. Output size is O(|hash collisions|) ~= O(|cand|)
+    regardless of |acc| — the structural invariant pinned by
+    test_recursive_prefilter_is_delta_sized.
+
+    No forced broadcast hint: early iterations can carry a large delta, and
+    AQE converts the semi-join to broadcast at runtime exactly when the hash
+    set is actually small (the usual case in deep recursions) — the same
+    gated posture as catalog.maybe_broadcast."""
+    cand_hashes = cand.select(_row_hash(cand).alias("__rh")).distinct()
+    return acc.join(cand_hashes, _row_hash(acc) == F.col("__rh"), "left_semi")
+
+
 def recursive_cte(
     base: DataFrame,
     step: Callable[[DataFrame], DataFrame],
@@ -65,13 +82,7 @@ def recursive_cte(
             # (semi-join prefilter, see module docstring) — exact, and the
             # exceptAll exchange sees O(|delta|) rows instead of O(|acc|).
             cand = nxt.distinct().exceptAll(working)
-            # No forced broadcast hint: early iterations can carry a large
-            # delta, and AQE converts the semi-join to broadcast at runtime
-            # exactly when the hash set is actually small (the usual case in
-            # deep recursions) — the same gated posture as catalog.maybe_broadcast.
-            cand_hashes = cand.select(_row_hash(cand).alias("__rh")).distinct()
-            acc_maybe = acc.join(cand_hashes, _row_hash(acc) == F.col("__rh"), "left_semi")
-            nxt = cand.exceptAll(acc_maybe)
+            nxt = cand.exceptAll(_prefilter_history(acc, cand))
         # The delta is consumed several times (emptiness probe, accumulator
         # union, next step); an eager localCheckpoint materializes it once and
         # cuts the lineage — without it every iteration recomputes the whole

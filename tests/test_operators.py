@@ -120,35 +120,43 @@ def test_recursive_cte_union_dedup_terminates(spark):
     assert {r["node"] for r in out.collect()} == {0, 1, 2}
 
 
-def test_recursive_cte_deep_union_flat_per_iteration(spark):
-    # Deep UNION recursion (round-6 VERDICT item: bounded per-iteration
-    # history cost): a path graph forces one fixpoint iteration per node,
-    # each delta a single row, while the accumulated history keeps growing.
-    # The regression guard is per-iteration FLATNESS: a 3x-deeper recursion
-    # must cost ~3x wall clock (the semi-join prefilter keeps the exceptAll
-    # exchange delta-sized and the checkpoint coalesce bounds acc's task
-    # count); the pre-prefilter implementation grew per-iteration and lands
-    # near the quadratic 9x instead.
-    import time
+def test_recursive_prefilter_is_delta_sized(spark):
+    # Structural pin for the round-6 semi-join prefilter (replaces the
+    # load-sensitive wall-clock ratio the round-6 advisor flagged): the
+    # history rows reaching the exceptAll exchange are exactly the hash
+    # collisions with the candidate set — O(|delta|), independent of |acc|.
+    from duckdb_parachute_spark.operators.recursive import _prefilter_history
 
+    acc = spark.range(10_000).select(F.col("id").cast("int").alias("node"))
+    # one candidate already in history, one new -> exactly 1 surviving row
+    cand = spark.createDataFrame([(7,), (123_456,)], "node int")
+    survivors = _prefilter_history(acc, cand)
+    assert survivors.count() == 1
+    assert survivors.head()["node"] == 7
+    # disjoint candidates -> the whole 10k-row history is filtered to zero
+    assert _prefilter_history(acc, spark.createDataFrame([(-5,)], "node int")).count() == 0
+
+
+def test_recursive_cte_deep_union_plan_stays_flat(spark):
+    # Deep UNION recursion: the periodic localCheckpoint must truncate
+    # lineage so the final plan is O(checkpoint_every), NOT O(iterations).
+    # Structural (plan-size) invariant — deterministic, unlike wall clock:
+    # without checkpointing, the 120-deep plan would be ~3x the 40-deep one.
     base = spark.createDataFrame([(0,)], "node int")
 
     def run(n):
         def step(prev):
             return prev.where(F.col("node") < n).select((F.col("node") + 1).alias("node"))
 
-        t0 = time.monotonic()
         out = recursive_cte(base, step, union_all=False, max_iterations=n + 20)
         assert out.count() == n + 1
-        return time.monotonic() - t0
+        return len(out._jdf.queryExecution().analyzed().toString())
 
-    t40 = run(40)
-    t120 = run(120)
-    # linear scaling gives ~3x; the pre-prefilter quadratic lands near 9x.
-    # 6x keeps headroom for a loaded machine while still separating the two.
-    assert t120 < 6.0 * t40, (
-        f"3x deeper recursion cost {t120 / t40:.1f}x (t40={t40:.0f}s, t120={t120:.0f}s) "
-        "— per-iteration history cost regressed"
+    p40 = run(40)
+    p120 = run(120)
+    assert p120 < 1.5 * p40, (
+        f"3x deeper recursion grew the analyzed plan {p120 / p40:.1f}x "
+        f"({p40} -> {p120} chars) — lineage truncation regressed"
     )
 
 

@@ -152,7 +152,10 @@ def test_strip_accents_full_plane_parity(spark, oracle):
 @settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
     st.lists(
-        st.tuples(st.integers(min_value=1, max_value=4), st.integers(min_value=1, max_value=5)),
+        st.tuples(
+            st.integers(min_value=1, max_value=4),
+            st.one_of(st.none(), st.integers(min_value=1, max_value=5)),
+        ),
         min_size=2,
         max_size=14,
     ),
@@ -164,10 +167,20 @@ def test_exclude_rows_sums_matches_duckdb_native(spark, oracle, rows, prec, foll
     bounded-ROWS EXCLUDE executor on random fixtures. Values derive from the
     ORDER key (constant per peer group), so the ROWS-frame sums are
     tie-order independent, and comparison aggregates per peer group (the
-    permutation-invariant statistic — see window_exclude_bounded)."""
+    permutation-invariant statistic — see window_exclude_bounded).
+
+    Round 7: the ORDER key may be NULL (a real peer group, sorted last like
+    DuckDB's default NULLS LAST) and the value is NULL for one peer group
+    (o=3) — pinning the coalesce-not-propagate NULL discipline the round-6
+    advisor flagged."""
     from duckdb_parachute_spark.operators.frames import exclude_rows_sums
 
-    data = [(p, o, i, o * 7) for i, (p, o) in enumerate(rows)]
+    def val(o):
+        if o is None:
+            return 13
+        return None if o == 3 else o * 7
+
+    data = [(p, o, i, val(o)) for i, (p, o) in enumerate(rows)]
     df = spark.createDataFrame(data, "p int, o int, id int, v int")
     got = (
         exclude_rows_sums(df, ["p"], "o", F.col("v"), prec, foll, tiebreak=["id"])
@@ -179,7 +192,10 @@ def test_exclude_rows_sums_matches_duckdb_native(spark, oracle, rows, prec, foll
         )
         .collect()
     )
-    vals = ", ".join(f"({p}, {o}, {i}, {v})" for p, o, i, v in data)
+    def lit(x):
+        return "NULL" if x is None else str(x)
+
+    vals = ", ".join(f"({p}, {lit(o)}, {i}, {lit(v)})" for p, o, i, v in data)
     exp = {
         (r[0], r[1]): (r[2], r[3], r[4])
         for r in oracle.execute(
@@ -214,7 +230,7 @@ def test_exclude_rows_sums_matches_duckdb_native(spark, oracle, rows, prec, foll
         st.tuples(
             st.integers(min_value=1, max_value=3),
             st.integers(min_value=1, max_value=5),
-            st.integers(min_value=-50, max_value=50),
+            st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
         ),
         min_size=1,
         max_size=14,
@@ -225,7 +241,9 @@ def test_exclude_rows_sums_matches_duckdb_native(spark, oracle, rows, prec, foll
 def test_groups_frame_agg_matches_reference_model(spark, rows, prec, foll):
     """groups_frame_agg vs a direct Python model of the reference's GROUPS
     frame semantics (window_segment_tree.cpp re-aggregates the raw values of
-    every peer group inside the frame)."""
+    every peer group inside the frame). Round 7: values may be NULL —
+    aggregates ignore them; an all-NULL frame yields NULL sum/min/max/avg
+    and count 0."""
     from duckdb_parachute_spark.operators.frames import groups_frame_agg
 
     df = spark.createDataFrame(rows, "p int, o int, v int")
@@ -240,9 +258,72 @@ def test_groups_frame_agg_matches_reference_model(spark, rows, prec, foll):
         groups = sorted(by_part[r["p"]])
         gi = groups.index(r["o"])
         frame = groups[max(0, gi - prec) : gi + foll + 1]
-        vals = [v for g in frame for v in by_part[r["p"]][g]]
+        vals = [v for g in frame for v in by_part[r["p"]][g] if v is not None]
+        if not vals:
+            assert r["groups_sum"] is None
+            assert r["groups_count"] == 0
+            assert r["groups_min"] is None
+            assert r["groups_max"] is None
+            assert r["groups_avg"] is None
+            continue
         assert r["groups_sum"] == sum(vals)
         assert r["groups_count"] == len(vals)
         assert r["groups_min"] == min(vals)
         assert r["groups_max"] == max(vals)
         assert abs(r["groups_avg"] - sum(vals) / len(vals)) < 1e-9
+
+
+def test_groups_frame_null_order_key_peer_group(spark):
+    """NULL ORDER-key rows form a real peer group in GROUPS frames (sorted
+    last, SQL's ASC NULLS LAST default) and must survive the join-back — the
+    exact row-drop the round-6 advisor flagged (plain equality join on a
+    NULL key silently discards the row). Expectation is the direct peer-
+    group model (this DuckDB build does not parse GROUPS mode natively)."""
+    from duckdb_parachute_spark.operators.frames import groups_frame_sum
+
+    data = [
+        (1, 1, 10), (1, 1, 11), (1, 2, 20), (1, None, 5), (1, None, 6),
+        (2, None, 7), (2, 3, 30),
+    ]
+    df = spark.createDataFrame(data, "p int, o int, v int")
+    got = {
+        (r["p"], r["o"], r["v"]): r["gs"]
+        for r in groups_frame_sum(df, ["p"], "o", F.col("v"), 1, 1, out="gs").collect()
+    }
+    assert len(got) == len(data), "NULL-order rows dropped by the join-back"
+    # peer groups per partition, NULL last: p=1 -> [1]=21, [2]=20, [NULL]=11
+    # frame = 1 PRECEDING..1 FOLLOWING over the group sequence
+    exp = {
+        (1, 1, 10): 41, (1, 1, 11): 41,      # groups {1,2}
+        (1, 2, 20): 52,                       # groups {1,2,NULL}
+        (1, None, 5): 31, (1, None, 6): 31,   # groups {2,NULL}
+        (2, 3, 30): 37, (2, None, 7): 37,     # groups {3,NULL}
+    }
+    assert got == exp
+
+
+def test_groups_frame_collect_wide_frame(spark):
+    """Pins the documented O(frame width) ceiling of the holistic GROUPS
+    path: a frame spanning all 400 peer groups of a partition materializes a
+    2000-element array per row and still evaluates correctly (array_median
+    over the full-partition frame == exact global median)."""
+    from duckdb_parachute_spark.operators.frames import (
+        array_median,
+        groups_frame_collect,
+    )
+
+    df = (
+        spark.range(2000)
+        .select(
+            F.lit(1).alias("p"),
+            (F.col("id") % 400).cast("int").alias("o"),
+            F.col("id").cast("int").alias("v"),
+        )
+    )
+    out = (
+        groups_frame_collect(df, ["p"], "o", F.col("v"), 400, 400, out="fv")
+        .withColumn("med", array_median(F.col("fv")))
+    )
+    row = out.select(F.size("fv").alias("w"), "med").head()
+    assert row["w"] == 2000
+    assert abs(row["med"] - 999.5) < 1e-9
