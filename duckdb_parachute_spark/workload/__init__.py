@@ -160,6 +160,7 @@ def load_all() -> dict[str, QueryDef]:
         tpcds2,
         tpcds3,
         tpcds4,
+        tpcds5,
         tpch,
         windows,
     )
