@@ -550,3 +550,102 @@ def agg_mode_mad(spark, sf_dir):
         .agg(F.round(F.median(F.abs(F.col("o_totalprice") - F.col("m"))), 4).alias("price_mad"))
     )
     return md.join(dev, "o_orderstatus").select("o_orderstatus", "mode_priority", "price_mad")
+
+
+@query(
+    "h2o_groupby_median_sd",
+    oracle="""
+    SELECT l_returnflag AS id4, l_linestatus AS id5,
+           round(median(l_extendedprice), 4) AS median_v3,
+           round(stddev(l_extendedprice), 6) AS sd_v3
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def h2o_groupby_median_sd(spark, sf_dir):
+    """H2O db-benchmark groupby q6 shape (reference benchmark/h2oai/group/
+    queries/q06.sql: quantile_cont(v3, 0.5) + stddev(v3) BY id4, id5) —
+    a holistic (median) and an algebraic (stddev) aggregate sharing one
+    shuffle on a low-cardinality two-column key; rounded to absorb fp
+    noise per the registry discipline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_returnflag").alias("id4"), F.col("l_linestatus").alias("id5")
+    ).agg(
+        F.round(F.median("l_extendedprice"), 4).alias("median_v3"),
+        F.round(F.stddev("l_extendedprice"), 6).alias("sd_v3"),
+    )
+
+
+@query(
+    "h2o_groupby_range",
+    oracle="""
+    SELECT l_partkey AS id3,
+           CAST(CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+                - CAST(min(CAST(l_discount AS DECIMAL(4,2))) * 100 AS BIGINT) AS BIGINT) AS range_v1_v2
+    FROM lineitem GROUP BY l_partkey
+    """,
+)
+def h2o_groupby_range(spark, sf_dir):
+    """H2O groupby q7 shape (q07.sql: max(v1) - min(v2) BY id3, a
+    mid-cardinality key): two distributive aggregates combined post-agg;
+    the subtraction runs on exact integer cents so both engines emit
+    identical BIGINTs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_partkey").alias("id3")).agg(
+        (F.max(money.cents("l_extendedprice")) - F.min(money.cents("l_discount"))).alias(
+            "range_v1_v2"
+        )
+    )
+
+
+@query(
+    "h2o_groupby_r2",
+    oracle="""
+    SELECT l_returnflag AS id2, l_linestatus AS id4,
+           round(pow(corr(l_quantity, l_extendedprice), 2), 6) AS r2
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def h2o_groupby_r2(spark, sf_dir):
+    """H2O groupby q9 shape (q09.sql: pow(corr(v1, v2), 2) BY id2, id4):
+    the squared correlation — Spark's corr is the same single-pass
+    algebraic form DuckDB uses; rounded at the boundary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_returnflag").alias("id2"), F.col("l_linestatus").alias("id4")
+    ).agg(F.round(F.pow(F.corr("l_quantity", "l_extendedprice"), 2), 6).alias("r2"))
+
+
+@query(
+    "h2o_groupby_sixkey",
+    oracle="""
+    SELECT l_returnflag AS id1, l_linestatus AS id2,
+           CAST(l_orderkey % 97 AS BIGINT) AS id3,
+           CAST(l_partkey % 23 AS BIGINT) AS id4,
+           CAST(l_suppkey % 11 AS BIGINT) AS id5,
+           CAST(l_linenumber AS BIGINT) AS id6,
+           CAST(sum(CAST(CAST(l_tax AS DECIMAL(4,2)) * 100 AS BIGINT)) AS BIGINT) AS v3_units,
+           CAST(count(*) AS BIGINT) AS count
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus, l_orderkey % 97, l_partkey % 23,
+             l_suppkey % 11, l_linenumber
+    """,
+)
+def h2o_groupby_sixkey(spark, sf_dir):
+    """H2O groupby q10 shape (q10.sql: sum(v3) + count(*) BY all six id
+    columns — the widest-key, highest-group-count question in the suite):
+    the exchange key is the full six-column tuple; partial aggregation
+    still combines map-side because group count < row count. Tax sums in
+    exact integer cents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_returnflag").alias("id1"),
+        F.col("l_linestatus").alias("id2"),
+        (F.col("l_orderkey") % 97).cast("bigint").alias("id3"),
+        (F.col("l_partkey") % 23).cast("bigint").alias("id4"),
+        (F.col("l_suppkey") % 11).cast("bigint").alias("id5"),
+        F.col("l_linenumber").cast("bigint").alias("id6"),
+    ).agg(
+        F.sum(money.cents("l_tax")).alias("v3_units"),
+        F.count(F.lit(1)).alias("count"),
+    )

@@ -598,3 +598,145 @@ def job_like_chain_topmin(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 breadth: 14 template instantiations over the archetypes above.
+# JOB's value is breadth — 113 near-identical star/chain queries whose only
+# differences are WHICH dimension is selective, the LIKE patterns, and the
+# chain depth (reference benchmark/imdb/*.sql, families 1a-33c). One spec-
+# driven builder generates the Spark plan and the oracle SQL from the SAME
+# spec, so the two sides cannot drift; every instantiation is an ungrouped
+# MIN battery (the JOB output convention) — dims broadcast, no cartesian,
+# and the fact contributes only a partial-aggregate pass (zero fact
+# shuffles).
+# ---------------------------------------------------------------------------
+
+
+def _job_instance(name, *, part_like=None, part_size=None, part_type=None,
+                  s_nations=None, c_nations=None, region=None, seg=None,
+                  prio=None, flag=None, date_lo=None, date_hi=None,
+                  qty_hi=None):
+    """Register one JOB-style instantiation built from a filter spec."""
+    conds = []
+    if part_like:
+        conds.append(f"p_name LIKE '{part_like}'")
+    if part_size:
+        conds.append(f"p_size BETWEEN {part_size[0]} AND {part_size[1]}")
+    if part_type:
+        conds.append(f"p_type = '{part_type}'")
+    if s_nations:
+        conds.append(f"s_nationkey IN ({', '.join(map(str, s_nations))})")
+    if c_nations:
+        conds.append(f"c_nationkey IN ({', '.join(map(str, c_nations))})")
+    if region is not None:
+        conds.append(f"n_regionkey = {region}")
+    if seg:
+        conds.append(f"c_mktsegment = '{seg}'")
+    if prio:
+        conds.append(f"o_orderpriority = '{prio}'")
+    if flag:
+        conds.append(f"l_returnflag = '{flag}'")
+    if date_lo:
+        conds.append(f"o_orderdate >= TIMESTAMP '{date_lo}'")
+    if date_hi:
+        conds.append(f"o_orderdate < TIMESTAMP '{date_hi}'")
+    if qty_hi is not None:
+        conds.append(f"l_quantity <= {qty_hi}")
+    need_cust = bool(c_nations or seg)
+    need_nation = region is not None
+    joins = [
+        "JOIN part ON l_partkey = p_partkey",
+        "JOIN supplier ON l_suppkey = s_suppkey",
+        "JOIN orders ON l_orderkey = o_orderkey",
+    ]
+    if need_cust:
+        joins.append("JOIN customer ON o_custkey = c_custkey")
+    if need_nation:
+        joins.append("JOIN nation ON s_nationkey = n_nationkey")
+    oracle = f"""
+    SELECT min(p_name) AS first_part, min(s_name) AS first_supplier,
+           min(o_orderdate) AS first_date, CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    {chr(10).join(joins)}
+    WHERE {' AND '.join(conds)}
+    """
+
+    @query(name, oracle=oracle)
+    def fn(spark, sf_dir):
+        li = load_table(spark, sf_dir, "lineitem")
+        if flag:
+            li = li.where(F.col("l_returnflag") == flag)
+        if qty_hi is not None:
+            li = li.where(F.col("l_quantity") <= qty_hi)
+        p = load_table(spark, sf_dir, "part")
+        if part_like:
+            p = p.where(F.col("p_name").like(part_like))
+        if part_size:
+            p = p.where(F.col("p_size").between(*part_size))
+        if part_type:
+            p = p.where(F.col("p_type") == part_type)
+        s = load_table(spark, sf_dir, "supplier")
+        if s_nations:
+            s = s.where(F.col("s_nationkey").isin(*s_nations))
+        o = load_table(spark, sf_dir, "orders")
+        if prio:
+            o = o.where(F.col("o_orderpriority") == prio)
+        if date_lo:
+            o = o.where(F.col("o_orderdate") >= F.lit(date_lo).cast("timestamp_ntz"))
+        if date_hi:
+            o = o.where(F.col("o_orderdate") < F.lit(date_hi).cast("timestamp_ntz"))
+        out = (
+            li.join(maybe_broadcast(p, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
+            .join(maybe_broadcast(s, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        )
+        if need_cust:
+            c = load_table(spark, sf_dir, "customer")
+            if c_nations:
+                c = c.where(F.col("c_nationkey").isin(*c_nations))
+            if seg:
+                c = c.where(F.col("c_mktsegment") == seg)
+            out = out.join(
+                maybe_broadcast(c, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey")
+            )
+        if need_nation:
+            n = load_table(spark, sf_dir, "nation").where(F.col("n_regionkey") == region)
+            out = out.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        return out.agg(
+            F.min("p_name").alias("first_part"),
+            F.min("s_name").alias("first_supplier"),
+            F.min("o_orderdate").alias("first_date"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    fn.__doc__ = (
+        "JOB template instantiation (reference benchmark/imdb/ families "
+        "1a-33c — same star, different selective end): filters "
+        f"{'; '.join(conds)}. Selective dims broadcast ahead of the fact; "
+        "ungrouped MIN battery, zero fact shuffles."
+    )
+    return fn
+
+
+# Vary (a) WHICH end is selective, (b) LIKE pattern shape, (c) chain depth.
+_job_instance("job_i01_like_prefix_urgent", part_like="small%", prio="1-URGENT")
+_job_instance("job_i02_like_suffix_flagged", part_like="%bolt", flag="R")
+_job_instance("job_i03_like_infix_window", part_like="%wid%",
+              date_lo="1997-01-01 00:00:00", date_hi="1997-07-01 00:00:00")
+_job_instance("job_i04_sizeband_nationset", part_size=(5, 15), s_nations=(0, 1, 2))
+_job_instance("job_i05_type_region_chain", part_type="PROMO", region=3)
+_job_instance("job_i06_cust_segment_star", seg="BUILDING", part_size=(1, 25))
+_job_instance("job_i07_double_like", part_like="%large%", seg="MACHINERY")
+_job_instance("job_i08_selective_orders_end", prio="5-LOW",
+              date_lo="1996-01-01 00:00:00", date_hi="1996-04-01 00:00:00")
+_job_instance("job_i09_deep_chain_six", part_like="%bolt%", s_nations=(3, 8, 13),
+              seg="FURNITURE", prio="2-HIGH")
+_job_instance("job_i10_quantity_cap_star", qty_hi=5, part_type="ECONOMY")
+_job_instance("job_i11_cnation_region_mix", c_nations=(4, 9, 14), region=0)
+_job_instance("job_i12_flag_window_type", flag="A", part_type="LARGE",
+              date_lo="1998-01-01 00:00:00", date_hi="1999-01-01 00:00:00")
+_job_instance("job_i13_allends_mild", part_size=(10, 40), prio="3-MEDIUM",
+              s_nations=(5, 6, 7, 8, 9))
+_job_instance("job_i14_narrow_everything", part_like="cold%", flag="N",
+              seg="HOUSEHOLD", qty_hi=25)
