@@ -41,11 +41,14 @@ def positional_join(
     Spark has no inherent row order, so callers supply explicit orderings
     (matching the reference's insertion-order semantics requires the inputs to
     BE ordered); rows pair by 1-based position, outer-padding the shorter side
-    with NULLs like the reference does."""
-    lw = Window.orderBy(*(left_order or [F.monotonically_increasing_id()]))
-    rw = Window.orderBy(*(right_order or [F.monotonically_increasing_id()]))
-    lt = left.withColumn("__pos", F.row_number().over(lw))
-    rt = right.withColumn("__pos", F.row_number().over(rw))
+    with NULLs like the reference does. Round 7: positions come from the
+    two-phase global_row_number (range shuffle + per-partition offsets), so
+    numbering both sides never funnels through a single-partition
+    WindowExec; the position join itself hash-partitions on __pos."""
+    from duckdb_parachute_spark.functions.scalar import global_row_number
+
+    lt = global_row_number(left, left_order or [F.monotonically_increasing_id()], out="__pos")
+    rt = global_row_number(right, right_order or [F.monotonically_increasing_id()], out="__pos")
     return lt.join(rt, "__pos", "full_outer").drop("__pos")
 
 

@@ -758,10 +758,18 @@ def tpcds_q44(spark, sf_dir):
     perf = li.groupBy("l_partkey").agg(
         (money.sum_disc_price().cast("double") / F.count(F.lit(1))).alias("avg_rev")
     )
-    wa = Window.orderBy(F.col("avg_rev").asc(), "l_partkey")
-    wd = Window.orderBy(F.col("avg_rev").desc(), "l_partkey")
-    asc_r = perf.select("l_partkey", F.rank().over(wa).alias("rnk"))
-    desc_r = perf.select(F.col("l_partkey").alias("d_partkey"), F.rank().over(wd).alias("rnk"))
+    # Round 7: two-phase global ranks (range shuffle + per-partition
+    # offsets, functions/scalar.py:global_row_number) — no single-partition
+    # WindowExec even though the rank is global; the l_partkey tiebreaker
+    # makes the order total, so rank() == row_number.
+    from duckdb_parachute_spark.functions.scalar import global_row_number
+
+    asc_r = global_row_number(perf, ["avg_rev", "l_partkey"], out="rnk").select(
+        "l_partkey", "rnk"
+    )
+    desc_r = global_row_number(
+        perf, ["avg_rev", "l_partkey"], descending=[True, False], out="rnk"
+    ).select(F.col("l_partkey").alias("d_partkey"), "rnk")
     p1 = p.select(F.col("p_partkey").alias("p1_key"), F.col("p_name").alias("best_performing"))
     p2 = p.select(F.col("p_partkey").alias("p2_key"), F.col("p_name").alias("worst_performing"))
     return (

@@ -325,3 +325,29 @@ def test_exclude_bounded_no_joins(no_aqe, spark, sf_dir):
     # NO join anywhere in the plan.
     s = assert_plan(_q("window_exclude_bounded", spark, sf_dir))
     assert "Join" not in s.text
+
+
+def test_global_rank_no_single_partition_window(spark):
+    """Round-7 VERDICT item: global ranks must not plan a 'No Partition
+    Defined' WindowExec. The two-phase helper's only window partitions by
+    spark_partition_id, so every windowspecdefinition in the optimized plan
+    must carry a partition column."""
+    from pyspark.sql import functions as F
+
+    from duckdb_parachute_spark.functions.scalar import global_rank, global_row_number
+
+    df = spark.range(500).select((F.col("id") % 7).alias("v"), F.col("id").alias("t"))
+    for builder in (
+        lambda: global_row_number(df, ["v", "t"]),
+        lambda: global_rank(df, ["v"]),
+    ):
+        plan = builder()._jdf.queryExecution().optimizedPlan().toString()
+        specs = [ln for ln in plan.splitlines() if "windowspecdefinition(" in ln]
+        assert specs, "expected at least one window in the plan"
+        for ln in specs:
+            head = ln.split("windowspecdefinition(", 1)[1]
+            # a global window spec starts directly with the ORDER clause
+            # (e.g. 'v#3L ASC NULLS FIRST, specifiedwindowframe...');
+            # a partitioned one leads with partition columns.
+            assert not head.lstrip().startswith("specifiedwindowframe"), ln
+            assert "__pid" in head.split(",")[0] or "ASC" not in head.split(",")[0], ln
