@@ -31,9 +31,15 @@ def brute_force_topk(
 def sign_lsh_bucket(vec: Column, num_planes: int = 8, seed: int = 7) -> Column:
     """Random-hyperplane (sign) LSH bucket id in [0, 2^num_planes).
 
-    Hyperplane components are pseudo-random ±1 derived from xxhash64(seed,
-    plane, dim) — deterministic, no stored model, computable row-local at any
-    scale. Dot products run as one higher-order expression per plane."""
+    Hyperplane components are pseudo-random ±1 derived from xxhash64 —
+    deterministic, no stored model, computable row-local at any scale.
+
+    Hyperplane components derive from xxhash64(seed, plane, dim) and dot
+    products run as one higher-order expression per plane (two denser
+    formulations were measured slower in round 7: per-element hash-bit
+    sharing duplicated the traversal per plane, and an array-accumulator
+    single pass paid an array allocation per element — the bottleneck was
+    scan parallelism, fixed in lsh_topk, not hashing)."""
     def plane_bit(p: Column) -> Column:
         signed = F.aggregate(
             F.zip_with(
@@ -72,11 +78,27 @@ def lsh_topk(
     the same setting prunes hard. At scale, write-side: persist the per-table
     bucket ids as cluster columns so probes prune files; here computed on the
     fly — the probe is one scan whatever the table count."""
+    # The bucketing expressions are the probe's cost; a small embeddings
+    # parquet arrives as ONE row-group split, serializing them onto a single
+    # core. Spread to cluster parallelism only when the scan is narrower
+    # than the core count — at real scale file count >> cores and this is a
+    # no-op (no shuffle inserted).
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        df = df.repartition(cores)
     qdf = df.sparkSession.createDataFrame([(query_vec,)], f"{vec_col}: array<double>")
+    # ONE local job computes the query's bucket id in every table (round 7:
+    # the per-table head() loop cost num_tables driver jobs — ~0.5 s of
+    # scheduling floor each — and dominated the probe's wall clock).
+    qb_row = qdf.select(
+        *[
+            sign_lsh_bucket(F.col(vec_col), num_planes, seed=7 + t).alias(f"b{t}")
+            for t in range(num_tables)
+        ]
+    ).head()
     hit = None
     for t in range(num_tables):
-        qb = qdf.select(sign_lsh_bucket(F.col(vec_col), num_planes, seed=7 + t).alias("b")).head()[0]
-        c = sign_lsh_bucket(F.col(vec_col), num_planes, seed=7 + t) == F.lit(qb)
+        c = sign_lsh_bucket(F.col(vec_col), num_planes, seed=7 + t) == F.lit(qb_row[t])
         hit = c if hit is None else (hit | c)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = array_cosine_similarity(F.col(vec_col), q)
