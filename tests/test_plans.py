@@ -351,3 +351,54 @@ def test_global_rank_no_single_partition_window(spark):
             # a partitioned one leads with partition columns.
             assert not head.lstrip().startswith("specifiedwindowframe"), ln
             assert "__pid" in head.split(",")[0] or "ASC" not in head.split(",")[0], ln
+
+
+def test_job_instantiations_no_cartesian_no_fact_shuffle(no_aqe, spark, sf_dir):
+    """Round-7 JOB instantiations: the verdict's done-criterion — no
+    cartesian product and at most one fact shuffle per query. The MIN
+    battery needs zero data shuffles when every dim broadcasts; the only
+    exchange allowed is the single-row final aggregate."""
+    from duckdb_parachute_spark.plans import physical_plan
+
+    for name in ["job_i01_like_prefix_urgent", "job_i09_deep_chain_six",
+                 "job_i11_cnation_region_mix", "job_i14_narrow_everything"]:
+        text = physical_plan(_q(name, spark, sf_dir), mode="formatted")
+        assert "CartesianProduct" not in text, name
+        assert "BroadcastNestedLoop" not in text, name
+        # ungrouped agg: one partial/final exchange at most beyond broadcasts
+        assert text.count("Exchange hashpartitioning") <= 1, name
+
+
+def test_tpcds5_rollup_preaggregates_before_expand(no_aqe, spark, sf_dir):
+    """q18/q22 (round-7): Expand must sit ABOVE the finest-grain aggregate,
+    never directly over the fact scan — the pre-agg keeps the rollup input
+    dimension-sized."""
+    from duckdb_parachute_spark.plans import physical_plan
+
+    for name in ["tpcds_q18_demo_geo_rollup_avgs", "tpcds_q22_inventory_rollup_qoh"]:
+        text = physical_plan(_q(name, spark, sf_dir), mode="formatted")
+        assert "Expand" in text, name
+        # In the formatted tree, operators list root-first with increasing
+        # ids; the Expand node must consume a HashAggregate output, so a
+        # HashAggregate appears between Expand and every Scan.
+        lines = text.splitlines()
+        expand_idx = next(i for i, ln in enumerate(lines) if "Expand" in ln)
+        agg_after = any("HashAggregate" in ln for ln in lines[expand_idx:])
+        assert agg_after, f"{name}: Expand feeds directly from the scan"
+
+
+def test_tpcds4_yearpair_single_shuffle_per_channel(no_aqe, spark, sf_dir):
+    """q4 (round-7): the conditional-aggregation reformulation — three
+    channel aggregates, each ONE hash exchange on the customer key, then
+    co-partitioned joins; no CTE re-scan blowup, no cartesian."""
+    from duckdb_parachute_spark.plans import physical_plan
+
+    text = physical_plan(_q("tpcds_q4_threechannel_growth", spark, sf_dir), mode="formatted")
+    assert "CartesianProduct" not in text
+    # 3 channel aggregates + join exchanges; the reference's 6-way self-join
+    # spelling would need 6 year_total evaluations — here at most 6 base
+    # scans total (2 lineitem slices, up to 3 orders, 1 customer), counted
+    # from the formatted plan's per-operator detail entries.
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", text)) <= 6
