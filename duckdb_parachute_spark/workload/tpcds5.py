@@ -1171,15 +1171,16 @@ def tpcds_q81(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _three_channel_union(spark, sf_dir, item_filter_sql_col, group_col, month, year, nations):
-    """Shared builder for q33/q60: per-channel sums of a category-filtered
-    item set, UNION ALL'd then re-grouped. Returns (joined, group_col)."""
+def _three_channel_union(spark, sf_dir, item_filter, month, year, nations):
+    """Shared builder for q33/q60: the joined fact slice (one month, a
+    nation set, an item filter) from which both queries aggregate their
+    channel-tagged sums in one pass."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.year("l_shipdate") == year) & (F.month("l_shipdate") == month)
     )
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").where(F.col("c_nationkey").isin(*nations))
-    p = load_table(spark, sf_dir, "part").where(item_filter_sql_col)
+    p = load_table(spark, sf_dir, "part").where(item_filter)
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(maybe_broadcast(c, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
@@ -1220,7 +1221,7 @@ def tpcds_q33(spark, sf_dir):
     p = load_table(spark, sf_dir, "part")
     sizes = p.where(F.col("p_type") == "PROMO").select("p_size").distinct()
     joined = _three_channel_union(
-        spark, sf_dir, F.lit(True), "p_size", month=5, year=1996, nations=(0, 5, 10, 15, 20)
+        spark, sf_dir, F.lit(True), month=5, year=1996, nations=(0, 5, 10, 15, 20)
     ).join(F.broadcast(sizes.withColumnRenamed("p_size", "__sz")), F.col("p_size") == F.col("__sz"), "left_semi")
     chans = joined.groupBy(F.col("p_size").alias("manufact"), "l_returnflag").agg(
         money.sum_money("l_extendedprice", out="decimal(22,2)").alias("chan_sales")
@@ -1263,7 +1264,6 @@ def tpcds_q60(spark, sf_dir):
         spark,
         sf_dir,
         F.col("p_type") == "ECONOMY",
-        "p_name",
         month=9,
         year=1996,
         nations=(1, 6, 11, 16, 21),
