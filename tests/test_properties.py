@@ -327,3 +327,96 @@ def test_groups_frame_collect_wide_frame(spark):
     row = out.select(F.size("fv").alias("w"), "med").head()
     assert row["w"] == 2000
     assert abs(row["med"] - 999.5) < 1e-9
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=10**6),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.booleans(),
+)
+def test_global_rank_matches_duckdb(spark, oracle, rows, desc):
+    """Two-phase global_rank/global_row_number (round 7, no single-partition
+    WindowExec) vs DuckDB's native global rank()/row_number() on random
+    fixtures, both sort directions, including ties."""
+    from duckdb_parachute_spark.functions.scalar import global_rank, global_row_number
+
+    data = [(v, i) for i, (v, _) in enumerate(rows)]
+    df = spark.createDataFrame(data, "v int, id int")
+    rk = {
+        (r["v"], r["id"]): r["rnk"]
+        for r in global_rank(df, ["v"], descending=[desc], out="rnk").collect()
+    }
+    rn = {
+        (r["v"], r["id"]): r["rn"]
+        for r in global_row_number(df, ["v", "id"], descending=[desc, False], out="rn").collect()
+    }
+    vals = ", ".join(f"({v}, {i})" for v, i in data)
+    direction = "DESC" if desc else "ASC"
+    exp = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in oracle.execute(
+            f"""
+            SELECT v, id,
+                   rank() OVER (ORDER BY v {direction}) AS rnk,
+                   row_number() OVER (ORDER BY v {direction}, id ASC) AS rn
+            FROM (VALUES {vals}) t(v, id)
+            """
+        ).fetchall()
+    }
+    for key, (e_rnk, e_rn) in exp.items():
+        assert rk[key] == e_rnk, f"rank mismatch at {key}"
+        assert rn[key] == e_rn, f"row_number mismatch at {key}"
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),
+            st.integers(min_value=1, max_value=4),
+            st.one_of(st.none(), st.integers(min_value=-9, max_value=9)),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+def test_exclude_sums_full_partition_matches_duckdb(spark, oracle, rows):
+    """exclude_sums (full-partition frame) vs DuckDB's NATIVE EXCLUDE over
+    ROWS UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING, with NULL values — pins
+    the round-7 coalesce-not-propagate discipline on the unbounded path.
+    Values are a function of (p, o) so results are tie-order-free."""
+    from duckdb_parachute_spark.operators.frames import exclude_sums
+
+    def val(p, o, raw):
+        return None if raw is None else (p * 10 + o)
+
+    data = [(p, o, i, val(p, o, raw)) for i, (p, o, raw) in enumerate(rows)]
+    df = spark.createDataFrame(data, "p int, o int, id int, v int")
+    got = {
+        (r["p"], r["o"], r["id"]): (r["excl_current"], r["excl_group"], r["excl_ties"])
+        for r in exclude_sums(df, ["p"], "o", F.col("v")).collect()
+    }
+    vals = ", ".join(
+        f"({p}, {o}, {i}, {'NULL' if v is None else v})" for p, o, i, v in data
+    )
+    frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+    exp = {
+        (r[0], r[1], r[2]): (r[3], r[4], r[5])
+        for r in oracle.execute(
+            f"""
+            SELECT p, o, id,
+                sum(v) OVER (PARTITION BY p ORDER BY o {frame} EXCLUDE CURRENT ROW) AS ec,
+                sum(v) OVER (PARTITION BY p ORDER BY o {frame} EXCLUDE GROUP) AS eg,
+                sum(v) OVER (PARTITION BY p ORDER BY o {frame} EXCLUDE TIES) AS et
+            FROM (VALUES {vals}) t(p, o, id, v)
+            """
+        ).fetchall()
+    }
+    assert got == exp
