@@ -649,3 +649,38 @@ def h2o_groupby_sixkey(spark, sf_dir):
         F.sum(money.cents("l_tax")).alias("v3_units"),
         F.count(F.lit(1)).alias("count"),
     )
+
+
+@query(
+    "h2o_groupby_twokey_multiavg",
+    oracle="""
+    SELECT l_returnflag AS id1, l_linestatus AS id2,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v1,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS DOUBLE)
+             / 100.0 / count(*) AS v2,
+           CAST(sum(CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)) AS DOUBLE)
+             / 100.0 / count(*) AS v3,
+           CAST(sum(CAST(CAST(l_tax AS DECIMAL(4,2)) * 100 AS BIGINT)) AS DOUBLE)
+             / 100.0 / count(*) AS v4
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def h2o_groupby_twokey_multiavg(spark, sf_dir):
+    """H2O db-benchmark groupby q2+q4 shapes in one entry (reference
+    benchmark/h2oai/group/queries/q02.sql: sum BY id1,id2; q04.sql: three
+    avgs BY id4) — completing the groupby question list (q1-q10 all
+    covered). Two-key low-cardinality exchange; averages are exact
+    integer-cent sums over counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_returnflag").alias("id1"), F.col("l_linestatus").alias("id2")
+    ).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("v1"),
+        _h2o_avg("l_extendedprice").alias("v2"),
+        _h2o_avg("l_discount").alias("v3"),
+        _h2o_avg("l_tax").alias("v4"),
+    )
+
+
+def _h2o_avg(col):
+    return F.sum(money.cents(col)).cast("double") / F.lit(100.0) / F.count(F.lit(1))
