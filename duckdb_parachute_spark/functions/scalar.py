@@ -94,10 +94,21 @@ def global_row_number(df, keys, descending=None, out="rn"):
        cumulative offsets, and broadcast-join them back:
        global_rn = local_rn + offset[pid].
 
-    `keys` are VALUE expressions (no .desc() — pass `descending` flags);
-    ties are resolved by their position inside the range partition, so pass
-    a tiebreaker key when determinism matters (same contract as every
-    ORDER BY+LIMIT query in the registry)."""
+    `keys` are VALUE expressions (no .desc()/.asc() sort-order wrappers —
+    pass `descending` flags instead; a sort-order expression fails at
+    analysis); ties are resolved by their position inside the range
+    partition, so pass a tiebreaker key when determinism matters (same
+    contract as every ORDER BY+LIMIT query in the registry).
+
+    The range-partitioned, pid-stamped intermediate is eagerly
+    localCheckpoint()ed BEFORE the counts job: RangePartitioner samples its
+    boundaries per job (seeded by RDD id), so without the materialization
+    the offsets collect() and the returned plan could land DIFFERENT
+    boundaries on inputs past the sampling budget — duplicated/skipped
+    global ids. The checkpoint also means the upstream plan executes
+    exactly once per call (the counts job and every downstream consumer
+    read the materialized partitions). Build is therefore EAGER — bench
+    harnesses must rebuild inside the clock (bench.py eager_build)."""
     from pyspark.sql import Window
 
     spark = df.sparkSession
@@ -112,6 +123,7 @@ def global_row_number(df, keys, descending=None, out="rn"):
     d = (
         d.repartitionByRange(n_part, *sort_cols)
         .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w = Window.partitionBy("__pid").orderBy(*sort_cols)
     d = d.withColumn("__lrn", F.row_number().over(w))

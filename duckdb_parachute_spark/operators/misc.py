@@ -44,7 +44,12 @@ def positional_join(
     with NULLs like the reference does. Round 7: positions come from the
     two-phase global_row_number (range shuffle + per-partition offsets), so
     numbering both sides never funnels through a single-partition
-    WindowExec; the position join itself hash-partitions on __pos."""
+    WindowExec; the position join itself hash-partitions on __pos.
+
+    Contract change with that rewrite: order lists are VALUE expressions
+    (ascending; no .desc()/.asc() sort-order wrappers — those fail at
+    analysis). Descending alignment is not expressible here — pre-negate
+    or derive an ascending key instead."""
     from duckdb_parachute_spark.functions.scalar import global_row_number
 
     lt = global_row_number(left, left_order or [F.monotonically_increasing_id()], out="__pos")

@@ -31,11 +31,10 @@ def brute_force_topk(
 def sign_lsh_bucket(vec: Column, num_planes: int = 8, seed: int = 7) -> Column:
     """Random-hyperplane (sign) LSH bucket id in [0, 2^num_planes).
 
-    Hyperplane components are pseudo-random ±1 derived from xxhash64 —
-    deterministic, no stored model, computable row-local at any scale.
-
-    Hyperplane components derive from xxhash64(seed, plane, dim) and dot
-    products run as one higher-order expression per plane (two denser
+    Hyperplane components are pseudo-random ±1 derived from
+    xxhash64(seed, plane, dim) — deterministic, no stored model, computable
+    row-local at any scale; dot products run as one higher-order
+    expression per plane (two denser
     formulations were measured slower in round 7: per-element hash-bit
     sharing duplicated the traversal per plane, and an array-accumulator
     single pass paid an array allocation per element — the bottleneck was

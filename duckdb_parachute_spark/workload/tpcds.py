@@ -764,6 +764,9 @@ def tpcds_q44(spark, sf_dir):
     # makes the order total, so rank() == row_number.
     from duckdb_parachute_spark.functions.scalar import global_row_number
 
+    # perf is consumed by BOTH rank passes; materialize the dimension-sized
+    # aggregate once so the fact shuffle runs a single time.
+    perf = perf.localCheckpoint(eager=True)
     asc_r = global_row_number(perf, ["avg_rev", "l_partkey"], out="rnk").select(
         "l_partkey", "rnk"
     )

@@ -365,8 +365,11 @@ def test_job_instantiations_no_cartesian_no_fact_shuffle(no_aqe, spark, sf_dir):
         text = physical_plan(_q(name, spark, sf_dir), mode="formatted")
         assert "CartesianProduct" not in text, name
         assert "BroadcastNestedLoop" not in text, name
-        # ungrouped agg: one partial/final exchange at most beyond broadcasts
-        assert text.count("Exchange hashpartitioning") <= 1, name
+        # every dim broadcasts at this sf, so the plan needs NO
+        # hash-partitioned exchange at all (the ungrouped final agg uses a
+        # SinglePartition exchange, which is not counted by this pattern —
+        # formatted mode spells hash exchanges 'Arguments: hashpartitioning').
+        assert text.count("hashpartitioning(") == 0, name
 
 
 def test_tpcds5_rollup_preaggregates_before_expand(no_aqe, spark, sf_dir):
@@ -375,16 +378,31 @@ def test_tpcds5_rollup_preaggregates_before_expand(no_aqe, spark, sf_dir):
     dimension-sized."""
     from duckdb_parachute_spark.plans import physical_plan
 
+    import re
+
     for name in ["tpcds_q18_demo_geo_rollup_avgs", "tpcds_q22_inventory_rollup_qoh"]:
-        text = physical_plan(_q(name, spark, sf_dir), mode="formatted")
-        assert "Expand" in text, name
-        # In the formatted tree, operators list root-first with increasing
-        # ids; the Expand node must consume a HashAggregate output, so a
-        # HashAggregate appears between Expand and every Scan.
-        lines = text.splitlines()
-        expand_idx = next(i for i, ln in enumerate(lines) if "Expand" in ln)
-        agg_after = any("HashAggregate" in ln for ln in lines[expand_idx:])
-        assert agg_after, f"{name}: Expand feeds directly from the scan"
+        # simple mode nests children under parents by indentation: walk the
+        # Expand node's SUBTREE and require a HashAggregate strictly between
+        # Expand and the first table scan — the regressed shape (Expand
+        # directly over the fact) has the scan first.
+        text = physical_plan(_q(name, spark, sf_dir), mode="simple")
+        lines = [ln for ln in text.splitlines() if ln.strip()]
+
+        def indent(ln):
+            return len(ln) - len(ln.lstrip(" :+-*("))
+
+        expand_idx = next(i for i, ln in enumerate(lines) if re.search(r"\bExpand\b", ln))
+        exp_ind = indent(lines[expand_idx])
+        saw_agg = False
+        for ln in lines[expand_idx + 1 :]:
+            if indent(ln) <= exp_ind:
+                break
+            if "HashAggregate" in ln:
+                saw_agg = True
+            if "Scan parquet" in ln or "FileScan" in ln:
+                assert saw_agg, f"{name}: Expand reaches a scan before any aggregate"
+                break
+        assert saw_agg, f"{name}: no pre-aggregate under the Expand"
 
 
 def test_tpcds4_yearpair_single_shuffle_per_channel(no_aqe, spark, sf_dir):
