@@ -146,6 +146,12 @@ AQE_QUERIES = [
     "window_qualify_topn_per_group",
     "dedup_minhash_pairs",
     "setop_union_intersect_except",
+    # round-7 families: year-pair conditional aggregation, INTERSECT
+    # funnel, two-phase global rank, spec-driven JOB star
+    "tpcds_q4_threechannel_growth",
+    "tpcds_q14_cross_channel_intersect",
+    "tpcds_q44_best_worst_rank",
+    "job_i09_deep_chain_six",
 ]
 
 
