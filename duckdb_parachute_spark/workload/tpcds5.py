@@ -758,9 +758,9 @@ def tpcds_q19(spark, sf_dir):
     cast_double=["itemrevenue"],
     oracle=f"""
     SELECT p_partkey, p_name, p_type,
-           CAST(itemrevenue AS DECIMAL(22,2)) AS itemrevenue,
-           CAST(itemrevenue AS DOUBLE) * 100.0
-             / CAST(sum(itemrevenue) OVER (PARTITION BY p_type) AS DOUBLE) AS revenueratio
+           CAST(itemrevenue AS DECIMAL(18,2)) AS itemrevenue,
+           CAST(CAST(itemrevenue AS DECIMAL(18,2)) AS DOUBLE) * 100.0
+             / CAST(CAST(sum(itemrevenue) OVER (PARTITION BY p_type) AS DECIMAL(18,2)) AS DOUBLE) AS revenueratio
     FROM (
         SELECT p_partkey, p_name, p_type,
                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS itemrevenue
@@ -791,7 +791,14 @@ def tpcds_q20(spark, sf_dir):
     g = (
         li.join(maybe_broadcast(p, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_partkey", "p_name", "p_type")
-        .agg(money.sum_money("l_extendedprice", out="decimal(22,2)").alias("itemrevenue"))
+        # Every value feeding the double quotient is RE-QUANTIZED through
+        # an int64-backed DECIMAL(18,2) on BOTH sides first: the oracle's
+        # units/10^k spelling detours through a DuckDB double division
+        # (DECIMAL / INTEGER yields DOUBLE there) that can sit 1 ulp off
+        # Spark's exact decimal value (seen live on q98 at sf0.01); the
+        # decimal cast snaps both engines to the identical exact value
+        # before the one shared double division.
+        .agg(money.sum_money("l_extendedprice", out="decimal(18,2)").alias("itemrevenue"))
     )
     w = Window.partitionBy("p_type")
     return g.select(
@@ -801,7 +808,7 @@ def tpcds_q20(spark, sf_dir):
         "itemrevenue",
         (
             F.col("itemrevenue").cast("double") * 100.0
-            / F.sum("itemrevenue").over(w).cast("double")
+            / F.sum("itemrevenue").over(w).cast("decimal(18,2)").cast("double")
         ).alias("revenueratio"),
     ).orderBy("p_type", "p_partkey")
 
@@ -811,9 +818,9 @@ def tpcds_q20(spark, sf_dir):
     cast_double=["itemrevenue"],
     oracle=f"""
     SELECT p_partkey, p_name, p_size,
-           CAST(itemrevenue AS DECIMAL(22,4)) AS itemrevenue,
-           CAST(itemrevenue AS DOUBLE) * 100.0
-             / CAST(sum(itemrevenue) OVER (PARTITION BY p_size) AS DOUBLE) AS revenueratio
+           CAST(itemrevenue AS DECIMAL(18,4)) AS itemrevenue,
+           CAST(CAST(itemrevenue AS DECIMAL(18,4)) AS DOUBLE) * 100.0
+             / CAST(CAST(sum(itemrevenue) OVER (PARTITION BY p_size) AS DECIMAL(18,4)) AS DOUBLE) AS revenueratio
     FROM (
         SELECT p_partkey, p_name, p_size,
                CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
@@ -844,7 +851,10 @@ def tpcds_q98(spark, sf_dir):
     g = (
         li.join(maybe_broadcast(p, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_partkey", "p_name", "p_size")
-        .agg(money.sum_disc_price(out="decimal(22,4)").alias("itemrevenue"))
+        # re-quantized through int64-backed DECIMAL(18,4) — see q20's note:
+        # snaps both engines to the identical exact value before the one
+        # shared double division.
+        .agg(money.sum_disc_price(out="decimal(18,4)").alias("itemrevenue"))
     )
     w = Window.partitionBy("p_size")
     return g.select(
@@ -854,7 +864,7 @@ def tpcds_q98(spark, sf_dir):
         "itemrevenue",
         (
             F.col("itemrevenue").cast("double") * 100.0
-            / F.sum("itemrevenue").over(w).cast("double")
+            / F.sum("itemrevenue").over(w).cast("decimal(18,4)").cast("double")
         ).alias("revenueratio"),
     ).orderBy("p_size", "p_partkey")
 
