@@ -676,11 +676,7 @@ def h2o_groupby_twokey_multiavg(spark, sf_dir):
         F.col("l_returnflag").alias("id1"), F.col("l_linestatus").alias("id2")
     ).agg(
         F.sum(F.col("l_quantity").cast("bigint")).alias("v1"),
-        _h2o_avg("l_extendedprice").alias("v2"),
-        _h2o_avg("l_discount").alias("v3"),
-        _h2o_avg("l_tax").alias("v4"),
+        money.avg_money("l_extendedprice").alias("v2"),
+        money.avg_money("l_discount").alias("v3"),
+        money.avg_money("l_tax").alias("v4"),
     )
-
-
-def _h2o_avg(col):
-    return F.sum(money.cents(col)).cast("double") / F.lit(100.0) / F.count(F.lit(1))

@@ -818,14 +818,14 @@ def tpcds_q20(spark, sf_dir):
     cast_double=["itemrevenue"],
     oracle=f"""
     SELECT p_partkey, p_name, p_size,
-           CAST(itemrevenue AS DECIMAL(18,4)) AS itemrevenue,
-           CAST(CAST(itemrevenue AS DECIMAL(18,4)) AS DOUBLE) * 100.0
+           itemrevenue,
+           CAST(itemrevenue AS DOUBLE) * 100.0
              / CAST(CAST(sum(itemrevenue) OVER (PARTITION BY p_size) AS DECIMAL(18,4)) AS DOUBLE) AS revenueratio
     FROM (
         SELECT p_partkey, p_name, p_size,
-               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
                         * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT))) AS DECIMAL(27,0))
-                 / 10000 AS itemrevenue
+                 / 10000 AS DECIMAL(18,4)) AS itemrevenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_returnflag = 'N'
           AND p_size BETWEEN 20 AND 40
@@ -851,9 +851,11 @@ def tpcds_q98(spark, sf_dir):
     g = (
         li.join(maybe_broadcast(p, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_partkey", "p_name", "p_size")
-        # re-quantized through int64-backed DECIMAL(18,4) — see q20's note:
-        # snaps both engines to the identical exact value before the one
-        # shared double division.
+        # re-quantized through int64-backed DECIMAL(18,4) INSIDE the
+        # subquery (before the window sum), so the oracle's class total
+        # accumulates exact decimals like Spark's — snapping only the final
+        # sum would leave DuckDB summing raw doubles, whose accumulated
+        # error outgrows the snap tolerance at large scale factors.
         .agg(money.sum_disc_price(out="decimal(18,4)").alias("itemrevenue"))
     )
     w = Window.partitionBy("p_size")

@@ -391,7 +391,10 @@ def test_tpcds5_rollup_preaggregates_before_expand(no_aqe, spark, sf_dir):
         def indent(ln):
             return len(ln) - len(ln.lstrip(" :+-*("))
 
-        expand_idx = next(i for i, ln in enumerate(lines) if re.search(r"\bExpand\b", ln))
+        expand_idx = next(
+            (i for i, ln in enumerate(lines) if re.search(r"\bExpand\b", ln)), None
+        )
+        assert expand_idx is not None, f"{name}: no Expand node in the plan"
         exp_ind = indent(lines[expand_idx])
         saw_agg = False
         for ln in lines[expand_idx + 1 :]:
