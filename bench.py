@@ -75,7 +75,7 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", cpus)
 
     from duckdb_parachute_spark import get_session
-    from duckdb_parachute_spark.session import scaled_shuffle_partitions
+    from duckdb_parachute_spark.session import scaled_adaptive, scaled_shuffle_partitions
     from duckdb_parachute_spark.workload import load_all
 
     spark = get_session(
@@ -85,6 +85,11 @@ def main() -> None:
         # scale (scheduling floor dominates below that), AQE-coalesced
         # thousands at 100 TB — same dial, data-sized (session.py).
         shuffle_partitions=scaled_shuffle_partitions(sf_dir),
+        # AQE sized to the data too (round 8): each AQE exchange
+        # materialization costs a driver scheduling round; below ~2 GiB it
+        # has nothing to adapt (partitions already data-sized, dims already
+        # broadcast-hinted) and costs ~11 % of suite wall. ≥2 GiB → on.
+        extra_conf={"spark.sql.adaptive.enabled": scaled_adaptive(sf_dir)},
     )
     qs = load_all()
     names = [n for n in HEADLINE if n in qs] + [
@@ -99,6 +104,34 @@ def main() -> None:
     from duckdb_parachute_spark.catalog import load_table
 
     load_table(spark, sf_dir, "lineitem").limit(1).collect()
+
+    # Environment calibration (round 8, after the r6→r7 "drift" turned out
+    # to be host noise — BASELINE.md §round-8): three fixed probes recorded
+    # alongside the query timings so round-over-round comparisons can be
+    # normalized against the machine's state that day. cpu_spin is a
+    # single-thread pure-Python loop (driver-side speed); spark_noop is the
+    # scheduling floor of one trivial 1-task job; spark_shuffle adds one
+    # exchange. If these move round-over-round, the suite moved with them.
+    def _min_of(f, n=7):
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            f()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+
+    def _spin():
+        x = 0
+        for i in range(2_000_000):
+            x += i
+        return x
+
+    calib = {
+        "cpu_spin": _min_of(_spin),
+        "spark_noop": _min_of(lambda: spark.range(1).count()),
+        "spark_shuffle": _min_of(lambda: spark.range(100).repartition(8, "id").count()),
+    }
+    print(f"# calib: {calib}", file=sys.stderr)
 
     # Per-query timing = min over BENCH_RUNS runs (default 5), mirroring the
     # reference's 5-run protocol (benchmark/benchmark_runner.cpp, default
@@ -151,6 +184,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "calib": calib,
                 "sf": sf,
             }
         )

@@ -107,8 +107,6 @@ def _check_unidata_version() -> None:
         )
 
 
-_check_unidata_version()
-
 _UTF8PROC_UNKNOWN_MARKS = frozenset(
     int(h, 16)
     for h in (
@@ -177,9 +175,22 @@ def _accent_tables() -> tuple[str, str, list[tuple[str, str]]]:
     return "".join(src) + "".join(deleted), "".join(dst), astral
 
 
-_ACCENT_SRC, _ACCENT_DST, _ASTRAL_TABLE = _accent_tables()
+#: Lazily built on first strip_accents/NOACCENT use (ADVICE r7): the
+#: module-import-time version check made the whole package unimportable on a
+#: Python with newer Unicode tables, even for code that never folds accents.
+#: The loud failure is now scoped to the feature whose parity tables it
+#: protects — _lazy_accent_tables() checks unidata_version, then builds once.
+_ACCENT_TABLES: tuple[str, str, list[tuple[str, str]]] | None = None
 _ASTRAL_RE = "[\\x{10000}-\\x{10FFFF}]"
 _ASTRAL_MAP_SQL: str | None = None
+
+
+def _lazy_accent_tables() -> tuple[str, str, list[tuple[str, str]]]:
+    global _ACCENT_TABLES
+    if _ACCENT_TABLES is None:
+        _check_unidata_version()
+        _ACCENT_TABLES = _accent_tables()
+    return _ACCENT_TABLES
 
 
 def _astral_map() -> Column:
@@ -193,8 +204,9 @@ def _astral_map() -> Column:
         def q(x: str) -> str:
             return "'" + x.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
-        keys = ",".join(q(ch) for ch, _ in _ASTRAL_TABLE)
-        vals = ",".join(q(repl) for _, repl in _ASTRAL_TABLE)
+        astral = _lazy_accent_tables()[2]
+        keys = ",".join(q(ch) for ch, _ in astral)
+        vals = ",".join(q(repl) for _, repl in astral)
         _ASTRAL_MAP_SQL = f"map_from_arrays(array({keys}), array({vals}))"
     return F.expr(_ASTRAL_MAP_SQL)
 
@@ -211,7 +223,8 @@ def strip_accents(s: Column) -> Column:
     survive intact. No UDF anywhere. Known residual: decomposed Hangul
     Jamo sequences are not recomposed (the reference's NFC pass would;
     no mark stripping is involved)."""
-    out = F.translate(s, _ACCENT_SRC, _ACCENT_DST)
+    acc_src, acc_dst, _ = _lazy_accent_tables()
+    out = F.translate(s, acc_src, acc_dst)
     astral_mapped = F.array_join(
         F.transform(
             F.split(out, ""),

@@ -113,13 +113,26 @@ def global_row_number(df, keys, descending=None, out="rn"):
 
     spark = df.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    desc = descending or [False] * len(keys)
+    if descending is not None and len(descending) != len(keys):
+        raise ValueError(
+            f"global_row_number: len(descending)={len(descending)} must equal "
+            f"len(keys)={len(keys)}"
+        )
+    desc = descending if descending is not None else [False] * len(keys)
     d = df
     sort_cols = []
     for i, k in enumerate(keys):
         col = F.col(k) if isinstance(k, str) else k
         d = d.withColumn(f"__sk{i}", col)
-        sort_cols.append(F.col(f"__sk{i}").desc() if desc[i] else F.col(f"__sk{i}").asc())
+        # DuckDB default NULL placement (reference src/planner/binder/query_node/
+        # bind_select_node.cpp default_null_order): NULLS LAST for ASC,
+        # NULLS FIRST for DESC — matching frames.py's _order_key discipline so
+        # oracle-compared rankings over nullable keys agree.
+        sort_cols.append(
+            F.col(f"__sk{i}").desc_nulls_first()
+            if desc[i]
+            else F.col(f"__sk{i}").asc_nulls_last()
+        )
     d = (
         d.repartitionByRange(n_part, *sort_cols)
         .withColumn("__pid", F.spark_partition_id())

@@ -4,6 +4,7 @@ so Catalyst still optimizes them.
 """
 
 from duckdb_parachute_spark.operators.asof import asof_join
+from duckdb_parachute_spark.operators.cte import materialized_cte
 from duckdb_parachute_spark.operators.misc import (
     distinct_on,
     limit_percent,
@@ -16,6 +17,7 @@ from duckdb_parachute_spark.operators.recursive import recursive_cte
 
 __all__ = [
     "asof_join",
+    "materialized_cte",
     "distinct_on",
     "qualify",
     "positional_join",

@@ -84,11 +84,18 @@ def recursive_cte(
             cand = nxt.distinct().exceptAll(working)
             nxt = cand.exceptAll(_prefilter_history(acc, cand))
         # The delta is consumed several times (emptiness probe, accumulator
-        # union, next step); an eager localCheckpoint materializes it once and
-        # cuts the lineage — without it every iteration recomputes the whole
-        # chain and the loop goes quadratic.
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
+        # union, next step); a localCheckpoint materializes it once and cuts
+        # the lineage — without it every iteration recomputes the whole chain
+        # and the loop goes quadratic. LAZY checkpoint + count() probe
+        # (round 8): the plan is truncated immediately, and the emptiness
+        # probe is a count() whose single job materializes every checkpoint
+        # partition as a side effect — one scheduled job per iteration
+        # instead of two (eager-checkpoint + isEmpty), saving a driver
+        # scheduling floor per iteration. count() (not isEmpty/take(1),
+        # whose partition-escalation can schedule several jobs on sparse
+        # deltas) guarantees full materialization in that one job.
+        nxt = nxt.localCheckpoint(eager=False)
+        if nxt.count() == 0:
             return acc if union_all else acc.distinct()
         acc = acc.unionAll(nxt)
         if (i + 1) % checkpoint_every == 0:
@@ -99,6 +106,9 @@ def recursive_cte(
             # (narrow, no shuffle) before the checkpoint to keep every later
             # acc scan at a bounded task count.
             n_part = int(acc.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-            acc = acc.coalesce(n_part).localCheckpoint(eager=True)
+            # Lazy for the same one-job-per-iteration reason as the delta
+            # checkpoint above: the next iteration's prefilter semi-join is
+            # the first consumer and materializes it in its own job.
+            acc = acc.coalesce(n_part).localCheckpoint(eager=False)
         working = nxt
     raise RuntimeError(f"recursive_cte did not converge in {max_iterations} iterations")

@@ -87,6 +87,14 @@ def get_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     apply_runtime_conf(spark)
+    # Caller overrides win over RUNTIME_CONF defaults even when the session
+    # already existed (getOrCreate ignores builder confs then) — e.g. the
+    # bench harness passing a data-scaled adaptive.enabled (scaled_adaptive).
+    for k, v in (extra_conf or {}).items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
     return spark
 
 
@@ -138,3 +146,38 @@ def scaled_shuffle_partitions(data_dir: str, floor: int = 8, ceiling: int = 2000
         return max(floor, min(ceiling, max(default_parallelism() * (total > 2**33), total // (64 * 2**20))))
     except OSError:
         return default_parallelism()
+
+
+def _dir_bytes(data_dir: str) -> int:
+    import os
+
+    total = 0
+    try:
+        for root, _, files in os.walk(data_dir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(root, f))
+    except OSError:
+        pass
+    return total
+
+
+def scaled_adaptive(data_dir: str, threshold_bytes: int = 2**31) -> str:
+    """AQE on/off sized to the data — the same dial-by-data philosophy as
+    `scaled_shuffle_partitions`, applied to adaptive execution.
+
+    AQE's mechanism is materializing every exchange as its own job boundary
+    so it can re-plan on observed statistics. Each materialization costs a
+    driver scheduling round (~0.05-0.15 s in local mode); its payoff —
+    coalescing thousands of shuffle partitions, flipping sort-merge to
+    broadcast, splitting skewed partitions — only exists when the input is
+    big enough that those mistakes would cost more than the scheduling
+    rounds. Below ~2 GiB of input, shuffle partitions are already sized to
+    the data (scaled_shuffle_partitions), every dimension that should
+    broadcast is hinted (catalog.maybe_broadcast), and AQE has nothing left
+    to adapt: measured at sf0.1 it costs 11 % of suite wall-clock (BASELINE
+    §round-8) for zero plan change. A 100 TB input gets "true"
+    unconditionally — runtime re-plan is the scale story (session module
+    docstring) — so the default threshold only ever disables AQE on
+    interactive/sub-scale runs."""
+    return "false" if 0 < _dir_bytes(data_dir) < threshold_bytes else "true"

@@ -560,3 +560,82 @@ def h2o_join_big_big(spark, sf_dir):
         money.sum_money("l_extendedprice", out="decimal(20,2)").alias("v1"),
         money.sum_money("o_totalprice", out="decimal(20,2)").alias("v2"),
     )
+
+
+def _bucketed_join_sides(spark, sf_dir):
+    """Write-once bucketed copies of lineitem/orders for `join_bucketed_big_big`
+    and return the two table DataFrames. Storage-bucketed joins are the 100 TB
+    answer to the big-big shuffle plateau (BASELINE.md round-7 scale points):
+    both sides are bucketed on the join key with the SAME bucket count
+    (df.write.bucketBy(n, key).sortBy(key).saveAsTable — sources.write_bucketed),
+    so the join plans with ZERO exchanges: every task pairs bucket i with
+    bucket i, the exact co-located strategy the reference gets from its
+    partitioning-aware planner (reference
+    src/execution/physical_plan/plan_aggregate.cpp:33). Bucket count is
+    data-scaled via scaled_shuffle_partitions — the same dial as every other
+    partition decision. The write is amortized setup (like the persisted IVF
+    index in sim_ivf_pruned_probe): tables are rebuilt only when absent or
+    pointing at a different sf_dir."""
+    import re
+
+    from duckdb_parachute_spark.session import scaled_shuffle_partitions
+    from duckdb_parachute_spark.sources import write_bucketed
+
+    tag = re.sub(r"[^0-9a-z]", "_", sf_dir.lower()).strip("_")
+    t_li, t_o = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
+    n = scaled_shuffle_partitions(sf_dir)
+    if not spark.catalog.tableExists(t_li) or not spark.catalog.tableExists(t_o):
+        # The in-memory catalog forgets managed tables across sessions while
+        # their warehouse directories persist; clear any stale location so
+        # saveAsTable doesn't refuse (LOCATION_ALREADY_EXISTS).
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
+        for t in (t_li, t_o):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_quantity"
+        )
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        write_bucketed(li, t_li, ["l_orderkey"], n, sort_cols=["l_orderkey"])
+        write_bucketed(o, t_o, ["o_orderkey"], n, sort_cols=["o_orderkey"])
+    return spark.table(t_li), spark.table(t_o)
+
+
+@query(
+    "join_bucketed_big_big",
+    cast_double=["v1", "v2"],
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS v1,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS v2
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def join_bucketed_big_big(spark, sf_dir):
+    """The storage answer to h2o_join_big_big's shuffle plateau: the SAME
+    big-big join, but over bucketed tables — the join itself runs with NO
+    Exchange (plan-pinned: tests/test_plans.py::test_bucketed_query_join_no_exchange);
+    the only shuffle left is the small grouped aggregate after it. The
+    merge hint keeps AQE/broadcast from hiding the storage win at small SF;
+    at 100 TB broadcast is impossible anyway and this hint-free plan family
+    is what a 1000-executor cluster runs."""
+    li, o = _bucketed_join_sides(spark, sf_dir)
+    return (
+        li.hint("merge")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money.sum_money("l_extendedprice", out="decimal(20,2)").alias("v1"),
+            money.sum_money("o_totalprice", out="decimal(20,2)").alias("v2"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from duckdb_parachute_spark.catalog import load_table, maybe_broadcast
 from duckdb_parachute_spark.functions import money
+from duckdb_parachute_spark.operators.cte import materialized_cte
 from duckdb_parachute_spark.workload import query
 
 _TS96 = "TIMESTAMP '1996-01-01 00:00:00'"
@@ -523,21 +524,42 @@ def tpcds_q14(spark, sf_dir):
     quantity*price over the channel union, then per-channel per-brand sums
     over cross_items only, kept if above the scalar. The INTERSECT runs on
     deduped (brand, type) key sets (dimension-sized); the scalar threshold
-    is a 1-row aggregate cross-joined (broadcast) — no driver collect; the
-    fact is scanned once for the final grouped pass."""
+    is a 1-row aggregate cross-joined (broadcast) — no driver collect.
+
+    Round 8 (VERDICT item 2 — multi-consumer CTE): the fact+part join used
+    to be consumed FOUR times (3 channel key-sets + the grouped pass), and
+    per-consumer pruning forks Catalyst's plan into four full fact scans.
+    Now ONE pass pre-aggregates it to (returnflag, brand, type, partkey)
+    grain — dimension-sized, ≤ |part|×3 rows — and that base aggregate is
+    materialized once (`materialized_cte`, reference physical_cte.cpp:112);
+    key-sets, INTERSECT chain, and per-channel sums are all derived from
+    the materialized rows. Fact scans: 2 (base agg + the avg_sales scalar,
+    which the oracle defines over lineitem WITHOUT the part join — kept
+    separate rather than assuming FK integrity). Plan-pinned in
+    tests/test_plans.py."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= _ntz("1996-01-01 00:00:00"))
         & (F.col("l_shipdate") < _ntz("1998-01-01 00:00:00"))
     )
     p = load_table(spark, sf_dir, "part")
-    li_p = li.join(maybe_broadcast(p, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
+    qty_units = F.col("l_quantity").cast("long") * money.cents("l_extendedprice")
+    base = materialized_cte(
+        li.join(maybe_broadcast(p, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_returnflag", "p_brand", "p_type", "l_partkey")
+        .agg(F.sum(qty_units).alias("units"))
+    )
 
     def chan_keys(flag):
-        return li_p.where(F.col("l_returnflag") == flag).select("p_brand", "p_type").distinct()
+        return base.where(F.col("l_returnflag") == flag).select("p_brand", "p_type").distinct()
 
     cross_keys = chan_keys("N").intersect(chan_keys("A")).intersect(chan_keys("R"))
-    cross_items = p.join(cross_keys, ["p_brand", "p_type"]).select("p_partkey")
-    qty_units = F.col("l_quantity").cast("long") * money.cents("l_extendedprice")
+    cross_items = (
+        base.select("p_brand", "p_type", "l_partkey")
+        .distinct()
+        .join(cross_keys, ["p_brand", "p_type"])
+        .select(F.col("l_partkey").alias("ck"))
+        .distinct()
+    )
     avg_sales = li.agg(
         (F.sum(qty_units).cast("double") / F.lit(100.0) / F.count(F.lit(1))).alias(
             "average_sales"
@@ -549,9 +571,9 @@ def tpcds_q14(spark, sf_dir):
         .otherwise("store")
     )
     per = (
-        li_p.join(cross_items.withColumnRenamed("p_partkey", "ck"), F.col("l_partkey") == F.col("ck"), "left_semi")
+        base.join(cross_items, F.col("l_partkey") == F.col("ck"), "left_semi")
         .groupBy(channel.alias("channel"), "p_brand")
-        .agg(F.sum(qty_units).alias("sum_units"))
+        .agg(F.sum("units").alias("sum_units"))
     )
     return (
         per.crossJoin(F.broadcast(avg_sales))
@@ -911,7 +933,11 @@ def tpcds_q24(spark, sf_dir):
     once whole for a 5%-of-average scalar threshold): zip-equality maps to
     customer-nation == supplier-nation, color to brand. The scalar is a
     1-row aggregate cross-joined broadcast; the CTE is a single
-    fact-shuffle aggregate reused by both consumers."""
+    fact-shuffle aggregate reused by both consumers — materialized via
+    `materialized_cte` (reference physical_cte.cpp:112 builds the working
+    table once), since per-consumer pruning (detail keeps the group keys,
+    threshold only netpaid) would otherwise fork TWO full fact scans
+    (plan-pinned: tests/test_plans.py single-fact-scan assertion)."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= _ntz("1996-01-01 00:00:00"))
         & (F.col("l_shipdate") < _ntz("1997-01-01 00:00:00"))
@@ -931,6 +957,7 @@ def tpcds_q24(spark, sf_dir):
         .groupBy("c_name", "s_name", "n_name", "p_brand")
         .agg(money.sum_money("l_extendedprice", out="decimal(22,2)").alias("netpaid"))
     )
+    ssales = materialized_cte(ssales)
     threshold = ssales.agg(
         (
             F.lit(0.05)

@@ -423,3 +423,62 @@ def test_tpcds4_yearpair_single_shuffle_per_channel(no_aqe, spark, sf_dir):
     import re
 
     assert len(re.findall(r"\(\d+\) Scan parquet", text)) <= 6
+
+
+def test_bucketed_query_join_no_exchange(no_aqe, spark, sf_dir):
+    # join_bucketed_big_big: the registry's storage-bucketed big-big join.
+    # Both sides bucketed on the join key with the same data-scaled bucket
+    # count -> the JOIN runs with zero exchanges; the only shuffle in the
+    # whole query is the small grouped aggregate AFTER the join. (This is
+    # the 100 TB escape from the co-partitioned shuffle plateau measured in
+    # BASELINE.md round-7 scale points.)
+    from duckdb_parachute_spark.plans import physical_plan, plan_stats
+
+    df = _q("join_bucketed_big_big", spark, sf_dir)
+    s = plan_stats(df)
+    assert "SortMergeJoin" in s.text
+    # one agg shuffle (+ its single-partition sort for the ORDER BY), none
+    # for the join itself
+    assert s.shuffles <= 2, s.text
+    # and the join inputs are bucket scans: in the tree-shaped simple plan,
+    # everything BELOW the SortMergeJoin line (its children) must be
+    # exchange-free, and the scans must advertise bucketing
+    simple = physical_plan(df, mode="simple")
+    below_join = simple.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in below_join, simple
+    assert "Bucketed: true" in below_join, simple
+
+
+def test_materialized_cte_single_fact_scan(no_aqe, spark, sf_dir):
+    # VERDICT r7 item 2: q24's ssales and q14's base aggregate are consumed
+    # by MULTIPLE downstream branches. Without materialization, per-consumer
+    # column pruning forks them into N full fact scans (ReuseExchange only
+    # matches identical subplans). materialized_cte pins them: every
+    # consumer is an InMemoryTableScan, and the executed plan tree contains
+    # NO un-cached lineitem file scan beyond the expected count (0 for q24 —
+    # all consumers read the cache; 1 for q14 — the avg_sales scalar, which
+    # the oracle defines over the raw fact).
+    def live_lineitem_scans(df):
+        # collectLeaves walks the EXECUTED tree: the cached plan inside
+        # InMemoryRelation is not part of it (it only *prints* per consumer),
+        # so leaves are the honest "what will actually scan" census.
+        jleaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+        names = [jleaves.apply(i).nodeName() for i in range(jleaves.size())]
+        files = [
+            jleaves.apply(i).toString().splitlines()[0]
+            for i in range(jleaves.size())
+        ]
+        n_imts = sum("InMemoryTableScan" in n for n in names)
+        n_li = sum(
+            "lineitem" in f and "InMemoryTableScan" not in n
+            for n, f in zip(names, files)
+        )
+        return n_imts, n_li
+
+    imts, li = live_lineitem_scans(_q("tpcds_q24_netpaid_threshold", spark, sf_dir))
+    assert imts >= 2, f"q24 consumers should read the cached CTE, saw {imts}"
+    assert li == 0, f"q24 forked {li} live lineitem scans past the cache"
+
+    imts, li = live_lineitem_scans(_q("tpcds_q14_cross_channel_intersect", spark, sf_dir))
+    assert imts >= 4, f"q14 consumers should read the cached base agg, saw {imts}"
+    assert li == 1, f"q14 should scan lineitem exactly once outside the cache (avg_sales), saw {li}"
