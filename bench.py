@@ -44,6 +44,11 @@ HEADLINE = [
     "job_star_wide_five",
     "cb_ip_arith_groups",
     "recursive_cte_graph_reach",
+    # round-8 addition: the storage-bucketed big-big join (zero-exchange
+    # SMJ over bucketBy tables; the bucketed write happens at DataFrame
+    # build — amortized setup, like the IVF index — so the timed runs
+    # measure the join over existing bucketed storage, which is the claim).
+    "join_bucketed_big_big",
 ]
 
 

@@ -616,7 +616,10 @@ def job_like_chain_topmin(spark, sf_dir):
 def _job_instance(name, *, part_like=None, part_size=None, part_type=None,
                   s_nations=None, c_nations=None, region=None, seg=None,
                   prio=None, flag=None, date_lo=None, date_hi=None,
-                  qty_hi=None):
+                  qty_hi=None, part_brand=None, part_price=None,
+                  s_bal_min=None, c_bal_min=None, status=None,
+                  total_hi=None, lstat=None, disc=None,
+                  ship_lo=None, ship_hi=None, c_region=None):
     """Register one JOB-style instantiation built from a filter spec."""
     conds = []
     if part_like:
@@ -625,25 +628,47 @@ def _job_instance(name, *, part_like=None, part_size=None, part_type=None,
         conds.append(f"p_size BETWEEN {part_size[0]} AND {part_size[1]}")
     if part_type:
         conds.append(f"p_type = '{part_type}'")
+    if part_brand:
+        conds.append(f"p_brand = '{part_brand}'")
+    if part_price:
+        conds.append(f"p_retailprice BETWEEN {part_price[0]} AND {part_price[1]}")
     if s_nations:
         conds.append(f"s_nationkey IN ({', '.join(map(str, s_nations))})")
+    if s_bal_min is not None:
+        conds.append(f"s_acctbal >= {s_bal_min}")
     if c_nations:
         conds.append(f"c_nationkey IN ({', '.join(map(str, c_nations))})")
+    if c_bal_min is not None:
+        conds.append(f"c_acctbal >= {c_bal_min}")
     if region is not None:
-        conds.append(f"n_regionkey = {region}")
+        conds.append(f"sn.n_regionkey = {region}")
+    if c_region is not None:
+        conds.append(f"cn.n_regionkey = {c_region}")
     if seg:
         conds.append(f"c_mktsegment = '{seg}'")
     if prio:
         conds.append(f"o_orderpriority = '{prio}'")
+    if status:
+        conds.append(f"o_orderstatus = '{status}'")
+    if total_hi is not None:
+        conds.append(f"o_totalprice <= {total_hi}")
     if flag:
         conds.append(f"l_returnflag = '{flag}'")
+    if lstat:
+        conds.append(f"l_linestatus = '{lstat}'")
+    if disc:
+        conds.append(f"l_discount BETWEEN {disc[0]} AND {disc[1]}")
     if date_lo:
         conds.append(f"o_orderdate >= TIMESTAMP '{date_lo}'")
     if date_hi:
         conds.append(f"o_orderdate < TIMESTAMP '{date_hi}'")
+    if ship_lo:
+        conds.append(f"l_shipdate >= TIMESTAMP '{ship_lo}'")
+    if ship_hi:
+        conds.append(f"l_shipdate < TIMESTAMP '{ship_hi}'")
     if qty_hi is not None:
         conds.append(f"l_quantity <= {qty_hi}")
-    need_cust = bool(c_nations or seg)
+    need_cust = bool(c_nations or seg or c_bal_min is not None or c_region is not None)
     need_nation = region is not None
     joins = [
         "JOIN part ON l_partkey = p_partkey",
@@ -653,7 +678,9 @@ def _job_instance(name, *, part_like=None, part_size=None, part_type=None,
     if need_cust:
         joins.append("JOIN customer ON o_custkey = c_custkey")
     if need_nation:
-        joins.append("JOIN nation ON s_nationkey = n_nationkey")
+        joins.append("JOIN nation sn ON s_nationkey = sn.n_nationkey")
+    if c_region is not None:
+        joins.append("JOIN nation cn ON c_nationkey = cn.n_nationkey")
     oracle = f"""
     SELECT min(p_name) AS first_part, min(s_name) AS first_supplier,
            min(o_orderdate) AS first_date, CAST(count(*) AS BIGINT) AS n
@@ -667,6 +694,14 @@ def _job_instance(name, *, part_like=None, part_size=None, part_type=None,
         li = load_table(spark, sf_dir, "lineitem")
         if flag:
             li = li.where(F.col("l_returnflag") == flag)
+        if lstat:
+            li = li.where(F.col("l_linestatus") == lstat)
+        if disc:
+            li = li.where(F.col("l_discount").between(*disc))
+        if ship_lo:
+            li = li.where(F.col("l_shipdate") >= F.lit(ship_lo).cast("timestamp_ntz"))
+        if ship_hi:
+            li = li.where(F.col("l_shipdate") < F.lit(ship_hi).cast("timestamp_ntz"))
         if qty_hi is not None:
             li = li.where(F.col("l_quantity") <= qty_hi)
         p = load_table(spark, sf_dir, "part")
@@ -676,12 +711,22 @@ def _job_instance(name, *, part_like=None, part_size=None, part_type=None,
             p = p.where(F.col("p_size").between(*part_size))
         if part_type:
             p = p.where(F.col("p_type") == part_type)
+        if part_brand:
+            p = p.where(F.col("p_brand") == part_brand)
+        if part_price:
+            p = p.where(F.col("p_retailprice").between(*part_price))
         s = load_table(spark, sf_dir, "supplier")
         if s_nations:
             s = s.where(F.col("s_nationkey").isin(*s_nations))
+        if s_bal_min is not None:
+            s = s.where(F.col("s_acctbal") >= s_bal_min)
         o = load_table(spark, sf_dir, "orders")
         if prio:
             o = o.where(F.col("o_orderpriority") == prio)
+        if status:
+            o = o.where(F.col("o_orderstatus") == status)
+        if total_hi is not None:
+            o = o.where(F.col("o_totalprice") <= total_hi)
         if date_lo:
             o = o.where(F.col("o_orderdate") >= F.lit(date_lo).cast("timestamp_ntz"))
         if date_hi:
@@ -697,12 +742,23 @@ def _job_instance(name, *, part_like=None, part_size=None, part_type=None,
                 c = c.where(F.col("c_nationkey").isin(*c_nations))
             if seg:
                 c = c.where(F.col("c_mktsegment") == seg)
+            if c_bal_min is not None:
+                c = c.where(F.col("c_acctbal") >= c_bal_min)
             out = out.join(
                 maybe_broadcast(c, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey")
             )
         if need_nation:
             n = load_table(spark, sf_dir, "nation").where(F.col("n_regionkey") == region)
             out = out.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        if c_region is not None:
+            # second nation ROLE (JOB's repeated-dim-role shape): key-only
+            # projection avoids column collision with the supplier-side copy
+            cn = (
+                load_table(spark, sf_dir, "nation")
+                .where(F.col("n_regionkey") == c_region)
+                .select(F.col("n_nationkey").alias("__cn_key"))
+            )
+            out = out.join(F.broadcast(cn), F.col("c_nationkey") == F.col("__cn_key"))
         return out.agg(
             F.min("p_name").alias("first_part"),
             F.min("s_name").alias("first_supplier"),
@@ -740,3 +796,35 @@ _job_instance("job_i13_allends_mild", part_size=(10, 40), prio="3-MEDIUM",
               s_nations=(5, 6, 7, 8, 9))
 _job_instance("job_i14_narrow_everything", part_like="cold%", flag="N",
               seg="HOUSEHOLD", qty_hi=25)
+
+# Round-8 breadth (+18 → 46 instantiations): new selective ends (brand,
+# retail-price band, account-balance floors, order status/total, linestatus,
+# discount band, ship-date windows) and the repeated-nation-role chain
+# (customer-side region via a second nation join — JOB's repeated-dim-role
+# pressure, reference benchmark/imdb families 7/15/22 style).
+_job_instance("job_i15_brand_window", part_brand="Brand#13",
+              date_lo="1996-01-01 00:00:00", date_hi="1997-01-01 00:00:00")
+_job_instance("job_i16_priceband_lowdisc", part_price=(905.0, 912.0), disc=(0.0, 0.02))
+_job_instance("job_i17_supp_balance_floor", s_bal_min=5000, part_type="STANDARD")
+_job_instance("job_i18_cust_balance_floor", c_bal_min=7500, flag="R")
+_job_instance("job_i19_status_open_small", status="O", part_size=(1, 10))
+_job_instance("job_i20_cheap_orders_cap", total_hi=50000, prio="4-NOT SPECIFIED")
+_job_instance("job_i21_linestatus_ship_window", lstat="F",
+              ship_lo="1995-01-01 00:00:00", ship_hi="1995-07-01 00:00:00")
+_job_instance("job_i22_cust_region_role", c_region=2, part_like="%rod%")
+_job_instance("job_i23_two_region_roles", region=1, c_region=4)
+_job_instance("job_i24_discband_brand", disc=(0.05, 0.08), part_brand="Brand#22")
+_job_instance("job_i25_deep_all_roles", region=0, c_region=0, seg="AUTOMOBILE",
+              prio="1-URGENT")
+_job_instance("job_i26_ship_vs_order_windows",
+              ship_lo="1997-03-01 00:00:00", ship_hi="1997-09-01 00:00:00",
+              date_lo="1997-01-01 00:00:00", date_hi="1997-06-01 00:00:00")
+_job_instance("job_i27_balance_both_sides", s_bal_min=2500, c_bal_min=2500)
+_job_instance("job_i28_brand_status_qty", part_brand="Brand#11", status="F",
+              qty_hi=10)
+_job_instance("job_i29_priceband_nationset", part_price=(915.0, 919.0),
+              s_nations=(10, 11, 12, 13))
+_job_instance("job_i30_like_infix_balance", part_like="%anvil%", s_bal_min=3000)
+_job_instance("job_i31_lowtotal_region_chain", total_hi=120000, region=4)
+_job_instance("job_i32_everything_mild", part_size=(5, 45), disc=(0.01, 0.09),
+              status="O", seg="MACHINERY", c_region=3)

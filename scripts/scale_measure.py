@@ -37,10 +37,85 @@ QUERIES = [
     # scale point yet.
     "h2o_join_big_big",
     "sim_lsh_topk",
+    # round-8 additions (VERDICT items 4+8): the AS-OF join (events scale
+    # with the factor), and the storage-bucketed big-big join (bucketed
+    # write is setup outside the clock; the timed part is the
+    # zero-exchange join itself).
+    "join_asof_purchase",
+    "join_bucketed_big_big",
+    # plus RECURSIVE_SCALE below — a fact-sized recursion defined in this
+    # harness (the registry's graph query recurses over the 25-row nation
+    # dim, which a data scale-up never grows).
 ]
 # Claim-check oracles (constant-row SQL) time nothing real in DuckDB; show
 # the Spark scaling curve only for these.
 NOT_RATIO_COMPARABLE = {"sim_lsh_topk"}
+
+# Fact-sized recursion (round 8): depth-limited 2-branch reachability over an
+# edge set derived from events' users (|edges| ~= 2x distinct users, which
+# scales with FACTOR). Per-iteration cost is one scan+join of the fact-sized
+# edge set against a small delta — the property that must scale. The registry
+# query recursive_cte_graph_reach recurses over the 25-row nation dim, so a
+# data scale-up never exercises it; this harness-local pair does.
+RECURSIVE_SCALE = "recursive_scale_user_reach"
+_REC_DEPTH = 8
+_REC_SQL = f"""
+WITH RECURSIVE r(node, d) AS (
+    SELECT (SELECT CAST(min(user_id) AS BIGINT) FROM events), 0
+    UNION ALL
+    SELECT e.dst, r.d + 1
+    FROM (
+        SELECT CAST(user_id AS BIGINT) AS src,
+               (CAST(user_id AS BIGINT) * 7 + 3)
+                 % (SELECT CAST(max(user_id) + 1 AS BIGINT) FROM events) AS dst
+        FROM events
+        UNION
+        SELECT CAST(user_id AS BIGINT),
+               (CAST(user_id AS BIGINT) * 5 + 11)
+                 % (SELECT CAST(max(user_id) + 1 AS BIGINT) FROM events)
+        FROM events
+    ) e JOIN r ON e.src = r.node
+    WHERE r.d < {_REC_DEPTH}
+)
+SELECT CAST(count(*) AS BIGINT) AS paths,
+       CAST(count(DISTINCT node) AS BIGINT) AS nodes
+FROM r
+"""
+
+
+def _recursive_scale_df(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from duckdb_parachute_spark.catalog import load_table
+    from duckdb_parachute_spark.operators import recursive_cte
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("user_id").cast("long").alias("lo"), (F.max("user_id") + 1).cast("long").alias("m")
+    ).collect()[0]
+    lo, m = bounds["lo"], bounds["m"]
+    u = ev.select(F.col("user_id").cast("long").alias("src")).distinct()
+    edges = (
+        u.select("src", ((F.col("src") * 7 + 3) % m).alias("dst"))
+        .unionAll(u.select("src", ((F.col("src") * 5 + 11) % m).alias("dst")))
+        .distinct()
+    )
+    base = spark.range(1).select(F.lit(lo).cast("long").alias("node"), F.lit(0).alias("d"))
+
+    def step(prev):
+        return (
+            edges.join(
+                F.broadcast(prev.where(F.col("d") < _REC_DEPTH)),
+                edges.src == F.col("node"),
+            )
+            .select(F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
+        )
+
+    r = recursive_cte(base, step, union_all=True, max_iterations=_REC_DEPTH + 2)
+    return r.agg(
+        F.count(F.lit(1)).alias("paths"),
+        F.countDistinct("node").alias("nodes"),
+    )
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 RUNS = int(os.environ.get("BENCH_RUNS", "3"))
@@ -132,13 +207,16 @@ def time_spark(spark, sf_dir: str) -> dict[str, float]:
 
     qs = load_all()
     out = {}
-    for name in QUERIES:
-        df = qs[name].fn(spark, sf_dir)
+    for name in QUERIES + [RECURSIVE_SCALE]:
+        def build(_n=name):
+            if _n == RECURSIVE_SCALE:
+                return _recursive_scale_df(spark, sf_dir)
+            return qs[_n].fn(spark, sf_dir)
 
         # bench.py's forcer: hash-aggregate EVERY column so Catalyst cannot
         # prune the window/sort/join work a bare count() would skip.
         def force():
-            d = qs[name].fn(spark, sf_dir)
+            d = build()
             d.agg(F.sum(F.hash(*[F.col(c) for c in d.columns]))).collect()
 
         force()  # warm (codegen, file listing)
@@ -165,8 +243,8 @@ def time_duckdb(sf_dir: str) -> dict[str, float]:
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     out = {}
-    for name in QUERIES:
-        sql = qs[name].oracle
+    for name in QUERIES + [RECURSIVE_SCALE]:
+        sql = _REC_SQL if name == RECURSIVE_SCALE else qs[name].oracle
         con.execute(sql).fetchall()  # warm
         best = float("inf")
         for _ in range(RUNS):
@@ -206,7 +284,7 @@ def main() -> None:
     print("|---|---|---|---|---|---|---|")
     s1, d1 = results["1x"]
     sN, dN = results[f"{FACTOR}x"]
-    for q in QUERIES:
+    for q in QUERIES + [RECURSIVE_SCALE]:
         if q in NOT_RATIO_COMPARABLE:
             print(f"| {q} | — | {s1[q]:.3f} | — | — | {sN[q]:.3f} | — "
                   f"(Spark {sN[q] / s1[q]:.2f}x at {FACTOR}x data) |")

@@ -361,7 +361,12 @@ def test_job_instantiations_no_cartesian_no_fact_shuffle(no_aqe, spark, sf_dir):
     from duckdb_parachute_spark.plans import physical_plan
 
     for name in ["job_i01_like_prefix_urgent", "job_i09_deep_chain_six",
-                 "job_i11_cnation_region_mix", "job_i14_narrow_everything"]:
+                 "job_i11_cnation_region_mix", "job_i14_narrow_everything",
+                 # round-8 additions: repeated nation role, balance floors,
+                 # ship/order double-window, the everything-mild deep chain
+                 "job_i23_two_region_roles", "job_i25_deep_all_roles",
+                 "job_i26_ship_vs_order_windows", "job_i27_balance_both_sides",
+                 "job_i32_everything_mild"]:
         text = physical_plan(_q(name, spark, sf_dir), mode="formatted")
         assert "CartesianProduct" not in text, name
         assert "BroadcastNestedLoop" not in text, name
