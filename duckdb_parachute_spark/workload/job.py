@@ -828,3 +828,36 @@ _job_instance("job_i30_like_infix_balance", part_like="%anvil%", s_bal_min=3000)
 _job_instance("job_i31_lowtotal_region_chain", total_hi=120000, region=4)
 _job_instance("job_i32_everything_mild", part_size=(5, 45), disc=(0.01, 0.09),
               status="O", seg="MACHINERY", c_region=3)
+
+# Round-8 second tranche (+20 → 66 instantiations): cross-products of the
+# spec dimensions the first tranches didn't pair — LIKE × balance, window ×
+# region role, brand × discount × priority, dual windows × status — plus
+# lower/upper extremes of each band to vary selectivity order-of-magnitude.
+_job_instance("job_i33_like_rod_urgent_window", part_like="%rod%", prio="1-URGENT",
+              date_lo="1995-01-01 00:00:00", date_hi="1996-01-01 00:00:00")
+_job_instance("job_i34_widget_cheap_parts", part_like="%widget%", part_price=(900.0, 905.0))
+_job_instance("job_i35_gizmo_flagged_lowqty", part_like="%gizmo%", flag="A", qty_hi=15)
+_job_instance("job_i36_anvil_region_two", part_like="%anvil%", region=2)
+_job_instance("job_i37_plate_cust_region", part_like="%plate%", c_region=1)
+_job_instance("job_i38_brand20_bal_floor", part_brand="Brand#20", s_bal_min=4000)
+_job_instance("job_i39_brand7_seg_building", part_brand="Brand#7", seg="BUILDING")
+_job_instance("job_i40_brand18_disc_free", part_brand="Brand#18", disc=(0.0, 0.0))
+_job_instance("job_i41_status_p_rare", status="P", part_size=(1, 50))
+_job_instance("job_i42_hightotal_floor_cap", total_hi=300000, c_bal_min=5000)
+_job_instance("job_i43_ship97_h2_status_f", lstat="F",
+              ship_lo="1997-07-01 00:00:00", ship_hi="1998-01-01 00:00:00", status="F")
+_job_instance("job_i44_deep_both_regions_seg", region=3, c_region=3, seg="HOUSEHOLD")
+_job_instance("job_i45_ring_nationset_narrow", part_like="%ring%", s_nations=(17, 18, 19))
+_job_instance("job_i46_cnations_disc_band", c_nations=(20, 21, 22, 23, 24), disc=(0.03, 0.06))
+_job_instance("job_i47_bolt_prio_low_window", part_like="%bolt%", prio="5-LOW",
+              date_lo="1998-01-01 00:00:00")
+_job_instance("job_i48_rod_bal_both_mild", part_like="%rod%", s_bal_min=1000, c_bal_min=1000)
+_job_instance("job_i49_type_economy_ship_window", part_type="ECONOMY",
+              ship_lo="1996-01-01 00:00:00", ship_hi="1996-04-01 00:00:00")
+_job_instance("job_i50_brand9_two_windows", part_brand="Brand#9",
+              date_lo="1996-06-01 00:00:00", date_hi="1997-06-01 00:00:00",
+              ship_lo="1996-06-01 00:00:00", ship_hi="1997-09-01 00:00:00")
+_job_instance("job_i51_everything_narrow", part_like="%widget%", flag="R",
+              prio="2-HIGH", s_nations=(0, 5, 10, 15, 20), qty_hi=30)
+_job_instance("job_i52_sixway_regions_bal", region=4, c_region=2,
+              s_bal_min=2000, c_bal_min=0, status="F")

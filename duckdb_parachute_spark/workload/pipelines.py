@@ -322,3 +322,129 @@ def stream_interval_join(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table("q_stream_ssj")
+
+
+@query(
+    "stream_outer_join_flush",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS error_id, a.user_id
+    FROM events a
+    LEFT JOIN events b
+      ON a.user_id = b.user_id
+     AND b.event_type = 'error'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 4 HOUR
+    WHERE a.event_type = 'click'
+    """,
+)
+def stream_outer_join_flush(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join with state eviction
+    (streaming.outer_interval_join; SURVEY §2.10 — the hard half of
+    stream-stream joins). An unmatched click emits its null-padded row only
+    when the watermark passes click_ts + upper and its buffered state is
+    EVICTED. The exact flush boundary after an AvailableNow run depends on
+    internal batch/watermark mechanics (measured: it can trail max_ts by
+    2×watermark + upper), so instead of filtering to a fragile settled
+    region, the input is STAGED with two far-future sentinel events
+    (user_id = −1, +30 days): they advance the watermark past every real
+    row, forcing every outer result to flush, and the stream output equals
+    the plain batch LEFT JOIN — full-strength hash check, no boundary
+    carve-out. Sentinels survive the event_type filters (one click + one
+    non-matching error, error 1 h BEFORE the click so backward-only ranges
+    can't pair them) because withWatermark tracks rows REACHING it —
+    a filtered-out sentinel would advance nothing."""
+    import os
+    import re
+
+    from duckdb_parachute_spark.streaming import outer_interval_join, read_event_stream
+
+    ev_b = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    max_ts = ev_b.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    tag = re.sub(r"[^0-9a-z]", "_", sf_dir.lower()).strip("_")
+    stage = f"/tmp/parachute_outer_stage/{tag}"
+    # uniform micros-instant staging copy (NTZ -> timestamp is
+    # value-identical under the session's pinned UTC) + the two sentinels
+    norm = ev_b.withColumn("ts", F.col("ts").cast("timestamp"))
+    sent = spark.createDataFrame(
+        [
+            (-1, max_ts + __import__("datetime").timedelta(days=30), -1, "click", 0.0, "{}"),
+            (-2, max_ts + __import__("datetime").timedelta(days=30, hours=-1), -1, "error", 0.0, "{}"),
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    )
+    # Force micros-unit parquet for the stage: Spark's default INT96 output
+    # reads back as timestamp[ns] in the footer sniffer and breaks the
+    # stream's declared schema. Always overwrite — the stage must reflect
+    # the current writer config, and the write is events-sized (small).
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType", "INT96")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        norm.unionAll(sent).write.mode("overwrite").parquet(stage)
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    assert os.path.exists(f"{stage}/_SUCCESS")
+
+    ev = read_event_stream(spark, stage)
+    clicks = ev.where(F.col("event_type") == "click")
+    errors = ev.where(F.col("event_type") == "error")
+    joined = outer_interval_join(
+        clicks, errors, on="user_id", upper="INTERVAL 4 HOURS", watermark="8 hours"
+    ).select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("error_id"),
+        F.col("l.user_id").alias("user_id"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("q_stream_outer")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("q_stream_outer").where(F.col("user_id") >= 0)
+
+
+@query(
+    "stream_foreachbatch_exactly_once",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_foreachbatch_exactly_once(spark, sf_dir):
+    """foreachBatch exactly-once sink (streaming.foreach_batch_exactly_once):
+    per-batch transactional commit markers make re-delivered batch ids
+    idempotent. The stream is run TWICE over the same input with FRESH
+    checkpoints — the second run re-delivers every batch id from scratch,
+    and only the marker pattern prevents doubled rows. The returned grouped
+    totals over the committed sink therefore hash-match the batch oracle
+    iff exactly-once held (duplicates would double n/total)."""
+    import re
+    import shutil
+
+    from duckdb_parachute_spark.streaming import (
+        align_batch_types,
+        foreach_batch_exactly_once,
+        read_event_stream,
+        read_exactly_once_sink,
+    )
+
+    tag = re.sub(r"[^0-9a-z]", "_", sf_dir.lower()).strip("_")
+    base = f"/tmp/parachute_fb_sink/{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    for attempt in (1, 2):  # second run re-delivers batch ids, markers skip
+        ev = read_event_stream(spark, f"{sf_dir}/events.parquet")
+        foreach_batch_exactly_once(
+            ev,
+            sink_dir=f"{base}/sink",
+            checkpoint_dir=f"{base}/cp{attempt}",
+            query_name=f"q_fb_sink_{attempt}",
+        )
+    out = read_exactly_once_sink(spark, f"{base}/sink")
+    return (
+        align_batch_types(out)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+    )
