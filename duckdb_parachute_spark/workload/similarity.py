@@ -215,11 +215,14 @@ def sim_ivf_pruned_probe(spark, sf_dir):
         .limit(3)
         .collect()
     ]
-    all_files = (
-        spark.read.parquet(path).select(F.input_file_name().alias("f")).distinct().agg(
-            F.count(F.lit(1)).alias("n_all")
-        )
-    )
+    # The "how many files exist" side of the pruning claim is pure storage
+    # METADATA — a filesystem listing, not a data scan (round 8: was a full
+    # index scan + distinct shuffle inside the timed plan). The "how many
+    # files the probe read" side stays in-plan via input_file_name(): that's
+    # the half that must be measured under partition pruning.
+    import glob
+
+    n_all = len(glob.glob(os.path.join(path, "centroid_id=*", "*.parquet")))
     read_files = (
         spark.read.parquet(path)
         .where(F.col("centroid_id").isin(probed))
@@ -229,12 +232,11 @@ def sim_ivf_pruned_probe(spark, sf_dir):
     )
     return (
         probe.agg(F.count(F.lit(1)).alias("n_results"))
-        .crossJoin(all_files)
         .crossJoin(read_files)
         .crossJoin(consistent)
         .select(
             "n_results",
-            (F.col("n_read") < F.col("n_all")).alias("pruned_ok"),
+            (F.col("n_read") < F.lit(n_all)).alias("pruned_ok"),
             (F.col("n_same") == 10).alias("consistent_ok"),
         )
     )
