@@ -619,9 +619,35 @@ def _job_instance(name, *, part_like=None, part_size=None, part_type=None,
                   qty_hi=None, part_brand=None, part_price=None,
                   s_bal_min=None, c_bal_min=None, status=None,
                   total_hi=None, lstat=None, disc=None,
-                  ship_lo=None, ship_hi=None, c_region=None):
-    """Register one JOB-style instantiation built from a filter spec."""
+                  ship_lo=None, ship_hi=None, c_region=None,
+                  cross_or=None):
+    """Register one JOB-style instantiation built from a filter spec.
+
+    ``cross_or``: list of OR-groups, each a list of (column, op, value)
+    primitives that may straddle DIFFERENT dimensions (JOB's 14*/19*-style
+    disjunctions) — a group like [(p_type,=,PROMO), (s_acctbal,<,500)]
+    cannot prune either dim alone, so it is applied POST-join on both the
+    Spark and oracle sides; single-dim groups still benefit from Catalyst
+    pushing the OR into that dim's scan."""
+
+    def _prim_sql(c, op, v):
+        vv = f"'{v}'" if isinstance(v, str) else str(v)
+        return f"{c} {op} {vv}"
+
+    def _prim_col(c, op, v):
+        col = F.col(c)
+        return {
+            "=": col == v,
+            "<": col < v,
+            ">": col > v,
+            "<=": col <= v,
+            ">=": col >= v,
+            "LIKE": col.like(v) if isinstance(v, str) else col,
+        }[op]
+
     conds = []
+    for group in cross_or or []:
+        conds.append("(" + " OR ".join(_prim_sql(*p) for p in group) + ")")
     if part_like:
         conds.append(f"p_name LIKE '{part_like}'")
     if part_size:
@@ -668,7 +694,14 @@ def _job_instance(name, *, part_like=None, part_size=None, part_type=None,
         conds.append(f"l_shipdate < TIMESTAMP '{ship_hi}'")
     if qty_hi is not None:
         conds.append(f"l_quantity <= {qty_hi}")
-    need_cust = bool(c_nations or seg or c_bal_min is not None or c_region is not None)
+    or_cols = [p[0] for g in (cross_or or []) for p in g]
+    need_cust = bool(
+        c_nations
+        or seg
+        or c_bal_min is not None
+        or c_region is not None
+        or any(c.startswith("c_") for c in or_cols)
+    )
     need_nation = region is not None
     joins = [
         "JOIN part ON l_partkey = p_partkey",
@@ -759,6 +792,11 @@ def _job_instance(name, *, part_like=None, part_size=None, part_type=None,
                 .select(F.col("n_nationkey").alias("__cn_key"))
             )
             out = out.join(F.broadcast(cn), F.col("c_nationkey") == F.col("__cn_key"))
+        for group in cross_or or []:
+            disj = _prim_col(*group[0])
+            for p in group[1:]:
+                disj = disj | _prim_col(*p)
+            out = out.where(disj)
         return out.agg(
             F.min("p_name").alias("first_part"),
             F.min("s_name").alias("first_supplier"),
@@ -861,3 +899,29 @@ _job_instance("job_i51_everything_narrow", part_like="%widget%", flag="R",
               prio="2-HIGH", s_nations=(0, 5, 10, 15, 20), qty_hi=30)
 _job_instance("job_i52_sixway_regions_bal", region=4, c_region=2,
               s_bal_min=2000, c_bal_min=0, status="F")
+
+# Round-8 third tranche: cross-dim OR disjunctions (+10 → 76 instantiations)
+# — JOB families 14*/19*/25* pressure: an OR straddling two dimensions can't
+# prune either side alone, forcing post-join evaluation; single-dim ORs
+# should still push into that dim's scan.
+_job_instance("job_i53_or_type_size", cross_or=[[("p_type", "=", "PROMO"), ("p_size", "<", 5)]])
+_job_instance("job_i54_or_part_supp", cross_or=[[("p_type", "=", "LARGE"), ("s_acctbal", "<", 1000)]])
+_job_instance("job_i55_or_brand_prio", cross_or=[[("p_brand", "=", "Brand#13"), ("o_orderpriority", "=", "1-URGENT")]])
+_job_instance("job_i56_or_two_groups",
+              cross_or=[[("p_size", ">", 45), ("s_acctbal", ">", 5500)],
+                        [("o_orderstatus", "=", "P"), ("l_returnflag", "=", "R")]])
+_job_instance("job_i57_or_cust_part", seg="BUILDING",
+              cross_or=[[("c_acctbal", "<", 0), ("p_retailprice", ">", 918.0)]])
+_job_instance("job_i58_or_like_pair",
+              cross_or=[[("p_name", "LIKE", "%anvil%"), ("p_name", "LIKE", "%gizmo%")]])
+_job_instance("job_i59_or_three_way",
+              cross_or=[[("p_size", "<", 3), ("s_acctbal", "<", 700), ("o_totalprice", "<", 5000)]])
+_job_instance("job_i60_or_with_window", date_lo="1996-01-01 00:00:00", date_hi="1997-01-01 00:00:00",
+              cross_or=[[("p_type", "=", "ECONOMY"), ("l_quantity", "<=", 3)]])
+_job_instance("job_i61_or_flag_status",
+              cross_or=[[("l_returnflag", "=", "A"), ("o_orderstatus", "=", "F")]],
+              part_like="%widget%")
+_job_instance("job_i62_or_everything",
+              s_nations=(0, 1, 2, 3, 4, 5, 6, 7),
+              cross_or=[[("p_brand", "=", "Brand#9"), ("c_mktsegment", "=", "FURNITURE")],
+                        [("l_discount", ">=", 0.08), ("o_totalprice", "<", 20000)]])

@@ -366,7 +366,10 @@ def test_job_instantiations_no_cartesian_no_fact_shuffle(no_aqe, spark, sf_dir):
                  # ship/order double-window, the everything-mild deep chain
                  "job_i23_two_region_roles", "job_i25_deep_all_roles",
                  "job_i26_ship_vs_order_windows", "job_i27_balance_both_sides",
-                 "job_i32_everything_mild"]:
+                 "job_i32_everything_mild",
+                 # OR-disjunction tranche: cross-dim ORs must stay post-join
+                 # filters, never degrade the join itself to a cartesian
+                 "job_i56_or_two_groups", "job_i62_or_everything"]:
         text = physical_plan(_q(name, spark, sf_dir), mode="formatted")
         assert "CartesianProduct" not in text, name
         assert "BroadcastNestedLoop" not in text, name
