@@ -448,3 +448,167 @@ def stream_foreachbatch_exactly_once(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
     )
+
+
+@query(
+    "src_sniff_csv_report",
+    oracle="""
+    SELECT u.name AS column_name, u.type AS column_type,
+           Delimiter AS delimiter, HasHeader AS has_header
+    FROM (SELECT unnest(Columns) AS u, Delimiter, HasHeader
+          FROM sniff_csv('/root/repo/.tmp/rt_sniff/nation.csv'))
+    """,
+)
+def src_sniff_csv_report(spark, sf_dir):
+    """sniff_csv vs THE REFERENCE'S OWN SNIFFER (reference
+    src/function/table/sniff_csv.cpp; ours sources.sniff_csv): both engines
+    sniff the SAME semicolon-delimited file (written once from nation — 25
+    rows, bounded) and must agree on delimiter, header detection, and
+    per-column types. Type names are compared at the sniffer's class level
+    (CSV sniffers quantize integers to their widest class: DuckDB reports
+    BIGINT for any integer column, Spark's inferSchema picks the narrowest
+    — the query widens to the DuckDB convention, documented divergence)."""
+    import os
+
+    from duckdb_parachute_spark.sources import sniff_csv
+
+    n = load_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    path = _tmp("rt_sniff")
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/nation.csv", "w") as f:
+        f.write("n_nationkey;n_name;n_regionkey\n")
+        for r in n:
+            f.write(f"{r.n_nationkey};{r.n_name};{r.n_regionkey}\n")
+    out = sniff_csv(spark, f"{path}/nation.csv")
+    widened = (
+        F.when(F.col("column_type").isin("tinyint", "smallint", "int", "bigint"), "BIGINT")
+        .when(F.col("column_type").isin("float", "double"), "DOUBLE")
+        .when(F.col("column_type") == "string", "VARCHAR")
+        .otherwise(F.upper(F.col("column_type")))
+    )
+    return out.select(
+        "column_name", widened.alias("column_type"), "delimiter", "has_header"
+    )
+
+
+@query(
+    "src_export_import_db",
+    oracle="""
+    SELECT 'nation' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum FROM nation
+    UNION ALL
+    SELECT 'region', CAST(count(*) AS BIGINT), CAST(sum(r_regionkey) AS BIGINT) FROM region
+    ORDER BY table_name
+    """,
+)
+def src_export_import_db(spark, sf_dir):
+    """EXPORT DATABASE / IMPORT DATABASE roundtrip (reference
+    physical_export.cpp; sources.export_database/import_database): dump
+    nation+region with a schema manifest, restore into fresh temp views,
+    and prove the restored catalog is bit-equivalent via per-table
+    row counts + key checksums against the ORIGINAL tables (the oracle
+    reads the originals — any loss or duplication in the manifest path
+    would hash-mismatch)."""
+    from duckdb_parachute_spark.sources import export_database, import_database
+
+    tables = {
+        "exp_nation": load_table(spark, sf_dir, "nation"),
+        "exp_region": load_table(spark, sf_dir, "region"),
+    }
+    path = _tmp("rt_exportdb")
+    export_database(spark, tables, path)
+    back = import_database(spark, path)
+    n = back["exp_nation"].agg(
+        F.lit("nation").alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_nationkey").cast("long").alias("key_sum"),
+    )
+    r = back["exp_region"].agg(
+        F.lit("region").alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("r_regionkey").cast("long").alias("key_sum"),
+    )
+    return n.unionAll(r).orderBy("table_name")
+
+
+@query(
+    "src_replacement_scan",
+    oracle="""
+    SELECT k, CAST(sum(v) AS BIGINT) AS total
+    FROM (VALUES (0, 0), (1, 1), (2, 2), (0, 3), (1, 4), (2, 5), (0, 6), (1, 7), (2, 8), (0, 9)) t(k, v)
+    GROUP BY k ORDER BY k
+    """,
+)
+def src_replacement_scan(spark, sf_dir):
+    """Replacement scan (reference tools/pythonpkg/src/python_replacement_scan.cpp
+    — client dataframes auto-bind as tables by name; ours catalog.register):
+    a pandas DataFrame is registered under a name and queried through
+    plain SQL, exactly the duckdb `con.sql("SELECT ... FROM my_pdf")`
+    workflow. The oracle recomputes from inline VALUES."""
+    import pandas as pd
+
+    from duckdb_parachute_spark.catalog import Catalog
+
+    pdf = pd.DataFrame({"k": [i % 3 for i in range(10)], "v": list(range(10))})
+    Catalog(spark, sf_dir).register("my_pdf", pdf).createOrReplaceTempView("my_pdf")
+    return spark.sql(
+        "SELECT k, CAST(sum(v) AS BIGINT) AS total FROM my_pdf GROUP BY k ORDER BY k"
+    )
+
+
+@query(
+    "src_ordered_copy",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS range_overlaps,
+           CAST(0 AS BIGINT) AS unsorted_files
+    FROM lineitem
+    """,
+)
+def src_ordered_copy(spark, sf_dir):
+    """Order-preserving parallel COPY (reference
+    physical_batch_copy_to_file.cpp — batch indexes keep input order while
+    sinks write in parallel; ours sources.copy_to_ordered via range
+    partition + in-partition sort). The ordered-output contract is checked
+    IN-ENGINE: per output file, (min,max,sortedness) of the order key —
+    files must be internally sorted and their [min,max] ranges disjoint in
+    file-name order, which is exactly what makes lexicographic
+    concatenation the global order. The oracle pins the expected row count
+    and zero violations."""
+    from pyspark.sql import Window
+
+    from duckdb_parachute_spark.sources import copy_to_ordered
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    path = _tmp("rt_ordered_copy")
+    copy_to_ordered(li, path, ["l_orderkey", "l_linenumber"])
+    back = spark.read.parquet(path).select(
+        F.input_file_name().alias("f"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("key"),
+    )
+    wf = Window.partitionBy("f").orderBy(F.monotonically_increasing_id())
+    per_file = (
+        back.withColumn("prev", F.lag("key").over(wf))
+        .groupBy("f")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("key").alias("lo"),
+            F.max("key").alias("hi"),
+            F.sum((F.col("key") < F.col("prev")).cast("long")).alias("inversions"),
+        )
+    )
+    wg = Window.orderBy("f")
+    checked = per_file.withColumn("prev_hi", F.lag("hi").over(wg))
+    # coalesce: with a single output file every prev_hi is NULL (no pair to
+    # overlap) and sum(NULL) must read as zero violations, not NULL
+    return checked.agg(
+        F.sum("n").alias("n_rows"),
+        F.coalesce(
+            F.sum((F.col("lo") <= F.col("prev_hi")).cast("long")), F.lit(0)
+        ).alias("range_overlaps"),
+        F.coalesce(
+            F.sum((F.col("inversions") > 0).cast("long")), F.lit(0)
+        ).alias("unsorted_files"),
+    )
