@@ -49,3 +49,31 @@ def upsert_on_key(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
     One anti-join shuffle + union — the MERGE INTO shape."""
     keep = target.join(source.select(key), key, "left_anti")
     return keep.unionByName(source)
+
+
+def check_unique(df: DataFrame, keys: list[str]) -> DataFrame:
+    """PRIMARY KEY / UNIQUE constraint as an assertion job (SURVEY §1: the
+    reference enforces these through its ART index on insert,
+    src/execution/index/art/art.cpp — a distributed engine instead validates
+    by aggregation over the declared key). Returns the VIOLATING key tuples
+    with their multiplicities (empty = constraint holds); one hash shuffle
+    on the key, map-side partial counts."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+        .where(F.col("n_dup") > 1)
+    )
+
+
+def check_foreign_key(child: DataFrame, parent: DataFrame, child_key: str, parent_key: str) -> DataFrame:
+    """FOREIGN KEY constraint as an assertion job: child keys with no parent
+    (left-anti join; the parent key set broadcasts when dimension-sized).
+    Returns violating child keys with occurrence counts (empty = holds).
+    NULL child keys are not violations (SQL FK semantics: NULL matches)."""
+    keys = parent.select(F.col(parent_key).alias("__pk")).distinct()
+    return (
+        child.where(F.col(child_key).isNotNull())
+        .join(keys, F.col(child_key) == F.col("__pk"), "left_anti")
+        .groupBy(F.col(child_key))
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )

@@ -612,3 +612,46 @@ def src_ordered_copy(spark, sf_dir):
             F.sum((F.col("inversions") > 0).cast("long")), F.lit(0)
         ).alias("unsorted_files"),
     )
+
+
+@query(
+    "dml_constraint_checks",
+    oracle="""
+    SELECT
+      CAST((SELECT count(*) FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)) AS BIGINT) AS pk_violations,
+      CAST((SELECT count(*) FROM (SELECT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL
+                                  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders) GROUP BY l_orderkey)) AS BIGINT) AS fk_order_violations,
+      CAST((SELECT count(*) FROM (SELECT c_nationkey FROM customer WHERE c_nationkey IS NOT NULL
+                                  AND c_nationkey NOT IN (SELECT n_nationkey FROM nation) GROUP BY c_nationkey)) AS BIGINT) AS fk_nation_violations,
+      CAST((SELECT count(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)) AS BIGINT) AS composite_pk_violations
+    """,
+)
+def dml_constraint_checks(spark, sf_dir):
+    """PRIMARY KEY / composite-key / FOREIGN KEY constraints as assertion
+    jobs (operators/dml.check_unique, check_foreign_key). The reference
+    enforces these transactionally through its ART index
+    (src/execution/index/art/art.cpp); the distributed mapping declared in
+    SURVEY §1 is validation-by-aggregation: one key shuffle per uniqueness
+    check, one anti-join per FK (parent side broadcast when
+    dimension-sized). The oracle recomputes every violation count in SQL —
+    both engines must agree on every count, and the driver data makes the
+    check non-vacuous: (l_orderkey, l_linenumber) is genuinely NON-unique
+    in this generator's lineitem (thousands of duplicate pairs), so a
+    broken detector that always reports zero would hash-mismatch."""
+    from duckdb_parachute_spark.operators.dml import check_foreign_key, check_unique
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    pk = check_unique(o, ["o_orderkey"]).agg(F.count(F.lit(1)).alias("pk_violations"))
+    fk_o = check_foreign_key(li, o, "l_orderkey", "o_orderkey").agg(
+        F.count(F.lit(1)).alias("fk_order_violations")
+    )
+    fk_n = check_foreign_key(c, n, "c_nationkey", "n_nationkey").agg(
+        F.count(F.lit(1)).alias("fk_nation_violations")
+    )
+    cpk = check_unique(li, ["l_orderkey", "l_linenumber"]).agg(
+        F.count(F.lit(1)).alias("composite_pk_violations")
+    )
+    return pk.crossJoin(fk_o).crossJoin(fk_n).crossJoin(cpk)

