@@ -324,6 +324,43 @@ def stream_interval_join(spark, sf_dir):
     return spark.table("q_stream_ssj")
 
 
+def _stage_events_with_sentinels(spark, sf_dir):
+    """Copy events to a /tmp staging dir with TWO far-future sentinel rows
+    (user_id = −1, +30 days; one click + one error 1 h earlier so they never
+    pair): the sentinels advance both sides' watermarks past every real row,
+    so outer stream-stream join state fully flushes under AvailableNow and
+    the stream output equals the batch join exactly. Staged parquet is
+    forced to TIMESTAMP_MICROS (Spark's INT96 default reads back as ns in
+    the footer sniffer and breaks the stream's declared schema); always
+    overwritten so the stage reflects the current writer config."""
+    import datetime
+    import os
+    import re
+
+    ev_b = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    max_ts = ev_b.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    tag = re.sub(r"[^0-9a-z]", "_", sf_dir.lower()).strip("_")
+    stage = f"/tmp/parachute_outer_stage/{tag}"
+    norm = ev_b.withColumn("ts", F.col("ts").cast("timestamp"))
+    sent = spark.createDataFrame(
+        [
+            (-1, max_ts + datetime.timedelta(days=30), -1, "click", 0.0, "{}"),
+            (-2, max_ts + datetime.timedelta(days=30, hours=-1), -1, "error", 0.0, "{}"),
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    )
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType", "INT96")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        norm.unionAll(sent).write.mode("overwrite").parquet(stage)
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    assert os.path.exists(f"{stage}/_SUCCESS")
+    return stage
+
+
 @query(
     "stream_outer_join_flush",
     oracle="""
@@ -352,39 +389,9 @@ def stream_outer_join_flush(spark, sf_dir):
     non-matching error, error 1 h BEFORE the click so backward-only ranges
     can't pair them) because withWatermark tracks rows REACHING it —
     a filtered-out sentinel would advance nothing."""
-    import os
-    import re
-
     from duckdb_parachute_spark.streaming import outer_interval_join, read_event_stream
 
-    ev_b = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
-    )
-    max_ts = ev_b.agg(F.max("ts").alias("m")).collect()[0]["m"]
-    tag = re.sub(r"[^0-9a-z]", "_", sf_dir.lower()).strip("_")
-    stage = f"/tmp/parachute_outer_stage/{tag}"
-    # uniform micros-instant staging copy (NTZ -> timestamp is
-    # value-identical under the session's pinned UTC) + the two sentinels
-    norm = ev_b.withColumn("ts", F.col("ts").cast("timestamp"))
-    sent = spark.createDataFrame(
-        [
-            (-1, max_ts + __import__("datetime").timedelta(days=30), -1, "click", 0.0, "{}"),
-            (-2, max_ts + __import__("datetime").timedelta(days=30, hours=-1), -1, "error", 0.0, "{}"),
-        ],
-        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
-    )
-    # Force micros-unit parquet for the stage: Spark's default INT96 output
-    # reads back as timestamp[ns] in the footer sniffer and breaks the
-    # stream's declared schema. Always overwrite — the stage must reflect
-    # the current writer config, and the write is events-sized (small).
-    prev = spark.conf.get("spark.sql.parquet.outputTimestampType", "INT96")
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    try:
-        norm.unionAll(sent).write.mode("overwrite").parquet(stage)
-    finally:
-        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
-    assert os.path.exists(f"{stage}/_SUCCESS")
-
+    stage = _stage_events_with_sentinels(spark, sf_dir)
     ev = read_event_stream(spark, stage)
     clicks = ev.where(F.col("event_type") == "click")
     errors = ev.where(F.col("event_type") == "error")
@@ -655,3 +662,52 @@ def dml_constraint_checks(spark, sf_dir):
         F.count(F.lit(1)).alias("composite_pk_violations")
     )
     return pk.crossJoin(fk_o).crossJoin(fk_n).crossJoin(cpk)
+
+
+@query(
+    "stream_full_outer_join",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS error_id,
+           coalesce(a.user_id, b.user_id) AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'error') b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 4 HOUR
+    """,
+)
+def stream_full_outer_join(spark, sf_dir):
+    """Stream-stream FULL OUTER interval join — completes the join-mode
+    matrix (inner `stream_interval_join`, left `stream_outer_join_flush`):
+    BOTH sides buffer state, and unmatched rows from EITHER side emit
+    null-padded once the watermark evicts them. The sentinel-staged input
+    (_stage_events_with_sentinels) flushes both sides' state, so the stream
+    output equals the batch FULL JOIN bit-for-bit; errors that precede
+    every click window appear as (NULL, error_id) rows, which only the
+    right-side state eviction path can produce."""
+    from duckdb_parachute_spark.streaming import interval_join, read_event_stream
+
+    stage = _stage_events_with_sentinels(spark, sf_dir)
+    ev = read_event_stream(spark, stage)
+    clicks = ev.where(F.col("event_type") == "click")
+    errors = ev.where(F.col("event_type") == "error")
+    joined = interval_join(
+        clicks,
+        errors,
+        on="user_id",
+        upper="INTERVAL 4 HOURS",
+        watermark="8 hours",
+        how="full_outer",
+    ).select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("error_id"),
+        F.coalesce(F.col("l.user_id"), F.col("r.user_id")).alias("user_id"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("q_stream_full_outer")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("q_stream_full_outer").where(F.col("user_id") >= 0)
