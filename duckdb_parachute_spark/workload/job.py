@@ -925,3 +925,33 @@ _job_instance("job_i62_or_everything",
               s_nations=(0, 1, 2, 3, 4, 5, 6, 7),
               cross_or=[[("p_brand", "=", "Brand#9"), ("c_mktsegment", "=", "FURNITURE")],
                         [("l_discount", ">=", 0.08), ("o_totalprice", "<", 20000)]])
+
+# Round-8 fourth tranche (+14 → 90 instantiations): remaining un-paired spec
+# combinations — OR groups × selective AND ends, windows × regions, brand ×
+# balance, and deeper 6/7-way chains mixing every dimension class.
+_job_instance("job_i63_or_inside_window", date_lo="1997-01-01 00:00:00",
+              date_hi="1998-01-01 00:00:00",
+              cross_or=[[("p_size", "<", 10), ("p_size", ">", 40)]])
+_job_instance("job_i64_or_with_region", region=1,
+              cross_or=[[("p_type", "=", "PROMO"), ("o_totalprice", ">", 400000)]])
+_job_instance("job_i65_or_with_cregion", c_region=0,
+              cross_or=[[("l_quantity", "<=", 2), ("l_discount", ">=", 0.09)]])
+_job_instance("job_i66_brand_balance_window", part_brand="Brand#21", s_bal_min=1500,
+              date_lo="1995-06-01 00:00:00", date_hi="1996-06-01 00:00:00")
+_job_instance("job_i67_widget_status_region", part_like="%widget%", status="F", region=2)
+_job_instance("job_i68_sevenway_kitchen_sink", part_size=(2, 48), s_nations=tuple(range(0, 25, 2)),
+              seg="FURNITURE", prio="3-MEDIUM", region=4, qty_hi=45)
+_job_instance("job_i69_gizmo_priceband", part_like="%gizmo%", part_price=(902.0, 917.0))
+_job_instance("job_i70_ring_cheap_orders", part_like="%ring%", total_hi=80000)
+_job_instance("job_i71_disc_zero_region", disc=(0.0, 0.0), region=0)
+_job_instance("job_i72_flag_n_bal_floor", flag="N", s_bal_min=5500, c_bal_min=8000)
+_job_instance("job_i73_bolt_ship_window_seg", part_like="%bolt%", seg="BUILDING",
+              ship_lo="1999-01-01 00:00:00", ship_hi="2000-01-01 00:00:00")
+_job_instance("job_i74_type_standard_cnations", part_type="STANDARD",
+              c_nations=(1, 6, 11, 16, 21))
+_job_instance("job_i75_or_three_groups",
+              cross_or=[[("p_size", "<", 8), ("p_retailprice", ">", 916.0)],
+                        [("s_acctbal", "<", 2000), ("o_orderpriority", "=", "5-LOW")],
+                        [("l_returnflag", "=", "A"), ("l_linestatus", "=", "O")]])
+_job_instance("job_i76_anvil_everything", part_like="%anvil%", status="O",
+              c_region=4, disc=(0.02, 0.07), qty_hi=40)
