@@ -955,3 +955,40 @@ _job_instance("job_i75_or_three_groups",
                         [("l_returnflag", "=", "A"), ("l_linestatus", "=", "O")]])
 _job_instance("job_i76_anvil_everything", part_like="%anvil%", status="O",
               c_region=4, disc=(0.02, 0.07), qty_hi=40)
+
+# Round-8 fifth tranche (+23 → 113 shapes): full shape-COUNT parity with the
+# reference suite (113 queries, benchmark/imdb/). Coverage here is breadth of
+# selective-end placement: every spec dimension appears both as the lone
+# selective end and paired against each other class at least once.
+_job_instance("job_i77_lone_brand", part_brand="Brand#6")
+_job_instance("job_i78_lone_widest_like", part_like="%e%")
+_job_instance("job_i79_lone_priceband", part_price=(910.0, 911.0))
+_job_instance("job_i80_lone_discband", disc=(0.04, 0.05))
+_job_instance("job_i81_lone_status_f", status="F")
+_job_instance("job_i82_lone_ship_quarter",
+              ship_lo="1998-04-01 00:00:00", ship_hi="1998-07-01 00:00:00")
+_job_instance("job_i83_lone_cregion", c_region=1)
+_job_instance("job_i84_lone_qty_floor", qty_hi=1)
+_job_instance("job_i85_brand_type_pair", part_brand="Brand#11", part_type="PROMO")
+_job_instance("job_i86_window_qty_pair", qty_hi=8,
+              date_lo="1997-06-01 00:00:00", date_hi="1997-09-01 00:00:00")
+_job_instance("job_i87_seg_ship_pair", seg="AUTOMOBILE",
+              ship_lo="2000-01-01 00:00:00", ship_hi="2001-01-01 00:00:00")
+_job_instance("job_i88_prio_priceband_pair", prio="2-HIGH", part_price=(900.0, 908.0))
+_job_instance("job_i89_nationset_discband", s_nations=(2, 7, 12, 17, 22), disc=(0.06, 0.1))
+_job_instance("job_i90_region_qty_bal", region=3, qty_hi=20, s_bal_min=2000)
+_job_instance("job_i91_cnations_brand", c_nations=(0, 5, 10), part_brand="Brand#22")
+_job_instance("job_i92_status_p_window", status="P",
+              date_lo="2001-01-01 00:00:00")
+_job_instance("job_i93_or_like_vs_window",
+              cross_or=[[("p_name", "LIKE", "%plate%"), ("o_orderdate", ">=", "1998-01-01 00:00:00")]])
+_job_instance("job_i94_or_numeric_bands",
+              cross_or=[[("p_retailprice", "<", 903.0), ("o_totalprice", "<", 10000)]])
+_job_instance("job_i95_deep_or_and_mix", region=2, seg="HOUSEHOLD",
+              cross_or=[[("l_discount", "<=", 0.01), ("l_quantity", ">=", 45)]])
+_job_instance("job_i96_triple_like_chain", part_like="%o%", flag="R", lstat="F")
+_job_instance("job_i97_everything_or_caps", total_hi=200000, qty_hi=35,
+              cross_or=[[("p_size", ">=", 48), ("s_acctbal", ">=", 5800)]])
+_job_instance("job_i98_both_bal_cregion", s_bal_min=4000, c_bal_min=4000, c_region=0)
+_job_instance("job_i99_final_kitchen_sink", part_like="%d%", part_size=(1, 49),
+              prio="4-NOT SPECIFIED", disc=(0.0, 0.09), c_region=2, status="O")
