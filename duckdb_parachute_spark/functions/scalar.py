@@ -124,12 +124,13 @@ def global_row_number(df, keys, descending=None, out="rn"):
     for i, k in enumerate(keys):
         col = F.col(k) if isinstance(k, str) else k
         d = d.withColumn(f"__sk{i}", col)
-        # DuckDB default NULL placement (reference src/planner/binder/query_node/
-        # bind_select_node.cpp default_null_order): NULLS LAST for ASC,
-        # NULLS FIRST for DESC — matching frames.py's _order_key discipline so
+        # DuckDB's default_null_order is NULLS_LAST for BOTH directions
+        # (reference src/main/config.cpp ResolveNullOrder with the default
+        # NULLS_LAST setting; verified on duckdb 1.x: ORDER BY v DESC yields
+        # [2, 1, NULL]) — matching frames.py's _order_key discipline so
         # oracle-compared rankings over nullable keys agree.
         sort_cols.append(
-            F.col(f"__sk{i}").desc_nulls_first()
+            F.col(f"__sk{i}").desc_nulls_last()
             if desc[i]
             else F.col(f"__sk{i}").asc_nulls_last()
         )

@@ -22,6 +22,7 @@ focus on what DuckDB gets for free and Spark gates behind configs:
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import SparkSession
 
@@ -93,8 +94,13 @@ def get_session(
     for k, v in (extra_conf or {}).items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            pass
+        except Exception as exc:  # static conf on a live session (e.g. driver.memory)
+            warnings.warn(
+                f"get_session: override {k}={v!r} not applied to pre-existing "
+                f"session (not runtime-settable): {exc}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return spark
 
 

@@ -631,19 +631,25 @@ def _job_instance(name, *, part_like=None, part_size=None, part_type=None,
     pushing the OR into that dim's scan."""
 
     def _prim_sql(c, op, v):
-        vv = f"'{v}'" if isinstance(v, str) else str(v)
+        vv = "'" + v.replace("'", "''") + "'" if isinstance(v, str) else str(v)
         return f"{c} {op} {vv}"
 
     def _prim_col(c, op, v):
         col = F.col(c)
-        return {
-            "=": col == v,
-            "<": col < v,
-            ">": col > v,
-            "<=": col <= v,
-            ">=": col >= v,
-            "LIKE": col.like(v) if isinstance(v, str) else col,
-        }[op]
+        if op == "LIKE":
+            if not isinstance(v, str):
+                raise ValueError(f"LIKE needs a string pattern, got {v!r} for {c}")
+            return col.like(v)
+        try:
+            return {
+                "=": col == v,
+                "<": col < v,
+                ">": col > v,
+                "<=": col <= v,
+                ">=": col >= v,
+            }[op]
+        except KeyError:
+            raise ValueError(f"unsupported primitive op {op!r} for {c}") from None
 
     conds = []
     for group in cross_or or []:

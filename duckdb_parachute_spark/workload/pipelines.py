@@ -354,7 +354,15 @@ def _stage_events_with_sentinels(spark, sf_dir):
     prev = spark.conf.get("spark.sql.parquet.outputTimestampType", "INT96")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     try:
-        norm.unionAll(sent).write.mode("overwrite").parquet(stage)
+        # Two separate writes, real rows FIRST and sentinels LAST: the file
+        # stream source orders files by modification time (latestFirst=false),
+        # so even if AvailableNow splits the stage into multiple micro-batches
+        # (default ~1000-files-per-trigger cap), the sentinel file is ingested
+        # in the FINAL batch — the +30d watermark jump can never precede real
+        # rows and drop them as late. A single mixed write had no such
+        # guarantee once the stage exceeded one batch.
+        norm.write.mode("overwrite").parquet(stage)
+        sent.coalesce(1).write.mode("append").parquet(stage)
     finally:
         spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
     assert os.path.exists(f"{stage}/_SUCCESS")

@@ -333,7 +333,7 @@ def test_groups_frame_collect_wide_frame(spark):
 @given(
     st.lists(
         st.tuples(
-            st.integers(min_value=0, max_value=6),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=6)),
             st.integers(min_value=0, max_value=10**6),
         ),
         min_size=1,
@@ -344,7 +344,9 @@ def test_groups_frame_collect_wide_frame(spark):
 def test_global_rank_matches_duckdb(spark, oracle, rows, desc):
     """Two-phase global_rank/global_row_number (round 7, no single-partition
     WindowExec) vs DuckDB's native global rank()/row_number() on random
-    fixtures, both sort directions, including ties."""
+    fixtures, both sort directions, including ties AND NULL keys (round 9:
+    pins DuckDB's NULLS LAST default for BOTH directions — the r8 regression
+    had desc_nulls_first, which only non-null fixtures could miss)."""
     from duckdb_parachute_spark.functions.scalar import global_rank, global_row_number
 
     data = [(v, i) for i, (v, _) in enumerate(rows)]
@@ -357,7 +359,7 @@ def test_global_rank_matches_duckdb(spark, oracle, rows, desc):
         (r["v"], r["id"]): r["rn"]
         for r in global_row_number(df, ["v", "id"], descending=[desc, False], out="rn").collect()
     }
-    vals = ", ".join(f"({v}, {i})" for v, i in data)
+    vals = ", ".join(f"({'NULL' if v is None else v}, {i})" for v, i in data)
     direction = "DESC" if desc else "ASC"
     exp = {
         (r[0], r[1]): (r[2], r[3])
