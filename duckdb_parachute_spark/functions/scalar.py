@@ -77,7 +77,7 @@ def unique_ids(df, name: str = "uid"):
     return df.withColumn(name, F.monotonically_increasing_id())
 
 
-def global_row_number(df, keys, descending=None, out="rn"):
+def global_row_number(df, keys, descending=None, out="rn", reliable=False):
     """Contiguous 1-based row numbers over a GLOBAL order without a
     single-partition WindowExec (round-7 VERDICT item: `Window.orderBy`
     with no partition moves every row to one task).
@@ -108,8 +108,17 @@ def global_row_number(df, keys, descending=None, out="rn"):
     global ids. The checkpoint also means the upstream plan executes
     exactly once per call (the counts job and every downstream consumer
     read the materialized partitions). Build is therefore EAGER — bench
-    harnesses must rebuild inside the clock (bench.py eager_build)."""
+    harnesses must rebuild inside the clock (bench.py eager_build).
+
+    ``reliable=True`` swaps the localCheckpoint for a real ``checkpoint()``
+    against the configured checkpoint dir (see operators.recursive._truncate
+    for the tradeoff table): on a preemptible-executor cluster a lost
+    executor then recomputes tasks instead of killing the job, and the
+    range-boundary determinism argument above holds identically — the
+    boundaries are pinned by the one materialization either way."""
     from pyspark.sql import Window
+
+    from duckdb_parachute_spark.operators.recursive import _truncate
 
     spark = df.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -134,10 +143,12 @@ def global_row_number(df, keys, descending=None, out="rn"):
             if desc[i]
             else F.col(f"__sk{i}").asc_nulls_last()
         )
-    d = (
-        d.repartitionByRange(n_part, *sort_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    d = _truncate(
+        d.repartitionByRange(n_part, *sort_cols).withColumn(
+            "__pid", F.spark_partition_id()
+        ),
+        reliable,
+        eager=True,
     )
     w = Window.partitionBy("__pid").orderBy(*sort_cols)
     d = d.withColumn("__lrn", F.row_number().over(w))
