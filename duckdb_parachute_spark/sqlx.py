@@ -11,6 +11,11 @@ Reference dialect features handled (binder locations in the reference):
 - * EXCLUDE (...)    src/parser/expression/star_expression.cpp (exclude_list)
 - [1, 2] literals, 1-based x[i] subscripts and x[a:b] slices
                      src/parser/transform/expression/transform_array_index.cpp
+- * REPLACE (e AS c) src/parser/expression/star_expression.cpp (replace_list)
+- {'k': v} / MAP {}  src/parser/transform/expression/transform_constant.cpp,
+                     transform_map.cpp → named_struct()/map()
+- COLUMNS(*)/('rx')  transform_columns_expression (schema-aware, expanded in
+                     sql() via a LIMIT-0 probe — see expand_columns)
 
 Natively understood by Spark SQL already (no rewrite): TRY_CAST, ILIKE,
 GROUP BY ALL, ORDER BY ALL, FILTER (WHERE ...), VALUES lists, lambdas.
@@ -227,6 +232,110 @@ def rewrite_exclude(sql: str) -> str:
     return _EXCLUDE_BARE_RE.sub(lambda m: f"* EXCEPT ({m.group(1)})", sql)
 
 
+_REPLACE_RE = re.compile(r"\*\s+REPLACE\s*\(", re.IGNORECASE)
+_AS_SPLIT_RE = re.compile(r"\s+AS\s+", re.IGNORECASE)
+
+
+def _balanced_span(text: str, open_idx: int, open_ch: str = "(", close_ch: str = ")") -> int:
+    """Index just past the bracket matching text[open_idx] (which must be
+    open_ch); raises on imbalance — fail loud, never silently mis-rewrite."""
+    depth = 0
+    for j in range(open_idx, len(text)):
+        if text[j] == open_ch:
+            depth += 1
+        elif text[j] == close_ch:
+            depth -= 1
+            if depth == 0:
+                return j + 1
+    raise ValueError(f"unbalanced {open_ch!r} in SQL at {open_idx}: {text[open_idx:open_idx+60]!r}")
+
+
+def rewrite_star_replace(sql: str) -> str:
+    """* REPLACE (expr AS col, ...) → * EXCEPT (col, ...), expr AS col, ...
+
+    DuckDB star REPLACE (reference src/parser/expression/
+    star_expression.cpp replace_list; transform_star_expression). Spark has
+    no REPLACE star modifier, so each replaced column is excluded from the
+    star and re-appended as an explicit aliased expression. CAVEAT: the
+    replaced columns move to the END of the select list instead of keeping
+    their original position — names, types, and values are identical, so
+    any name-addressed consumer (including the driver's sorted-column hash
+    compare) sees the same result; position-addressed consumers would not.
+    Expressions may contain parens/commas (balanced-scan, not regex-captured).
+    """
+    while True:
+        m = _search_depth0(_REPLACE_RE, sql)
+        if not m:
+            return sql
+        open_idx = m.end() - 1
+        end = _balanced_span(sql, open_idx)
+        items = _split_top_level(sql[open_idx + 1 : end - 1])
+        repls = []
+        for item in items:
+            parts = _AS_SPLIT_RE.split(item.strip())
+            if len(parts) < 2:
+                raise ValueError(f"* REPLACE item needs 'expr AS col': {item!r}")
+            expr, col = " AS ".join(parts[:-1]), parts[-1].strip()
+            repls.append((expr, col))
+        names = ", ".join(c for _, c in repls)
+        appended = ", ".join(f"{e} AS {c}" for e, c in repls)
+        sql = sql[: m.start()] + f"* EXCEPT ({names}), {appended}" + sql[end:]
+
+
+def rewrite_struct_literals(sql: str, _parts: list[str] | None = None) -> str:
+    """DuckDB brace literals → Spark constructors:
+    - {'k': v, ...}        struct literal → named_struct('k', v, ...)
+    - MAP {'k': v, ...}    map literal    → map('k', v, ...)
+    (reference src/parser/transform/expression/transform_constant.cpp struct
+    binding + transform_map.cpp). Runs on literal-masked text: keys arrive as
+    \\x00N\\x00 placeholders and pass through unmasked at the end, so a brace
+    inside a string can never trigger this. Values are rewritten recursively
+    (nested structs/maps compose). Fails loud on a non-`key: value` item —
+    braces have no other meaning in either dialect's expression grammar."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch != "{":
+            out.append(ch)
+            i += 1
+            continue
+        end = _balanced_span(sql, i, "{", "}")
+        inner = rewrite_struct_literals(sql[i + 1 : end - 1], _parts)
+        pairs = []
+        for item in _split_top_level(inner):
+            # First top-level single ':' (a '::' cast inside the value must
+            # not split — the key side is a masked literal, colon-free).
+            depth, split_at = 0, -1
+            j = 0
+            while j < len(item):
+                c = item[j]
+                if c in "([{":
+                    depth += 1
+                elif c in ")]}":
+                    depth -= 1
+                elif c == ":" and depth == 0:
+                    if j + 1 < len(item) and item[j + 1] == ":":
+                        j += 2
+                        continue
+                    split_at = j
+                    break
+                j += 1
+            if split_at < 0 or not item[:split_at].strip():
+                raise ValueError(f"struct/map literal item is not 'key: value': {item!r}")
+            pairs.append((item[:split_at].strip(), item[split_at + 1 :].strip()))
+        args = ", ".join(f"{k}, {v}" for k, v in pairs)
+        prev = "".join(out).rstrip()
+        if prev.lower().endswith("map") and (
+            len(prev) == 3 or not (prev[-4].isalnum() or prev[-4] in "_.")
+        ):
+            out = [prev[: len(prev) - 3], f"map({args})"]
+        else:
+            out.append(f"named_struct({args})")
+        i = end
+    return "".join(out)
+
+
 def _operand_start(text: str, end: int) -> int:
     """Start index of the expression ending at `end` (exclusive): walks back
     over a balanced trailing ')' group, then an identifier/dot chain — the
@@ -329,7 +438,9 @@ REWRITES = [
     rewrite_qualify,
     rewrite_distinct_on,
     rewrite_json_arrows,
+    rewrite_star_replace,
     rewrite_exclude,
+    rewrite_struct_literals,
     rewrite_brackets,
     rewrite_intdiv,
     rewrite_sample,
@@ -361,9 +472,82 @@ def transpile(sql: str) -> str:
     return _PH_RE.sub(lambda m: parts[int(m.group(1))], masked)
 
 
+_COLUMNS_RE = re.compile(r"\bCOLUMNS\s*\(", re.IGNORECASE)
+_SELECT_RE = re.compile(r"\bSELECT\b(\s+DISTINCT\b)?", re.IGNORECASE)
+_FROM_RE = re.compile(r"\bFROM\b", re.IGNORECASE)
+_CLAUSE_RE = re.compile(
+    r"\b(WHERE|GROUP\s+BY|HAVING|QUALIFY|WINDOW|ORDER\s+BY|LIMIT|UNION|INTERSECT|EXCEPT)\b",
+    re.IGNORECASE,
+)
+
+
+def expand_columns(spark: SparkSession, text: str) -> str:
+    """DuckDB COLUMNS(*) / COLUMNS('regex') star expression (reference
+    src/parser/transform/expression/transform_columns_expression via
+    star_expression.cpp columns=true): each select item containing a
+    COLUMNS ref is replicated once per matching source column, the ref
+    replaced by the column and the item aliased with the BARE column name —
+    DuckDB's observed naming (min(COLUMNS(*)) over (a,b) yields columns
+    a, b). Regex matching is search-anywhere, like DuckDB's RE2 usage.
+
+    Unlike the token rewrites this needs the SCHEMA, so it runs in sql()
+    where a session is available: the outer FROM source (text between the
+    first depth-0 FROM and the next depth-0 clause keyword) is probed with
+    a LIMIT-0 query — planning only, no job. Scope: COLUMNS in the
+    OUTERMOST select list; multiple refs in one item must share one arg
+    (DuckDB zips identical args); a COLUMNS in a subquery raises rather
+    than silently mis-expanding."""
+    if not _COLUMNS_RE.search(text):
+        return text
+    sel = _search_depth0(_SELECT_RE, text)
+    frm = _search_depth0(_FROM_RE, text, sel.end() if sel else 0)
+    if sel is None or frm is None:
+        raise ValueError("COLUMNS(...) needs an outer SELECT ... FROM to expand against")
+    clause = _search_depth0(_CLAUSE_RE, text, frm.end())
+    source = text[frm.end() : clause.start() if clause else len(text)].strip()
+    probe = transpile(f"SELECT * FROM {source} LIMIT 0")
+    schema_cols = spark.sql(probe).columns
+    items = _split_top_level(text[sel.end() : frm.start()])
+    out_items: list[str] = []
+    for item in items:
+        spans = []  # (start, end, arg) of each COLUMNS ref in this item
+        for m in _COLUMNS_RE.finditer(item):
+            end = _balanced_span(item, m.end() - 1)
+            spans.append((m.start(), end, item[m.end() : end - 1].strip()))
+        if not spans:
+            out_items.append(item)
+            continue
+        args = {a for _, _, a in spans}
+        if len(args) != 1:
+            raise ValueError(f"COLUMNS refs in one item must share an argument: {item!r}")
+        arg = args.pop()
+        if arg == "*":
+            cols = schema_cols
+        elif len(arg) >= 2 and arg[0] == "'" and arg[-1] == "'":
+            rx = re.compile(arg[1:-1].replace("''", "'"))
+            cols = [c for c in schema_cols if rx.search(c)]
+        else:
+            raise ValueError(f"unsupported COLUMNS argument: {arg!r}")
+        if not cols:
+            raise ValueError(f"COLUMNS({arg}) matched no column of {schema_cols}")
+        for c in cols:
+            expanded, last = [], 0
+            for s, e, _ in spans:
+                expanded.append(item[last:s])
+                expanded.append(c)
+                last = e
+            expanded.append(item[last:])
+            body = "".join(expanded).strip()
+            out_items.append(f"{body} AS {c}" if body != c else c)
+    head = text[: sel.end()]
+    if _COLUMNS_RE.search(text[frm.start() :]):
+        raise ValueError("COLUMNS(...) outside the outer select list is unsupported")
+    return f"{head} {', '.join(i.strip() for i in out_items)} {text[frm.start():]}"
+
+
 def sql(spark: SparkSession, text: str) -> DataFrame:
     """Run DuckDB-flavored SQL on Spark (the M2 dialect entry point)."""
-    return spark.sql(transpile(text))
+    return spark.sql(transpile(expand_columns(spark, text)))
 
 
 def sql_params(spark: SparkSession, text: str, params: dict) -> DataFrame:

@@ -162,3 +162,63 @@ def dialect_filter_clause(spark, sf_dir):
     to pin the pass-through path of the dialect layer."""
     _views(spark, sf_dir, "lineitem")
     return sqlx.sql(spark, _FILTER_CLAUSE_SQL)
+
+
+_STAR_REPLACE_SQL = """
+SELECT * REPLACE (round(o_totalprice * 2, 2) AS o_totalprice,
+                  lower(o_orderpriority) AS o_orderpriority)
+FROM (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey < 400) t
+"""
+
+
+@query("dialect_star_replace", oracle=_STAR_REPLACE_SQL)
+def dialect_star_replace(spark, sf_dir):
+    """* REPLACE (expr AS col, ...) star modifier (reference
+    star_expression.cpp replace_list): sqlx rewrites to
+    * EXCEPT (cols...) + appended aliased expressions — identical names,
+    types, and values; replaced columns move to the end of the list (the
+    documented position caveat; the driver's compare is name-addressed)."""
+    _views(spark, sf_dir, "orders")
+    return sqlx.sql(spark, _STAR_REPLACE_SQL)
+
+
+_COLUMNS_STAR_SQL = """
+SELECT max(COLUMNS('^l_.*key$'))
+FROM (SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+      FROM lineitem WHERE l_orderkey < 500) t
+"""
+
+
+@query("dialect_columns_regex", oracle=_COLUMNS_STAR_SQL)
+def dialect_columns_regex(spark, sf_dir):
+    """COLUMNS('regex') star expression (reference
+    transform_columns_expression / star_expression.cpp columns=true):
+    sqlx.expand_columns probes the FROM source schema with a LIMIT-0 plan,
+    replicates the aggregate per matching column, and aliases each with the
+    bare column name — DuckDB's observed naming convention."""
+    _views(spark, sf_dir, "lineitem")
+    return sqlx.sql(spark, _COLUMNS_STAR_SQL)
+
+
+_STRUCT_LITERAL_SQL = """
+SELECT o_orderkey,
+       {'k': o_orderkey, 'price': o_totalprice}.price AS price2,
+       {'o': {'i': o_orderkey + 1}}.o.i AS nested,
+       cardinality(MAP {'a': o_orderkey, 'b': o_custkey}) AS map_n
+FROM orders WHERE o_orderkey < 300
+"""
+
+
+@query("dialect_struct_literal", oracle=_STRUCT_LITERAL_SQL)
+def dialect_struct_literal(spark, sf_dir):
+    """Struct literals {'k': v} and MAP {'k': v} (reference
+    transform_constant.cpp struct binding, transform_map.cpp): sqlx
+    rewrites braces to named_struct(...) / map(...) on literal-masked text
+    (keys are masked, so braces inside strings never fire); nested structs
+    compose recursively and field access passes through (both dialects
+    spell it .field). Map SUBSCRIPT stays out: DuckDB map['k'] returns a
+    LIST while Spark element_at returns the scalar — cardinality() is the
+    cross-engine map check."""
+    _views(spark, sf_dir, "orders")
+    return sqlx.sql(spark, _STRUCT_LITERAL_SQL)

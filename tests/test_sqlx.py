@@ -133,3 +133,53 @@ def test_literals_are_inert():
     assert transpile("SELECT props -> 'k' AS a FROM t") == (
         "SELECT get_json_object(props, '$.k') AS a FROM t"
     )
+
+
+def test_star_replace():
+    from duckdb_parachute_spark.sqlx import rewrite_star_replace
+
+    out = transpile("SELECT * REPLACE (round(a, 2) AS a, f(b, c) AS b) FROM t")
+    assert out == "SELECT * EXCEPT (a, b), round(a, 2) AS a, f(b, c) AS b FROM t"
+    # untouched when absent; fails loud on a missing AS
+    assert rewrite_star_replace("SELECT * FROM t") == "SELECT * FROM t"
+    import pytest
+
+    with pytest.raises(ValueError, match="expr AS col"):
+        rewrite_star_replace("SELECT * REPLACE (a) FROM t")
+
+
+def test_struct_and_map_literals():
+    assert transpile("SELECT {'k': a, 'j': b + 1} AS s FROM t") == (
+        "SELECT named_struct('k', a, 'j', b + 1) AS s FROM t"
+    )
+    # nested + MAP prefix + :: cast inside a value must not split the pair
+    assert transpile("SELECT {'o': {'i': x}} AS s") == (
+        "SELECT named_struct('o', named_struct('i', x)) AS s"
+    )
+    assert transpile("SELECT MAP {'a': 1, 'b': v::INT} AS m") == (
+        "SELECT map('a', 1, 'b', v::INT) AS m"
+    )
+    # a brace inside a string literal is inert
+    assert transpile("SELECT '{not: struct}' AS s") == "SELECT '{not: struct}' AS s"
+    # identifier merely ENDING in 'map' is not the MAP keyword
+    assert transpile("SELECT heatmap {'a': 1}") == (
+        "SELECT heatmap named_struct('a', 1)"
+    )
+
+
+def test_expand_columns(spark):
+    from duckdb_parachute_spark.sqlx import expand_columns
+
+    spark.range(3).selectExpr("id AS a_key", "id * 2 AS b_key", "id AS other").createOrReplaceTempView(
+        "t_cols"
+    )
+    out = expand_columns(spark, "SELECT min(COLUMNS(*)) FROM t_cols")
+    assert out.strip() == "SELECT min(a_key) AS a_key, min(b_key) AS b_key, min(other) AS other FROM t_cols"
+    out = expand_columns(spark, "SELECT max(COLUMNS('_key$')) FROM t_cols WHERE other > 0")
+    assert "max(a_key) AS a_key, max(b_key) AS b_key" in out and "other" not in out.split("FROM")[0]
+    # multiple refs in one item share the expansion (DuckDB zip rule)
+    out = expand_columns(spark, "SELECT COLUMNS('_key$') + COLUMNS('_key$') FROM t_cols")
+    assert "a_key + a_key AS a_key" in out
+    # non-COLUMNS text passes through untouched
+    s = "SELECT a_key FROM t_cols"
+    assert expand_columns(spark, s) is s
