@@ -170,22 +170,54 @@ def sniff_csv(spark: SparkSession, path: str, sample_rows: int = 1000) -> DataFr
         .option("sep", delim)
         .csv(path)
     )
-    # header heuristic (sniffer: first row types diverge from the rest):
-    # if every header cell re-parses as the column's inferred type, there is
-    # no header. Cheap proxy: any non-string column whose name parses as a
-    # number means the "header" row was data.
-    def _is_num(s: str) -> bool:
+    # Header detection à la the reference sniffer (src/execution/operator/
+    # csv_scanner/sniffer/header_detection.cpp): compare ROW 1's cell types
+    # against the BODY types (inferSchema over rows 2+, already held above).
+    # Verified against DuckDB 1.0 sniff_csv on the edge shapes:
+    #   header = (some row-1 cell is NOT castable to its body type)
+    #            OR (every body column is VARCHAR — the all-text fallback,
+    #                where DuckDB assumes a header since types can't tell).
+    # The previous name-parses-as-number proxy diverged on a numeric first
+    # row over an all-text body (DuckDB: header=true; proxy said false).
+    def _castable(cell: str, spark_type: str) -> bool:
+        if cell == "" or cell is None:
+            return True  # empty → NULL, castable to anything
         try:
-            float(s)
-            return True
-        except (TypeError, ValueError):
+            if spark_type in ("tinyint", "smallint", "int", "bigint"):
+                int(cell)
+            elif spark_type in ("float", "double", "decimal"):
+                float(cell)
+            elif spark_type == "boolean":
+                return cell.strip().lower() in ("true", "false")
+            return True  # string/date/timestamp: consistent by default
+        except ValueError:
             return False
+        return True
 
-    has_header = not any(_is_num(c) for c in inferred.columns)
-    rows = [
-        (f.name, f.dataType.simpleString(), delim, has_header)
-        for f in inferred.schema.fields
-    ]
+    body_types = [f.dataType.simpleString() for f in inferred.schema.fields]
+    first_cells = sample[0].split(delim) if sample else []
+    type_break = any(
+        not _castable(c.strip(), t) for c, t in zip(first_cells, body_types)
+    )
+    has_header = type_break or all(t == "string" for t in body_types)
+    if not has_header:
+        # Row 1 is data: re-infer over ALL rows and use the reference's
+        # positional names (column0..columnN, sniff_csv.cpp naming).
+        inferred = (
+            spark.read.option("inferSchema", True)
+            .option("header", False)
+            .option("sep", delim)
+            .csv(path)
+        )
+        rows = [
+            (f"column{i}", f.dataType.simpleString(), delim, False)
+            for i, f in enumerate(inferred.schema.fields)
+        ]
+    else:
+        rows = [
+            (f.name, f.dataType.simpleString(), delim, True)
+            for f in inferred.schema.fields
+        ]
     return spark.createDataFrame(
         rows, "column_name string, column_type string, delimiter string, has_header boolean"
     )

@@ -468,21 +468,34 @@ def stream_foreachbatch_exactly_once(spark, sf_dir):
 @query(
     "src_sniff_csv_report",
     oracle="""
-    SELECT u.name AS column_name, u.type AS column_type,
+    SELECT f AS file, u.name AS column_name, u.type AS column_type,
            Delimiter AS delimiter, HasHeader AS has_header
-    FROM (SELECT unnest(Columns) AS u, Delimiter, HasHeader
-          FROM sniff_csv('/root/repo/.tmp/rt_sniff/nation.csv'))
+    FROM (
+      SELECT 'nation' AS f, unnest(Columns) AS u, Delimiter, HasHeader
+      FROM sniff_csv('/root/repo/.tmp/rt_sniff/nation.csv')
+      UNION ALL
+      SELECT 'allstr_noheader', unnest(Columns), Delimiter, HasHeader
+      FROM sniff_csv('/root/repo/.tmp/rt_sniff/allstr_noheader.csv')
+      UNION ALL
+      SELECT 'mixed_noheader', unnest(Columns), Delimiter, HasHeader
+      FROM sniff_csv('/root/repo/.tmp/rt_sniff/mixed_noheader.csv')
+    )
     """,
 )
 def src_sniff_csv_report(spark, sf_dir):
     """sniff_csv vs THE REFERENCE'S OWN SNIFFER (reference
-    src/function/table/sniff_csv.cpp; ours sources.sniff_csv): both engines
-    sniff the SAME semicolon-delimited file (written once from nation — 25
-    rows, bounded) and must agree on delimiter, header detection, and
-    per-column types. Type names are compared at the sniffer's class level
-    (CSV sniffers quantize integers to their widest class: DuckDB reports
-    BIGINT for any integer column, Spark's inferSchema picks the narrowest
-    — the query widens to the DuckDB convention, documented divergence)."""
+    src/function/table/sniff_csv.cpp + sniffer/header_detection.cpp; ours
+    sources.sniff_csv): both engines sniff the SAME three files and must
+    agree on delimiter, header detection, per-column types AND names.
+    Shapes: (1) typed file with a text header (nation), (2) all-string file
+    whose first row is DATA — the round-8 advisor's case; the sniffer's
+    all-VARCHAR fallback assumes a header, as DuckDB does, so names come
+    from row 1, and (3) typed headerless file — row-1 types match the body,
+    so both report has_header=false with positional column0.. names. Type
+    names are compared at the sniffer's class level (CSV sniffers quantize
+    integers to their widest class: DuckDB reports BIGINT for any integer
+    column, Spark's inferSchema picks the narrowest — the query widens to
+    the DuckDB convention, documented divergence)."""
     import os
 
     from duckdb_parachute_spark.sources import sniff_csv
@@ -494,7 +507,18 @@ def src_sniff_csv_report(spark, sf_dir):
         f.write("n_nationkey;n_name;n_regionkey\n")
         for r in n:
             f.write(f"{r.n_nationkey};{r.n_name};{r.n_regionkey}\n")
-    out = sniff_csv(spark, f"{path}/nation.csv")
+    with open(f"{path}/allstr_noheader.csv", "w") as f:
+        f.write("alpha;beta\napple;red\nbanana;yellow\ncherry;dark\n")
+    with open(f"{path}/mixed_noheader.csv", "w") as f:
+        f.write("1;x\n2;y\n3;z\n")
+    outs = []
+    for tag in ("nation", "allstr_noheader", "mixed_noheader"):
+        outs.append(
+            sniff_csv(spark, f"{path}/{tag}.csv").select(
+                F.lit(tag).alias("file"), "*"
+            )
+        )
+    out = outs[0].unionAll(outs[1]).unionAll(outs[2])
     widened = (
         F.when(F.col("column_type").isin("tinyint", "smallint", "int", "bigint"), "BIGINT")
         .when(F.col("column_type").isin("float", "double"), "DOUBLE")
@@ -502,7 +526,7 @@ def src_sniff_csv_report(spark, sf_dir):
         .otherwise(F.upper(F.col("column_type")))
     )
     return out.select(
-        "column_name", widened.alias("column_type"), "delimiter", "has_header"
+        "file", "column_name", widened.alias("column_type"), "delimiter", "has_header"
     )
 
 
