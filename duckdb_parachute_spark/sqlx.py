@@ -409,7 +409,10 @@ def rewrite_brackets(sql: str) -> str:
             and (prev[-1].isalnum() or prev[-1] in "_)]")
             and operand.lower() not in _NON_OPERAND_KEYWORDS
         )
-        if is_subscript:
+        comp = _comprehension(inner)
+        if comp is not None:
+            out.append(comp)
+        elif is_subscript:
             head = prev[: len(prev) - len(operand)]
             parts = _split_top_level(inner, ":")
             if len(parts) == 2 and all(p.strip() for p in parts):
@@ -424,9 +427,65 @@ def rewrite_brackets(sql: str) -> str:
     return "".join(out)
 
 
+_FOR_RE = re.compile(r"\bFOR\b", re.IGNORECASE)
+_IN_RE = re.compile(r"\bIN\b", re.IGNORECASE)
+_IF_RE = re.compile(r"\bIF\b", re.IGNORECASE)
+
+
+def _comprehension(inner: str) -> str | None:
+    """[expr FOR var IN src IF cond] list comprehension (reference
+    src/parser/transform/expression/transform_multi_assignment.cpp-adjacent
+    comprehension sugar; DuckDB desugars to list_transform/list_filter) →
+    Spark's identical higher-order builtins:
+        no IF:   transform(src, var -> expr)
+        with IF: transform(filter(src, var -> cond), var -> expr)
+    Returns None when `inner` is not a comprehension (no depth-0 FOR)."""
+    m = _search_depth0(_FOR_RE, inner)
+    if m is None:
+        return None
+    expr = inner[: m.start()].strip()
+    rest = inner[m.end() :]
+    mi = _search_depth0(_IN_RE, rest)
+    if mi is None:
+        raise ValueError(f"list comprehension missing IN: [{inner}]")
+    var = rest[: mi.start()].strip()
+    tail = rest[mi.end() :]
+    mf = _search_depth0(_IF_RE, tail)
+    if mf is None:
+        src = tail.strip()
+        return f"transform({src}, {var} -> {expr})"
+    src = tail[: mf.start()].strip()
+    cond = tail[mf.end() :].strip()
+    return f"transform(filter({src}, {var} -> {cond}), {var} -> {expr})"
+
+
 def rewrite_intdiv(sql: str) -> str:
     """a // b → a DIV b (Spark's integer division)."""
     return _INTDIV_RE.sub(r"\1 DIV \2", sql)
+
+
+#: DuckDB list_* higher-order names → Spark's identical-semantics builtins
+#: (reference src/core_functions/scalar/list/; lambda syntax `x -> e` is the
+#: same in both dialects, so only the function NAME needs mapping; list_sort
+#: and list_reduce are excluded — their null-ordering / accumulator-seed
+#: semantics differ and a silent rename would change results).
+_LIST_FN_MAP = {
+    "list_transform": "transform",
+    "list_apply": "transform",
+    "list_filter": "filter",
+    "array_transform": "transform",
+    "array_filter": "filter",
+    "list_aggr": None,  # placeholder: documented unsupported
+}
+_LIST_FN_RE = re.compile(
+    r"\b(" + "|".join(k for k, v in _LIST_FN_MAP.items() if v) + r")\s*\(",
+    re.IGNORECASE,
+)
+
+
+def rewrite_list_fns(sql: str) -> str:
+    """list_transform/list_filter (+ aliases) → transform/filter."""
+    return _LIST_FN_RE.sub(lambda m: f"{_LIST_FN_MAP[m.group(1).lower()]}(", sql)
 
 
 def rewrite_sample(sql: str) -> str:
@@ -442,6 +501,7 @@ REWRITES = [
     rewrite_exclude,
     rewrite_struct_literals,
     rewrite_brackets,
+    rewrite_list_fns,
     rewrite_intdiv,
     rewrite_sample,
 ]

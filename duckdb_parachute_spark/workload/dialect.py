@@ -222,3 +222,28 @@ def dialect_struct_literal(spark, sf_dir):
     cross-engine map check."""
     _views(spark, sf_dir, "orders")
     return sqlx.sql(spark, _STRUCT_LITERAL_SQL)
+
+
+_LIST_COMP_SQL = """
+SELECT o_orderkey,
+       [x * 2 FOR x IN [o_orderkey % 5, o_orderkey % 7, 11] IF x > 2] AS comp,
+       list_transform([1, o_orderkey % 3], x -> x + 10) AS lt,
+       list_filter([o_orderkey % 4, 2, 9], x -> x % 2 = 1) AS lf
+FROM orders WHERE o_orderkey < 200
+"""
+
+
+@query(
+    "dialect_list_comprehension",
+    join_arrays=["comp", "lt", "lf"],
+    oracle=_LIST_COMP_SQL,
+)
+def dialect_list_comprehension(spark, sf_dir):
+    """List comprehensions [e FOR x IN l IF p] (DuckDB desugars to
+    list_transform/list_filter; sqlx._comprehension emits the same
+    transform(filter(...)) composition) plus the list_transform/list_filter
+    name mapping — Spark's lambda syntax `x -> e` is identical, so only
+    names rewrite (sqlx.rewrite_list_fns). list_sort/list_reduce are
+    deliberately NOT mapped: their null-ordering/seed semantics differ."""
+    _views(spark, sf_dir, "orders")
+    return sqlx.sql(spark, _LIST_COMP_SQL)

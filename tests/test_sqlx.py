@@ -183,3 +183,21 @@ def test_expand_columns(spark):
     # non-COLUMNS text passes through untouched
     s = "SELECT a_key FROM t_cols"
     assert expand_columns(spark, s) is s
+
+
+def test_list_comprehension_and_list_fns():
+    assert transpile("SELECT [x * 2 FOR x IN [1,2,3] IF x > 1] AS c") == (
+        "SELECT transform(filter(array(1,2,3), x -> x > 1), x -> x * 2) AS c"
+    )
+    assert transpile("SELECT [upper(s) FOR s IN names] AS u FROM t") == (
+        "SELECT transform(names, s -> upper(s)) AS u FROM t"
+    )
+    assert transpile("SELECT list_transform(l, x -> x + 1), LIST_FILTER(l, x -> x > 0) FROM t") == (
+        "SELECT transform(l, x -> x + 1), filter(l, x -> x > 0) FROM t"
+    )
+    # IN inside the body (a subquery-ish predicate) does not confuse the split
+    assert transpile("SELECT [y FOR y IN l IF y % 2 = 0] FROM t") == (
+        "SELECT transform(filter(l, y -> y % 2 = 0), y -> y) FROM t"
+    )
+    # unmapped list fns pass through untouched (semantics differ)
+    assert transpile("SELECT list_sort(l) FROM t") == "SELECT list_sort(l) FROM t"
