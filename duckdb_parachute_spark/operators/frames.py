@@ -247,23 +247,50 @@ def exclude_sums(
     as columns excl_current / excl_group / excl_ties. Same NULL discipline
     as exclude_rows_sums: NULL values contribute 0 to the sums (coalesced,
     not propagated), and a post-exclusion frame with no non-NULL values
-    yields NULL (count-gated)."""
-    w_part = Window.partitionBy(*part)
-    w_peers = Window.partitionBy(*part, order)
+    yields NULL (count-gated).
+
+    Scale formulation (round 9): the full-partition frame needs only the
+    PARTITION total and the PEER-GROUP total per row, so both are computed
+    as ordinary groupBy aggregates (map-side partial combine) and joined
+    back null-safely — ONE fact-side shuffle, parallelism = shuffle
+    partitions. The previous Window.partitionBy(part) spelling forced every
+    partition into a single task: with a low-cardinality partition key
+    (the common case for EXCLUDE analytics) that caps parallelism at
+    #groups regardless of cluster size. Totals are a second-level rollup of
+    the (small) peer table, never a second fact pass."""
+    keys = [*part, order]
     d = df.withColumn("__v", value)
+    kcols = [f"__k{i}" for i in range(len(keys))]
+    peers = (
+        d.select(*[F.col(k).alias(a) for k, a in zip(keys, kcols)], "__v")
+        .groupBy(*kcols)
+        .agg(F.sum("__v").alias("__ps"), F.count("__v").alias("__pc"))
+    )
+    totals = peers.groupBy(*kcols[:-1]).agg(
+        F.sum("__ps").alias("__ts"), F.sum("__pc").alias("__tc")
+    )
+    # peer-grain table with partition totals attached (small ⋈ small; the
+    # part-grain side is a rollup of the peer side, so AQE broadcasts it)
+    peer_tot = peers.join(
+        totals.select(*[F.col(a).alias(f"__t{i}") for i, a in enumerate(kcols[:-1])], "__ts", "__tc"),
+        [F.col(a).eqNullSafe(F.col(f"__t{i}")) for i, a in enumerate(kcols[:-1])]
+        or [F.lit(True)],
+    ).drop(*[f"__t{i}" for i in range(len(kcols) - 1)])
+    cond = [F.col(k).eqNullSafe(F.col(a)) for k, a in zip(keys, kcols)]
+    d = d.join(peer_tot, cond, "left").drop(*kcols)
     v = F.col("__v")
     v0 = F.coalesce(v, F.lit(0))
     v_nn = F.when(v.isNotNull(), F.lit(1)).otherwise(F.lit(0))
-    total = F.coalesce(F.sum("__v").over(w_part), F.lit(0))
-    peers = F.coalesce(F.sum("__v").over(w_peers), F.lit(0))
-    total_cnt = F.count("__v").over(w_part)
-    peer_cnt = F.count("__v").over(w_peers)
+    total = F.coalesce(F.col("__ts"), F.lit(0))
+    peers_s = F.coalesce(F.col("__ps"), F.lit(0))
+    total_cnt = F.col("__tc")
+    peer_cnt = F.col("__pc")
     return (
         d.withColumn("excl_current", F.when(total_cnt - v_nn > 0, total - v0))
-        .withColumn("excl_group", F.when(total_cnt > peer_cnt, total - peers))
+        .withColumn("excl_group", F.when(total_cnt > peer_cnt, total - peers_s))
         .withColumn(
             "excl_ties",
-            F.when(total_cnt - peer_cnt + v_nn > 0, total - peers + v0),
+            F.when(total_cnt - peer_cnt + v_nn > 0, total - peers_s + v0),
         )
-        .drop("__v")
+        .drop("__v", "__ps", "__pc", "__ts", "__tc")
     )

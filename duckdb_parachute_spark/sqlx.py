@@ -488,9 +488,15 @@ def rewrite_list_fns(sql: str) -> str:
     return _LIST_FN_RE.sub(lambda m: f"{_LIST_FN_MAP[m.group(1).lower()]}(", sql)
 
 
+_SAMPLE_ROWS_RE = re.compile(r"\bUSING\s+SAMPLE\s+(\d+)(\s+ROWS\b)?", re.IGNORECASE)
+
+
 def rewrite_sample(sql: str) -> str:
-    """USING SAMPLE n% → TABLESAMPLE (n PERCENT)."""
-    return _SAMPLE_RE.sub(lambda m: f"TABLESAMPLE ({m.group(1)} PERCENT)", sql)
+    """USING SAMPLE n% → TABLESAMPLE (n PERCENT); USING SAMPLE n [ROWS] →
+    TABLESAMPLE (n ROWS) (reference sample_options.hpp — a bare count
+    defaults to reservoir ROWS sampling)."""
+    sql = _SAMPLE_RE.sub(lambda m: f"TABLESAMPLE ({m.group(1)} PERCENT)", sql)
+    return _SAMPLE_ROWS_RE.sub(lambda m: f"TABLESAMPLE ({m.group(1)} ROWS)", sql)
 
 
 REWRITES = [

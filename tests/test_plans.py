@@ -327,6 +327,15 @@ def test_exclude_bounded_no_joins(no_aqe, spark, sf_dir):
     assert "Join" not in s.text
 
 
+def test_exclude_full_partition_no_window(no_aqe, spark, sf_dir):
+    # Round-9 scale formulation: the FULL-partition EXCLUDE rewrite is
+    # aggregates + null-safe join-back — NO Window operator anywhere, so a
+    # low-cardinality partition key can never collapse the query to one
+    # task per group (the old Window.partitionBy spelling did exactly that).
+    s = assert_plan(_q("window_exclude_modes", spark, sf_dir))
+    assert "Window" not in s.text, s.text
+
+
 def test_global_rank_no_single_partition_window(spark):
     """Round-7 VERDICT item: global ranks must not plan a 'No Partition
     Defined' WindowExec. The two-phase helper's only window partitions by

@@ -201,3 +201,15 @@ def test_list_comprehension_and_list_fns():
     )
     # unmapped list fns pass through untouched (semantics differ)
     assert transpile("SELECT list_sort(l) FROM t") == "SELECT list_sort(l) FROM t"
+
+
+def test_sample_rows_form():
+    assert transpile("SELECT * FROM t USING SAMPLE 10%") == (
+        "SELECT * FROM t TABLESAMPLE (10 PERCENT)"
+    )
+    assert transpile("SELECT * FROM t USING SAMPLE 10 ROWS") == (
+        "SELECT * FROM t TABLESAMPLE (10 ROWS)"
+    )
+    assert transpile("SELECT * FROM t USING SAMPLE 10") == (
+        "SELECT * FROM t TABLESAMPLE (10 ROWS)"
+    )
