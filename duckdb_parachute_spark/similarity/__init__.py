@@ -8,6 +8,7 @@ hyperplanes / probe multiplicity and is property-tested against brute force).
 
 from __future__ import annotations
 
+import pandas as pd  # module-scope so pandas_udf type hints resolve
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -29,16 +30,18 @@ def brute_force_topk(
 
 
 def sign_lsh_bucket(vec: Column, num_planes: int = 8, seed: int = 7) -> Column:
-    """Random-hyperplane (sign) LSH bucket id in [0, 2^num_planes).
+    """Random-hyperplane (sign) LSH bucket id in [0, 2^num_planes) as a pure
+    Catalyst expression — kept for callers that need a no-Python plan (e.g.
+    a SQL-only pipeline), but NO LONGER the probe path: round 9 measured the
+    interpreted higher-order evaluation at tables × planes × dim expression
+    nodes per row and moved lsh_topk / write_lsh_index / lsh_topk_indexed to
+    the Arrow-batched matmul family (lsh_buckets_udf — different hyperplane
+    derivation, so the two families' bucket ids are NOT interchangeable).
 
     Hyperplane components are pseudo-random ±1 derived from
     xxhash64(seed, plane, dim) — deterministic, no stored model, computable
     row-local at any scale; dot products run as one higher-order
-    expression per plane (two denser
-    formulations were measured slower in round 7: per-element hash-bit
-    sharing duplicated the traversal per plane, and an array-accumulator
-    single pass paid an array allocation per element — the bottleneck was
-    scan parallelism, fixed in lsh_topk, not hashing)."""
+    expression per plane."""
     def plane_bit(p: Column) -> Column:
         signed = F.aggregate(
             F.zip_with(
@@ -54,6 +57,79 @@ def sign_lsh_bucket(vec: Column, num_planes: int = 8, seed: int = 7) -> Column:
 
     bits = F.transform(F.sequence(F.lit(0), F.lit(num_planes - 1)), plane_bit)
     return F.aggregate(bits, F.lit(0), lambda acc, bit: acc * 2 + bit)
+
+
+def _lsh_sign_matrix(dim: int, num_planes: int, seed: int):
+    """Deterministic ±1 hyperplane matrix (dim × num_planes), derived from
+    sha256 of (seed, plane, counter) — stable across machines, Python and
+    numpy versions forever (unlike numpy Generator streams, which NEP 19
+    allows to change), so persisted LSH indexes written years apart agree."""
+    import hashlib
+
+    import numpy as np
+
+    cols = []
+    need = (dim + 7) // 8
+    for p in range(num_planes):
+        buf = b""
+        ctr = 0
+        while len(buf) < need:
+            buf += hashlib.sha256(f"lsh:{seed}:{p}:{ctr}".encode()).digest()
+            ctr += 1
+        bits = np.unpackbits(np.frombuffer(buf[:need], dtype=np.uint8))[:dim]
+        cols.append(bits.astype(np.float64) * 2.0 - 1.0)
+    return np.stack(cols, axis=1)
+
+
+def _lsh_stacked_matrix(dim: int, num_tables: int, num_planes: int, seed: int):
+    import numpy as np
+
+    return np.concatenate(
+        [_lsh_sign_matrix(dim, num_planes, seed + t) for t in range(num_tables)], axis=1
+    )
+
+
+def lsh_query_buckets(
+    query_vec: list[float], num_tables: int, num_planes: int, seed: int = 7
+) -> list[int]:
+    """The query's bucket id in every table — pure numpy, NO Spark job (the
+    round-7 version scheduled a driver job just to hash one vector)."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    bits = (q @ _lsh_stacked_matrix(len(q), num_tables, num_planes, seed)) >= 0
+    w = (2 ** np.arange(num_planes - 1, -1, -1)).astype(np.int64)
+    return [int(b) for b in bits.reshape(num_tables, num_planes).astype(np.int64) @ w]
+
+
+def lsh_buckets_udf(num_tables: int, num_planes: int, seed: int = 7):
+    """Arrow-batched bucket computation: ONE numpy matmul per batch yields
+    every table's bucket id for every row (array<int>, position = table).
+
+    This is the measured exception to "stay JVM-side": the Catalyst
+    higher-order spelling (sign_lsh_bucket) evaluates
+    tables × planes × dim interpreted expression nodes PER ROW — ~4096 for
+    the default 16×4×64 probe, 3.9 s over sf0.1 embeddings — while the
+    Arrow batch path is a single (batch × dim) @ (dim × tables·planes)
+    BLAS call (~0.2 s same data). Hyperplanes come from the sha256 family
+    above, shared with lsh_query_buckets, so probe and corpus can never
+    disagree."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def buckets(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if v.empty:
+            return pd.Series([], dtype=object)
+        X = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        S = _lsh_stacked_matrix(X.shape[1], num_tables, num_planes, seed)
+        bits = (X @ S >= 0).reshape(len(v), num_tables, num_planes)
+        w = (2 ** np.arange(num_planes - 1, -1, -1)).astype(np.int64)
+        ids = bits.astype(np.int64) @ w
+        return pd.Series([row.astype("int32").tolist() for row in ids])
+
+    return buckets
 
 
 def lsh_topk(
@@ -85,20 +161,13 @@ def lsh_topk(
     cores = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < cores:
         df = df.repartition(cores)
-    qdf = df.sparkSession.createDataFrame([(query_vec,)], f"{vec_col}: array<double>")
-    # ONE local job computes the query's bucket id in every table (round 7:
-    # the per-table head() loop cost num_tables driver jobs — ~0.5 s of
-    # scheduling floor each — and dominated the probe's wall clock).
-    qb_row = qdf.select(
-        *[
-            sign_lsh_bucket(F.col(vec_col), num_planes, seed=7 + t).alias(f"b{t}")
-            for t in range(num_tables)
-        ]
-    ).head()
-    hit = None
-    for t in range(num_tables):
-        c = sign_lsh_bucket(F.col(vec_col), num_planes, seed=7 + t) == F.lit(qb_row[t])
-        hit = c if hit is None else (hit | c)
+    # Query buckets: pure numpy, zero Spark jobs; corpus buckets: ONE
+    # Arrow-batched matmul per batch computing all tables at once
+    # (lsh_buckets_udf docstring has the measured JVM-vs-Arrow comparison).
+    qb = lsh_query_buckets(query_vec, num_tables, num_planes, seed=7)
+    bks = lsh_buckets_udf(num_tables, num_planes, seed=7)(F.col(vec_col))
+    qarr = F.array(*[F.lit(int(b)) for b in qb])
+    hit = F.exists(F.zip_with(bks, qarr, lambda x, y: x == y), lambda m: m)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = array_cosine_similarity(F.col(vec_col), q)
     return (
@@ -314,12 +383,14 @@ def write_lsh_index(
     vec_col: str = "embedding",
 ) -> None:
     """Persist sign-LSH bucket ids as a partition column (2^num_planes
-    directories); bucket-equality probes prune to one directory per table."""
+    directories); bucket-equality probes prune to one directory per table.
+    Buckets come from the same sha256 hyperplane family as lsh_topk /
+    lsh_query_buckets (Arrow-batched matmul), so a flyweight probe and an
+    index probe with the same (num_planes, seed) always agree."""
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    out = df.select(
-        F.col(id_col),
-        vec_d.alias(vec_col),
-        sign_lsh_bucket(vec_d, num_planes, seed).alias("lsh_bucket"),
+    out = df.select(F.col(id_col), vec_d.alias(vec_col)).withColumn(
+        "lsh_bucket",
+        lsh_buckets_udf(1, num_planes, seed)(F.col(vec_col)).getItem(0),
     )
     out.write.mode("overwrite").partitionBy("lsh_bucket").parquet(path)
 
@@ -334,10 +405,10 @@ def lsh_topk_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Probe a persisted LSH index: compute the query's bucket, read only
-    that partition directory, exact-rerank inside it."""
-    qdf = spark.createDataFrame([(list(map(float, query_vec)),)], f"{vec_col}: array<double>")
-    qb = qdf.select(sign_lsh_bucket(F.col(vec_col), num_planes, seed).alias("b")).head().b
+    """Probe a persisted LSH index: compute the query's bucket (pure numpy,
+    no Spark job scheduled), read only that partition directory,
+    exact-rerank inside it."""
+    qb = lsh_query_buckets(list(map(float, query_vec)), 1, num_planes, seed)[0]
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     idx = spark.read.parquet(path).where(F.col("lsh_bucket") == F.lit(int(qb)))
     sim = array_cosine_similarity(F.col(vec_col), q)

@@ -184,6 +184,11 @@ def generate(spark) -> None:
     from duckdb_parachute_spark.catalog import load_table
 
     if os.path.exists(OUT):
+        if os.environ.get("SCALE_REUSE") == "1" and os.path.exists(
+            os.path.join(OUT, "documents.parquet")
+        ):
+            print(f"reusing existing {OUT} (SCALE_REUSE=1)", file=sys.stderr)
+            return
         shutil.rmtree(OUT)
     os.makedirs(OUT, exist_ok=True)
     copies = list(range(FACTOR))
