@@ -105,6 +105,63 @@ def query(
     return deco
 
 
+# Names never driver-graded as of the START of round 9 (see load_all): these
+# must occupy the first 48 of the 50 graded slots regardless of what else is
+# registered later in round 9.
+_R9_GRADE_FIRST = frozenset(
+    [
+        "dialect_star_replace",
+        "dialect_columns_regex",
+        "dialect_struct_literal",
+        "dialect_list_comprehension",
+        "job_i65_or_with_cregion",
+        "job_i66_brand_balance_window",
+        "job_i67_widget_status_region",
+        "job_i68_sevenway_kitchen_sink",
+        "job_i69_gizmo_priceband",
+        "job_i70_ring_cheap_orders",
+        "job_i71_disc_zero_region",
+        "job_i72_flag_n_bal_floor",
+        "job_i73_bolt_ship_window_seg",
+        "job_i74_type_standard_cnations",
+        "job_i75_or_three_groups",
+        "job_i76_anvil_everything",
+        "job_i77_lone_brand",
+        "job_i78_lone_widest_like",
+        "job_i79_lone_priceband",
+        "job_i80_lone_discband",
+        "job_i81_lone_status_f",
+        "job_i82_lone_ship_quarter",
+        "job_i83_lone_cregion",
+        "job_i84_lone_qty_floor",
+        "job_i85_brand_type_pair",
+        "job_i86_window_qty_pair",
+        "job_i87_seg_ship_pair",
+        "job_i88_prio_priceband_pair",
+        "job_i89_nationset_discband",
+        "job_i90_region_qty_bal",
+        "job_i91_cnations_brand",
+        "job_i92_status_p_window",
+        "job_i93_or_like_vs_window",
+        "job_i94_or_numeric_bands",
+        "job_i95_deep_or_and_mix",
+        "job_i96_triple_like_chain",
+        "job_i97_everything_or_caps",
+        "job_i98_both_bal_cregion",
+        "job_i99_final_kitchen_sink",
+        "join_bucketed_big_big",
+        "stream_outer_join_flush",
+        "stream_foreachbatch_exactly_once",
+        "src_sniff_csv_report",
+        "src_export_import_db",
+        "src_replacement_scan",
+        "src_ordered_copy",
+        "dml_constraint_checks",
+        "stream_full_outer_join",
+    ]
+)
+
+
 # The verification driver grades the first 50 registry entries per round.
 # Rotate coverage across rounds so every query eventually gets a recorded
 # hash check: queries NOT yet graded green in any prior round's
@@ -167,6 +224,13 @@ def load_all() -> dict[str, QueryDef]:
 
     green, latest_round = _graded_green()
     fresh = [n for n in QUERIES if n not in green]
+    # Round-9 ordering pin: exactly 48 queries had never been driver-graded
+    # at the start of round 9 (the r8 JOB tail, the r8/r9 surface upgrades,
+    # streaming additions, and the r9 dialect rewrites). They fit the 50-slot
+    # sample ONLY if queries added later this round do not register ahead of
+    # them, so sort backlog-before-new within the fresh block. Harmless once
+    # graded (they leave `fresh` entirely).
+    fresh.sort(key=lambda n: n not in _R9_GRADE_FIRST)
     tail = [n for n in QUERIES if n in green]
     # Never-graded queries lead so their status lands in the next CORRECTNESS
     # file. The already-green tail ROTATES by 50 slots per recorded round:
