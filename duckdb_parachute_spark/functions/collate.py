@@ -1,4 +1,4 @@
-"""Collations (SURVEY §1.2): NOCASE / NOACCENT collation keys.
+"""Collations (SURVEY §1.2): NOCASE / NOACCENT / locale collation keys.
 
 Reference: DuckDB ships NOCASE and NOACCENT as built-in collations
 (src/function/scalar/string/ — registered in CollationBinding) plus the ICU
@@ -9,24 +9,197 @@ derived from the string.
 Spark has no COLLATE clause (pre-4.0 collation support is not in this
 build), so the same semantics are expressed explicitly: ``collation_key``
 derives the comparison key and the caller groups / filters / sorts on it —
-which is literally what the reference does under the hood. Locale-aware ICU
-collations (icu_collate_de etc.) are out of scope: they need ICU tables that
-neither this container nor vanilla Spark ships; codepoint order is the
-documented default (SURVEY §1.2).
+which is literally what the reference does under the hood.
+
+Locale collations are implemented as **three-level UCA-style sort keys**
+built from pure Catalyst expressions (lower / replace / translate / concat —
+no UDF, whole-stage codegen end to end):
+
+    key = primary  <0x01>  secondary  <0x01>  tertiary
+
+* primary   — lowercased string with the locale's CLDR tailoring applied
+  (tailored letters remapped so bytewise UTF-8 order equals the tailored
+  alphabet order: a letter sorting as a new letter after base ``B`` becomes
+  ``B`` + an ASCII marker ``{``/``|``/``}`` > ``'z'``), then accent-folded.
+* secondary — lowercased string with accents intact (unaccented before
+  accented on equal primaries); locale contractions fold to their letter
+  (da ``aa`` ≡ å at this level too).
+* tertiary  — case level. CLDR ``caseFirst`` varies by locale: Danish is
+  upper-first with its aa-contraction case forms interleaved as
+  Å < AA < Aa < å < aa (each pinned against DuckDB's ICU), most others
+  lower-first, so the tertiary key is the token string with contraction
+  forms mapped to ordered digits plus either raw bytes (upper-first:
+  uppercase codepoints are smaller) or a case-swap (lower-first).
+
+Separator 0x01 sorts below every printable character, so a prefix sorts
+before its extensions exactly as in UCA.
+
+Supported locale subset (validated property-style against DuckDB's ICU
+collations in tests/test_properties.py): da/nb/no (æ ø å after z in that
+order; the case forms of the ``aa``/``aå`` digraphs contract to å at the
+primary level with ICU's exact case/secondary interleaving; upper-first),
+sv/fi (å ä ö after z), de (ß ≡ ss at primary, umlauts at secondary),
+es (ñ as a separate letter after n), cs (č ř š ž after their base letters;
+digraph ``ch`` as a separate letter after h). Outside the tailored letters,
+accented input folds to its base letter at the primary level — full ICU
+root-order for arbitrary scripts is out of scope (documented SURVEY §1.2);
+punctuation is compared bytewise (ICU default non-ignorable).
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass, field
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from duckdb_parachute_spark.functions.metrics import strip_accents
 
+#: level separator — below every printable char, so prefixes sort first.
+_SEP = "\x01"
+#: secondary "after" marker — above every letter byte we emit (å/ä/č are
+#: 0xC3-0xC5-lead UTF-8; U+FFFF is 0xEF-lead), so an element tailored
+#: secondary-after a letter beats any continuation of the plain letter.
+_AFTER = "\uffff"
+
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_UPPER = _LOWER.upper()
+_X_LOWER = "æøåäöñüčřšž"
+_X_UPPER = "ÆØÅÄÖÑÜČŘŠŽ"
+#: translate() args for the lower-first tertiary key (swap case so that
+#: lowercase sorts before uppercase bytewise).
+_SWAP_SRC = _LOWER + _UPPER + _X_LOWER + _X_UPPER
+_SWAP_DST = _UPPER + _LOWER + _X_UPPER + _X_LOWER
+
+
+#: single-char tokens for the Danish aa/aå contractions' case forms (upper,
+#: title, lower of each digraph — mixed 'aA'/'aÅ' are NOT contractions; all
+#: pinned against DuckDB's ICU da). The replace order AA → Aa → aa → AÅ →
+#: Aå → aå reproduces ICU's leftmost-greedy contraction matching on every
+#: overlap: a pattern whose first char can be another's second char runs
+#: AFTER it ('AAa' = AA|a, 'Aaa' = Aa|a, 'aaåx' = aa|å, 'aAå' = a|Aå).
+_T_AA, _T_At, _T_aa = "\x02", "\x03", "\x04"
+_T_AO, _T_Ao, _T_ao = "\x05", "\x06", "\x07"
+
+
+@dataclass(frozen=True)
+class _LocaleSpec:
+    """CLDR tailoring subset for one locale, as ordered replace rules
+    per key level. ``tokenize`` runs first on the RAW string (case-sensitive
+    contraction tokenization); each level then maps tokens/letters for
+    bytewise comparison."""
+
+    primary: tuple[tuple[str, str], ...]
+    tokenize: tuple[tuple[str, str], ...] = field(default=())
+    secondary: tuple[tuple[str, str], ...] = field(default=())
+    #: tertiary per-char translate (src, dst) applied to the token string;
+    #: identity means raw-bytes case order.
+    tertiary: tuple[str, str] = field(default=("", ""))
+    upper_first: bool = False
+
+
+_LOCALES: dict[str, _LocaleSpec] = {
+    # Danish: …z < æ < ø < å; aa ≡ aå ≡ å at primary; caseFirst=upper with
+    # the case-variant interleaving Å < AA < Aa < å < aa at tertiary and the
+    # aå digraph's case forms AÅ < Aå < aå a SECONDARY step after the å/aa
+    # group (CLDR da: &å<<<Å<<<aa<<<Aa<<<AA<<aå<<<Aå<<<AÅ, caseFirst=upper;
+    # each pinned against DuckDB's ICU da —
+    # reference extension/icu/icu_extension.cpp:119).
+    "da": _LocaleSpec(
+        tokenize=(
+            ("AA", _T_AA),
+            ("Aa", _T_At),
+            ("aa", _T_aa),
+            ("AÅ", _T_AO),
+            ("Aå", _T_Ao),
+            ("aå", _T_ao),
+        ),
+        primary=(
+            (_T_AA, "z}"),
+            (_T_At, "z}"),
+            (_T_aa, "z}"),
+            (_T_AO, "z}"),
+            (_T_Ao, "z}"),
+            (_T_ao, "z}"),
+            ("æ", "z{"),
+            ("ø", "z|"),
+            ("å", "z}"),
+        ),
+        secondary=(
+            (_T_AA, "å"),
+            (_T_At, "å"),
+            (_T_aa, "å"),
+            (_T_AO, "å" + _AFTER),
+            (_T_Ao, "å" + _AFTER),
+            (_T_ao, "å" + _AFTER),
+        ),
+        tertiary=(
+            "Å" + _T_AA + _T_At + "å" + _T_aa + _T_AO + _T_Ao + _T_ao,
+            "12345678",
+        ),
+        upper_first=True,
+    ),
+    # Swedish / Finnish: …z < å < ä < ö.
+    "sv": _LocaleSpec(primary=(("å", "z{"), ("ä", "z|"), ("ö", "z}"))),
+    # German: ß ≡ ss at primary; umlauts are secondary (handled by the
+    # generic accent fold + accents-intact secondary).
+    "de": _LocaleSpec(primary=(("ß", "ss"),)),
+    # Spanish (modern): ñ is a separate letter between n and o.
+    "es": _LocaleSpec(primary=(("ñ", "n{"),)),
+    # Czech: č/ř/š/ž after their bases; digraph ch after h.
+    "cs": _LocaleSpec(
+        primary=(("ch", "h{"), ("č", "c{"), ("ř", "r{"), ("š", "s{"), ("ž", "z{")),
+    ),
+}
+# Norwegian shares the Danish tailoring in CLDR. (DuckDB's bundled ICU data
+# resolves 'nb'/'no' to the ROOT collation — observed empirically — so these
+# aliases intentionally follow CLDR rather than that fallback.)
+_LOCALES["nb"] = _LOCALES["da"]
+_LOCALES["no"] = _LOCALES["da"]
+_LOCALES["fi"] = _LOCALES["sv"]
+
+
+def locale_collation_key(col: Column | str, locale: str) -> Column:
+    """Three-level sort key reproducing DuckDB's ``COLLATE <locale>`` order
+    (ICU, extension/icu/icu_extension.cpp) on the documented subset.
+
+    Sorting / ranking / comparing on this key bytewise matches the ICU
+    collation: distinct strings never compare equal (the tertiary key is a
+    bijection of the input), mirroring ICU's identical-level backstop.
+    Pure Catalyst expressions — scales as a plain projection.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    try:
+        spec = _LOCALES[locale.strip().lower()]
+    except KeyError:
+        raise ValueError(
+            f"unsupported locale collation: {locale!r} (have {sorted(_LOCALES)})"
+        ) from None
+    tok = c
+    for pat, rep in spec.tokenize:
+        tok = F.replace(tok, F.lit(pat), F.lit(rep))
+    prim = F.lower(tok)
+    for pat, rep in spec.primary:
+        prim = F.replace(prim, F.lit(pat), F.lit(rep))
+    prim = strip_accents(prim)
+    sec = F.lower(tok)
+    for pat, rep in spec.secondary:
+        sec = F.replace(sec, F.lit(pat), F.lit(rep))
+    t_src, t_dst = spec.tertiary
+    ter = F.translate(tok, t_src, t_dst) if t_src else tok
+    if not spec.upper_first:
+        ter = F.translate(ter, _SWAP_SRC, _SWAP_DST)
+    # concat (not concat_ws) so a NULL input yields a NULL key.
+    return F.concat(prim, F.lit(_SEP), sec, F.lit(_SEP), ter)
+
 
 def collation_key(col: Column | str, spec: str) -> Column:
     """Comparison key for a collation spec — chainable like DuckDB's
-    dot-combined ``NOCASE.NOACCENT``."""
+    dot-combined ``NOCASE.NOACCENT``; a bare locale code (``'da'``) yields
+    the ICU-style locale key."""
     c = F.col(col) if isinstance(col, str) else col
+    if spec.strip().lower() in _LOCALES:
+        return locale_collation_key(c, spec)
     for part in spec.split("."):
         p = part.strip().upper()
         if p == "NOCASE":
@@ -36,7 +209,10 @@ def collation_key(col: Column | str, spec: str) -> Column:
         elif p in ("BINARY", "C", "POSIX", ""):
             pass
         else:
-            raise ValueError(f"unsupported collation: {part!r} (NOCASE/NOACCENT/BINARY)")
+            raise ValueError(
+                f"unsupported collation: {part!r} (NOCASE/NOACCENT/BINARY or a "
+                f"locale in {sorted(_LOCALES)})"
+            )
     return c
 
 

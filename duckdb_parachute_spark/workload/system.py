@@ -157,3 +157,84 @@ def arrow_scan_roundtrip(spark, sf_dir):
         )
         .orderBy("r_name")
     )
+
+
+@query(
+    "collate_locale_da_rank",
+    oracle="""
+    SELECT s, CAST(rank() OVER (ORDER BY s COLLATE da) AS BIGINT) AS rnk
+    FROM (
+        SELECT CASE p_partkey % 4
+                 WHEN 0 THEN replace(p_name, 'a', 'å')
+                 WHEN 1 THEN upper(replace(p_name, 'o', 'ø'))
+                 WHEN 2 THEN replace(replace(p_name, 'al', 'aa'), 'an', 'aå')
+                 ELSE p_name
+               END AS s
+        FROM part
+        WHERE p_partkey % 7 = 0
+    )
+    ORDER BY rnk, s
+    """,
+)
+def collate_locale_da_rank(spark, sf_dir):
+    """ICU Danish collation as a rank: part names seeded with å/ø/Ø and the
+    aa/aå contraction case forms, ranked by the three-level
+    locale_collation_key (functions/collate) — graded against DuckDB's real
+    ICU ``COLLATE da`` (reference extension/icu/icu_extension.cpp:119).
+    Ranking uses the two-phase global_rank, so no single-partition
+    WindowExec at scale; the key itself is a plain Catalyst projection."""
+    from duckdb_parachute_spark.functions.scalar import global_rank
+
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 7 == 0)
+    s = (
+        F.when(F.col("p_partkey") % 4 == 0, F.replace("p_name", F.lit("a"), F.lit("å")))
+        .when(F.col("p_partkey") % 4 == 1, F.upper(F.replace("p_name", F.lit("o"), F.lit("ø"))))
+        .when(
+            F.col("p_partkey") % 4 == 2,
+            F.replace(
+                F.replace("p_name", F.lit("al"), F.lit("aa")), F.lit("an"), F.lit("aå")
+            ),
+        )
+        .otherwise(F.col("p_name"))
+    )
+    df = p.select(s.alias("s"))
+    ranked = global_rank(
+        df, [collate.locale_collation_key(F.col("s"), "da")], out="rnk"
+    )
+    return ranked.select("s", "rnk").orderBy("rnk", "s")
+
+
+@query(
+    "collate_locale_cs_rank",
+    oracle="""
+    SELECT s, CAST(rank() OVER (ORDER BY s COLLATE cs) AS BIGINT) AS rnk
+    FROM (
+        SELECT CASE p_partkey % 3
+                 WHEN 0 THEN replace(p_name, 'c', 'č')
+                 WHEN 1 THEN translate(p_name, 'srz', 'šřž')
+                 ELSE p_name
+               END AS s
+        FROM part
+        WHERE p_partkey % 9 = 0
+    )
+    ORDER BY rnk, s
+    """,
+)
+def collate_locale_cs_rank(spark, sf_dir):
+    """ICU Czech collation: č/ř/š/ž as letters after their bases and the
+    natural ``ch`` digraphs in part-color names ('chartreuse', 'chocolate')
+    as a separate letter after h — ranked on locale_collation_key('cs') vs
+    DuckDB's ICU ``COLLATE cs``."""
+    from duckdb_parachute_spark.functions.scalar import global_rank
+
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 9 == 0)
+    s = (
+        F.when(F.col("p_partkey") % 3 == 0, F.replace("p_name", F.lit("c"), F.lit("č")))
+        .when(F.col("p_partkey") % 3 == 1, F.translate(F.col("p_name"), "srz", "šřž"))
+        .otherwise(F.col("p_name"))
+    )
+    df = p.select(s.alias("s"))
+    ranked = global_rank(
+        df, [collate.locale_collation_key(F.col("s"), "cs")], out="rnk"
+    )
+    return ranked.select("s", "rnk").orderBy("rnk", "s")

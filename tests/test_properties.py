@@ -422,3 +422,46 @@ def test_exclude_sums_full_partition_matches_duckdb(spark, oracle, rows):
         ).fetchall()
     }
     assert got == exp
+
+
+_LOCALE_ALPHABETS = {
+    # per-locale alphabets covering every tailored letter, its case forms,
+    # and the Danish aa/aå contraction material (mixed-case aA/aÅ arises
+    # naturally from random case draws)
+    "da": "abezæøåAÆØÅZ",
+    "sv": "abevzåäöÅÄÖZ",
+    "de": "adesuzäöüßÄÖÜZ",
+    "es": "anozñÑZ",
+    "cs": "cdhirszčřšžČŘŠŽZ",
+    "fi": "abevzåäöÅZ",
+}
+
+
+@pytest.mark.parametrize("locale", sorted(_LOCALE_ALPHABETS))
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_locale_collation_total_order_matches_icu(spark, oracle, locale, data):
+    """locale_collation_key reproduces DuckDB's ICU COLLATE total order
+    (functions/collate, reference extension/icu/icu_extension.cpp:119) —
+    the FULL sorted sequence must match, including the Danish aa/aå
+    contraction case forms and caseFirst=upper interleaving."""
+    from duckdb_parachute_spark.functions.collate import locale_collation_key
+
+    words = data.draw(
+        st.lists(
+            st.text(alphabet=_LOCALE_ALPHABETS[locale], min_size=1, max_size=6),
+            min_size=2,
+            max_size=40,
+            unique=True,
+        )
+    )
+    icu = [
+        r[0]
+        for r in oracle.execute(
+            f"SELECT s FROM (SELECT unnest(?) s) ORDER BY s COLLATE {locale}",
+            [words],
+        ).fetchall()
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    ours = [r[0] for r in df.orderBy(locale_collation_key(F.col("s"), locale)).collect()]
+    assert ours == icu
