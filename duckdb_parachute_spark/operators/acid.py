@@ -1,0 +1,268 @@
+"""Versioned table storage: snapshot-isolated DML over immutable parquet.
+
+Reference: DuckDB's transactional storage — physical_insert.cpp /
+physical_delete.cpp / physical_update.cpp mutate tables under MVCC
+(src/transaction/duck_transaction_manager.cpp: optimistic write-write
+conflict detection, "Conflict on write"). A distributed engine gets the
+same guarantees from an immutable-file table format (the public
+Delta/Iceberg design): every transaction writes NEW data files plus a
+manifest naming the file set of the resulting snapshot, and commits by
+publishing the manifest with a put-if-absent — two writers racing on the
+same parent version produce exactly one winner, the loser surfaces the
+reference's write-write conflict as :class:`CommitConflict`.
+
+Scale posture (100 TB):
+* The driver touches ONLY manifests and file lists — row data never leaves
+  the executors.
+* DELETE / UPDATE / MERGE are file-level **copy-on-write**: one distributed
+  pass identifies the files that actually contain affected rows
+  (``input_file_name()`` + the predicate, collected as a bounded file list),
+  only those files are rewritten; untouched files carry over into the new
+  manifest by reference. A point-delete on a 100 TB table rewrites a few
+  files, not the table.
+* Commit is O(1): write one JSON, hard-link it into place. ``os.link`` onto
+  an existing path fails with EEXIST — the atomic put-if-absent primitive
+  (same role as Delta's transaction-log put-if-absent).
+* Snapshot isolation: readers pin a manifest; concurrent commits never
+  disturb a running read (files are immutable, vacuum retains history).
+
+The row-level semantics reuse the engine's DML rewrites
+(:mod:`duckdb_parachute_spark.operators.dml`), so NULL-safe DELETE, all-at-
+once UPDATE, and upsert-on-key behave identically whether applied as a
+stateless rewrite or through this versioned store.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_parachute_spark.operators import dml
+
+_COMMITS = "_commits"
+_DATA = "data"
+
+
+class CommitConflict(Exception):
+    """Write-write conflict: another transaction committed the same version
+    first (reference duck_transaction_manager.cpp "Conflict on write").
+    Retry by re-reading the new snapshot and re-applying the transaction."""
+
+
+@dataclass(frozen=True)
+class Snapshot:
+    version: int
+    parent: int
+    op: str
+    files: tuple[str, ...]  # paths relative to the table root
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(root, _COMMITS, f"v{version:08d}.json")
+
+
+def _list_versions(root: str) -> list[int]:
+    cdir = os.path.join(root, _COMMITS)
+    if not os.path.isdir(cdir):
+        return []
+    out = []
+    for name in os.listdir(cdir):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+class VersionedTable:
+    """A snapshot-versioned parquet table rooted at a directory.
+
+    ``VersionedTable.create(spark, root, df)`` makes version 0; each DML
+    method commits a new version derived from this handle's pinned snapshot
+    and returns a NEW handle at that version. If another writer committed
+    in between, :class:`CommitConflict` is raised and nothing is published.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, snapshot: Snapshot):
+        self.spark = spark
+        self.root = root
+        self.snapshot = snapshot
+
+    # -- construction --------------------------------------------------------
+
+    @classmethod
+    def create(cls, spark: SparkSession, root: str, df: DataFrame) -> "VersionedTable":
+        os.makedirs(os.path.join(root, _COMMITS), exist_ok=True)
+        os.makedirs(os.path.join(root, _DATA), exist_ok=True)
+        files = cls._write_data(root, 0, df)
+        snap = cls._commit(root, Snapshot(0, -1, "create", tuple(files)))
+        return cls(spark, root, snap)
+
+    @classmethod
+    def open(cls, spark: SparkSession, root: str, version: int | None = None) -> "VersionedTable":
+        """Open the latest snapshot, or time-travel to ``version``."""
+        versions = _list_versions(root)
+        if not versions:
+            raise FileNotFoundError(f"no committed versions under {root}")
+        v = versions[-1] if version is None else version
+        if v not in versions:
+            raise FileNotFoundError(f"version {v} not in {versions}")
+        with open(_manifest_path(root, v)) as f:
+            m = json.load(f)
+        return cls(spark, root, Snapshot(m["version"], m["parent"], m["op"], tuple(m["files"])))
+
+    # -- reads ---------------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        """The pinned snapshot as a DataFrame (plain parquet scan — pushdown
+        and pruning apply as on any table)."""
+        paths = [os.path.join(self.root, f) for f in self.snapshot.files]
+        return self.spark.read.parquet(*paths)
+
+    def history(self) -> list[dict]:
+        out = []
+        for v in _list_versions(self.root):
+            with open(_manifest_path(self.root, v)) as f:
+                m = json.load(f)
+            out.append({k: m[k] for k in ("version", "parent", "op")} | {"n_files": len(m["files"])})
+        return out
+
+    # -- transactions --------------------------------------------------------
+
+    def insert(self, rows: DataFrame) -> "VersionedTable":
+        """INSERT: append-only — new files only, zero rewrites."""
+        new_v = self.snapshot.version + 1
+        added = self._write_data(self.root, new_v, rows)
+        return self._publish("insert", tuple(self.snapshot.files) + tuple(added))
+
+    def delete_where(self, cond: Column) -> "VersionedTable":
+        """DELETE WHERE: copy-on-write on the files that contain hits."""
+        return self._cow("delete", cond, lambda df: dml.delete_where(df, cond))
+
+    def update_set(self, cond: Column, assignments: dict[str, Column]) -> "VersionedTable":
+        """UPDATE SET ... WHERE: copy-on-write; all-at-once assignment
+        semantics via dml.update_set."""
+        return self._cow("update", cond, lambda df: dml.update_set(df, cond, assignments))
+
+    def merge_upsert(self, source: DataFrame, key: str) -> "VersionedTable":
+        """INSERT ... ON CONFLICT (key) DO UPDATE: files holding conflicting
+        keys are rewritten without those rows; the full source appends."""
+        keys_df = source.select(key).distinct()
+        # files containing a conflicting key: distributed semi-join, driver
+        # receives only the bounded distinct-file list
+        tagged = self.read().withColumn("_file", F.input_file_name())
+        hit_files = {
+            self._relpath(r["_file"])
+            for r in tagged.join(keys_df, key, "semi").select("_file").distinct().collect()
+        }
+        keep = [f for f in self.snapshot.files if f not in hit_files]
+        new_v = self.snapshot.version + 1
+        added: list[str] = []
+        if hit_files:
+            sub = self.spark.read.parquet(*[os.path.join(self.root, f) for f in sorted(hit_files)])
+            survivors = sub.join(keys_df, key, "left_anti")
+            added += self._write_data(self.root, new_v, survivors)
+        added += self._write_data(self.root, new_v, source)
+        return self._publish("merge", tuple(keep) + tuple(added))
+
+    # -- internals -----------------------------------------------------------
+
+    def _cow(self, op: str, cond: Column, rewrite) -> "VersionedTable":
+        hit = F.coalesce(cond, F.lit(False))
+        tagged = self.read().withColumn("_file", F.input_file_name())
+        hit_files = {
+            self._relpath(r["_file"])
+            for r in tagged.where(hit).select("_file").distinct().collect()
+        }
+        keep = [f for f in self.snapshot.files if f not in hit_files]
+        added: list[str] = []
+        new_v = self.snapshot.version + 1
+        if hit_files:
+            sub = self.spark.read.parquet(*[os.path.join(self.root, f) for f in sorted(hit_files)])
+            added = self._write_data(self.root, new_v, rewrite(sub))
+        return self._publish(op, tuple(keep) + tuple(added))
+
+    def _relpath(self, file_uri: str) -> str:
+        p = file_uri
+        if p.startswith("file:"):
+            p = "/" + p[5:].lstrip("/")
+        return os.path.relpath(p, self.root)
+
+    @staticmethod
+    def _write_data(root: str, version: int, df: DataFrame) -> list[str]:
+        token = f"t{version:08d}-{uuid.uuid4().hex[:8]}"
+        out_dir = os.path.join(root, _DATA, token)
+        df.write.parquet(out_dir)
+        return sorted(
+            os.path.join(_DATA, token, name)
+            for name in os.listdir(out_dir)
+            if name.endswith(".parquet")
+        )
+
+    @staticmethod
+    def _commit(root: str, snap: Snapshot) -> Snapshot:
+        """Put-if-absent publish: hard-link a private temp manifest onto the
+        version path; EEXIST means another writer won the race."""
+        final = _manifest_path(root, snap.version)
+        tmp = os.path.join(root, _COMMITS, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "version": snap.version,
+                    "parent": snap.parent,
+                    "op": snap.op,
+                    "files": list(snap.files),
+                },
+                f,
+            )
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {snap.version} was committed concurrently (parent "
+                f"{snap.parent}); re-open the table and retry the transaction"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        return snap
+
+    def _publish(self, op: str, files: tuple[str, ...]) -> "VersionedTable":
+        snap = self._commit(
+            self.root,
+            Snapshot(self.snapshot.version + 1, self.snapshot.version, op, files),
+        )
+        return VersionedTable(self.spark, self.root, snap)
+
+    # -- maintenance ---------------------------------------------------------
+
+    def vacuum(self, retain_last: int = 1) -> list[str]:
+        """Delete data files referenced ONLY by versions older than the last
+        ``retain_last`` manifests (which also get removed). Returns the
+        deleted file list. Retained snapshots stay fully readable."""
+        versions = _list_versions(self.root)
+        keep_versions = versions[-retain_last:] if retain_last > 0 else []
+        referenced: set[str] = set()
+        for v in keep_versions:
+            with open(_manifest_path(self.root, v)) as f:
+                referenced.update(json.load(f)["files"])
+        removed = []
+        data_root = os.path.join(self.root, _DATA)
+        for token in sorted(os.listdir(data_root)):
+            tdir = os.path.join(data_root, token)
+            for name in sorted(os.listdir(tdir)):
+                rel = os.path.join(_DATA, token, name)
+                if name.endswith(".parquet") and rel not in referenced:
+                    os.unlink(os.path.join(tdir, name))
+                    removed.append(rel)
+            if not os.listdir(tdir):
+                os.rmdir(tdir)
+        for v in versions:
+            if v not in keep_versions:
+                os.unlink(_manifest_path(self.root, v))
+        return removed

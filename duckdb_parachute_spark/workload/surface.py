@@ -5,6 +5,8 @@ SUMMARIZE (§2.1), and the 2-inequality IEJoin shape (§2.3).
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 
 from pyspark.sql import functions as F
@@ -450,3 +452,76 @@ def dml_update_delete(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         money.sum_money("c_acctbal").alias("total_bal"),
     )
+
+
+@query(
+    "dml_acid_versioned",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal FROM customer WHERE c_custkey % 3 = 0
+    ),
+    upd AS (
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN c_mktsegment = 'BUILDING'
+                    THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
+        FROM base
+    ),
+    del AS (SELECT * FROM upd WHERE NOT coalesce(c_acctbal < 1000, FALSE)),
+    source AS (
+        SELECT c_custkey, 'ACID_UPSERT' AS c_mktsegment, 5000.00 AS c_acctbal
+        FROM customer WHERE c_custkey % 30 = 0
+    ),
+    merged AS (
+        SELECT d.* FROM del d ANTI JOIN source s ON d.c_custkey = s.c_custkey
+        UNION ALL SELECT * FROM source
+    )
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS bal
+    FROM merged GROUP BY c_mktsegment
+    UNION ALL
+    SELECT '__version0', CAST(count(*) AS BIGINT), 0.0 FROM base
+    ORDER BY c_mktsegment
+    """,
+    cast_double=("bal",),
+)
+def dml_acid_versioned(spark, sf_dir):
+    """Transactional DML through the versioned table store (operators/acid.py
+    — reference MVCC storage physical_insert/delete/update.cpp +
+    duck_transaction_manager.cpp): create → UPDATE (copy-on-write) → DELETE
+    (copy-on-write) → MERGE upsert, each an atomically-committed snapshot,
+    then the final snapshot aggregated next to a time-traveled version-0
+    row-count. The oracle replays the same DML as a SQL CTE chain."""
+    import tempfile
+
+    from duckdb_parachute_spark.operators.acid import VersionedTable
+
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+    root = tempfile.mkdtemp(prefix="parachute_acid_")
+    t = VersionedTable.create(spark, os.path.join(root, "t"), base.repartition(4))
+    t = t.update_set(
+        F.col("c_mktsegment") == "BUILDING",
+        {"c_acctbal": F.col("c_acctbal") + 100},
+    )
+    t = t.delete_where(F.col("c_acctbal") < 1000)
+    source = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 30 == 0)
+        .select(
+            "c_custkey",
+            F.lit("ACID_UPSERT").alias("c_mktsegment"),
+            F.lit(5000.00).alias("c_acctbal"),
+        )
+    )
+    t = t.merge_upsert(source, "c_custkey")
+    final = t.read().groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("c_acctbal").cast("double"), 2).alias("bal"),
+    )
+    v0 = VersionedTable.open(spark, t.root, version=0).read().agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("__version0").alias("c_mktsegment"), "n", F.lit(0.0).alias("bal"))
+    return final.unionByName(v0).orderBy("c_mktsegment")
