@@ -611,8 +611,100 @@ def expand_columns(spark: SparkSession, text: str) -> str:
     return f"{head} {', '.join(i.strip() for i in out_items)} {text[frm.start():]}"
 
 
+_PIVOT_STMT_RE = re.compile(
+    r"^\s*PIVOT\s+(?P<tbl>\w+)\s+ON\s+(?P<col>\w+)"
+    r"(?:\s+IN\s*\((?P<vals>[^)]*)\))?"
+    r"\s+USING\s+(?P<fn>\w+)\s*\(\s*(?P<arg>\*|\w+)\s*\)"
+    r"(?:\s+GROUP\s+BY\s+(?P<grp>[\w\s,\"]+?))?"
+    r"(?P<tail>\s+(?:ORDER\s+BY|LIMIT)\b.*)?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UNPIVOT_STMT_RE = re.compile(
+    r"^\s*UNPIVOT\s+(?P<tbl>\w+|\(.*\))\s+ON\s+(?P<cols>.+?)"
+    r"\s+INTO\s+NAME\s+(?P<name>\w+)\s+VALUE\s+(?P<val>\w+)"
+    r"(?P<tail>\s+(?:ORDER\s+BY|LIMIT)\b.*)?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+#: cap on discovered pivot values, mirroring operators/misc.py's dynamic
+#: pivot guard — a pivot wider than this is a data error, not a query.
+_PIVOT_VALUE_CAP = 1000
+
+
+def _quote_ident(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def rewrite_pivot_stmt(spark: SparkSession, text: str) -> str | None:
+    """DuckDB's top-level PIVOT / UNPIVOT statements (reference
+    src/parser/transform/statement/transform_pivot_stmt.cpp) → Spark SQL's
+    PIVOT / UNPIVOT clauses. Returns None when ``text`` is not one of them.
+
+    PIVOT: ``PIVOT t ON c [IN (v,..)] USING fn(x) [GROUP BY g,..] [tail]``.
+    Without IN, distinct pivot values are discovered with one small
+    DISTINCT scan (capped at 1000, like the dynamic pivot operator) —
+    exactly DuckDB's two-phase dynamic pivot. Without GROUP BY, Spark's
+    implicit group-by-remaining-columns matches DuckDB's. Scope: one pivot
+    column, one ``fn(col)``/``fn(*)`` aggregate (DuckDB's multi-ON/multi-
+    USING spellings are out of dialect scope).
+
+    UNPIVOT: ``UNPIVOT t ON c1, c2 INTO NAME n VALUE v`` →
+    ``SELECT * FROM t UNPIVOT (v FOR n IN (c1, c2))`` (both engines drop
+    NULL cells by default).
+    """
+    m = _PIVOT_STMT_RE.match(text)
+    if m:
+        tbl, col, fn, arg = m["tbl"], m["col"], m["fn"], m["arg"]
+        tail = (m["tail"] or "").strip()
+        if m["vals"]:
+            entries = []
+            for raw in _split_top_level(m["vals"]):
+                v = raw.strip()
+                alias = v[1:-1].replace("''", "'") if v.startswith("'") else v
+                entries.append(f"{v} AS {_quote_ident(alias)}")
+        else:
+            rows = spark.sql(
+                f"SELECT DISTINCT {col} AS v FROM {tbl} WHERE {col} IS NOT NULL "
+                f"ORDER BY v LIMIT {_PIVOT_VALUE_CAP + 1}"
+            ).collect()
+            if len(rows) > _PIVOT_VALUE_CAP:
+                raise ValueError(
+                    f"dynamic PIVOT on {col}: more than {_PIVOT_VALUE_CAP} distinct values"
+                )
+            entries = []
+            for r in rows:
+                v = r["v"]
+                lit = "'" + str(v).replace("'", "''") + "'" if isinstance(v, str) else str(v)
+                entries.append(f"{lit} AS {_quote_ident(str(v))}")
+        agg_arg = "1" if arg == "*" else arg
+        if m["grp"]:
+            grp_cols = [g.strip() for g in m["grp"].split(",")]
+            proj = list(grp_cols) + [col] + ([agg_arg] if agg_arg != "1" and agg_arg not in grp_cols and agg_arg != col else [])
+            src = f"(SELECT {', '.join(proj)} FROM {tbl})"
+        else:
+            src = tbl
+        return (
+            f"SELECT * FROM {src} PIVOT ({fn}({agg_arg}) FOR {col} "
+            f"IN ({', '.join(entries)})) {tail}"
+        )
+    m = _UNPIVOT_STMT_RE.match(text)
+    if m:
+        cols = ", ".join(
+            _quote_ident(c.strip()[1:-1]) if c.strip().startswith('"') else c.strip()
+            for c in _split_top_level(m["cols"])
+        )
+        tail = (m["tail"] or "").strip()
+        return (
+            f"SELECT * FROM {m['tbl']} UNPIVOT ({m['val']} FOR {m['name']} "
+            f"IN ({cols})) {tail}"
+        )
+    return None
+
+
 def sql(spark: SparkSession, text: str) -> DataFrame:
     """Run DuckDB-flavored SQL on Spark (the M2 dialect entry point)."""
+    pivoted = rewrite_pivot_stmt(spark, text)
+    if pivoted is not None:
+        return spark.sql(pivoted)
     return spark.sql(transpile(expand_columns(spark, text)))
 
 

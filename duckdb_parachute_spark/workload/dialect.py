@@ -247,3 +247,38 @@ def dialect_list_comprehension(spark, sf_dir):
     deliberately NOT mapped: their null-ordering/seed semantics differ."""
     _views(spark, sf_dir, "orders")
     return sqlx.sql(spark, _LIST_COMP_SQL)
+
+
+_PIVOT_STMT_SQL = """
+PIVOT orders ON o_orderpriority USING count(o_orderkey) GROUP BY o_orderstatus
+"""
+
+
+@query("dialect_pivot_stmt", oracle=_PIVOT_STMT_SQL)
+def dialect_pivot_stmt(spark, sf_dir):
+    """Top-level PIVOT statement (reference
+    src/parser/transform/statement/transform_pivot_stmt.cpp): DuckDB's
+    dynamic two-phase pivot — sqlx discovers the distinct pivot values with
+    one DISTINCT scan and rewrites to Spark's PIVOT clause with the values
+    aliased to DuckDB's column naming. Same text runs verbatim on DuckDB."""
+    _views(spark, sf_dir, "orders")
+    return sqlx.sql(spark, _PIVOT_STMT_SQL)
+
+
+_UNPIVOT_STMT_SQL = """
+UNPIVOT (
+    SELECT o_orderstatus,
+           count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+           count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+    FROM orders GROUP BY o_orderstatus
+) ON urgent, low INTO NAME prio VALUE n
+"""
+
+
+@query("dialect_unpivot_stmt", oracle=_UNPIVOT_STMT_SQL)
+def dialect_unpivot_stmt(spark, sf_dir):
+    """Top-level UNPIVOT statement (same reference transform): columns fold
+    into NAME/VALUE rows via Spark's UNPIVOT clause; NULL cells drop on both
+    engines."""
+    _views(spark, sf_dir, "orders")
+    return sqlx.sql(spark, _UNPIVOT_STMT_SQL)

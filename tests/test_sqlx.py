@@ -213,3 +213,40 @@ def test_sample_rows_form():
     assert transpile("SELECT * FROM t USING SAMPLE 10") == (
         "SELECT * FROM t TABLESAMPLE (10 ROWS)"
     )
+
+
+def test_pivot_stmt_static_values(spark):
+    from duckdb_parachute_spark.sqlx import rewrite_pivot_stmt
+
+    out = rewrite_pivot_stmt(
+        spark, "PIVOT t ON status IN ('a', 'b') USING sum(v) GROUP BY grp"
+    )
+    assert out == (
+        "SELECT * FROM (SELECT grp, status, v FROM t) "
+        "PIVOT (sum(v) FOR status IN ('a' AS `a`, 'b' AS `b`)) "
+    )
+
+
+def test_pivot_stmt_count_star_no_group(spark):
+    from duckdb_parachute_spark.sqlx import rewrite_pivot_stmt
+
+    out = rewrite_pivot_stmt(spark, "PIVOT t ON k IN (1, 2) USING count(*)")
+    assert out == "SELECT * FROM t PIVOT (count(1) FOR k IN (1 AS `1`, 2 AS `2`)) "
+
+
+def test_unpivot_stmt(spark):
+    from duckdb_parachute_spark.sqlx import rewrite_pivot_stmt
+
+    out = rewrite_pivot_stmt(
+        spark, 'UNPIVOT wide ON jan, feb, "odd name" INTO NAME month VALUE amount'
+    )
+    assert out == (
+        "SELECT * FROM wide UNPIVOT (amount FOR month "
+        "IN (jan, feb, `odd name`)) "
+    )
+
+
+def test_pivot_stmt_passthrough(spark):
+    from duckdb_parachute_spark.sqlx import rewrite_pivot_stmt
+
+    assert rewrite_pivot_stmt(spark, "SELECT pivot_col FROM t") is None
