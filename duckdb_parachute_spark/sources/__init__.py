@@ -281,3 +281,44 @@ def copy_to_ordered(df: DataFrame, path: str, order_cols: list[str], fmt: str = 
         .format(fmt)
         .save(path)
     )
+
+
+def attach_database(
+    spark: SparkSession, name: str, path: str, tables: list[str] | None = None
+) -> list[str]:
+    """ATTACH analogue (reference src/storage/attached_database.cpp +
+    parser transform_attach): bind an external dataset under a catalog
+    namespace so queries address it as ``name.table``. DuckDB attaches a
+    .db file; the Spark-native unit of attachment is a directory of
+    parquet tables — each ``<path>/<t>.parquet`` becomes an UNMANAGED
+    catalog table ``name.t`` (location-backed, no data copied; DROP
+    detaches metadata only). Returns the attached table names.
+
+    Nanosecond-timestamp parquet (the events table) needs the
+    catalog.load_table NANOS escape and is still attached here — reading it
+    through the raw catalog path surfaces Spark's PARQUET_TYPE_ILLEGAL, the
+    same behavior as any direct spark.read of that file (documented
+    TESTDATA.md)."""
+    import os
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        raise ValueError(f"invalid database name: {name!r}")
+    if tables is None:
+        tables = sorted(
+            f[: -len(".parquet")]
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", f[: -len(".parquet")])
+        )
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
+    for t in tables:
+        loc = os.path.join(path, f"{t}.parquet")
+        spark.sql(f"DROP TABLE IF EXISTS {name}.{t}")
+        spark.sql(f"CREATE TABLE {name}.{t} USING parquet LOCATION '{loc}'")
+    return list(tables)
+
+
+def detach_database(spark: SparkSession, name: str) -> None:
+    """DETACH: drop the namespace and its unmanaged table metadata (the
+    underlying files are untouched — unmanaged tables never own data)."""
+    spark.sql(f"DROP DATABASE IF EXISTS {name} CASCADE")

@@ -700,8 +700,35 @@ def rewrite_pivot_stmt(spark: SparkSession, text: str) -> str | None:
     return None
 
 
+_ATTACH_RE = re.compile(
+    r"^\s*ATTACH\s+(?:DATABASE\s+)?'(?P<path>[^']+)'\s+AS\s+(?P<name>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DETACH_RE = re.compile(
+    r"^\s*DETACH\s+(?:DATABASE\s+)?(?P<name>\w+)\s*;?\s*$", re.IGNORECASE
+)
+
+
 def sql(spark: SparkSession, text: str) -> DataFrame:
-    """Run DuckDB-flavored SQL on Spark (the M2 dialect entry point)."""
+    """Run DuckDB-flavored SQL on Spark (the M2 dialect entry point).
+
+    Top-level utility statements handled here: ATTACH/DETACH (reference
+    transform_attach — mapped to sources.attach_database: a directory of
+    parquet tables bound under a catalog namespace, queryable as name.tbl)
+    and PIVOT/UNPIVOT (rewrite_pivot_stmt). Everything else goes through
+    the token/star rewrites."""
+    m = _ATTACH_RE.match(text)
+    if m:
+        from duckdb_parachute_spark.sources import attach_database
+
+        tables = attach_database(spark, m["name"], m["path"])
+        return spark.createDataFrame([(t,) for t in tables], "attached_table string")
+    m = _DETACH_RE.match(text)
+    if m:
+        from duckdb_parachute_spark.sources import detach_database
+
+        detach_database(spark, m["name"])
+        return spark.createDataFrame([(m["name"],)], "detached string")
     pivoted = rewrite_pivot_stmt(spark, text)
     if pivoted is not None:
         return spark.sql(pivoted)

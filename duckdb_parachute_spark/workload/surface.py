@@ -525,3 +525,29 @@ def dml_acid_versioned(spark, sf_dir):
         F.count(F.lit(1)).alias("n")
     ).select(F.lit("__version0").alias("c_mktsegment"), "n", F.lit(0.0).alias("bal"))
     return final.unionByName(v0).orderBy("c_mktsegment")
+
+
+@query(
+    "src_attach_database",
+    oracle="""
+    SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations, min(n_name) AS first_nation
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+)
+def src_attach_database(spark, sf_dir):
+    """ATTACH 'dir' AS name (reference src/storage/attached_database.cpp,
+    parser transform_attach): the sf directory binds under a catalog
+    namespace and the query addresses its tables as attached_sf.<t> —
+    unmanaged location-backed catalog tables, no data copied. The oracle is
+    the same join on the directly-registered views."""
+    from duckdb_parachute_spark import sqlx
+
+    sqlx.sql(spark, f"ATTACH '{sf_dir}' AS attached_sf")
+    return spark.sql(
+        """
+        SELECT r_name, count(*) AS n_nations, min(n_name) AS first_nation
+        FROM attached_sf.region JOIN attached_sf.nation ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+        """
+    )

@@ -253,3 +253,20 @@ def test_copy_to_ordered_preserves_global_order(spark, tmp_path):
         prev_max = hi
     # and the union equals the input exactly
     assert sorted(concat) == sorted((r.k, r.payload) for r in df.collect())
+
+
+def test_attach_detach_database(spark, sf_dir):
+    from duckdb_parachute_spark import sqlx
+    from duckdb_parachute_spark.sources import detach_database
+
+    got = sqlx.sql(spark, f"ATTACH '{sf_dir}' AS att_t")
+    names = {r["attached_table"] for r in got.collect()}
+    assert {"region", "nation", "customer"} <= names
+    assert spark.sql("SELECT count(*) c FROM att_t.region").collect()[0]["c"] == 5
+    # unmanaged: detach drops metadata, not files
+    import os
+
+    sqlx.sql(spark, "DETACH att_t")
+    assert "att_t" not in [d.name for d in spark.catalog.listDatabases()]
+    assert os.path.exists(os.path.join(sf_dir, "region.parquet"))
+    detach_database(spark, "att_t")  # idempotent
