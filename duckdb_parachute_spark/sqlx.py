@@ -499,7 +499,52 @@ def rewrite_sample(sql: str) -> str:
     return _SAMPLE_ROWS_RE.sub(lambda m: f"TABLESAMPLE ({m.group(1)} ROWS)", sql)
 
 
+_FROM_FIRST_RE = re.compile(r"^\s*FROM\b", re.IGNORECASE)
+_FF_SELECT_RE = re.compile(r"\bSELECT\b", re.IGNORECASE)
+_FF_CLAUSE_RE = re.compile(
+    r"\b(WHERE|GROUP\s+BY|HAVING|QUALIFY|WINDOW|ORDER\s+BY|LIMIT|UNION|INTERSECT|EXCEPT)\b",
+    re.IGNORECASE,
+)
+
+
+def rewrite_from_first(sql: str) -> str:
+    """DuckDB's FROM-first statements (reference
+    src/parser/transform/statement/transform_select_node.cpp — a SELECT node
+    whose select list defaults to *): ``FROM t [SELECT list] [clauses]`` →
+    ``SELECT list FROM t [clauses]`` / ``SELECT * FROM t [clauses]``.
+    Top-level only; subquery FROM-first is out of dialect scope."""
+    if not _FROM_FIRST_RE.match(sql):
+        return sql
+    sel = _search_depth0(_FF_SELECT_RE, sql)
+    if sel:
+        end = _search_depth0(_FF_CLAUSE_RE, sql, sel.end())
+        sel_list = sql[sel.end() : end.start() if end else len(sql)]
+        return f"SELECT {sel_list.strip()} {sql[: sel.start()].strip()} {sql[end.start():] if end else ''}"
+    clause = _search_depth0(_FF_CLAUSE_RE, sql)
+    if clause:
+        return f"SELECT * {sql[: clause.start()].strip()} {sql[clause.start():]}"
+    return f"SELECT * {sql.strip()}"
+
+
+_TRAILING_COMMA_RE = re.compile(
+    r",(\s*)(\bFROM\b|\bWHERE\b|\bGROUP\b|\bHAVING\b|\bQUALIFY\b|\bWINDOW\b"
+    r"|\bORDER\b|\bLIMIT\b|\bUNION\b|\bINTERSECT\b|\bEXCEPT\b|$)",
+    re.IGNORECASE,
+)
+
+
+def rewrite_trailing_commas(sql: str) -> str:
+    """DuckDB tolerates a trailing comma at the end of SELECT / GROUP BY /
+    ORDER BY lists (parser 'trailing comma' ergonomics): drop a depth-
+    agnostic comma sitting directly before the next clause keyword or the
+    end of the statement. Commas before a closing paren are left alone so
+    genuinely invalid calls like f(a,) still error on both engines."""
+    return _TRAILING_COMMA_RE.sub(lambda m: f"{m.group(1)}{m.group(2)}", sql)
+
+
 REWRITES = [
+    rewrite_from_first,
+    rewrite_trailing_commas,
     rewrite_qualify,
     rewrite_distinct_on,
     rewrite_json_arrows,

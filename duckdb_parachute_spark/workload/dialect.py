@@ -282,3 +282,31 @@ def dialect_unpivot_stmt(spark, sf_dir):
     engines."""
     _views(spark, sf_dir, "orders")
     return sqlx.sql(spark, _UNPIVOT_STMT_SQL)
+
+
+_FROM_FIRST_SQL = """
+FROM nation SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name,
+WHERE n_nationkey < 20 GROUP BY n_regionkey, ORDER BY n_regionkey
+"""
+
+
+@query("dialect_from_first", oracle=_FROM_FIRST_SQL)
+def dialect_from_first(spark, sf_dir):
+    """FROM-first statement + trailing commas (reference
+    transform_select_node.cpp: select list defaults to *; parser trailing-
+    comma ergonomics): sqlx moves the SELECT list back in front and drops
+    list-final commas. Same text runs natively on DuckDB."""
+    _views(spark, sf_dir, "nation")
+    return sqlx.sql(spark, _FROM_FIRST_SQL)
+
+
+_FROM_BARE_SQL = """
+FROM region ORDER BY r_regionkey LIMIT 3
+"""
+
+
+@query("dialect_from_bare", oracle=_FROM_BARE_SQL)
+def dialect_from_bare(spark, sf_dir):
+    """Bare FROM (SELECT * implied) — DuckDB's shortest query form."""
+    _views(spark, sf_dir, "region")
+    return sqlx.sql(spark, _FROM_BARE_SQL)

@@ -250,3 +250,28 @@ def test_pivot_stmt_passthrough(spark):
     from duckdb_parachute_spark.sqlx import rewrite_pivot_stmt
 
     assert rewrite_pivot_stmt(spark, "SELECT pivot_col FROM t") is None
+
+
+def test_from_first_rewrites():
+    from duckdb_parachute_spark.sqlx import transpile
+
+    assert transpile("FROM t").strip() == "SELECT * FROM t"
+    assert transpile("FROM t WHERE x = 1 LIMIT 2") == "SELECT * FROM t WHERE x = 1 LIMIT 2"
+    out = transpile("FROM t SELECT a, b WHERE x = 1")
+    assert out.split() == ["SELECT", "a,", "b", "FROM", "t", "WHERE", "x", "=", "1"]
+    # subquery SELECTs are not confused for the moved list
+    out2 = transpile("FROM (SELECT a FROM u) t SELECT a ORDER BY a")
+    assert out2.split()[0] == "SELECT" and "ORDER" in out2
+
+
+def test_trailing_commas_dropped():
+    from duckdb_parachute_spark.sqlx import transpile
+
+    assert transpile("SELECT a, b, FROM t") == "SELECT a, b FROM t"
+    assert (
+        transpile("SELECT a, count(*) c, FROM t GROUP BY a, ORDER BY a,")
+        == "SELECT a, count(*) c FROM t GROUP BY a ORDER BY a"
+    )
+    # literals with commas are inert; f(a,) stays invalid
+    assert transpile("SELECT 'a, FROM b', x, FROM t") == "SELECT 'a, FROM b', x FROM t"
+    assert transpile("SELECT f(a,) FROM t") == "SELECT f(a,) FROM t"
