@@ -745,6 +745,45 @@ def rewrite_pivot_stmt(spark: SparkSession, text: str) -> str | None:
     return None
 
 
+#: session-scoped prepared statements (reference PREPARE/EXECUTE,
+#: src/main/client_context.cpp:408 CreatePreparedStatement +
+#: transform_prepare.cpp). Text-level registry: PREPARE stores the statement,
+#: EXECUTE binds positional arguments ($1/$2… or ?) and runs it through the
+#: normal dialect pipeline.
+_PREPARED: dict[str, str] = {}
+_PREPARE_RE = re.compile(
+    r"^\s*PREPARE\s+(?P<name>\w+)\s+AS\s+(?P<stmt>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_EXECUTE_RE = re.compile(
+    r"^\s*EXECUTE\s+(?P<name>\w+)\s*(?:\(\s*(?P<args>.*?)\s*\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_PARAM_RE = re.compile(r"\$(\d+)|\?")
+
+
+def _bind_prepared(stmt: str, args: list[str]) -> str:
+    """Substitute $N / positional ? parameters with the literal argument
+    SQL text (arguments are already SQL literals/expressions)."""
+    seen = {"i": 0}
+
+    def sub(m: re.Match) -> str:
+        if m.group(1) is not None:
+            idx = int(m.group(1)) - 1
+        else:
+            idx = seen["i"]
+            seen["i"] += 1
+        if idx >= len(args):
+            raise ValueError(f"prepared statement expects parameter {idx + 1}, got {len(args)}")
+        return args[idx]
+
+    # mask literals so a '?' inside a string is inert
+    parts: list[str] = []
+    masked = _LIT_RE.sub(lambda m: (parts.append(m.group(0)) or f"\x00{len(parts) - 1}\x00"), stmt)
+    masked = _PARAM_RE.sub(sub, masked)
+    return _PH_RE.sub(lambda m: parts[int(m.group(1))], masked)
+
+
 _ATTACH_RE = re.compile(
     r"^\s*ATTACH\s+(?:DATABASE\s+)?'(?P<path>[^']+)'\s+AS\s+(?P<name>\w+)\s*;?\s*$",
     re.IGNORECASE,
@@ -762,6 +801,17 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
     parquet tables bound under a catalog namespace, queryable as name.tbl)
     and PIVOT/UNPIVOT (rewrite_pivot_stmt). Everything else goes through
     the token/star rewrites."""
+    m = _PREPARE_RE.match(text)
+    if m:
+        _PREPARED[m["name"].lower()] = m["stmt"]
+        return spark.createDataFrame([(m["name"],)], "prepared string")
+    m = _EXECUTE_RE.match(text)
+    if m:
+        name = m["name"].lower()
+        if name not in _PREPARED:
+            raise ValueError(f"no prepared statement named {m['name']!r}")
+        args = [a.strip() for a in _split_top_level(m["args"])] if m["args"] else []
+        return sql(spark, _bind_prepared(_PREPARED[name], args))
     m = _ATTACH_RE.match(text)
     if m:
         from duckdb_parachute_spark.sources import attach_database

@@ -310,3 +310,31 @@ def dialect_from_bare(spark, sf_dir):
     """Bare FROM (SELECT * implied) — DuckDB's shortest query form."""
     _views(spark, sf_dir, "region")
     return sqlx.sql(spark, _FROM_BARE_SQL)
+
+
+@query(
+    "dialect_prepare_execute",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_totalprice > 150000 AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def dialect_prepare_execute(spark, sf_dir):
+    """SQL-level PREPARE / EXECUTE (reference transform_prepare.cpp +
+    client_context.cpp:408 CreatePreparedStatement): the statement is stored
+    by name, EXECUTE binds $1/$2 positional parameters as SQL text and runs
+    through the dialect pipeline. The oracle is the constant-folded query."""
+    _views(spark, sf_dir, "orders")
+    sqlx.sql(
+        spark,
+        """
+        PREPARE prio_counts AS
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders
+        WHERE o_totalprice > $1 AND o_orderstatus = $2
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+    )
+    return sqlx.sql(spark, "EXECUTE prio_counts(150000, 'O')")

@@ -275,3 +275,22 @@ def test_trailing_commas_dropped():
     # literals with commas are inert; f(a,) stays invalid
     assert transpile("SELECT 'a, FROM b', x, FROM t") == "SELECT 'a, FROM b', x FROM t"
     assert transpile("SELECT f(a,) FROM t") == "SELECT f(a,) FROM t"
+
+
+def test_prepare_execute_positional_qmarks(spark):
+    from duckdb_parachute_spark import sqlx
+
+    spark.range(5).createOrReplaceTempView("pq_t")
+    sqlx.sql(spark, "PREPARE pq_probe AS SELECT count(*) AS c FROM pq_t WHERE id > ? AND id < ?")
+    got = sqlx.sql(spark, "EXECUTE pq_probe(0, 4)").collect()[0]["c"]
+    assert got == 3
+    # '?' inside a literal is inert
+    sqlx.sql(spark, "PREPARE pq_lit AS SELECT '?' AS marker, count(*) AS c FROM pq_t WHERE id >= $1")
+    row = sqlx.sql(spark, "EXECUTE pq_lit(3)").collect()[0]
+    assert (row["marker"], row["c"]) == ("?", 2)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sqlx.sql(spark, "EXECUTE pq_probe(1)")
+    with _pytest.raises(ValueError):
+        sqlx.sql(spark, "EXECUTE missing_stmt(1)")
