@@ -499,3 +499,15 @@ def test_materialized_cte_single_fact_scan(no_aqe, spark, sf_dir):
     imts, li = live_lineitem_scans(_q("tpcds_q14_cross_channel_intersect", spark, sf_dir))
     assert imts >= 4, f"q14 consumers should read the cached base agg, saw {imts}"
     assert li == 1, f"q14 should scan lineitem exactly once outside the cache (avg_sales), saw {li}"
+
+
+def test_locale_collation_key_stays_jvm_side(spark, sf_dir):
+    # the three-level ICU-style key is a plain Catalyst projection: no
+    # Python eval node may appear, and ranking it must go through the
+    # two-phase global_rank (no single-partition Window over all rows)
+    from duckdb_parachute_spark.plans import physical_plan
+
+    df = _q("collate_locale_da_rank", spark, sf_dir)
+    s = physical_plan(df, mode="simple")
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert "SinglePartition" not in s
