@@ -745,6 +745,59 @@ def rewrite_pivot_stmt(spark: SparkSession, text: str) -> str | None:
     return None
 
 
+#: COPY ... TO 'path' (reference transform_copy.cpp +
+#: physical_copy_to_file.cpp): table name or (subquery) source, format from
+#: the options list or the path suffix; options map onto sources.copy_to.
+_COPY_RE = re.compile(
+    r"^\s*COPY\s+(?P<src>\(.*\)|\w+)\s+TO\s+'(?P<path>[^']+)'"
+    r"\s*(?:\(\s*(?P<opts>.*?)\s*\)|WITH\s*\(\s*(?P<opts2>.*?)\s*\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+#: SET key = value / PRAGMA key = value (reference src/main/settings/):
+#: `threads` maps to the shuffle-partition knob, spark.* passes through,
+#: everything else is accepted as a no-op (documented).
+_SET_RE = re.compile(
+    r"^\s*(?:SET|PRAGMA)\s+(?P<key>[\w.]+)\s*=\s*(?P<val>'[^']*'|[\w.]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _infer_copy_format(path: str) -> str:
+    for ext, fmt in ((".csv", "csv"), (".json", "json"), (".parquet", "parquet")):
+        if path.lower().endswith(ext):
+            return fmt
+    return "parquet"
+
+
+def _parse_copy_options(opts: str) -> dict:
+    """DuckDB COPY options → copy_to kwargs. Supported: FORMAT, HEADER,
+    DELIMITER/SEP, PARTITION_BY (single or parenthesized list),
+    COMPRESSION. Unknown options raise rather than silently dropping."""
+    out: dict = {}
+    for item in _split_top_level(opts):
+        item = item.strip()
+        if not item:
+            continue
+        parts = item.split(None, 1)
+        key = parts[0].strip().lower()
+        val = parts[1].strip() if len(parts) > 1 else "true"
+        val = val.strip("'")
+        if key == "format":
+            out["format"] = val.lower()
+        elif key == "header":
+            out["header"] = val.lower() not in ("false", "0")
+        elif key in ("delimiter", "sep"):
+            out["sep"] = val
+        elif key == "partition_by":
+            cols = val.strip("()")
+            out["partition_by"] = [c.strip() for c in cols.split(",")]
+        elif key == "compression":
+            out["compression"] = val.lower()
+        else:
+            raise ValueError(f"unsupported COPY option: {item!r}")
+    return out
+
+
 #: session-scoped prepared statements (reference PREPARE/EXECUTE,
 #: src/main/client_context.cpp:408 CreatePreparedStatement +
 #: transform_prepare.cpp). Text-level registry: PREPARE stores the statement,
@@ -801,6 +854,29 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
     parquet tables bound under a catalog namespace, queryable as name.tbl)
     and PIVOT/UNPIVOT (rewrite_pivot_stmt). Everything else goes through
     the token/star rewrites."""
+    m = _COPY_RE.match(text)
+    if m:
+        from duckdb_parachute_spark.sources import copy_to
+
+        src = m["src"].strip()
+        rel = sql(spark, src[1:-1] if src.startswith("(") else f"SELECT * FROM {src}")
+        opts = _parse_copy_options(m["opts"] or m["opts2"] or "")
+        fmt = opts.pop("format", None) or _infer_copy_format(m["path"])
+        copy_to(rel, m["path"], fmt=fmt, **opts)
+        return spark.createDataFrame([(m["path"],)], "copied string")
+    m = _SET_RE.match(text)
+    if m:
+        key, val = m["key"].lower(), m["val"].strip().strip("'")
+        if key == "threads":
+            # reference src/main/settings: ThreadsSetting. The Spark analogue
+            # of the per-query parallelism knob is the shuffle-partition
+            # count; executor cores are cluster-fixed and stay untouched.
+            spark.conf.set("spark.sql.shuffle.partitions", str(int(val)))
+        elif key.startswith("spark."):
+            spark.conf.set(m["key"], val)
+        # other DuckDB settings (memory_limit etc.) have no session-settable
+        # Spark analogue: accepted and ignored, like a no-op PRAGMA
+        return spark.createDataFrame([(key, val)], "setting string, value string")
     m = _PREPARE_RE.match(text)
     if m:
         _PREPARED[m["name"].lower()] = m["stmt"]

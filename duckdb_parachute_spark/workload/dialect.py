@@ -338,3 +338,34 @@ def dialect_prepare_execute(spark, sf_dir):
         """,
     )
     return sqlx.sql(spark, "EXECUTE prio_counts(150000, 'O')")
+
+
+@query(
+    "dialect_copy_stmt_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+    FROM orders WHERE o_totalprice > 200000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def dialect_copy_stmt_roundtrip(spark, sf_dir):
+    """COPY (query) TO 'path' (reference transform_copy.cpp +
+    physical_copy_to_file.cpp): the statement runs the inner dialect query
+    and writes via sources.copy_to; reading the file back must reproduce the
+    selection exactly (oracle aggregates the same predicate directly)."""
+    import tempfile
+
+    _views(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="parachute_copy_stmt_") + "/expensive.parquet"
+    sqlx.sql(
+        spark,
+        f"COPY (SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 200000) TO '{out}'",
+    )
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(out)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderstatus")
+    )

@@ -294,3 +294,39 @@ def test_prepare_execute_positional_qmarks(spark):
         sqlx.sql(spark, "EXECUTE pq_probe(1)")
     with _pytest.raises(ValueError):
         sqlx.sql(spark, "EXECUTE missing_stmt(1)")
+
+
+def test_copy_statement_roundtrip(spark, tmp_path):
+    from duckdb_parachute_spark import sqlx
+
+    spark.range(10).selectExpr("id", "id % 3 AS g").createOrReplaceTempView("cp_t")
+    out = str(tmp_path / "out.csv")
+    sqlx.sql(spark, f"COPY (SELECT * FROM cp_t WHERE id < 6) TO '{out}' (FORMAT CSV, HEADER)")
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == 6
+    # bare table + suffix-inferred parquet + PARTITION_BY
+    outp = str(tmp_path / "part_out")
+    sqlx.sql(spark, f"COPY cp_t TO '{outp}' (PARTITION_BY (g))")
+    import os
+
+    assert any(d.startswith("g=") for d in os.listdir(outp))
+    assert spark.read.parquet(outp).count() == 10
+
+
+def test_set_pragma_statements(spark):
+    from duckdb_parachute_spark import sqlx
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        sqlx.sql(spark, "SET threads = 4")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+        sqlx.sql(spark, "PRAGMA threads=6")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "6"
+        sqlx.sql(spark, "SET spark.sql.ansi.enabled = true")
+        assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+        # unknown DuckDB setting: accepted no-op
+        got = sqlx.sql(spark, "SET memory_limit = '4GB'").collect()[0]
+        assert got["setting"] == "memory_limit"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+        spark.conf.set("spark.sql.ansi.enabled", "true")
