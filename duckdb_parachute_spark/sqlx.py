@@ -841,6 +841,9 @@ _ATTACH_RE = re.compile(
     r"^\s*ATTACH\s+(?:DATABASE\s+)?'(?P<path>[^']+)'\s+AS\s+(?P<name>\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
+#: USE <db> (reference transform_use.cpp): default catalog namespace for
+#: unqualified table names — maps directly onto the Spark catalog.
+_USE_RE = re.compile(r"^\s*USE\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
 _DETACH_RE = re.compile(
     r"^\s*DETACH\s+(?:DATABASE\s+)?(?P<name>\w+)\s*;?\s*$", re.IGNORECASE
 )
@@ -877,6 +880,10 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
         # other DuckDB settings (memory_limit etc.) have no session-settable
         # Spark analogue: accepted and ignored, like a no-op PRAGMA
         return spark.createDataFrame([(key, val)], "setting string, value string")
+    m = _USE_RE.match(text)
+    if m:
+        spark.catalog.setCurrentDatabase(m["name"])
+        return spark.createDataFrame([(m["name"],)], "using string")
     m = _PREPARE_RE.match(text)
     if m:
         _PREPARED[m["name"].lower()] = m["stmt"]

@@ -270,3 +270,15 @@ def test_attach_detach_database(spark, sf_dir):
     assert "att_t" not in [d.name for d in spark.catalog.listDatabases()]
     assert os.path.exists(os.path.join(sf_dir, "region.parquet"))
     detach_database(spark, "att_t")  # idempotent
+
+
+def test_use_statement_with_attached_db(spark, sf_dir):
+    from duckdb_parachute_spark import sqlx
+
+    sqlx.sql(spark, f"ATTACH '{sf_dir}' AS use_db")
+    try:
+        sqlx.sql(spark, "USE use_db")
+        assert spark.sql("SELECT count(*) c FROM region").collect()[0]["c"] == 5
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        sqlx.sql(spark, "DETACH use_db")
