@@ -157,3 +157,49 @@ def text_levenshtein_pairs(spark, sf_dir):
         a.join(b, b.id2 == a.id1 + 1)
         .select("id1", "id2", F.levenshtein("t1", "t2").cast("bigint").alias("lev"))
     )
+
+
+@query(
+    "text_pack_sequences",
+    oracle="""
+    WITH RECURSIVE docs AS (
+        SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS shard,
+               CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS t,
+               row_number() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    packed AS (
+        SELECT shard, rn, t, CAST(0 AS BIGINT) AS bin_id, t AS fill
+        FROM docs WHERE rn = 1
+        UNION ALL
+        SELECT d.shard, d.rn, d.t,
+               CASE WHEN p.fill + d.t > 256 THEN p.bin_id + 1 ELSE p.bin_id END,
+               CASE WHEN p.fill + d.t > 256 THEN d.t ELSE p.fill + d.t END
+        FROM packed p JOIN docs d ON d.shard = p.shard AND d.rn = p.rn + 1
+    )
+    SELECT shard, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(t) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY shard, bin_id
+    ORDER BY shard, bin_id
+    """,
+)
+def text_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing (packing.pack_greedy — LLM-pipeline scope):
+    documents shard by doc_id % 4, each shard packs whitespace-token counts
+    into 256-token bins first-fit in doc order. The oracle replays the same
+    sequential rule as a DuckDB recursive CTE walking each shard row-by-row
+    — an exact check of a data-dependent-reset cumsum that plain window
+    functions cannot express. Per-shard fill starts positive (every doc has
+    ≥1 token), so the oracle's simplified new-bin condition (fill + t > max)
+    equals the engine's (fill > 0 AND ...)."""
+    from duckdb_parachute_spark.packing import pack_greedy
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("t")
+    )
+    packed = pack_greedy(docs, "doc_id", "t", max_len=256, n_shards=4)
+    return (
+        packed.groupBy("shard", "bin_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("t").alias("bin_tokens"))
+        .orderBy("shard", "bin_id")
+    )

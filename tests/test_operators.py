@@ -534,3 +534,36 @@ def test_constraint_checks_detect_violations(spark):
     # NULL child keys are not violations (SQL FK semantics)
     dn = spark.createDataFrame([(None,), (1,)], "k int")
     assert check_foreign_key(dn, p, "k", "pk").count() == 0
+
+
+def test_pack_greedy_invariants(spark):
+    """pack_greedy (packing.py): every bin except a shard's last is 'full'
+    (could not have accepted the next doc), no bin except oversized-singleton
+    bins exceeds max_len, offsets are the running fill, and the assignment
+    is independent of input partitioning."""
+    from pyspark.sql import functions as F
+
+    from duckdb_parachute_spark.packing import pack_greedy
+
+    max_len = 50
+    df = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 37 + 11, F.lit(80)) + 1).alias("t"),
+    )
+    out = pack_greedy(df, "doc_id", "t", max_len=max_len, n_shards=3).collect()
+    by_bin: dict = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        by_bin.setdefault((r["shard"], r["bin_id"]), []).append(r)
+    for (shard, bin_id), rows in by_bin.items():
+        fills = 0
+        for r in rows:
+            assert r["bin_offset"] == fills
+            fills += r["t"]
+        if len(rows) > 1:
+            assert fills <= max_len  # only a singleton may be oversized
+        nxt = by_bin.get((shard, bin_id + 1))
+        if nxt is not None:
+            assert fills + nxt[0]["t"] > max_len  # greedy: next doc didn't fit
+    # partitioning-independence: same result from a different layout
+    out2 = pack_greedy(df.repartition(7), "doc_id", "t", max_len=max_len, n_shards=3)
+    assert sorted(map(tuple, out2.collect())) == sorted(map(tuple, out))
