@@ -272,3 +272,37 @@ def embedding_neardup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination (LLM-pipeline scope, same family as the
+    near-dup ops): flag corpus documents sharing any k-word shingle with an
+    evaluation set. Returns ``(id, n_hits)`` — the count of DISTINCT
+    contaminated shingles per flagged document.
+
+    Scale posture: benchmark sets are tiny relative to a 100 TB corpus, so
+    the distinct eval-shingle relation is BROADCAST and the corpus side is
+    one scan + map-side hash semi-join — no corpus-sized shuffle exists;
+    only matched (doc, shingle) pairs (rare by construction) reach the final
+    per-doc aggregation."""
+    from pyspark.sql.functions import broadcast
+
+    ev = (
+        eval_df.select(F.explode(word_shingles(F.col(text_col), k)).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+    corp = corpus.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+    )
+    return (
+        corp.join(broadcast(ev), "shingle")
+        .groupBy(id_col)
+        .agg(F.count_distinct("shingle").alias("n_hits"))
+    )

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from duckdb_parachute_spark.catalog import load_table
 from duckdb_parachute_spark.dedup import (
+    decontaminate,
     minhash_lsh_overflow,
     minhash_lsh_pairs,
     ngram_jaccard,
@@ -247,3 +248,38 @@ def dedup_embedding_neardup(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 120)
     pairs = embedding_neardup_pairs(e, "vec_id", "embedding", 0.8, bucket_col="label")
     return pairs.select("id1", "id2", F.round("cosine", 6).alias("cosine"))
+
+
+@query(
+    "text_decontaminate",
+    oracle="""
+    WITH ev AS (
+        SELECT DISTINCT s AS shingle FROM (
+            SELECT unnest(list_transform(
+                generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+            )) AS s
+            FROM documents WHERE doc_id % 50 = 0
+        ) WHERE s <> ''
+    ),
+    corp AS (
+        SELECT doc_id, unnest(list_transform(
+            generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+            i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+        )) AS shingle
+        FROM documents WHERE doc_id % 50 <> 0
+    )
+    SELECT c.doc_id, CAST(count(DISTINCT c.shingle) AS BIGINT) AS n_hits
+    FROM corp c JOIN ev e ON c.shingle = e.shingle
+    GROUP BY c.doc_id ORDER BY c.doc_id
+    """,
+)
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (dedup.decontaminate): corpus docs sharing
+    any 3-word shingle with the eval slice (doc_id % 50 = 0) are flagged
+    with their distinct contaminated-shingle count. Broadcast semi-join —
+    the corpus is never shuffled at its own size."""
+    d = load_table(spark, sf_dir, "documents")
+    ev = d.where(F.col("doc_id") % 50 == 0)
+    corp = d.where(F.col("doc_id") % 50 != 0)
+    return decontaminate(corp, ev, "doc_id", "text", k=3).orderBy("doc_id")

@@ -511,3 +511,13 @@ def test_locale_collation_key_stays_jvm_side(spark, sf_dir):
     s = physical_plan(df, mode="simple")
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
     assert "SinglePartition" not in s
+
+
+def test_decontaminate_broadcasts_eval_side(no_aqe, spark, sf_dir):
+    # the 100 TB posture: eval shingles broadcast; the corpus is never
+    # exchanged at its own size (only matched pairs reach the per-doc agg)
+    from duckdb_parachute_spark.plans import physical_plan
+
+    s = physical_plan(_q("text_decontaminate", spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
