@@ -73,3 +73,44 @@ def rolling_fingerprint(text: Column) -> Column:
     same lowercase hex, so it is oracle-safe."""
     normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.md5(normalized)
+
+
+def repetition_metrics(df, id_col: str, text_col: str):
+    """Gopher-style repetition quality signals (extension goal: quality
+    scoring — the repetition family): per document,
+
+    * ``top2_frac`` — fraction of tokens covered by the single most frequent
+      word bigram (2 × its count / token count),
+    * ``dup3_frac`` — fraction of word trigrams that are repeats
+      (1 − distinct/total).
+
+    Relational formulation (explode → per-doc counts → join back) rather
+    than per-row UDF loops: every stage is a hash aggregation keyed on the
+    document, so it scales as ordinary grouped aggregation at corpus size."""
+    from pyspark.sql import functions as F
+
+    base = df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).cast("long").alias("__n_tok"),
+        word_shingles(F.col(text_col), 2).alias("__bi"),
+        word_shingles(F.col(text_col), 3).alias("__tri"),
+    )
+    top2 = (
+        base.select(id_col, F.explode("__bi").alias("g"))
+        .groupBy(id_col, "g")
+        .count()
+        .groupBy(id_col)
+        .agg(F.max("count").alias("__top_bi"))
+    )
+    tri = base.select(id_col, "__n_tok", F.explode("__tri").alias("g")).groupBy(
+        id_col, "__n_tok"
+    ).agg(
+        F.count(F.lit(1)).alias("__tri_total"),
+        F.count_distinct("g").alias("__tri_distinct"),
+    )
+    return tri.join(top2, id_col).select(
+        id_col,
+        F.col("__n_tok").alias("n_tokens"),
+        F.round(F.lit(2) * F.col("__top_bi") / F.col("__n_tok"), 4).alias("top2_frac"),
+        F.round(F.lit(1) - F.col("__tri_distinct") / F.col("__tri_total"), 4).alias("dup3_frac"),
+    )

@@ -203,3 +203,47 @@ def text_pack_sequences(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("t").alias("bin_tokens"))
         .orderBy("shard", "bin_id")
     )
+
+
+@query(
+    "text_repetition_filters",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+               list_transform(
+                   generate_series(1, greatest(len(string_split(trim(text), ' ')) - 1, 1)),
+                   i -> array_to_string(list_slice(string_split(trim(text), ' '), i, i + 1), ' ')
+               ) AS bi,
+               list_transform(
+                   generate_series(1, greatest(len(string_split(trim(text), ' ')) - 2, 1)),
+                   i -> array_to_string(list_slice(string_split(trim(text), ' '), i, i + 2), ' ')
+               ) AS tri
+        FROM documents
+    ),
+    top2 AS (
+        SELECT doc_id, max(c) AS top_bi FROM (
+            SELECT doc_id, g, count(*) AS c FROM (SELECT doc_id, unnest(bi) AS g FROM toks)
+            GROUP BY doc_id, g
+        ) GROUP BY doc_id
+    ),
+    tri AS (
+        SELECT doc_id, count(*) AS tri_total, count(DISTINCT g) AS tri_distinct
+        FROM (SELECT doc_id, unnest(tri) AS g FROM toks) GROUP BY doc_id
+    )
+    SELECT t.doc_id, k.n_tokens,
+           round(2.0 * top_bi / k.n_tokens, 4) AS top2_frac,
+           round(1.0 - CAST(tri_distinct AS DOUBLE) / tri_total, 4) AS dup3_frac
+    FROM tri t JOIN top2 p ON t.doc_id = p.doc_id JOIN toks k ON k.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """,
+    cast_double=("top2_frac", "dup3_frac"),
+)
+def text_repetition_filters(spark, sf_dir):
+    """Gopher-style repetition filters (textfns.repetition_metrics): per-doc
+    top-bigram coverage and duplicate-trigram fraction — the boilerplate/
+    repetition half of quality scoring, as distributed grouped aggregation
+    (no per-row Python)."""
+    d = load_table(spark, sf_dir, "documents")
+    from duckdb_parachute_spark.functions.textfns import repetition_metrics
+
+    return repetition_metrics(d, "doc_id", "text").orderBy("doc_id")
