@@ -168,3 +168,31 @@ def test_aqe_off_matches_aqe_on(spark, sf_dir, name):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     res = compare_frames(f"aqe-{name}", on, off)
     assert res.ok, str(res)
+
+
+@pytest.mark.parametrize("seed", [5, 19])
+def test_pivot_statement_matrix_cross_engine(spark, sf_dir, seed):
+    """Random PIVOT-statement shapes: the same DuckDB PIVOT text must give
+    identical tables through sqlx's rewrite (dynamic value discovery +
+    Spark PIVOT clause) and DuckDB's native dynamic pivot."""
+    from duckdb_parachute_spark import sqlx
+    from duckdb_parachute_spark.catalog import load_table
+
+    rng = random.Random(seed)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf_dir}/orders.parquet')"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    on_cols = ["o_orderstatus", "o_orderpriority"]
+    group_cols = ["o_orderstatus", "o_orderpriority"]
+    aggs = ["count(o_orderkey)", "min(o_orderkey)", "max(o_custkey)", "count(*)"]
+    for _ in range(6):
+        on = rng.choice(on_cols)
+        grp = rng.choice([g for g in group_cols if g != on])
+        agg = rng.choice(aggs)
+        stmt = f"PIVOT orders ON {on} USING {agg} GROUP BY {grp}"
+        spark_pdf = sqlx.sql(spark, stmt).toPandas()
+        oracle_pdf = con.sql(stmt).df()
+        res = compare_frames(stmt, spark_pdf, oracle_pdf)
+        assert res.ok, (stmt, res.errors)
