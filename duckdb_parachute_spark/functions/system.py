@@ -90,3 +90,48 @@ def duckdb_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = N
         "database_name string, schema_name string, table_name string, "
         "temporary boolean, column_count long",
     )
+
+
+def summarize_table(df: DataFrame) -> DataFrame:
+    """SUMMARIZE <table> (reference src/function/table/summary.cpp /
+    duckdb SUMMARIZE statement): one row per column with
+    count / null_percentage / approx_unique / avg / std / min / max.
+    Numeric-only stats are NULL for non-numeric columns, like the
+    reference. One pass: all per-column aggregates go into a single
+    projection (one job, no per-column scans)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import NumericType
+
+    total = F.count(F.lit(1))
+    aggs = []
+    for f in df.schema.fields:
+        c = f.name
+        isnum = isinstance(f.dataType, NumericType)
+        aggs += [
+            F.count(c).alias(f"__cnt_{c}"),
+            F.round(F.lit(100.0) * (total - F.count(c)) / total, 2).alias(f"__nul_{c}"),
+            F.approx_count_distinct(c).alias(f"__apu_{c}"),
+            (F.round(F.avg(c), 4) if isnum else F.lit(None).cast("double")).alias(f"__avg_{c}"),
+            (F.round(F.stddev_samp(c), 4) if isnum else F.lit(None).cast("double")).alias(f"__std_{c}"),
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+        ]
+    row = df.agg(*aggs)
+    parts = [
+        row.select(
+            F.lit(f.name).alias("column_name"),
+            F.lit(f.dataType.simpleString()).alias("column_type"),
+            F.col(f"__cnt_{f.name}").alias("count"),
+            F.col(f"__nul_{f.name}").alias("null_percentage"),
+            F.col(f"__apu_{f.name}").alias("approx_unique"),
+            F.col(f"__avg_{f.name}").alias("avg"),
+            F.col(f"__std_{f.name}").alias("std"),
+            F.col(f"__min_{f.name}").alias("min"),
+            F.col(f"__max_{f.name}").alias("max"),
+        )
+        for f in df.schema.fields
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -844,6 +844,11 @@ _ATTACH_RE = re.compile(
 #: USE <db> (reference transform_use.cpp): default catalog namespace for
 #: unqualified table names — maps directly onto the Spark catalog.
 _USE_RE = re.compile(r"^\s*USE\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
+#: SUMMARIZE <tbl> / SUMMARIZE (query) (reference summary.cpp) → per-column
+#: stats via functions.system.summarize_table.
+_SUMMARIZE_RE = re.compile(
+    r"^\s*SUMMARIZE\s+(?P<src>\w+|\(.*\))\s*;?\s*$", re.IGNORECASE | re.DOTALL
+)
 _DETACH_RE = re.compile(
     r"^\s*DETACH\s+(?:DATABASE\s+)?(?P<name>\w+)\s*;?\s*$", re.IGNORECASE
 )
@@ -880,6 +885,13 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
         # other DuckDB settings (memory_limit etc.) have no session-settable
         # Spark analogue: accepted and ignored, like a no-op PRAGMA
         return spark.createDataFrame([(key, val)], "setting string, value string")
+    m = _SUMMARIZE_RE.match(text)
+    if m:
+        from duckdb_parachute_spark.functions.system import summarize_table
+
+        inner = m["src"]
+        rel = sql(spark, inner[1:-1] if inner.startswith("(") else f"SELECT * FROM {inner}")
+        return summarize_table(rel)
     m = _USE_RE.match(text)
     if m:
         spark.catalog.setCurrentDatabase(m["name"])

@@ -330,3 +330,17 @@ def test_set_pragma_statements(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
         spark.conf.set("spark.sql.ansi.enabled", "true")
+
+
+def test_summarize_statement(spark, sf_dir):
+    from duckdb_parachute_spark import sqlx
+    from duckdb_parachute_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    got = {r["column_name"]: r for r in sqlx.sql(spark, "SUMMARIZE nation").collect()}
+    assert {"n_nationkey", "n_name", "n_regionkey"} <= set(got)
+    assert got["n_nationkey"]["count"] == 25 and got["n_nationkey"]["null_percentage"] == 0.0
+    assert got["n_regionkey"]["min"] == "0" and got["n_regionkey"]["max"] == "4"
+    assert got["n_name"]["avg"] is None  # non-numeric: numeric stats NULL
+    sub = sqlx.sql(spark, "SUMMARIZE (SELECT n_regionkey FROM nation WHERE n_nationkey < 5)")
+    assert sub.count() == 1
