@@ -925,6 +925,25 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
     return spark.sql(transpile(expand_columns(spark, text)))
 
 
+def run_script(spark: SparkSession, script: str) -> DataFrame | None:
+    """Execute a multi-statement DuckDB-flavored script (statements split on
+    top-level semicolons — semicolons inside string literals or parens are
+    inert) and return the LAST statement's result, like an interactive shell
+    session. Empty statements and line comments (``--``) are skipped."""
+    # mask literals so ';' inside strings doesn't split
+    parts: list[str] = []
+    masked = _LIT_RE.sub(
+        lambda m: (parts.append(m.group(0)) or f"\x00{len(parts) - 1}\x00"), script
+    )
+    masked = re.sub(r"--[^\n]*", "", masked)
+    out: DataFrame | None = None
+    for piece in _split_top_level(masked, ";"):
+        stmt = _PH_RE.sub(lambda m: parts[int(m.group(1))], piece).strip()
+        if stmt:
+            out = sql(spark, stmt)
+    return out
+
+
 def sql_params(spark: SparkSession, text: str, params: dict) -> DataFrame:
     """Parameterized SQL (SURVEY §3.3; reference prepared statements,
     src/main/client_context.cpp:408 CreatePreparedStatement): named

@@ -369,3 +369,31 @@ def dialect_copy_stmt_roundtrip(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "dialect_sql_script",
+    oracle="""
+    SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n
+    FROM nation WHERE n_nationkey >= 5
+    GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def dialect_sql_script(spark, sf_dir):
+    """Multi-statement script execution (sqlx.run_script — the interactive
+    shell surface, reference shell/duckdb_shell): PREPARE + SET + a
+    FROM-first EXECUTE-style query chained by top-level semicolons with
+    comments; result = last statement. Oracle is the constant-folded end
+    query."""
+    _views(spark, sf_dir, "nation")
+    return sqlx.run_script(
+        spark,
+        """
+        -- pipeline-style script; ';' inside literals must not split
+        SET memory_limit = '4GB';
+        PREPARE region_counts AS
+            FROM nation SELECT n_regionkey, count(*) AS n,
+            WHERE n_nationkey >= $1 GROUP BY n_regionkey ORDER BY n_regionkey;
+        EXECUTE region_counts(5);
+        """,
+    )

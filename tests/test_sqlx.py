@@ -344,3 +344,16 @@ def test_summarize_statement(spark, sf_dir):
     assert got["n_name"]["avg"] is None  # non-numeric: numeric stats NULL
     sub = sqlx.sql(spark, "SUMMARIZE (SELECT n_regionkey FROM nation WHERE n_nationkey < 5)")
     assert sub.count() == 1
+
+
+def test_run_script_semicolon_handling(spark):
+    from duckdb_parachute_spark import sqlx
+
+    spark.range(4).createOrReplaceTempView("rs_t")
+    out = sqlx.run_script(
+        spark,
+        "SELECT ';' AS semi, count(*) AS c FROM rs_t; -- comment; with semi\n"
+        "SELECT count(*) AS c FROM rs_t WHERE id > 0;",
+    )
+    assert out.collect()[0]["c"] == 3
+    assert sqlx.run_script(spark, "  ; ; ") is None
