@@ -40,7 +40,9 @@ order; the case forms of the ``aa``/``aå`` digraphs contract to å at the
 primary level with ICU's exact case/secondary interleaving; upper-first),
 sv/fi (å ä ö after z), de (ß ≡ ss at primary, umlauts at secondary),
 es (ñ as a separate letter after n), cs (č ř š ž after their base letters;
-digraph ``ch`` as a separate letter after h). Outside the tailored letters,
+digraph ``ch`` as a separate letter after h), pl (ą ć ę ł ń ó ś ź ż after
+their bases), ro (ă â after a, î after i, ș ț after s/t with the legacy
+cedilla forms a secondary step later). Outside the tailored letters,
 accented input folds to its base letter at the primary level — full ICU
 root-order for arbitrary scripts is out of scope (documented SURVEY §1.2);
 punctuation is compared bytewise (ICU default non-ignorable).
@@ -64,8 +66,8 @@ _AFTER = "\uffff"
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"
 _UPPER = _LOWER.upper()
-_X_LOWER = "æøåäöñüčřšž"
-_X_UPPER = "ÆØÅÄÖÑÜČŘŠŽ"
+_X_LOWER = "æøåäöñüčřšž" + "ąćęłńóśźż" + "ăâîșțşţ"
+_X_UPPER = "ÆØÅÄÖÑÜČŘŠŽ" + "ĄĆĘŁŃÓŚŹŻ" + "ĂÂÎȘȚŞŢ"
 #: translate() args for the lower-first tertiary key (swap case so that
 #: lowercase sorts before uppercase bytewise).
 _SWAP_SRC = _LOWER + _UPPER + _X_LOWER + _X_UPPER
@@ -149,6 +151,36 @@ _LOCALES: dict[str, _LocaleSpec] = {
     # Czech: č/ř/š/ž after their bases; digraph ch after h.
     "cs": _LocaleSpec(
         primary=(("ch", "h{"), ("č", "c{"), ("ř", "r{"), ("š", "s{"), ("ž", "z{")),
+    ),
+    # Polish: ą ć ę ł ń ó ś ź ż are separate letters directly after their
+    # bases (ź before ż).
+    "pl": _LocaleSpec(
+        primary=(
+            ("ą", "a{"),
+            ("ć", "c{"),
+            ("ę", "e{"),
+            ("ł", "l{"),
+            ("ń", "n{"),
+            ("ó", "o{"),
+            ("ś", "s{"),
+            ("ź", "z{"),
+            ("ż", "z|"),
+        ),
+    ),
+    # Romanian: ă < â after a, î after i, ș after s, ț after t; the legacy
+    # cedilla forms ş/ţ share the comma-below letters' primary slot and sort
+    # a secondary step after them (pinned: 'șb' < 'şb' in ICU ro).
+    "ro": _LocaleSpec(
+        primary=(
+            ("ă", "a{"),
+            ("â", "a|"),
+            ("î", "i{"),
+            ("ș", "s{"),
+            ("ş", "s{"),
+            ("ț", "t{"),
+            ("ţ", "t{"),
+        ),
+        secondary=(("ş", "ș" + _AFTER), ("ţ", "ț" + _AFTER)),
     ),
 }
 # Norwegian shares the Danish tailoring in CLDR. (DuckDB's bundled ICU data

@@ -434,6 +434,8 @@ _LOCALE_ALPHABETS = {
     "es": "anozñÑZ",
     "cs": "cdhirszčřšžČŘŠŽZ",
     "fi": "abevzåäöÅZ",
+    "pl": "abcelnoszączęłńóśźżĄŁŻZ",
+    "ro": "abistuzăâîșțşţĂȘŢZ",
 }
 
 
