@@ -141,6 +141,37 @@ class VersionedTable:
         added = self._write_data(self.root, new_v, rows)
         return self._publish("insert", tuple(self.snapshot.files) + tuple(added))
 
+    def committed_tags(self) -> set[str]:
+        """Tags of all insert_tagged transactions in the table history."""
+        out = set()
+        for v in _list_versions(self.root):
+            with open(_manifest_path(self.root, v)) as f:
+                op = json.load(f)["op"]
+            if op.startswith("insert#"):
+                out.add(op.split("#", 1)[1])
+        return out
+
+    def insert_tagged(self, rows: DataFrame, tag: str) -> "VersionedTable":
+        """Idempotent tagged INSERT — the exactly-once sink primitive (the
+        txnAppId/txnVersion pattern of ACID table formats): a tag commits at
+        most once. Redelivery of an already-committed tag is a no-op; a
+        put-if-absent race that loses to a DIFFERENT transaction surfaces as
+        CommitConflict (retry from the new snapshot); a race lost to the
+        SAME tag resolves as success."""
+        if "#" in tag:
+            raise ValueError("tag must not contain '#'")
+        if tag in self.committed_tags():
+            return VersionedTable.open(self.spark, self.root)
+        new_v = self.snapshot.version + 1
+        added = self._write_data(self.root, new_v, rows)
+        try:
+            return self._publish(f"insert#{tag}", tuple(self.snapshot.files) + tuple(added))
+        except CommitConflict:
+            latest = VersionedTable.open(self.spark, self.root)
+            if tag in latest.committed_tags():
+                return latest  # our tag won via another writer: exactly-once held
+            raise
+
     def delete_where(self, cond: Column) -> "VersionedTable":
         """DELETE WHERE: copy-on-write on the files that contain hits."""
         return self._cow("delete", cond, lambda df: dml.delete_where(df, cond))

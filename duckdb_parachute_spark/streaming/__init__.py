@@ -308,3 +308,45 @@ def read_exactly_once_sink(spark: SparkSession, sink_dir: str) -> DataFrame:
     if not committed:
         raise FileNotFoundError(f"no committed batches under {sink_dir}")
     return spark.read.parquet(*committed)
+
+
+def stream_into_versioned_table(
+    stream_df: DataFrame,
+    table_root: str,
+    checkpoint_dir: str,
+    query_name: str = "parachute_acid_sink",
+) -> None:
+    """foreachBatch exactly-once sink INTO the versioned ACID store
+    (operators/acid.py): each micro-batch commits as one tagged snapshot —
+    the tag is (query, batch id), so redelivered batches (replay after
+    failure, or a re-run with a fresh checkpoint over the same input) are
+    no-ops and duplicates are impossible. This is the txnAppId/txnVersion
+    integration ACID table formats package natively; here the versioned
+    store's put-if-absent commit IS the transactional marker, and every
+    batch is also a time-travelable table version.
+
+    Conflict handling: losing a put-if-absent race to a DIFFERENT
+    transaction retries from the fresh snapshot (bounded by concurrent
+    writers); losing to the SAME tag resolves as success inside
+    insert_tagged."""
+    from duckdb_parachute_spark.operators.acid import CommitConflict, VersionedTable
+
+    def _write(bdf: DataFrame, bid: int) -> None:
+        tag = f"{query_name}:{bid}"
+        for _ in range(8):
+            t = VersionedTable.open(bdf.sparkSession, table_root)
+            try:
+                t.insert_tagged(bdf, tag)
+                return
+            except CommitConflict:
+                continue
+        raise RuntimeError(f"batch {bid}: lost {8} commit races in a row")
+
+    q = (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -743,3 +743,47 @@ def stream_full_outer_join(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table("q_stream_full_outer").where(F.col("user_id") >= 0)
+
+
+@query(
+    "stream_acid_versioned_sink",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS total
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_acid_versioned_sink(spark, sf_dir):
+    """Streaming exactly-once INTO the versioned ACID store
+    (streaming.stream_into_versioned_table + acid.insert_tagged — the
+    txnAppId/txnVersion integration): the events stream lands batch-tagged
+    snapshot commits; the SAME input is then re-streamed with a FRESH
+    checkpoint (every batch redelivers), and exactly-once must hold — the
+    oracle is the plain batch aggregate, so any duplicate insert
+    hash-mismatches."""
+    import tempfile
+
+    from duckdb_parachute_spark.operators.acid import VersionedTable
+    from duckdb_parachute_spark.streaming import (
+        read_event_stream,
+        stream_into_versioned_table,
+    )
+
+    work = tempfile.mkdtemp(prefix="parachute_acid_stream_")
+    root = f"{work}/t"
+    seed = spark.createDataFrame([], "event_id long, event_type string, value double")
+    VersionedTable.create(spark, root, seed)
+    for attempt in ("first", "replay"):  # fresh checkpoint → full redelivery
+        ev = read_event_stream(spark, f"{sf_dir}/events.parquet").select(
+            "event_id", "event_type", "value"
+        )
+        stream_into_versioned_table(
+            ev, root, f"{work}/ckpt_{attempt}", query_name="acid_sink"
+        )
+    final = VersionedTable.open(spark, root)
+    return (
+        final.read()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .orderBy("event_type")
+    )

@@ -119,3 +119,27 @@ def test_vacuum_keeps_retained_versions_readable(spark, table):
     # no dangling references: every listed file exists
     for f in latest.snapshot.files:
         assert os.path.exists(os.path.join(latest.root, f))
+
+
+def test_insert_tagged_idempotent_and_race(spark, table):
+    from pyspark.sql import functions as F
+
+    rows = spark.createDataFrame([(1000, 0, 0)], "k long, grp long, v long")
+    t2 = table.insert_tagged(rows, "batchA")
+    assert t2.read().count() == 101
+    # redelivery of the same tag: no-op, same data
+    t3 = VersionedTable.open(spark, table.root).insert_tagged(rows, "batchA")
+    assert t3.read().count() == 101
+    assert t3.snapshot.version == t2.snapshot.version
+    # same-tag race: stale handle commits after the tag already landed →
+    # resolves as success without duplicating
+    stale = VersionedTable.open(spark, table.root, version=0)
+    t4 = stale.insert_tagged(rows, "batchA")
+    assert t4.read().count() == 101
+    # different-tag race from a stale snapshot → CommitConflict propagates
+    stale2 = VersionedTable.open(spark, table.root, version=0)
+    with pytest.raises(CommitConflict):
+        stale2.insert_tagged(rows, "batchB")
+    assert "batchA" in t4.committed_tags()
+    with pytest.raises(ValueError):
+        table.insert_tagged(rows, "bad#tag")
