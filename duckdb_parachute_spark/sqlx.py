@@ -575,6 +575,10 @@ def transpile(sql: str) -> str:
         return f"\x00{len(parts) - 1}\x00"
 
     masked = _LIT_RE.sub(stash, sql)
+    if _MACROS:
+        # macro bodies are stored as raw text: mask any literals an
+        # expansion just introduced so the rewrites stay literal-blind
+        masked = _LIT_RE.sub(stash, _expand_macros(masked))
     for rw in REWRITES:
         if rw is rewrite_json_arrows:
             masked = rw(masked, _parts=parts)
@@ -798,6 +802,50 @@ def _parse_copy_options(opts: str) -> dict:
     return out
 
 
+#: untyped scalar macros (reference CREATE MACRO,
+#: src/function/scalar_macro_function.cpp): DuckDB expands the macro body
+#: textually/AST-wise at bind time with parameters substituted — the same
+#: mechanism here, applied to the literal-masked statement before the token
+#: rewrites. (Typed table macros live in functions/macros.py over Spark's
+#: SQL-function DDL.)
+_MACROS: dict[str, tuple[list[str], str]] = {}
+_CREATE_MACRO_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?MACRO\s+(?P<name>\w+)"
+    r"\s*\(\s*(?P<params>[\w\s,]*)\)\s+AS\s+(?!TABLE\b)(?P<body>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _expand_macros(masked: str) -> str:
+    """Substitute registered macro calls (args parsed balanced, parameters
+    replaced identifier-wise, body parenthesized); nested/recursive
+    expansion bounded at 16 rounds like DuckDB's binder recursion guard."""
+    for _ in range(16):
+        changed = False
+        for name, (params, body) in _MACROS.items():
+            pat = re.compile(rf"\b{re.escape(name)}\s*\(", re.IGNORECASE)
+            m = pat.search(masked)
+            while m:
+                end = _balanced_span(masked, m.end() - 1)  # just past ')'
+                args = _split_top_level(masked[m.end() : end - 1])
+                args = [a for a in args if a.strip()]
+                if len(args) != len(params):
+                    raise ValueError(
+                        f"macro {name} expects {len(params)} args, got {len(args)}"
+                    )
+                expansion = body
+                for p, a in zip(params, args):
+                    expansion = re.sub(
+                        rf"\b{re.escape(p)}\b", f"({a.strip()})", expansion
+                    )
+                masked = masked[: m.start()] + f"({expansion})" + masked[end:]
+                changed = True
+                m = pat.search(masked, m.start() + 1)
+        if not changed:
+            return masked
+    raise ValueError("macro expansion did not terminate (recursive macro?)")
+
+
 #: session-scoped prepared statements (reference PREPARE/EXECUTE,
 #: src/main/client_context.cpp:408 CreatePreparedStatement +
 #: transform_prepare.cpp). Text-level registry: PREPARE stores the statement,
@@ -896,6 +944,11 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
     if m:
         spark.catalog.setCurrentDatabase(m["name"])
         return spark.createDataFrame([(m["name"],)], "using string")
+    m = _CREATE_MACRO_RE.match(text)
+    if m:
+        params = [p.strip() for p in m["params"].split(",") if p.strip()]
+        _MACROS[m["name"].lower()] = (params, m["body"])
+        return spark.createDataFrame([(m["name"],)], "macro string")
     m = _PREPARE_RE.match(text)
     if m:
         _PREPARED[m["name"].lower()] = m["stmt"]

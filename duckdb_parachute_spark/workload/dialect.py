@@ -397,3 +397,32 @@ def dialect_sql_script(spark, sf_dir):
         EXECUTE region_counts(5);
         """,
     )
+
+
+@query(
+    "dialect_create_macro",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(o_totalprice * (1 - 0.04)), 2) AS net,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    cast_double=("net",),
+)
+def dialect_create_macro(spark, sf_dir):
+    """CREATE MACRO with untyped parameters (reference
+    scalar_macro_function.cpp — bind-time textual expansion): the macro body
+    expands at every call site with parameters substituted, including nested
+    macro calls. Oracle = the hand-expanded query."""
+    _views(spark, sf_dir, "orders")
+    sqlx.sql(spark, "CREATE MACRO discounted(p, d) AS p * (1 - d)")
+    sqlx.sql(spark, "CREATE OR REPLACE MACRO net4(p) AS discounted(p, 0.04)")
+    return sqlx.sql(
+        spark,
+        """
+        SELECT o_orderpriority, round(sum(net4(o_totalprice)), 2) AS net, count(*) AS n
+        FROM orders WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+    )

@@ -357,3 +357,21 @@ def test_run_script_semicolon_handling(spark):
     )
     assert out.collect()[0]["c"] == 3
     assert sqlx.run_script(spark, "  ; ; ") is None
+
+
+def test_create_macro_expansion(spark):
+    from duckdb_parachute_spark import sqlx
+
+    spark.range(3).createOrReplaceTempView("mc_t")
+    sqlx.sql(spark, "CREATE MACRO mc_double(x) AS x + x")
+    sqlx.sql(spark, "CREATE MACRO mc_tag(x) AS 'v -> ' || CAST(mc_double(x) AS STRING)")
+    got = [r["s"] for r in sqlx.sql(spark, "SELECT mc_tag(id) AS s FROM mc_t ORDER BY id").collect()]
+    # the literal inside the macro body must survive the -> rewrite
+    assert got == ["v -> 0", "v -> 2", "v -> 4"]
+    # macro names inside string literals never expand
+    lit = sqlx.sql(spark, "SELECT 'call mc_double(9)' AS s").collect()[0]["s"]
+    assert lit == "call mc_double(9)"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sqlx.sql(spark, "SELECT mc_double(1, 2)")
