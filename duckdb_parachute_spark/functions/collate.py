@@ -42,7 +42,10 @@ sv/fi (å ä ö after z), de (ß ≡ ss at primary, umlauts at secondary),
 es (ñ as a separate letter after n), cs (č ř š ž after their base letters;
 digraph ``ch`` as a separate letter after h), pl (ą ć ę ł ń ó ś ź ż after
 their bases), ro (ă â after a, î after i, ș ț after s/t with the legacy
-cedilla forms a secondary step later). Outside the tailored letters,
+cedilla forms a secondary step later), tr (ç ğ ö ş ü after their bases and
+the four-way dotted/dotless i: …h < ı < i < j with I the uppercase of ı and
+İ of i, tokenized before lower() — Java's İ→"i"+combining-dot lowercasing
+never runs). Outside the tailored letters,
 accented input folds to its base letter at the primary level — full ICU
 root-order for arbitrary scripts is out of scope (documented SURVEY §1.2);
 punctuation is compared bytewise (ICU default non-ignorable).
@@ -66,8 +69,8 @@ _AFTER = "\uffff"
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"
 _UPPER = _LOWER.upper()
-_X_LOWER = "æøåäöñüčřšž" + "ąćęłńóśźż" + "ăâîșțşţ"
-_X_UPPER = "ÆØÅÄÖÑÜČŘŠŽ" + "ĄĆĘŁŃÓŚŹŻ" + "ĂÂÎȘȚŞŢ"
+_X_LOWER = "æøåäöñüčřšž" + "ąćęłńóśźż" + "ăâîșțşţ" + "çğ"
+_X_UPPER = "ÆØÅÄÖÑÜČŘŠŽ" + "ĄĆĘŁŃÓŚŹŻ" + "ĂÂÎȘȚŞŢ" + "ÇĞ"
 #: translate() args for the lower-first tertiary key (swap case so that
 #: lowercase sorts before uppercase bytewise).
 _SWAP_SRC = _LOWER + _UPPER + _X_LOWER + _X_UPPER
@@ -82,6 +85,10 @@ _SWAP_DST = _UPPER + _LOWER + _X_UPPER + _X_LOWER
 #: AFTER it ('AAa' = AA|a, 'Aaa' = Aa|a, 'aaåx' = aa|å, 'aAå' = a|Aå).
 _T_AA, _T_At, _T_aa = "\x02", "\x03", "\x04"
 _T_AO, _T_Ao, _T_ao = "\x05", "\x06", "\x07"
+#: Turkish case-crossing tokens: I is the uppercase of ı, İ of i — both must
+#: leave the string BEFORE lower() runs (Java lowercases I→i, losing the
+#: distinction, and İ→"i"+combining-dot, corrupting lengths).
+_T_TI, _T_Ti = "\x0e", "\x0f"
 
 
 @dataclass(frozen=True)
@@ -181,6 +188,26 @@ _LOCALES: dict[str, _LocaleSpec] = {
             ("ţ", "t{"),
         ),
         secondary=(("ş", "ș" + _AFTER), ("ţ", "ț" + _AFTER)),
+    ),
+    # Turkish: ç ğ ö ş ü after their bases, and the four-way dotted/dotless
+    # i — alphabet …h < ı < i < j with I the UPPERCASE of ı and İ of i
+    # (pinned: 'kız' < 'kIz' < 'kiz' < 'kİz' in ICU tr; lower-first case).
+    # I/İ tokenize before lower() — see _T_TI/_T_Ti.
+    "tr": _LocaleSpec(
+        tokenize=(("I", _T_TI), ("İ", _T_Ti)),
+        primary=(
+            (_T_TI, "h{"),
+            ("ı", "h{"),
+            (_T_Ti, "h|"),
+            ("i", "h|"),
+            ("ç", "c{"),
+            ("ğ", "g{"),
+            ("ö", "o{"),
+            ("ş", "s{"),
+            ("ü", "u{"),
+        ),
+        secondary=((_T_TI, "ı"), (_T_Ti, "i")),
+        tertiary=("ı" + _T_TI + "i" + _T_Ti, "0123"),
     ),
 }
 # Norwegian shares the Danish tailoring in CLDR. (DuckDB's bundled ICU data

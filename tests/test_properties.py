@@ -436,6 +436,7 @@ _LOCALE_ALPHABETS = {
     "fi": "abevzåäöÅZ",
     "pl": "abcelnoszączęłńóśźżĄŁŻZ",
     "ro": "abistuzăâîșțşţĂȘŢZ",
+    "tr": "cdghijkosuvzıiçğöşüIİÇŞZ",
 }
 
 
