@@ -65,3 +65,42 @@ def pack_greedy(
         return pdf
 
     return src.groupBy(shard_col).applyInPandas(pack, out_schema)
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int,
+    stride: int,
+) -> DataFrame:
+    """Overlapping token-window chunking (the RAG/pretraining chunker that
+    pairs with pack_greedy): each document's whitespace tokens split into
+    windows of ``window`` tokens advancing by ``stride`` (< window gives
+    overlap). Emits ``(id, chunk_idx, chunk_start, chunk_text, n_chunk_tokens)``.
+
+    Pure Catalyst: tokens → sequence of window starts → posexplode + slice —
+    embarrassingly parallel, no UDF, no shuffle (a per-row flatMap in the
+    scan stage). The last window is the truncated tail unless a full window
+    already covers the end (no empty or duplicate-tail chunks)."""
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # starts: 1, 1+stride, … while start <= n - begin only when more tokens
+    # remain past the previous window; greatest(…,1) keeps ≥1 chunk per doc
+    n_chunks = F.greatest(F.ceil((n - F.lit(window)) / F.lit(stride)) + 1, F.lit(1)).cast("int")
+    starts = F.transform(F.sequence(F.lit(0), n_chunks - 1), lambda i: i * stride + 1)
+    base = df.select(F.col(id_col), toks.alias("__toks"), n.alias("__n"), starts.alias("__starts"))
+    exploded = base.select(
+        id_col, "__toks", "__n", F.posexplode("__starts").alias("chunk_idx", "chunk_start")
+    )
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.array_join(F.slice("__toks", F.col("chunk_start"), window), " ").alias("chunk_text"),
+        F.least(F.col("__n") - F.col("chunk_start") + 1, F.lit(window))
+        .cast("long")
+        .alias("n_chunk_tokens"),
+    )

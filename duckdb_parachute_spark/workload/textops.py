@@ -247,3 +247,41 @@ def text_repetition_filters(spark, sf_dir):
     from duckdb_parachute_spark.functions.textfns import repetition_metrics
 
     return repetition_metrics(d, "doc_id", "text").orderBy("doc_id")
+
+
+@query(
+    "text_chunk_windows",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS t,
+               CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+               CAST((i - 1) * 48 + 1 AS BIGINT) AS chunk_start, n, t
+        FROM toks,
+             unnest(generate_series(1, CAST(greatest(ceil((n - 64.0) / 48) + 1, 1) AS BIGINT))) u(i)
+    )
+    SELECT doc_id, chunk_idx, chunk_start,
+           array_to_string(list_slice(t, chunk_start, chunk_start + 63), ' ') AS chunk_text,
+           CAST(least(n - chunk_start + 1, 64) AS BIGINT) AS n_chunk_tokens
+    FROM chunks ORDER BY doc_id, chunk_idx
+    """,
+)
+def text_chunk_windows(spark, sf_dir):
+    """Overlapping token-window chunking (packing.chunk_tokens): 64-token
+    windows, stride 48 (16-token overlap) over every document — the standard
+    context-window chunker, pure Catalyst posexplode+slice. The oracle
+    replays the same window arithmetic with generate_series + list_slice."""
+    from duckdb_parachute_spark.packing import chunk_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    out = chunk_tokens(d, "doc_id", "text", window=64, stride=48)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_start",
+        "chunk_text",
+        "n_chunk_tokens",
+    ).orderBy("doc_id", "chunk_idx")

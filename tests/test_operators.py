@@ -567,3 +567,23 @@ def test_pack_greedy_invariants(spark):
     # partitioning-independence: same result from a different layout
     out2 = pack_greedy(df.repartition(7), "doc_id", "t", max_len=max_len, n_shards=3)
     assert sorted(map(tuple, out2.collect())) == sorted(map(tuple, out))
+
+
+def test_chunk_tokens_overlap_and_tail(spark):
+    from duckdb_parachute_spark.packing import chunk_tokens
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "solo")], "doc_id long, text string"
+    )
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): r
+        for r in chunk_tokens(df, "doc_id", "text", window=4, stride=2).collect()
+    }
+    # doc 1: 7 tokens -> ceil((7-4)/2)+1 = 3 chunks at starts 1,3,5
+    assert rows[(1, 0)]["chunk_text"] == "a b c d"
+    assert rows[(1, 1)]["chunk_text"] == "c d e f"
+    assert rows[(1, 2)]["chunk_text"] == "e f g" and rows[(1, 2)]["n_chunk_tokens"] == 3
+    assert (1, 3) not in rows
+    # short docs: exactly one truncated chunk
+    assert rows[(2, 0)]["chunk_text"] == "x y" and (2, 1) not in rows
+    assert rows[(3, 0)]["n_chunk_tokens"] == 1
