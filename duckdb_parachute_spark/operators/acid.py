@@ -60,6 +60,7 @@ class Snapshot:
     parent: int
     op: str
     files: tuple[str, ...]  # paths relative to the table root
+    schema_json: str = ""  # pinned at create; makes empty snapshots readable
 
 
 def _manifest_path(root: str, version: int) -> str:
@@ -101,7 +102,7 @@ class VersionedTable:
         os.makedirs(os.path.join(root, _COMMITS), exist_ok=True)
         os.makedirs(os.path.join(root, _DATA), exist_ok=True)
         files = cls._write_data(root, 0, df)
-        snap = cls._commit(root, Snapshot(0, -1, "create", tuple(files)))
+        snap = cls._commit(root, Snapshot(0, -1, "create", tuple(files), df.schema.json()))
         return cls(spark, root, snap)
 
     @classmethod
@@ -115,13 +116,24 @@ class VersionedTable:
             raise FileNotFoundError(f"version {v} not in {versions}")
         with open(_manifest_path(root, v)) as f:
             m = json.load(f)
-        return cls(spark, root, Snapshot(m["version"], m["parent"], m["op"], tuple(m["files"])))
+        return cls(
+            spark,
+            root,
+            Snapshot(m["version"], m["parent"], m["op"], tuple(m["files"]), m.get("schema", "")),
+        )
 
     # -- reads ---------------------------------------------------------------
 
     def read(self) -> DataFrame:
         """The pinned snapshot as a DataFrame (plain parquet scan — pushdown
-        and pruning apply as on any table)."""
+        and pruning apply as on any table). A snapshot with no data files
+        (e.g. everything deleted) is an EMPTY table of the pinned schema,
+        not an error."""
+        if not self.snapshot.files:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(self.snapshot.schema_json))
+            return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self.root, f) for f in self.snapshot.files]
         return self.spark.read.parquet(*paths)
 
@@ -249,6 +261,7 @@ class VersionedTable:
                     "parent": snap.parent,
                     "op": snap.op,
                     "files": list(snap.files),
+                    "schema": snap.schema_json,
                 },
                 f,
             )
@@ -266,7 +279,13 @@ class VersionedTable:
     def _publish(self, op: str, files: tuple[str, ...]) -> "VersionedTable":
         snap = self._commit(
             self.root,
-            Snapshot(self.snapshot.version + 1, self.snapshot.version, op, files),
+            Snapshot(
+                self.snapshot.version + 1,
+                self.snapshot.version,
+                op,
+                files,
+                self.snapshot.schema_json,
+            ),
         )
         return VersionedTable(self.spark, self.root, snap)
 

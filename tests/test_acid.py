@@ -143,3 +143,22 @@ def test_insert_tagged_idempotent_and_race(spark, table):
     assert "batchA" in t4.committed_tags()
     with pytest.raises(ValueError):
         table.insert_tagged(rows, "bad#tag")
+
+
+def test_empty_snapshot_readable(spark, table):
+    # deleting everything yields an empty (but readable, schema-stable) table
+    t2 = table.delete_where(F.lit(True))
+    out = t2.read()
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["k", "grp", "v"]
+    # zero-data-file snapshots read as an empty table of the pinned schema
+    from duckdb_parachute_spark.operators.acid import Snapshot
+
+    bare = VersionedTable(
+        spark, table.root, Snapshot(9, 8, "delete", (), table.snapshot.schema_json)
+    )
+    assert bare.read().count() == 0
+    assert [f.name for f in bare.read().schema.fields] == ["k", "grp", "v"]
+    # and an emptied table can be inserted into again
+    t3 = t2.insert(spark.createDataFrame([(7, 0, 0)], "k long, grp long, v long"))
+    assert t3.read().count() == 1
