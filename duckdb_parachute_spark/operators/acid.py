@@ -61,6 +61,10 @@ class Snapshot:
     op: str
     files: tuple[str, ...]  # paths relative to the table root
     schema_json: str = ""  # pinned at create; makes empty snapshots readable
+    #: cumulative insert_tagged tags up to and including this version. Carried
+    #: forward manifest-to-manifest so the exactly-once check reads ONE file
+    #: (O(1) per commit, not O(history)) and survives vacuum of old manifests.
+    tags: tuple[str, ...] = ()
 
 
 def _manifest_path(root: str, version: int) -> str:
@@ -116,11 +120,29 @@ class VersionedTable:
             raise FileNotFoundError(f"version {v} not in {versions}")
         with open(_manifest_path(root, v)) as f:
             m = json.load(f)
-        return cls(
-            spark,
-            root,
-            Snapshot(m["version"], m["parent"], m["op"], tuple(m["files"]), m.get("schema", "")),
+        snap = Snapshot(
+            m["version"],
+            m["parent"],
+            m["op"],
+            tuple(m["files"]),
+            m.get("schema", ""),
+            tuple(m["tags"]) if "tags" in m else cls._scan_tags(root, m["version"]),
         )
+        return cls(spark, root, snap)
+
+    @staticmethod
+    def _scan_tags(root: str, up_to: int) -> tuple[str, ...]:
+        """Legacy path for pre-`tags` manifests: reconstruct the cumulative
+        tag set by scanning history (new commits then carry it forward)."""
+        out = []
+        for v in _list_versions(root):
+            if v > up_to:
+                break
+            with open(_manifest_path(root, v)) as f:
+                op = json.load(f)["op"]
+            if op.startswith("insert#"):
+                out.append(op.split("#", 1)[1])
+        return tuple(out)
 
     # -- reads ---------------------------------------------------------------
 
@@ -154,14 +176,11 @@ class VersionedTable:
         return self._publish("insert", tuple(self.snapshot.files) + tuple(added))
 
     def committed_tags(self) -> set[str]:
-        """Tags of all insert_tagged transactions in the table history."""
-        out = set()
-        for v in _list_versions(self.root):
-            with open(_manifest_path(self.root, v)) as f:
-                op = json.load(f)["op"]
-            if op.startswith("insert#"):
-                out.add(op.split("#", 1)[1])
-        return out
+        """Tags of all insert_tagged transactions committed so far: read from
+        the LATEST manifest's cumulative ``tags`` field — one file open per
+        check, constant in history length, and immune to vacuum of old
+        manifests (the markers travel with every new manifest)."""
+        return set(VersionedTable.open(self.spark, self.root).snapshot.tags)
 
     def insert_tagged(self, rows: DataFrame, tag: str) -> "VersionedTable":
         """Idempotent tagged INSERT — the exactly-once sink primitive (the
@@ -262,6 +281,7 @@ class VersionedTable:
                     "op": snap.op,
                     "files": list(snap.files),
                     "schema": snap.schema_json,
+                    "tags": list(snap.tags),
                 },
                 f,
             )
@@ -277,6 +297,9 @@ class VersionedTable:
         return snap
 
     def _publish(self, op: str, files: tuple[str, ...]) -> "VersionedTable":
+        tags = self.snapshot.tags
+        if op.startswith("insert#"):
+            tags = tags + (op.split("#", 1)[1],)
         snap = self._commit(
             self.root,
             Snapshot(
@@ -285,6 +308,7 @@ class VersionedTable:
                 op,
                 files,
                 self.snapshot.schema_json,
+                tags,
             ),
         )
         return VersionedTable(self.spark, self.root, snap)
@@ -294,9 +318,20 @@ class VersionedTable:
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """Delete data files referenced ONLY by versions older than the last
         ``retain_last`` manifests (which also get removed). Returns the
-        deleted file list. Retained snapshots stay fully readable."""
+        deleted file list. Retained snapshots stay fully readable, and the
+        exactly-once ``insert_tagged`` markers survive because every retained
+        manifest carries the CUMULATIVE tag set (not just its own op).
+
+        Concurrent-writer safety: a writer that has staged data files but not
+        yet committed writes them under a token ``t{V}-…`` where V is at
+        least the current latest version + 1, so vacuum only considers tokens
+        whose version is STRICTLY OLDER than the oldest retained manifest —
+        staged-but-uncommitted files are never swept (orphans from aborted
+        commits at recent versions are left for a later vacuum to collect,
+        once history has moved past them)."""
         versions = _list_versions(self.root)
         keep_versions = versions[-retain_last:] if retain_last > 0 else []
+        oldest_kept = keep_versions[0] if keep_versions else (versions[-1] + 1 if versions else 0)
         referenced: set[str] = set()
         for v in keep_versions:
             with open(_manifest_path(self.root, v)) as f:
@@ -304,6 +339,12 @@ class VersionedTable:
         removed = []
         data_root = os.path.join(self.root, _DATA)
         for token in sorted(os.listdir(data_root)):
+            try:
+                token_v = int(token[1:].split("-", 1)[0])
+            except (ValueError, IndexError):
+                continue  # unrecognized layout: never delete what we didn't write
+            if token_v >= oldest_kept:
+                continue
             tdir = os.path.join(data_root, token)
             for name in sorted(os.listdir(tdir)):
                 rel = os.path.join(_DATA, token, name)

@@ -262,9 +262,12 @@ def rewrite_star_replace(sql: str) -> str:
     any name-addressed consumer (including the driver's sorted-column hash
     compare) sees the same result; position-addressed consumers would not.
     Expressions may contain parens/commas (balanced-scan, not regex-captured).
+    Rewrites at EVERY paren depth (subqueries, CTE bodies, IN/EXISTS), like
+    rewrite_exclude — each pass removes one ``* REPLACE (`` so the loop
+    terminates.
     """
     while True:
-        m = _search_depth0(_REPLACE_RE, sql)
+        m = _REPLACE_RE.search(sql)
         if not m:
             return sql
         open_idx = m.end() - 1
@@ -562,6 +565,29 @@ _LIT_RE = re.compile(r"'(?:[^']|'')*'")
 _PH_RE = re.compile(r"\x00(\d+)\x00")
 
 
+def _mask_literals(text: str) -> tuple[str, list[str]]:
+    """Replace string literals with inert \\x00N\\x00 placeholders; returns
+    (masked text, table for :func:`_unmask`). Any structural parsing — comma
+    splits, keyword searches, identifier substitution — must run on MASKED
+    text, or a comma/keyword/name inside a user literal corrupts the parse."""
+    parts: list[str] = []
+    masked = _LIT_RE.sub(
+        lambda m: (parts.append(m.group(0)) or f"\x00{len(parts) - 1}\x00"), text
+    )
+    return masked, parts
+
+
+def _unmask(text: str, parts: list[str]) -> str:
+    return _PH_RE.sub(lambda m: parts[int(m.group(1))], text)
+
+
+def _split_string_safe(text: str, sep: str = ",") -> list[str]:
+    """_split_top_level with string literals masked during the split, so a
+    separator inside a quoted value never splits the value."""
+    masked, parts = _mask_literals(text)
+    return [_unmask(p, parts) for p in _split_top_level(masked, sep)]
+
+
 def transpile(sql: str) -> str:
     # Mask string literals first: a token rewriter must never fire on text
     # INSIDE a literal ('use QUALIFY here', 'x // y', 'a -> b'). Literals
@@ -614,21 +640,28 @@ def expand_columns(spark: SparkSession, text: str) -> str:
     than silently mis-expanding."""
     if not _COLUMNS_RE.search(text):
         return text
-    sel = _search_depth0(_SELECT_RE, text)
-    frm = _search_depth0(_FROM_RE, text, sel.end() if sel else 0)
+    # parse the MASKED statement: a comma or FROM inside a select-list string
+    # literal must not split items / pick the source boundary
+    masked, parts = _mask_literals(text)
+    sel = _search_depth0(_SELECT_RE, masked)
+    frm = _search_depth0(_FROM_RE, masked, sel.end() if sel else 0)
     if sel is None or frm is None:
         raise ValueError("COLUMNS(...) needs an outer SELECT ... FROM to expand against")
-    clause = _search_depth0(_CLAUSE_RE, text, frm.end())
-    source = text[frm.end() : clause.start() if clause else len(text)].strip()
+    clause = _search_depth0(_CLAUSE_RE, masked, frm.end())
+    source = _unmask(
+        masked[frm.end() : clause.start() if clause else len(masked)], parts
+    ).strip()
     probe = transpile(f"SELECT * FROM {source} LIMIT 0")
     schema_cols = spark.sql(probe).columns
-    items = _split_top_level(text[sel.end() : frm.start()])
+    items = _split_top_level(masked[sel.end() : frm.start()])
     out_items: list[str] = []
     for item in items:
         spans = []  # (start, end, arg) of each COLUMNS ref in this item
         for m in _COLUMNS_RE.finditer(item):
             end = _balanced_span(item, m.end() - 1)
-            spans.append((m.start(), end, item[m.end() : end - 1].strip()))
+            # unmask the arg before comparing: two refs to the same 'regex'
+            # carry DIFFERENT placeholders but must count as one argument
+            spans.append((m.start(), end, _unmask(item[m.end() : end - 1].strip(), parts)))
         if not spans:
             out_items.append(item)
             continue
@@ -654,10 +687,12 @@ def expand_columns(spark: SparkSession, text: str) -> str:
             expanded.append(item[last:])
             body = "".join(expanded).strip()
             out_items.append(f"{body} AS {c}" if body != c else c)
-    head = text[: sel.end()]
-    if _COLUMNS_RE.search(text[frm.start() :]):
+    head = masked[: sel.end()]
+    if _COLUMNS_RE.search(masked[frm.start() :]):
         raise ValueError("COLUMNS(...) outside the outer select list is unsupported")
-    return f"{head} {', '.join(i.strip() for i in out_items)} {text[frm.start():]}"
+    return _unmask(
+        f"{head} {', '.join(i.strip() for i in out_items)} {masked[frm.start():]}", parts
+    )
 
 
 _PIVOT_STMT_RE = re.compile(
@@ -683,6 +718,26 @@ def _quote_ident(name: str) -> str:
     return "`" + name.replace("`", "``") + "`"
 
 
+def _sql_literal(v) -> str:
+    """Render a driver-side Python value as a Spark SQL literal. Dates and
+    timestamps need TYPED literals: a bare 2020-01-01 parses as integer
+    arithmetic (2018), not a date."""
+    import datetime
+    import decimal
+
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float, decimal.Decimal)):
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v.isoformat()}'"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
 def rewrite_pivot_stmt(spark: SparkSession, text: str) -> str | None:
     """DuckDB's top-level PIVOT / UNPIVOT statements (reference
     src/parser/transform/statement/transform_pivot_stmt.cpp) → Spark SQL's
@@ -706,7 +761,7 @@ def rewrite_pivot_stmt(spark: SparkSession, text: str) -> str | None:
         tail = (m["tail"] or "").strip()
         if m["vals"]:
             entries = []
-            for raw in _split_top_level(m["vals"]):
+            for raw in _split_string_safe(m["vals"]):
                 v = raw.strip()
                 alias = v[1:-1].replace("''", "'") if v.startswith("'") else v
                 entries.append(f"{v} AS {_quote_ident(alias)}")
@@ -721,9 +776,7 @@ def rewrite_pivot_stmt(spark: SparkSession, text: str) -> str | None:
                 )
             entries = []
             for r in rows:
-                v = r["v"]
-                lit = "'" + str(v).replace("'", "''") + "'" if isinstance(v, str) else str(v)
-                entries.append(f"{lit} AS {_quote_ident(str(v))}")
+                entries.append(f"{_sql_literal(r['v'])} AS {_quote_ident(str(r['v']))}")
         agg_arg = "1" if arg == "*" else arg
         if m["grp"]:
             grp_cols = [g.strip() for g in m["grp"].split(",")]
@@ -778,7 +831,9 @@ def _parse_copy_options(opts: str) -> dict:
     DELIMITER/SEP, PARTITION_BY (single or parenthesized list),
     COMPRESSION. Unknown options raise rather than silently dropping."""
     out: dict = {}
-    for item in _split_top_level(opts):
+    # string-safe split: DELIMITER ',' is the most common CSV option and its
+    # value IS the separator — a literal-blind split would break inside it
+    for item in _split_string_safe(opts):
         item = item.strip()
         if not item:
             continue
@@ -818,14 +873,25 @@ _CREATE_MACRO_RE = re.compile(
 
 def _expand_macros(masked: str) -> str:
     """Substitute registered macro calls (args parsed balanced, parameters
-    replaced identifier-wise, body parenthesized); nested/recursive
-    expansion bounded at 16 rounds like DuckDB's binder recursion guard."""
+    replaced identifier-wise, body parenthesized). Parameter substitution
+    masks the BODY's own string literals first, so a parameter name occurring
+    inside a literal ('v=' for a parameter v) is never rewritten — DuckDB's
+    AST-level expansion cannot touch literal contents either. Total
+    substitutions are capped (a direct or mutual recursion like
+    ``CREATE MACRO f(x) AS f(x)+1`` re-inserts its own call site forever, so
+    a per-round `changed` flag alone can never prove termination)."""
+    subs = 0
     for _ in range(16):
         changed = False
         for name, (params, body) in _MACROS.items():
             pat = re.compile(rf"\b{re.escape(name)}\s*\(", re.IGNORECASE)
             m = pat.search(masked)
             while m:
+                subs += 1
+                if subs > 256:
+                    raise ValueError(
+                        "macro expansion did not terminate (recursive macro?)"
+                    )
                 end = _balanced_span(masked, m.end() - 1)  # just past ')'
                 args = _split_top_level(masked[m.end() : end - 1])
                 args = [a for a in args if a.strip()]
@@ -833,11 +899,23 @@ def _expand_macros(masked: str) -> str:
                     raise ValueError(
                         f"macro {name} expects {len(params)} args, got {len(args)}"
                     )
-                expansion = body
+                # \x01 sentinel: must not collide with the caller's \x00
+                # literal placeholders (which may appear in the args)
+                bparts: list[str] = []
+                expansion = _LIT_RE.sub(
+                    lambda mm: (bparts.append(mm.group(0)) or f"\x01{len(bparts) - 1}\x01"),
+                    body,
+                )
                 for p, a in zip(params, args):
+                    rep = f"({a.strip()})"
+                    # lambda replacement: the arg text is inserted verbatim,
+                    # never interpreted for \N backreferences
                     expansion = re.sub(
-                        rf"\b{re.escape(p)}\b", f"({a.strip()})", expansion
+                        rf"\b{re.escape(p)}\b", lambda _m, rep=rep: rep, expansion
                     )
+                expansion = re.sub(
+                    r"\x01(\d+)\x01", lambda mm: bparts[int(mm.group(1))], expansion
+                )
                 masked = masked[: m.start()] + f"({expansion})" + masked[end:]
                 changed = True
                 m = pat.search(masked, m.start() + 1)
@@ -851,7 +929,16 @@ def _expand_macros(masked: str) -> str:
 #: transform_prepare.cpp). Text-level registry: PREPARE stores the statement,
 #: EXECUTE binds positional arguments ($1/$2… or ?) and runs it through the
 #: normal dialect pipeline.
+_DROP_MACRO_RE = re.compile(
+    r"^\s*DROP\s+MACRO\s+(?P<ife>IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
 _PREPARED: dict[str, str] = {}
+_DEALLOCATE_RE = re.compile(
+    r"^\s*DEALLOCATE\s+(?:PREPARE\s+)?(?P<name>\w+)\s*;?\s*$", re.IGNORECASE
+)
 _PREPARE_RE = re.compile(
     r"^\s*PREPARE\s+(?P<name>\w+)\s+AS\s+(?P<stmt>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -949,16 +1036,34 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
         params = [p.strip() for p in m["params"].split(",") if p.strip()]
         _MACROS[m["name"].lower()] = (params, m["body"])
         return spark.createDataFrame([(m["name"],)], "macro string")
+    m = _DROP_MACRO_RE.match(text)
+    if m:
+        # the unregister path for the process-global macro registry: without
+        # it one CREATE MACRO would rewrite matching tokens in every later
+        # query of the process (reference: DROP MACRO, catalog entry removal)
+        name = m["name"].lower()
+        if name not in _MACROS and not m["ife"]:
+            raise ValueError(f"no macro named {m['name']!r}")
+        _MACROS.pop(name, None)
+        return spark.createDataFrame([(m["name"],)], "dropped string")
     m = _PREPARE_RE.match(text)
     if m:
         _PREPARED[m["name"].lower()] = m["stmt"]
         return spark.createDataFrame([(m["name"],)], "prepared string")
+    m = _DEALLOCATE_RE.match(text)
+    if m:
+        name = m["name"].lower()
+        if name not in _PREPARED:
+            raise ValueError(f"no prepared statement named {m['name']!r}")
+        del _PREPARED[name]
+        return spark.createDataFrame([(m["name"],)], "deallocated string")
     m = _EXECUTE_RE.match(text)
     if m:
         name = m["name"].lower()
         if name not in _PREPARED:
             raise ValueError(f"no prepared statement named {m['name']!r}")
-        args = [a.strip() for a in _split_top_level(m["args"])] if m["args"] else []
+        # string-safe split: EXECUTE p('x,y', 1) must keep 'x,y' whole
+        args = [a.strip() for a in _split_string_safe(m["args"])] if m["args"] else []
         return sql(spark, _bind_prepared(_PREPARED[name], args))
     m = _ATTACH_RE.match(text)
     if m:

@@ -162,3 +162,60 @@ def test_empty_snapshot_readable(spark, table):
     # and an emptied table can be inserted into again
     t3 = t2.insert(spark.createDataFrame([(7, 0, 0)], "k long, grp long, v long"))
     assert t3.read().count() == 1
+
+
+def test_vacuum_preserves_exactly_once_tags(spark, table):
+    # review finding: vacuum deleted the manifests carrying insert#<tag>
+    # markers, so a replayed batch after vacuum re-inserted (duplicate rows).
+    # Tags now travel cumulatively in every manifest.
+    rows = spark.createDataFrame([(2000, 0, 0)], "k long, grp long, v long")
+    t2 = table.insert_tagged(rows, "sinkA:0")
+    t3 = t2.insert_tagged(spark.createDataFrame([(2001, 0, 0)], "k long, grp long, v long"), "sinkA:1")
+    t3.vacuum(retain_last=1)
+    latest = VersionedTable.open(spark, table.root)
+    assert latest.committed_tags() == {"sinkA:0", "sinkA:1"}
+    # replay of an already-committed batch after vacuum: still a no-op
+    replay = latest.insert_tagged(rows, "sinkA:0")
+    assert replay.read().where(F.col("k") == 2000).count() == 1
+    assert replay.snapshot.version == latest.snapshot.version
+
+
+def test_vacuum_spares_staged_uncommitted_files(spark, table):
+    # review finding: a concurrent writer's staged-but-uncommitted data files
+    # (in no manifest yet) were deleted by vacuum; its later successful commit
+    # then published a snapshot referencing missing files.
+    t2 = table.insert(spark.createDataFrame([(3000, 0, 0)], "k long, grp long, v long"))
+    # stage a write for the NEXT version without committing (what a racing
+    # writer looks like mid-transaction)
+    staged = VersionedTable._write_data(
+        table.root,
+        t2.snapshot.version + 1,
+        spark.createDataFrame([(3001, 0, 0)], "k long, grp long, v long"),
+    )
+    t2.vacuum(retain_last=1)
+    for f in staged:
+        assert os.path.exists(os.path.join(table.root, f)), f
+    # the in-flight writer can still commit and read back its snapshot
+    t3 = t2._publish("insert", tuple(t2.snapshot.files) + tuple(staged))
+    assert t3.read().where(F.col("k") == 3001).count() == 1
+
+
+def test_committed_tags_reads_one_manifest(spark, table, monkeypatch):
+    # O(1) check: committed_tags must not open every historical manifest
+    t = table
+    for i in range(3):
+        t = t.insert_tagged(
+            spark.createDataFrame([(4000 + i, 0, 0)], "k long, grp long, v long"), f"b:{i}"
+        )
+    import duckdb_parachute_spark.operators.acid as acid_mod
+
+    opens = []
+    orig = acid_mod._manifest_path
+
+    def counting(root, version):
+        opens.append(version)
+        return orig(root, version)
+
+    monkeypatch.setattr(acid_mod, "_manifest_path", counting)
+    assert t.committed_tags() == {"b:0", "b:1", "b:2"}
+    assert len(opens) == 1

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from duckdb_parachute_spark.sqlx import (
     rewrite_distinct_on,
     rewrite_intdiv,
@@ -375,3 +377,100 @@ def test_create_macro_expansion(spark):
 
     with _pytest.raises(ValueError):
         sqlx.sql(spark, "SELECT mc_double(1, 2)")
+
+
+def test_macro_param_inside_body_literal(spark):
+    # review finding: \b-param substitution over the RAW body rewrote the
+    # 'v' inside the body's own literal 'v=' — must stay untouched
+    from duckdb_parachute_spark import sqlx
+
+    sqlx.sql(spark, "CREATE MACRO mc_lit(v) AS concat('v=', CAST(v AS STRING))")
+    try:
+        got = sqlx.sql(spark, "SELECT mc_lit(7) AS s").collect()[0]["s"]
+        assert got == "v=7"
+    finally:
+        sqlx.sql(spark, "DROP MACRO IF EXISTS mc_lit")
+
+
+def test_recursive_macro_raises_not_hangs(spark):
+    from duckdb_parachute_spark import sqlx
+
+    sqlx.sql(spark, "CREATE MACRO mc_rec(x) AS mc_rec(x) + 1")
+    try:
+        with pytest.raises(ValueError, match="did not terminate"):
+            sqlx.transpile("SELECT mc_rec(2)")
+    finally:
+        sqlx.sql(spark, "DROP MACRO IF EXISTS mc_rec")
+
+
+def test_drop_macro_and_deallocate(spark):
+    from duckdb_parachute_spark import sqlx
+
+    sqlx.sql(spark, "CREATE MACRO mc_tmp(x) AS x + 1")
+    sqlx.sql(spark, "DROP MACRO mc_tmp")
+    assert "mc_tmp" not in sqlx._MACROS
+    with pytest.raises(ValueError):
+        sqlx.sql(spark, "DROP MACRO mc_tmp")
+    sqlx.sql(spark, "DROP MACRO IF EXISTS mc_tmp")  # no raise
+    sqlx.sql(spark, "PREPARE pp_tmp AS SELECT 1 AS one")
+    sqlx.sql(spark, "DEALLOCATE pp_tmp")
+    assert "pp_tmp" not in sqlx._PREPARED
+    with pytest.raises(ValueError):
+        sqlx.sql(spark, "DEALLOCATE pp_tmp")
+
+
+def test_execute_arg_with_comma_in_literal(spark):
+    # review finding: paren-depth-only split broke 'x,y' into two args
+    from duckdb_parachute_spark import sqlx
+
+    spark.createDataFrame([("x,y", "z"), ("a", "z")], "a string, b string").createOrReplaceTempView(
+        "exq_t"
+    )
+    sqlx.sql(spark, "PREPARE exq_p AS SELECT count(*) AS c FROM exq_t WHERE a = $1 AND b = $2")
+    try:
+        assert sqlx.sql(spark, "EXECUTE exq_p('x,y', 'z')").collect()[0]["c"] == 1
+    finally:
+        sqlx.sql(spark, "DEALLOCATE exq_p")
+
+
+def test_expand_columns_literal_with_comma_and_from(spark):
+    # review finding: expand_columns parsed the raw text, splitting inside
+    # 'a,b' and matching a FROM inside a literal as the source boundary
+    from duckdb_parachute_spark.sqlx import expand_columns
+
+    spark.createDataFrame([(1, 2)], "x int, y int").createOrReplaceTempView("ec_t2")
+    out = expand_columns(spark, "SELECT COLUMNS(*), 'a,b' AS s, 'see FROM docs' AS n FROM ec_t2")
+    r = spark.sql(out).collect()[0]
+    assert (r["x"], r["y"], r["s"], r["n"]) == (1, 2, "a,b", "see FROM docs")
+
+
+def test_copy_options_delimiter_comma(spark, tmp_path):
+    # review finding: string-blind option split rejected DELIMITER ','
+    from duckdb_parachute_spark import sqlx
+
+    spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string").createOrReplaceTempView("cpo_t")
+    dest = str(tmp_path / "out_csv")
+    sqlx.sql(spark, f"COPY cpo_t TO '{dest}.csv' (HEADER, DELIMITER ',')")
+    back = spark.read.option("header", True).csv(f"{dest}.csv")
+    assert back.count() == 2
+
+
+def test_star_replace_inside_subquery():
+    from duckdb_parachute_spark.sqlx import transpile
+
+    out = transpile("SELECT * FROM (SELECT * REPLACE (x + 1 AS x) FROM t) q")
+    assert "REPLACE" not in out.upper()
+    assert "EXCEPT (x)" in out
+
+
+def test_pivot_stmt_date_values(spark):
+    # review finding: bare str(date) rendered 2020-01-01 → integer arithmetic
+    from duckdb_parachute_spark import sqlx
+
+    spark.sql(
+        "SELECT * FROM VALUES (DATE'2020-01-01', 1), (DATE'2020-02-01', 2), "
+        "(DATE'2020-01-01', 3) AS t(d, v)"
+    ).createOrReplaceTempView("pvd_t")
+    out = sqlx.sql(spark, "PIVOT pvd_t ON d USING sum(v)")
+    row = out.collect()[0]
+    assert row["2020-01-01"] == 4 and row["2020-02-01"] == 2
