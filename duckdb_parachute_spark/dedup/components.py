@@ -1,0 +1,122 @@
+"""Distributed connected components for near-dup cluster canonicalization.
+
+A near-dup pipeline (MinHash/SimHash/embedding) emits PAIRS; deduplication
+needs per-document CLUSTER assignments so exactly one canonical document per
+cluster survives. Pairs form a graph; clusters are its connected components.
+
+No reference counterpart (DuckDB expresses this as a recursive CTE over the
+edge list — the oracle does exactly that), so this is designed Spark-first
+from the published alternating **large-star / small-star** algorithm
+(Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components
+in MapReduce and Beyond", ACM SoCC 2014):
+
+- **large-star**: every node links its strictly-larger neighbors to the
+  smallest node of its neighborhood (including itself);
+- **small-star**: every node links its smaller-or-equal neighbors and itself
+  to the smallest neighbor;
+- alternate until the edge set is stable; the result is a star forest where
+  every node points at its component's minimum id.
+
+Scale posture (100 TB of pairs):
+- O(log^2 n) rounds, each round = one partial-aggregating groupBy (min per
+  node) + one co-partitioned join back — no collect_list, so a hot node (a
+  boilerplate document in millions of pairs) never materializes its
+  neighborhood in one task;
+- per-round `distinct()` bounds the edge set (it only shrinks toward n-1
+  star edges);
+- lineage is truncated every round (localCheckpoint, or a reliable
+  `checkpoint()` for preemptible clusters via ``reliable=True``) — without
+  truncation the iterated plan re-executes from the source each round;
+- convergence is detected with ONE fingerprint job per round (count +
+  xxhash64 sum of the canonical edge set), not a full self-join diff.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from duckdb_parachute_spark.operators.recursive import _truncate
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    """(count, order-independent hash-sum) of the edge set — equal
+    fingerprints on consecutive rounds signal a stable (converged) set."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("c"),
+        # decimal(38,0) accumulator: a sum of int64 hashes overflows BIGINT
+        # under ANSI mode long before the edge count is interesting
+        F.coalesce(F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["c"]), int(row["h"])
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    bi = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = bi.groupBy("u").agg(F.min("v").alias("__mv")).select(
+        "u", F.least("__mv", "u").alias("m")
+    )
+    return (
+        bi.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges large→small, then connect every small neighbor and the
+    center itself to the smallest neighbor."""
+    dir_ = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = dir_.groupBy("u").agg(F.min("v").alias("m"))
+    relink = (
+        dir_.join(mins, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    center = mins.select(F.col("u"), F.col("m").alias("v"))
+    return relink.union(center).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str,
+    dst: str,
+    max_iterations: int = 50,
+    reliable: bool = False,
+) -> DataFrame:
+    """Component assignment for every node appearing in ``pairs``.
+
+    Returns (node, component) where ``component`` is the MINIMUM node id of
+    the connected component — the natural canonical-document choice (stable,
+    engine-independent). Isolated nodes never appear in ``pairs`` and so are
+    absent here; callers treat missing nodes as singleton clusters.
+
+    ``reliable=True`` swaps per-round localCheckpoints for real
+    ``checkpoint()`` lineage cuts (see operators.recursive._truncate).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev = None
+    for _ in range(max_iterations):
+        edges = _truncate(_small_star(_large_star(edges)), reliable)
+        fp = _fingerprint(edges)
+        if fp == prev:
+            break
+        prev = fp
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+    # stable star forest: every edge is (node, component-min); roots map to
+    # themselves (a root appears only on the v side)
+    roots = edges.select("v").subtract(edges.select(F.col("u").alias("v")))
+    return edges.select(F.col("u").alias("node"), F.col("v").alias("component")).union(
+        roots.select(F.col("v").alias("node"), F.col("v").alias("component"))
+    )

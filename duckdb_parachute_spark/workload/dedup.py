@@ -283,3 +283,60 @@ def text_decontaminate(spark, sf_dir):
     ev = d.where(F.col("doc_id") % 50 == 0)
     corp = d.where(F.col("doc_id") % 50 != 0)
     return decontaminate(corp, ev, "doc_id", "text", k=3).orderBy("doc_id")
+
+
+# Connected components over the MinHash candidate pairs: the cluster
+# assignment step of a real dedup pipeline (pairs alone don't say which
+# documents to drop). The oracle computes the same components by min-label
+# reachability in a recursive CTE over the IDENTICAL md5-derived pair set.
+_CLUSTER_ORACLE = """
+WITH RECURSIVE sh AS (
+    SELECT doc_id,
+           list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+           ) AS shingles
+    FROM documents
+), sig AS (
+    SELECT doc_id,
+           list_transform(generate_series(0, 11),
+               p -> list_min(list_transform(shingles, s -> md5(CAST(p AS VARCHAR) || '|' || s)))
+           ) AS signature
+    FROM sh
+), bands AS (
+    SELECT doc_id, b,
+           CAST(b AS VARCHAR) || '#' || md5(array_to_string(list_slice(signature, b*3 + 1, b*3 + 3), '|')) AS band_key
+    FROM sig, generate_series(0, 3) t(b)
+), pairs AS (
+    SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+    FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+), edges AS (
+    SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+), reach(node, comp) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+    UNION
+    SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(comp) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
+@query("dedup_cluster_canonical", oracle=_CLUSTER_ORACLE)
+def dedup_cluster_canonical(spark, sf_dir):
+    """Near-dup CLUSTER assignment: MinHash+LSH pairs → alternating
+    large-star/small-star connected components (Kiveris et al., SoCC 2014)
+    → (doc_id, cluster_id=min id of the component). The canonical survivor
+    per cluster is cluster_id itself; a full dedup keeps
+    ``WHERE doc_id = cluster_id OR doc_id NOT IN pairs``. O(log^2 n) rounds
+    of groupBy-min + co-partitioned join — no per-node neighborhood
+    materialization, so boilerplate-document hot nodes cannot OOM a task."""
+    from duckdb_parachute_spark.dedup.components import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", num_perm=12, bands=4, shingle_k=3)
+    cc = connected_components(pairs, "id1", "id2")
+    return cc.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+    ).orderBy("doc_id")

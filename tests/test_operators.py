@@ -587,3 +587,46 @@ def test_chunk_tokens_overlap_and_tail(spark):
     # short docs: exactly one truncated chunk
     assert rows[(2, 0)]["chunk_text"] == "x y" and (2, 1) not in rows
     assert rows[(3, 0)]["n_chunk_tokens"] == 1
+
+
+def test_connected_components_known_graph(spark):
+    from duckdb_parachute_spark.dedup.components import connected_components
+
+    # two chains, one cycle, one self-loop, one isolated pair
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),        # chain → comp 1
+            (10, 11), (11, 12),            # chain → comp 10
+            (20, 21), (21, 22), (22, 20),  # cycle → comp 20
+            (30, 30),                      # self-loop: dropped
+            (40, 41),                      # pair → comp 40
+        ],
+        "a long, b long",
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs, "a", "b").collect()
+    }
+    want = {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20), (22, 20),
+        (40, 40), (41, 40),
+    }
+    assert got == want
+
+
+def test_connected_components_bridged_and_empty(spark):
+    from duckdb_parachute_spark.dedup.components import connected_components
+
+    # components merged by a late bridge edge; also reversed-order edges
+    pairs = spark.createDataFrame(
+        [(5, 1), (2, 6), (6, 5)], "a long, b long"
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs, "a", "b").collect()
+    }
+    assert got == {(1, 1), (2, 1), (5, 1), (6, 1)}
+    empty = spark.createDataFrame([], "a long, b long")
+    assert connected_components(empty, "a", "b").count() == 0
