@@ -987,6 +987,20 @@ _SUMMARIZE_RE = re.compile(
 _DETACH_RE = re.compile(
     r"^\s*DETACH\s+(?:DATABASE\s+)?(?P<name>\w+)\s*;?\s*$", re.IGNORECASE
 )
+#: CREATE TEMP TABLE … AS (reference transform_create_table.cpp,
+#: CreateTableInfo::temporary): DuckDB MATERIALIZES the query once; a Spark
+#: temp VIEW would re-evaluate per reader, so the handler snapshots via a
+#: lazy localCheckpoint before registering. Non-TEMP CREATE TABLE AS is
+#: native Spark SQL and passes straight through the dialect pipeline.
+_CREATE_TEMP_TABLE_RE = re.compile(
+    r"^\s*CREATE\s+(?P<orr>OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+TABLE\s+"
+    r"(?P<name>\w+)\s+AS\s+(?P<stmt>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_TABLE_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?P<ife>IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 def sql(spark: SparkSession, text: str) -> DataFrame:
@@ -1031,6 +1045,27 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
     if m:
         spark.catalog.setCurrentDatabase(m["name"])
         return spark.createDataFrame([(m["name"],)], "using string")
+    m = _CREATE_TEMP_TABLE_RE.match(text)
+    if m:
+        name = m["name"]
+        if not m["orr"] and any(
+            v.name.lower() == name.lower() for v in spark.catalog.listTables() if v.isTemporary
+        ):
+            raise ValueError(f"temp table {name!r} already exists (use OR REPLACE)")
+        rel = sql(spark, m["stmt"])
+        # lazy localCheckpoint = snapshot-once semantics: later reads (and
+        # any nondeterministic expressions in the defining query) see ONE
+        # materialization, exactly like DuckDB's temp table — a plain temp
+        # view would re-run the query per reader
+        rel.localCheckpoint(eager=False).createOrReplaceTempView(name)
+        return spark.createDataFrame([(name,)], "created string")
+    m = _DROP_TABLE_RE.match(text)
+    if m:
+        if spark.catalog.dropTempView(m["name"]):
+            return spark.createDataFrame([(m["name"],)], "dropped string")
+        if m["ife"]:
+            return spark.sql(f"DROP TABLE IF EXISTS {m['name']}")
+        return spark.sql(f"DROP TABLE {m['name']}")
     m = _CREATE_MACRO_RE.match(text)
     if m:
         params = [p.strip() for p in m["params"].split(",") if p.strip()]

@@ -418,11 +418,50 @@ def dialect_create_macro(spark, sf_dir):
     _views(spark, sf_dir, "orders")
     sqlx.sql(spark, "CREATE MACRO discounted(p, d) AS p * (1 - d)")
     sqlx.sql(spark, "CREATE OR REPLACE MACRO net4(p) AS discounted(p, 0.04)")
-    return sqlx.sql(
+    try:
+        return sqlx.sql(
+            spark,
+            """
+            SELECT o_orderpriority, round(sum(net4(o_totalprice)), 2) AS net, count(*) AS n
+            FROM orders WHERE o_orderstatus = 'F'
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+            """,
+        )
+    finally:
+        # expansion is text-level at sql() time, so dropping here is safe for
+        # the (lazy) returned plan — and keeps the process-global registry
+        # from rewriting later queries' tokens
+        sqlx.sql(spark, "DROP MACRO IF EXISTS discounted")
+        sqlx.sql(spark, "DROP MACRO IF EXISTS net4")
+
+
+@query(
+    "dialect_temp_table",
+    oracle="""
+    CREATE OR REPLACE TEMP TABLE big_orders_tt AS
+        SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 150000;
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM big_orders_tt
+    GROUP BY o_custkey HAVING count(*) >= 2 ORDER BY o_custkey
+    """,
+)
+def dialect_temp_table(spark, sf_dir):
+    """CREATE TEMP TABLE … AS (reference transform_create_table.cpp,
+    CreateTableInfo::temporary) — MATERIALIZED-once semantics, not a view:
+    the handler snapshots through a lazy localCheckpoint so every reader
+    (and any nondeterministic defining expression) sees one evaluation,
+    matching DuckDB's temp-table behavior. Script chains creation and the
+    consuming aggregate through run_script."""
+    _views(spark, sf_dir, "orders")
+    return sqlx.run_script(
         spark,
         """
-        SELECT o_orderpriority, round(sum(net4(o_totalprice)), 2) AS net, count(*) AS n
-        FROM orders WHERE o_orderstatus = 'F'
-        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        CREATE OR REPLACE TEMP TABLE big_orders_tt AS
+            SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 150000;
+        SELECT o_custkey, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM big_orders_tt
+        GROUP BY o_custkey HAVING count(*) >= 2 ORDER BY o_custkey;
         """,
     )

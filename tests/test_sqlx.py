@@ -474,3 +474,30 @@ def test_pivot_stmt_date_values(spark):
     out = sqlx.sql(spark, "PIVOT pvd_t ON d USING sum(v)")
     row = out.collect()[0]
     assert row["2020-01-01"] == 4 and row["2020-02-01"] == 2
+
+
+def test_create_temp_table_materialized_once(spark):
+    from duckdb_parachute_spark import sqlx
+
+    out = sqlx.run_script(
+        spark,
+        "CREATE TEMP TABLE ctt_a AS SELECT 1 AS x UNION ALL SELECT 2; "
+        "CREATE OR REPLACE TEMP TABLE ctt_b AS SELECT x * 10 AS y FROM ctt_a; "
+        "SELECT sum(y) AS s FROM ctt_b;",
+    )
+    assert out.collect()[0]["s"] == 30
+    # duplicate name without OR REPLACE: loud error, like DuckDB
+    with pytest.raises(ValueError, match="already exists"):
+        sqlx.sql(spark, "CREATE TEMP TABLE ctt_a AS SELECT 1 AS x")
+    # snapshot-once: a nondeterministic defining query reads the same value
+    r1 = sqlx.run_script(
+        spark, "CREATE OR REPLACE TEMP TABLE ctt_r AS SELECT rand() AS r; SELECT r FROM ctt_r;"
+    ).collect()[0]["r"]
+    r2 = sqlx.sql(spark, "SELECT r FROM ctt_r").collect()[0]["r"]
+    assert r1 == r2
+    sqlx.sql(spark, "DROP TABLE ctt_a")
+    sqlx.sql(spark, "DROP TABLE ctt_b")
+    sqlx.sql(spark, "DROP TABLE IF EXISTS ctt_r")
+    sqlx.sql(spark, "DROP TABLE IF EXISTS ctt_never")
+    with pytest.raises(Exception):
+        sqlx.sql(spark, "SELECT * FROM ctt_a").collect()
