@@ -285,3 +285,62 @@ def text_chunk_windows(spark, sf_dir):
         "chunk_text",
         "n_chunk_tokens",
     ).orderBy("doc_id", "chunk_idx")
+
+
+# PII scrub: the testdata corpus is synthetic-clean, so the query INJECTS
+# deterministic PII (same expression in both engines) and grades the
+# sequential count-then-redact pipeline on it. The oracle replicates the
+# category order with chained CTEs — each stage counts on the PREVIOUS
+# stage's scrubbed text, exactly like pii_scrub's fold.
+_PII_ORACLE = r"""
+WITH aug AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.0.'
+                || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+                || CASE WHEN doc_id % 7 = 0 THEN ' card 4111 1111 1111 1111' ELSE '' END
+                || CASE WHEN doc_id % 3 = 0 THEN ' call +1 555-123-4567' ELSE '' END AS t
+    FROM documents
+), s1 AS (
+    SELECT doc_id, len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t FROM aug
+), s2 AS (
+    SELECT doc_id, n_email, len(regexp_extract_all(t, '\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b')) AS n_card,
+           regexp_replace(t, '\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b', '<CARD>', 'g') AS t FROM s1
+), s3 AS (
+    SELECT doc_id, n_email, n_card, len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+           regexp_replace(t, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t FROM s2
+), s4 AS (
+    SELECT doc_id, n_email, n_card, n_ssn, len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+           regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t FROM s3
+), s5 AS (
+    SELECT doc_id, n_email, n_card, n_ssn, n_ip, len(regexp_extract_all(t, '\+?\d{1,2}[ .-]?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b')) AS n_phone,
+           regexp_replace(t, '\+?\d{1,2}[ .-]?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b', '<PHONE>', 'g') AS t FROM s4
+)
+SELECT doc_id, n_email, n_card, n_ssn, n_ip, n_phone, t AS clean_text
+FROM s5 ORDER BY doc_id
+"""
+
+
+@query("text_pii_scrub", oracle=_PII_ORACLE)
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction (emails/cards/SSNs/IPv4s/phones → typed tokens) with
+    sequential per-category counts — the training-data hygiene pass. Pure
+    regexp_count/regexp_replace Catalyst chain: narrow map, no shuffle, no
+    Python. Patterns are Java-regex/RE2 bilingual (no lookaround, ASCII
+    word boundaries) so the oracle runs them verbatim."""
+    from duckdb_parachute_spark.functions.textfns import pii_scrub
+
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" card 4111 1111 1111 1111")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" call +1 555-123-4567")).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    return pii_scrub(aug, "t", out="clean_text").drop("t").orderBy("doc_id")

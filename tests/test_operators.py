@@ -630,3 +630,24 @@ def test_connected_components_bridged_and_empty(spark):
     assert got == {(1, 1), (2, 1), (5, 1), (6, 1)}
     empty = spark.createDataFrame([], "a long, b long")
     assert connected_components(empty, "a", "b").count() == 0
+
+
+def test_pii_scrub_sequential_counts(spark):
+    from duckdb_parachute_spark.functions.textfns import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b@x.co card 4111 1111 1111 1111 ssn 123-45-6789 ip 10.0.0.5 call +1 555-123-4567"),
+            (2, "nothing sensitive here"),
+        ],
+        "id long, t string",
+    )
+    rows = {r["id"]: r for r in pii_scrub(df, "t").collect()}
+    r1 = rows[1]
+    # one hit per category: the card is NOT also counted as a phone, the ssn
+    # is NOT also an ip — sequential scrubbing prevents double-counting
+    assert (r1["n_email"], r1["n_card"], r1["n_ssn"], r1["n_ip"], r1["n_phone"]) == (1, 1, 1, 1, 1)
+    assert r1["clean_text"] == "mail <EMAIL> card <CARD> ssn <SSN> ip <IP> call <PHONE>"
+    r2 = rows[2]
+    assert r2["clean_text"] == "nothing sensitive here"
+    assert r2["n_email"] + r2["n_card"] + r2["n_ssn"] + r2["n_ip"] + r2["n_phone"] == 0
