@@ -102,6 +102,65 @@ def reservoir_sample(df: DataFrame, k: int, key: Column | str, seed: int = 42) -
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata: str,
+    k: int,
+    key: Column | str,
+    seed: int = 42,
+    oversample: int = 4,
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows PER STRATUM, deterministic across
+    engines and restarts: the k smallest md5(seed|key) hashes within each
+    stratum (ties broken by the key), like :func:`reservoir_sample` but
+    per group — the quality-bucket sampler of a training-data pipeline.
+
+    Scale design (100 TB): a naive ``row_number() OVER (PARTITION BY
+    stratum ORDER BY hash)`` shuffles the FULL input into per-stratum tasks
+    (a hot stratum = one giant task). Instead:
+
+    1. broadcast the per-stratum counts (|distinct strata| rows — a grouping
+       key, bounded by assumption);
+    2. gate on ``hash_fraction < (oversample*k + 32) / n`` — a narrow filter
+       that keeps ~oversample*k rows per stratum. The gate is MONOTONE in
+       the ranking hash, so if at least min(k, n) rows survive, the true
+       k smallest are all among them — no approximation;
+    3. strata where the gate kept fewer than min(k, n) rows (possible, just
+       exponentially unlikely at oversample=4) fall back to their FULL row
+       set, restoring exactness;
+    4. the ranking window then runs over the small survivor pool only.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat_ws("|", F.lit(str(seed)), c.cast("string")))
+    hfrac = F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
+    tot = df.groupBy(strata).agg(F.count(F.lit(1)).alias("__n"))
+    d = (
+        df.withColumn("__h", h)
+        .withColumn("__hk", c.cast("string"))
+        .withColumn("__hf", hfrac)
+        .join(F.broadcast(tot), strata)
+    )
+    thresh = F.least(F.lit(1.0), (F.lit(float(oversample * k + 32))) / F.col("__n"))
+    gated = d.where(F.col("__hf") < thresh)
+    short = (
+        gated.groupBy(strata)
+        .agg(F.count(F.lit(1)).alias("__g"))
+        .join(tot, strata, "right")
+        .where(F.coalesce(F.col("__g"), F.lit(0)) < F.least(F.lit(k), F.col("__n")))
+        .select(strata)
+        .withColumn("__fb", F.lit(True))
+    )
+    pool = d.join(F.broadcast(short), strata, "left").where(
+        (F.col("__hf") < thresh) | F.col("__fb").isNotNull()
+    )
+    w = Window.partitionBy(strata).orderBy("__h", "__hk")
+    return (
+        pool.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__h", "__hk", "__hf", "__n", "__fb", "__rn")
+    )
+
+
 def pivot_dynamic(
     df: DataFrame,
     group_cols: list[str],

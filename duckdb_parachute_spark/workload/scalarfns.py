@@ -521,3 +521,30 @@ def sequence_rownumber_ids(spark, sf_dir):
 
     n = load_table(spark, sf_dir, "nation")
     return sequence_ids(n, ["n_nationkey"]).select("seq_id", "n_name")
+
+
+@query(
+    "sample_stratified_topk",
+    oracle="""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)
+               ) AS rn
+        FROM documents
+    ) s WHERE rn <= 10 ORDER BY doc_id
+    """,
+)
+def sample_stratified_topk(spark, sf_dir):
+    """Stratified sampling: exactly min(10, n) docs per language, the k
+    smallest seeded md5 hashes per stratum. Two-phase at scale — broadcast
+    per-stratum counts, monotone hash-gate prefilter (~4k+32 rows per
+    stratum survive), full-stratum fallback for under-filled gates, window
+    rank over the survivor pool only — so a hot stratum never lands in one
+    giant window task. Oracle is the single-window definition (identical
+    result by the monotone-gate argument)."""
+    from duckdb_parachute_spark.operators.misc import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_sample(d, "lang", 10, "doc_id").select("doc_id", "lang").orderBy("doc_id")

@@ -651,3 +651,31 @@ def test_pii_scrub_sequential_counts(spark):
     r2 = rows[2]
     assert r2["clean_text"] == "nothing sensitive here"
     assert r2["n_email"] + r2["n_card"] + r2["n_ssn"] + r2["n_ip"] + r2["n_phone"] == 0
+
+
+def test_stratified_sample_exact_and_fallback(spark):
+    from duckdb_parachute_spark.operators.misc import stratified_sample
+
+    # stratum 'big' has 500 rows (gate active), 'tiny' has 3 (< k: all kept)
+    df = spark.range(500).selectExpr("id", "'big' AS s").union(
+        spark.range(1000, 1003).selectExpr("id", "'tiny' AS s")
+    )
+    out = stratified_sample(df, "s", 5, "id").collect()
+    by_s = {}
+    for r in out:
+        by_s.setdefault(r["s"], set()).add(r["id"])
+    assert len(by_s["big"]) == 5 and len(by_s["tiny"]) == 3
+    # matches the plain single-window definition (the oracle semantics)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    h = F.md5(F.concat_ws("|", F.lit("42"), F.col("id").cast("string")))
+    w = Window.partitionBy("s").orderBy(h, F.col("id").cast("string"))
+    want = {
+        (r["id"], r["s"])
+        for r in df.withColumn("rn", F.row_number().over(w)).where("rn <= 5").collect()
+    }
+    assert {(r["id"], r["s"]) for r in out} == want
+    # deterministic across invocations
+    again = {(r["id"], r["s"]) for r in stratified_sample(df, "s", 5, "id").collect()}
+    assert again == {(r["id"], r["s"]) for r in out}
