@@ -417,3 +417,22 @@ def lsh_topk_indexed(
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
     )
+
+
+def quantize_int8(vec: Column, scale_out: str = "scale") -> tuple[Column, Column]:
+    """Symmetric per-vector int8 quantization: (scale, int8 codes).
+
+    codes[i] = floor(x[i] / scale * 127 + 0.5), scale = max(|x|) (1.0 for an
+    all-zero vector). At 100 TB this is the embedding-storage workhorse —
+    4x smaller vectors mean 4x smaller shuffles and broadcast blocks for
+    every ANN stage, with dot products reconstructable as
+    (a.scale/127)*(b.scale/127)*int_dot. floor(x+0.5) instead of round():
+    the two engines' round() disagree on negative halves, floor is exact and
+    identical everywhere. All arithmetic in DOUBLE (float32 inputs widen
+    exactly), so codes are bit-reproducible cross-engine."""
+    absmax = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(absmax == 0.0, F.lit(1.0)).otherwise(absmax)
+    codes = F.transform(
+        vec, lambda x: F.floor(x.cast("double") / scale * 127 + F.lit(0.5)).cast("int")
+    )
+    return scale.alias(scale_out), codes

@@ -984,6 +984,12 @@ _USE_RE = re.compile(r"^\s*USE\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
 _SUMMARIZE_RE = re.compile(
     r"^\s*SUMMARIZE\s+(?P<src>\w+|\(.*\))\s*;?\s*$", re.IGNORECASE | re.DOTALL
 )
+#: DESCRIBE <tbl> / DESCRIBE (query) (reference transform_show.cpp →
+#: duckdb_columns): column_name/column_type rows in DuckDB's shape and type
+#: spelling (planning only — the source is probed with LIMIT 0, no job).
+_DESCRIBE_RE = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+(?P<src>\w+|\(.*\))\s*;?\s*$", re.IGNORECASE | re.DOTALL
+)
 _DETACH_RE = re.compile(
     r"^\s*DETACH\s+(?:DATABASE\s+)?(?P<name>\w+)\s*;?\s*$", re.IGNORECASE
 )
@@ -1041,6 +1047,22 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
         inner = m["src"]
         rel = sql(spark, inner[1:-1] if inner.startswith("(") else f"SELECT * FROM {inner}")
         return summarize_table(rel)
+    m = _DESCRIBE_RE.match(text)
+    if m:
+        from duckdb_parachute_spark.functions.system import duckdb_type_name
+
+        inner = m["src"]
+        rel = sql(
+            spark,
+            f"SELECT * FROM ({inner[1:-1] if inner.startswith('(') else 'SELECT * FROM ' + inner}) LIMIT 0",
+        )
+        rows = [
+            (f.name, duckdb_type_name(f.dataType.simpleString()), "YES" if f.nullable else "NO")
+            for f in rel.schema.fields
+        ]
+        return spark.createDataFrame(
+            rows, "column_name string, column_type string, null string"
+        )
     m = _USE_RE.match(text)
     if m:
         spark.catalog.setCurrentDatabase(m["name"])

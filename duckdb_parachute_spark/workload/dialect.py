@@ -465,3 +465,23 @@ def dialect_temp_table(spark, sf_dir):
         GROUP BY o_custkey HAVING count(*) >= 2 ORDER BY o_custkey;
         """,
     )
+
+
+@query(
+    "dialect_describe",
+    oracle="""
+    SELECT column_name, column_type, "null" AS nullable
+    FROM (DESCRIBE nation) ORDER BY column_name
+    """,
+)
+def dialect_describe(spark, sf_dir):
+    """DESCRIBE statement (reference transform_show.cpp → duckdb_columns):
+    column_name/column_type/null in DuckDB's spelling, built from the
+    LIMIT-0 probed schema — planning only, no job. Types go through the
+    same duckdb_type_name normalization as the system catalog TVFs."""
+    _views(spark, sf_dir, "nation")
+    return (
+        sqlx.sql(spark, "DESCRIBE nation")
+        .withColumnRenamed("null", "nullable")
+        .orderBy("column_name")
+    )

@@ -250,3 +250,38 @@ def sim_ivf_pruned_probe(spark, sf_dir):
             (F.col("n_same") == 10).alias("consistent_ok"),
         )
     )
+
+
+@query(
+    "sim_quantize_int8",
+    oracle="""
+    SELECT vec_id,
+           round(CAST(CASE WHEN am = 0 THEN 1.0 ELSE am END AS DOUBLE), 6) AS scale6,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE)
+                               / (CASE WHEN am = 0 THEN 1.0 ELSE am END) * 127 + 0.5) AS INT)
+           ) AS codes
+    FROM (
+        SELECT vec_id, embedding,
+               CAST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE) AS am
+        FROM embeddings WHERE vec_id < 200
+    ) t
+    ORDER BY vec_id
+    """,
+    join_arrays=("codes",),
+)
+def sim_quantize_int8(spark, sf_dir):
+    """Symmetric int8 embedding quantization (4x smaller vectors = 4x
+    smaller shuffles/broadcasts for every downstream ANN stage). Codes are
+    floor(x/scale*127 + 0.5) in pure double arithmetic — bit-reproducible
+    across engines, which the oracle checks code-for-code over full
+    vectors."""
+    from duckdb_parachute_spark.similarity import quantize_int8
+
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    scale, codes = quantize_int8(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale6"),
+        codes.alias("codes"),
+    ).orderBy("vec_id")

@@ -47,6 +47,10 @@ QUERIES = [
     # the driver-side value discovery is bounded metadata; the timed part
     # is the single-pass pivot aggregate, which must scale like any agg.
     "pivot_dynamic_values",
+    # round-9 addition: connected components over the MinHash pair graph
+    # (large-star/small-star rounds; word-salted copies keep the pair
+    # count — and so the edge set — linear in the factor).
+    "dedup_cluster_canonical",
     # plus RECURSIVE_SCALE / FRAMES_SCALE below — harness-local variants of
     # registry queries whose registry form caps its input (l_orderkey<300 /
     # 25-row nation dim), which a data scale-up never grows.
