@@ -468,3 +468,40 @@ def test_locale_collation_total_order_matches_icu(spark, oracle, locale, data):
     df = spark.createDataFrame([(w,) for w in words], "s string")
     ours = [r[0] for r in df.orderBy(locale_collation_key(F.col("s"), locale)).collect()]
     assert ours == icu
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=30), st.integers(min_value=0, max_value=30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """large-star/small-star result == a driver-side union-find ground truth
+    on arbitrary random graphs (self-loops, duplicates, reversed edges)."""
+    from duckdb_parachute_spark.dedup.components import connected_components
+
+    parent = list(range(31))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in edges:
+        if a != b:
+            nodes.update((a, b))
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want = {(n, find(n)) for n in nodes}
+    df = spark.createDataFrame([(a, b) for a, b in edges], "a long, b long")
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(df, "a", "b").collect()
+    }
+    assert got == want
