@@ -322,3 +322,72 @@ def detach_database(spark: SparkSession, name: str) -> None:
     """DETACH: drop the namespace and its unmanaged table metadata (the
     underlying files are untouched — unmanaged tables never own data)."""
     spark.sql(f"DROP DATABASE IF EXISTS {name} CASCADE")
+
+
+def delta_scan(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Minimal Delta Lake reader — the reference's delta extension surface
+    (reference extension/delta: ``delta_scan('path')`` table function) built
+    on the PUBLIC Delta transaction-log format: ``_delta_log/N.json`` files
+    hold ``add``/``remove``/``metaData`` actions; the table at version V is
+    the set of added-not-yet-removed files across commits 0..V.
+
+    Supported: JSON commits, snapshot reads, time travel via ``version``,
+    Hive-style partition columns carried in ``add.partitionValues`` (their
+    values land as string columns, the log's contract). Unsupported and
+    REJECTED LOUDLY rather than silently misread: checkpoint-only logs and
+    deletion vectors (reader version > 1).
+
+    Scale: the log is driver-sized metadata (same posture as
+    operators/acid.py — a few KB of JSON per commit); the data read is a
+    plain pruned/pushed-down parquet scan of the active files.
+    """
+    import glob as _glob
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    log_dir = os.path.join(path, "_delta_log")
+    commits = sorted(_glob.glob(os.path.join(log_dir, "*.json")))
+    if not commits:
+        raise FileNotFoundError(f"no Delta commits under {log_dir}")
+    versions = {int(os.path.basename(p)[:-5]): p for p in commits}
+    top = max(versions) if version is None else version
+    if top not in versions:
+        raise FileNotFoundError(f"version {top} not in {sorted(versions)}")
+    if 0 not in versions:
+        raise NotImplementedError(
+            "log starts past version 0 (checkpoint-compacted); only full "
+            "JSON logs are supported"
+        )
+    active: dict[str, dict] = {}
+    for v in range(top + 1):
+        with open(versions[v]) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                act = _json.loads(line)
+                if "protocol" in act and act["protocol"].get("minReaderVersion", 1) > 1:
+                    raise NotImplementedError(
+                        "Delta reader features beyond version 1 (e.g. deletion "
+                        "vectors) are not supported"
+                    )
+                if "add" in act:
+                    active[act["add"]["path"]] = act["add"]
+                elif "remove" in act:
+                    active.pop(act["remove"]["path"], None)
+    if not active:
+        raise ValueError(f"Delta table at version {top} has no data files")
+    parts = {k for a in active.values() for k in (a.get("partitionValues") or {})}
+    dfs = []
+    for rel, a in sorted(active.items()):
+        d = spark.read.parquet(os.path.join(path, rel))
+        for k in sorted(parts):
+            d = d.withColumn(k, F.lit((a.get("partitionValues") or {}).get(k)))
+        dfs.append(d)
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out

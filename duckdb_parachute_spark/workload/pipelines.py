@@ -787,3 +787,65 @@ def stream_acid_versioned_sink(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "src_delta_scan",
+    oracle="""
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem
+    WHERE (l_orderkey < 500 AND l_quantity >= 10)
+       OR (l_orderkey >= 500 AND l_orderkey < 1000)
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def src_delta_scan(spark, sf_dir):
+    """Delta Lake log reader (reference extension/delta, delta_scan table
+    function; public _delta_log JSON format): the query BUILDS a two-commit
+    Delta table from lineitem — v0 adds two files split at l_orderkey=500,
+    v1 DELETEs l_quantity<10 from the first file as remove+add — then scans
+    the latest snapshot. The oracle states the same final predicate over the
+    base table; matching proves add/remove reconstruction, not just parquet
+    reading."""
+    import json
+    import shutil
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    root = _tmp("rt_delta_tbl")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "_delta_log"))
+
+    def part(df, rel):
+        import glob as g
+        import uuid as u
+
+        staging = os.path.join(root, ".s" + u.uuid4().hex)
+        df.coalesce(1).write.parquet(staging)
+        shutil.move(g.glob(os.path.join(staging, "part-*.parquet"))[0], os.path.join(root, rel))
+        shutil.rmtree(staging)
+
+    part(li.where("l_orderkey < 500"), "f1.parquet")
+    part(li.where("l_orderkey >= 500 AND l_orderkey < 1000"), "f2.parquet")
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 1}}) + "\n")
+        for p in ("f1.parquet", "f2.parquet"):
+            f.write(json.dumps({"add": {"path": p, "partitionValues": {}}}) + "\n")
+    part(li.where("l_orderkey < 500 AND l_quantity >= 10"), "f1r.parquet")
+    with open(os.path.join(root, "_delta_log", f"{1:020d}.json"), "w") as f:
+        f.write(json.dumps({"remove": {"path": "f1.parquet"}}) + "\n")
+        f.write(json.dumps({"add": {"path": "f1r.parquet", "partitionValues": {}}}) + "\n")
+
+    from duckdb_parachute_spark.sources import delta_scan
+
+    return (
+        delta_scan(spark, root)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -282,3 +282,76 @@ def test_use_statement_with_attached_db(spark, sf_dir):
     finally:
         spark.catalog.setCurrentDatabase("default")
         sqlx.sql(spark, "DETACH use_db")
+
+
+def _delta_part(spark, df, root, rel):
+    import glob as g
+    import shutil
+    import uuid as u
+
+    tmp = os.path.join(root, ".tmp_" + u.uuid4().hex)
+    df.coalesce(1).write.parquet(tmp)
+    os.makedirs(os.path.dirname(os.path.join(root, rel)) or root, exist_ok=True)
+    shutil.move(g.glob(os.path.join(tmp, "part-*.parquet"))[0], os.path.join(root, rel))
+    shutil.rmtree(tmp)
+
+
+def _delta_commit(root, version, actions):
+    import json
+
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    with open(os.path.join(log, f"{version:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+
+def test_delta_scan_snapshot_and_time_travel(spark, tmp_path):
+    from duckdb_parachute_spark.sources import delta_scan
+
+    root = str(tmp_path / "dl")
+    a = spark.range(0, 10).selectExpr("id", "id * 2 AS v")
+    b = spark.range(10, 15).selectExpr("id", "id * 2 AS v")
+    _delta_part(spark, a, root, "f1.parquet")
+    _delta_part(spark, b, root, "f2.parquet")
+    _delta_commit(root, 0, [
+        {"protocol": {"minReaderVersion": 1}},
+        {"metaData": {"id": "t"}},
+        {"add": {"path": "f1.parquet", "partitionValues": {}, "dataChange": True}},
+        {"add": {"path": "f2.parquet", "partitionValues": {}, "dataChange": True}},
+    ])
+    # v1: rewrite f1 without ids < 5 (a DELETE), classic remove+add
+    a2 = a.where("id >= 5")
+    _delta_part(spark, a2, root, "f1r.parquet")
+    _delta_commit(root, 1, [
+        {"remove": {"path": "f1.parquet", "dataChange": True}},
+        {"add": {"path": "f1r.parquet", "partitionValues": {}, "dataChange": True}},
+    ])
+    assert sorted(r["id"] for r in delta_scan(spark, root).collect()) == list(range(5, 15))
+    assert sorted(r["id"] for r in delta_scan(spark, root, version=0).collect()) == list(range(15))
+    with pytest.raises(FileNotFoundError):
+        delta_scan(spark, root, version=7)
+
+
+def test_delta_scan_partitions_and_guards(spark, tmp_path):
+    from duckdb_parachute_spark.sources import delta_scan
+
+    root = str(tmp_path / "dlp")
+    a = spark.range(3).selectExpr("id")
+    _delta_part(spark, a, root, "y=2020/p1.parquet")
+    _delta_part(spark, a, root, "y=2021/p2.parquet")
+    _delta_commit(root, 0, [
+        {"add": {"path": "y=2020/p1.parquet", "partitionValues": {"y": "2020"}}},
+        {"add": {"path": "y=2021/p2.parquet", "partitionValues": {"y": "2021"}}},
+    ])
+    rows = delta_scan(spark, root).groupBy("y").count().collect()
+    assert {(r["y"], r["count"]) for r in rows} == {("2020", 3), ("2021", 3)}
+    # deletion-vector-era tables are rejected, not misread
+    root2 = str(tmp_path / "dlv")
+    _delta_part(spark, a, root2, "f.parquet")
+    _delta_commit(root2, 0, [
+        {"protocol": {"minReaderVersion": 3}},
+        {"add": {"path": "f.parquet", "partitionValues": {}}},
+    ])
+    with pytest.raises(NotImplementedError, match="deletion"):
+        delta_scan(spark, root2)
