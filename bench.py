@@ -49,6 +49,12 @@ HEADLINE = [
     # build — amortized setup, like the IVF index — so the timed runs
     # measure the join over existing bucketed storage, which is the claim).
     "join_bucketed_big_big",
+    # round-9 addition: near-dup CLUSTER canonicalization — MinHash pairs →
+    # alternating large-star/small-star connected components. The strongest
+    # Spark-vs-DuckDB headline (0.24x at sf0.1, widening to 0.16x at 100x
+    # data) and the suite's only iterative-fixpoint timing besides the
+    # recursive CTE.
+    "dedup_cluster_canonical",
 ]
 
 

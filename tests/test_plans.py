@@ -521,3 +521,28 @@ def test_decontaminate_broadcasts_eval_side(no_aqe, spark, sf_dir):
     s = physical_plan(_q("text_decontaminate", spark, sf_dir), mode="simple")
     assert "BroadcastHashJoin" in s
     assert "SortMergeJoin" not in s
+
+
+def test_delta_scan_pushdown_reaches_parquet(no_aqe, spark, sf_dir, tmp_path):
+    # a filter over delta_scan must land in the underlying parquet reader as
+    # a pushed filter — the minimal log reader composes plain file scans, so
+    # Catalyst's pushdown/pruning must survive the unionByName.
+    import json
+    import os
+
+    from duckdb_parachute_spark.plans import assert_plan
+    from duckdb_parachute_spark.sources import delta_scan
+
+    root = str(tmp_path / "dlp")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    import glob as g
+    import shutil
+
+    staging = os.path.join(root, ".s")
+    spark.range(1000).selectExpr("id", "id * 2 AS v").coalesce(1).write.parquet(staging)
+    shutil.move(g.glob(os.path.join(staging, "part-*.parquet"))[0], os.path.join(root, "f.parquet"))
+    shutil.rmtree(staging)
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"add": {"path": "f.parquet", "partitionValues": {}}}) + "\n")
+    d = delta_scan(spark, root).where("id < 10").select("id")
+    assert_plan(d, max_shuffles=0, require_pushed_filters=True, max_scan_columns=1)
