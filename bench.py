@@ -166,6 +166,9 @@ def main() -> None:
         "tpcds_q44_best_worst_rank",
         "join_positional",
         "sequence_rownumber_ids",
+        # the large-star/small-star fixpoint (and its per-round fingerprint
+        # probes) executes at DataFrame-build time — must run inside the clock
+        "dedup_cluster_canonical",
     }
     timings: dict[str, float] = {}
     for name in names:
@@ -197,7 +200,9 @@ def main() -> None:
     # the claim; both raw and normalized ratios are recorded so the judge
     # sees each.
     ref_calib = {"spark_noop": 0.124, "spark_shuffle": 0.123}
-    duckdb_suite_sec = 4.78 if abs((sf or 0) - 0.1) < 1e-9 else None
+    # 4.78 s = 25-query basis (BASELINE.md r5-r8 additions); +10.71 s for
+    # round 9's dedup_cluster_canonical row (BASELINE.md round-9 addition)
+    duckdb_suite_sec = 15.49 if abs((sf or 0) - 0.1) < 1e-9 else None
     floor_scale = min(1.0, ref_calib["spark_noop"] / max(calib["spark_noop"], 1e-9))
     out = {
         "metric": "suite_wall_clock",
