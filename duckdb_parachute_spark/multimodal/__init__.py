@@ -80,3 +80,46 @@ def frame_sample(decoded: DataFrame, every_nth: int = 2) -> DataFrame:
         decoded.withColumn("frame_idx", F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)))
         .where(F.pmod(F.col("frame_idx"), F.lit(every_nth)) == 0)
     )
+
+
+RESIZED_SCHEMA = (
+    "path string, width int, height int, new_width int, new_height int, resized_fp string"
+)
+
+
+def resize_assets(decoded: DataFrame, max_w: int, max_h: int) -> DataFrame:
+    """Aspect-preserving resize plumbing: fit (width, height) into a
+    (max_w, max_h) box, never upscaling — new = max(1, floor(dim * scale)),
+    scale = min(1, max_w/w, max_h/h), exact double math.
+
+    The PIXEL work is stubbed (this container has no image codecs — same
+    policy as decode_assets): the stand-in emits a deterministic fingerprint
+    md5(path:new_wxnew_h) where a real deployment would emit the resized
+    bytes, registered the same way via register_decoder. Everything
+    Spark-side is real and tested: Arrow-batched mapInPandas, output schema,
+    batch shape, and the fit arithmetic the oracle replays in SQL."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            w = pdf["width"].astype("float64")
+            h = pdf["height"].astype("float64")
+            scale = (max_w / w).clip(upper=1.0).combine(max_h / h, min)
+            nw = (w * scale).apply(lambda x: max(1, int(x)))
+            nh = (h * scale).apply(lambda x: max(1, int(x)))
+            fp = [
+                hashlib.md5(f"{p}:{a}x{b}".encode()).hexdigest()
+                for p, a, b in zip(pdf["path"], nw, nh)
+            ]
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "new_width": nw,
+                    "new_height": nh,
+                    "resized_fp": fp,
+                }
+            )
+
+    return decoded.select("path", "width", "height").mapInPandas(batches, RESIZED_SCHEMA)

@@ -849,3 +849,44 @@ def src_delta_scan(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "mm_resize_fit",
+    oracle="""
+    WITH meta AS (
+        SELECT CAST(doc_id AS VARCHAR) AS path,
+               CAST(16 + (sub % 64) AS INT) AS width,
+               CAST(16 + ((sub // 64) % 64) AS INT) AS height
+        FROM (SELECT doc_id,
+                     list_sum(list_transform(generate_series(1, least(length(text), 64)),
+                                             i -> ascii(substr(text, i, 1)))) AS sub
+              FROM documents WHERE doc_id < 50)
+    ), fit AS (
+        SELECT path, width, height,
+               least(1.0, 32.0 / width, 24.0 / height) AS s
+        FROM meta
+    )
+    SELECT path, width, height,
+           CAST(greatest(1, floor(width * s)) AS INT) AS new_width,
+           CAST(greatest(1, floor(height * s)) AS INT) AS new_height,
+           md5(path || ':' || CAST(CAST(greatest(1, floor(width * s)) AS INT) AS VARCHAR)
+                    || 'x' || CAST(CAST(greatest(1, floor(height * s)) AS INT) AS VARCHAR)) AS resized_fp
+    FROM fit ORDER BY path
+    """,
+)
+def mm_resize_fit(spark, sf_dir):
+    """Resize plumbing (extension goal, the third multimodal stage after
+    decode and frame-sample): aspect-preserving fit into a 32x24 box with
+    exact double math; pixel work stubbed behind a deterministic fingerprint
+    (no codecs in the container), Arrow plumbing real. Oracle replays the
+    fake decoder's metadata arithmetic AND the fit math AND the fingerprint
+    md5 in SQL."""
+    from duckdb_parachute_spark.multimodal import decode_assets, resize_assets
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    assets = d.select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    return resize_assets(decode_assets(assets, "image"), 32, 24).orderBy("path")
