@@ -984,6 +984,34 @@ _USE_RE = re.compile(r"^\s*USE\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
 _SUMMARIZE_RE = re.compile(
     r"^\s*SUMMARIZE\s+(?P<src>\w+|\(.*\))\s*;?\s*$", re.IGNORECASE | re.DOTALL
 )
+#: delta_scan('path'[, version]) table function (reference extension/delta):
+#: each call site binds a temp view over sources.delta_scan and the token is
+#: replaced by the view name — the scan itself stays a pruned parquet read.
+_DELTA_SCAN_RE = re.compile(
+    r"\bdelta_scan\s*\(\s*'(?P<path>[^']+)'\s*(?:,\s*(?P<ver>\d+)\s*)?\)",
+    re.IGNORECASE,
+)
+
+
+def _bind_delta_scans(spark: SparkSession, text: str) -> str:
+    if not _DELTA_SCAN_RE.search(text):
+        return text
+
+    def repl(m: re.Match) -> str:
+        # a call spelled INSIDE a string literal (odd quote count before it)
+        # is text, not a table function
+        if text[: m.start()].count("'") % 2 == 1:
+            return m.group(0)
+        from duckdb_parachute_spark.sources import delta_scan
+
+        ver = int(m["ver"]) if m["ver"] else None
+        name = f"__delta_{abs(hash((m['path'], ver))) % 10**10}"
+        delta_scan(spark, m["path"], version=ver).createOrReplaceTempView(name)
+        return name
+
+    return _DELTA_SCAN_RE.sub(repl, text)
+
+
 #: DESCRIBE <tbl> / DESCRIBE (query) (reference transform_show.cpp →
 #: duckdb_columns): column_name/column_type rows in DuckDB's shape and type
 #: spelling (planning only — the source is probed with LIMIT 0, no job).
@@ -1137,7 +1165,7 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
     pivoted = rewrite_pivot_stmt(spark, text)
     if pivoted is not None:
         return spark.sql(pivoted)
-    return spark.sql(transpile(expand_columns(spark, text)))
+    return spark.sql(transpile(expand_columns(spark, _bind_delta_scans(spark, text))))
 
 
 def run_script(spark: SparkSession, script: str) -> DataFrame | None:

@@ -501,3 +501,26 @@ def test_create_temp_table_materialized_once(spark):
     sqlx.sql(spark, "DROP TABLE IF EXISTS ctt_never")
     with pytest.raises(Exception):
         sqlx.sql(spark, "SELECT * FROM ctt_a").collect()
+
+
+def test_delta_scan_table_function(spark, tmp_path):
+    import json
+    import glob as g
+    import os
+    import shutil
+
+    from duckdb_parachute_spark import sqlx
+
+    root = str(tmp_path / "dsql")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    staging = os.path.join(root, ".s")
+    spark.range(6).selectExpr("id", "id * 3 AS v").coalesce(1).write.parquet(staging)
+    shutil.move(g.glob(os.path.join(staging, "part-*.parquet"))[0], os.path.join(root, "f.parquet"))
+    shutil.rmtree(staging)
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"add": {"path": "f.parquet", "partitionValues": {}}}) + "\n")
+    out = sqlx.sql(spark, f"SELECT sum(v) AS s FROM delta_scan('{root}') WHERE id >= 2")
+    assert out.collect()[0]["s"] == (2 + 3 + 4 + 5) * 3
+    # inside a string literal: text, not a table function
+    lit = sqlx.sql(spark, "SELECT 'see delta_scan(...) docs' AS s").collect()[0]["s"]
+    assert lit == "see delta_scan(...) docs"
