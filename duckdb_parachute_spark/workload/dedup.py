@@ -340,3 +340,43 @@ def dedup_cluster_canonical(spark, sf_dir):
         F.col("node").cast("long").alias("doc_id"),
         F.col("component").cast("long").alias("cluster_id"),
     ).orderBy("doc_id")
+
+
+# The actual DEDUP output: keep each cluster's canonical doc (its min id)
+# plus every doc that never entered a candidate pair — corpus minus dropped
+# near-dups. Completes pairs → clusters → survivors.
+_KEEP_ORACLE = _CLUSTER_ORACLE.replace(
+    """SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(comp) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id""",
+    """SELECT CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM (
+    SELECT d.doc_id,
+           CASE WHEN cc.doc_id IS NULL THEN TRUE ELSE cc.cluster_id = d.doc_id END AS keep
+    FROM documents d
+    LEFT JOIN (SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY node) cc
+      ON cc.doc_id = d.doc_id
+)""",
+)
+
+
+@query("dedup_keep_canonical", oracle=_KEEP_ORACLE)
+def dedup_keep_canonical(spark, sf_dir):
+    """End-to-end near-dup dedup: MinHash pairs → connected components →
+    keep one canonical doc (the cluster min) per cluster, keep all docs
+    outside any pair. Returns the kept/dropped counts (the corpus-level
+    contract a 100 TB dedup job reports). The drop set is an anti-join of
+    the corpus against the non-canonical cluster members — broadcastable
+    when the near-dup fraction is small, shuffle-safe otherwise."""
+    from duckdb_parachute_spark.dedup.components import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", num_perm=12, bands=4, shingle_k=3)
+    cc = connected_components(pairs, "id1", "id2")
+    dropped = cc.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = d.join(dropped, "doc_id", "left_anti")
+    return kept.agg(F.count(F.lit(1)).alias("n_kept")).crossJoin(
+        dropped.agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
