@@ -1004,8 +1004,12 @@ def _bind_delta_scans(spark: SparkSession, text: str) -> str:
             return m.group(0)
         from duckdb_parachute_spark.sources import delta_scan
 
+        import hashlib
+
         ver = int(m["ver"]) if m["ver"] else None
-        name = f"__delta_{abs(hash((m['path'], ver))) % 10**10}"
+        # md5, not hash(): Python's hash is salted per process, which would
+        # mint a fresh view name for the same table every session
+        name = f"__delta_{hashlib.md5(f'{m['path']}@{ver}'.encode()).hexdigest()[:10]}"
         delta_scan(spark, m["path"], version=ver).createOrReplaceTempView(name)
         return name
 
