@@ -1009,7 +1009,8 @@ def _bind_delta_scans(spark: SparkSession, text: str) -> str:
         ver = int(m["ver"]) if m["ver"] else None
         # md5, not hash(): Python's hash is salted per process, which would
         # mint a fresh view name for the same table every session
-        name = f"__delta_{hashlib.md5(f'{m['path']}@{ver}'.encode()).hexdigest()[:10]}"
+        key = f"{m['path']}@{ver}"
+        name = "__delta_" + hashlib.md5(key.encode()).hexdigest()[:10]
         delta_scan(spark, m["path"], version=ver).createOrReplaceTempView(name)
         return name
 
