@@ -1040,6 +1040,15 @@ _DROP_TABLE_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?P<ife>IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
+#: INSERT INTO <temp table> (reference transform_insert.cpp): Spark can't
+#: insert into a temp view, so the handler unions the new rows into the
+#: materialized snapshot and re-registers — same one-materialization
+#: discipline as CREATE TEMP TABLE. Appends to CATALOG tables fall through
+#: to native Spark SQL.
+_INSERT_TEMP_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<name>\w+)\s+(?P<stmt>(?:SELECT|VALUES|FROM|WITH)\b.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def sql(spark: SparkSession, text: str) -> DataFrame:
@@ -1121,6 +1130,24 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
         if m["ife"]:
             return spark.sql(f"DROP TABLE IF EXISTS {m['name']}")
         return spark.sql(f"DROP TABLE {m['name']}")
+    m = _INSERT_TEMP_RE.match(text)
+    if m:
+        name = m["name"]
+        is_temp = any(
+            v.name.lower() == name.lower() and v.isTemporary
+            for v in spark.catalog.listTables()
+        )
+        if not is_temp:
+            return spark.sql(transpile(text))  # catalog table: native INSERT
+        stmt = m["stmt"]
+        if stmt.strip().upper().startswith("VALUES"):
+            stmt = f"SELECT * FROM ({stmt})"
+        rows = sql(spark, stmt)
+        merged = spark.table(name).unionByName(
+            rows.toDF(*spark.table(name).columns), allowMissingColumns=False
+        )
+        merged.localCheckpoint(eager=False).createOrReplaceTempView(name)
+        return spark.createDataFrame([(name,)], "inserted string")
     m = _CREATE_MACRO_RE.match(text)
     if m:
         params = [p.strip() for p in m["params"].split(",") if p.strip()]

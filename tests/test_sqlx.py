@@ -524,3 +524,20 @@ def test_delta_scan_table_function(spark, tmp_path):
     # inside a string literal: text, not a table function
     lit = sqlx.sql(spark, "SELECT 'see delta_scan(...) docs' AS s").collect()[0]["s"]
     assert lit == "see delta_scan(...) docs"
+
+
+def test_insert_into_temp_table(spark):
+    from duckdb_parachute_spark import sqlx
+
+    out = sqlx.run_script(
+        spark,
+        """
+        CREATE OR REPLACE TEMP TABLE itt AS SELECT 1 AS x;
+        INSERT INTO itt SELECT 2;
+        INSERT INTO itt VALUES (3), (4);
+        SELECT sum(x) AS s, count(*) AS n FROM itt;
+        """,
+    )
+    r = out.collect()[0]
+    assert (r["s"], r["n"]) == (10, 4)
+    sqlx.sql(spark, "DROP TABLE itt")
