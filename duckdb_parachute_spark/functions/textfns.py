@@ -125,7 +125,11 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
     ("card", r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b", "<CARD>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    ("phone", r"\+?\d{1,2}[ .-]?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b", "<PHONE>"),
+    # the digit-start branch needs its own \b (RE2 has no lookbehind, and a
+    # bare \+? permits matches starting mid-digit-run — '...789012345' would
+    # lose a 12-digit tail to <PHONE>); '+' can't occur inside a digit run,
+    # so the plus-branch needs no guard
+    ("phone", r"(?:\+\d{1,2}|\b\d{1,2})[ .-]?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b", "<PHONE>"),
 ]
 
 

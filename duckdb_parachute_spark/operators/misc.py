@@ -133,31 +133,38 @@ def stratified_sample(
     c = F.col(key) if isinstance(key, str) else key
     h = F.md5(F.concat_ws("|", F.lit(str(seed)), c.cast("string")))
     hfrac = F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
-    tot = df.groupBy(strata).agg(F.count(F.lit(1)).alias("__n"))
+    # every stratum join below is NULL-SAFE (eqNullSafe): a NULL stratum is a
+    # real partition — the single-window oracle semantics keep up to k rows
+    # for it, so an equi-join (NULL never matches) would silently drop the
+    # whole group
+    tot = df.groupBy(strata).agg(F.count(F.lit(1)).alias("__n")).withColumnRenamed(
+        strata, "__sk"
+    )
     d = (
         df.withColumn("__h", h)
         .withColumn("__hk", c.cast("string"))
         .withColumn("__hf", hfrac)
-        .join(F.broadcast(tot), strata)
+        .join(F.broadcast(tot), F.col(strata).eqNullSafe(F.col("__sk")))
     )
     thresh = F.least(F.lit(1.0), (F.lit(float(oversample * k + 32))) / F.col("__n"))
     gated = d.where(F.col("__hf") < thresh)
     short = (
         gated.groupBy(strata)
         .agg(F.count(F.lit(1)).alias("__g"))
-        .join(tot, strata, "right")
+        .withColumnRenamed(strata, "__gk")
+        .join(tot, F.col("__gk").eqNullSafe(F.col("__sk")), "right")
         .where(F.coalesce(F.col("__g"), F.lit(0)) < F.least(F.lit(k), F.col("__n")))
-        .select(strata)
+        .select(F.col("__sk").alias("__fbk"))
         .withColumn("__fb", F.lit(True))
     )
-    pool = d.join(F.broadcast(short), strata, "left").where(
-        (F.col("__hf") < thresh) | F.col("__fb").isNotNull()
-    )
+    pool = d.join(
+        F.broadcast(short), F.col(strata).eqNullSafe(F.col("__fbk")), "left"
+    ).where((F.col("__hf") < thresh) | F.col("__fb").isNotNull())
     w = Window.partitionBy(strata).orderBy("__h", "__hk")
     return (
         pool.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
-        .drop("__h", "__hk", "__hf", "__n", "__fb", "__rn")
+        .drop("__h", "__hk", "__hf", "__n", "__sk", "__fbk", "__fb", "__rn")
     )
 
 

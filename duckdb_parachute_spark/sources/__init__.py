@@ -349,18 +349,28 @@ def delta_scan(
 
     from pyspark.sql import functions as F
 
+    import re as _re
+
     log_dir = os.path.join(path, "_delta_log")
-    commits = sorted(_glob.glob(os.path.join(log_dir, "*.json")))
-    if not commits:
+    # plain commits only: compaction files (N.M.compacted.json) and v2
+    # checkpoint sidecars (...checkpoint.<uuid>.json) share the .json suffix
+    # but are NOT version commits — filter by the 20-digit stem instead of
+    # crashing in int()
+    versions = {
+        int(os.path.basename(p)[:-5]): p
+        for p in _glob.glob(os.path.join(log_dir, "*.json"))
+        if _re.fullmatch(r"\d{20}", os.path.basename(p)[:-5])
+    }
+    if not versions:
         raise FileNotFoundError(f"no Delta commits under {log_dir}")
-    versions = {int(os.path.basename(p)[:-5]): p for p in commits}
     top = max(versions) if version is None else version
     if top not in versions:
         raise FileNotFoundError(f"version {top} not in {sorted(versions)}")
-    if 0 not in versions:
+    missing = [v for v in range(top + 1) if v not in versions]
+    if missing:
         raise NotImplementedError(
-            "log starts past version 0 (checkpoint-compacted); only full "
-            "JSON logs are supported"
+            f"log is missing commits {missing[:5]}{'…' if len(missing) > 5 else ''} "
+            "(checkpoint-compacted); only full JSON logs are supported"
         )
     active: dict[str, dict] = {}
     for v in range(top + 1):
@@ -380,14 +390,23 @@ def delta_scan(
                     active.pop(act["remove"]["path"], None)
     if not active:
         raise ValueError(f"Delta table at version {top} has no data files")
-    parts = {k for a in active.values() for k in (a.get("partitionValues") or {})}
-    dfs = []
+    # ONE scan per distinct partition-value tuple, not per file: a table with
+    # thousands of active files must not produce thousands of FileScan nodes
+    # chained through unionByName (O(files) analysis time, stack-deep plans).
+    # Unpartitioned tables collapse to a single multi-path parquet read.
+    parts = sorted({k for a in active.values() for k in (a.get("partitionValues") or {})})
+    groups: dict[tuple, list[str]] = {}
     for rel, a in sorted(active.items()):
-        d = spark.read.parquet(os.path.join(path, rel))
-        for k in sorted(parts):
-            d = d.withColumn(k, F.lit((a.get("partitionValues") or {}).get(k)))
-        dfs.append(d)
-    out = dfs[0]
-    for d in dfs[1:]:
-        out = out.unionByName(d)
+        pv = a.get("partitionValues") or {}
+        groups.setdefault(tuple(pv.get(k) for k in parts), []).append(
+            os.path.join(path, rel)
+        )
+    out = None
+    for pv, paths in sorted(
+        groups.items(), key=lambda kv: tuple("" if x is None else x for x in kv[0])
+    ):
+        d = spark.read.parquet(*paths)
+        for k, v in zip(parts, pv):
+            d = d.withColumn(k, F.lit(v))
+        out = d if out is None else out.unionByName(d)
     return out

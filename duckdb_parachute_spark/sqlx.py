@@ -1046,7 +1046,8 @@ _DROP_TABLE_RE = re.compile(
 #: discipline as CREATE TEMP TABLE. Appends to CATALOG tables fall through
 #: to native Spark SQL.
 _INSERT_TEMP_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+(?P<name>\w+)\s+(?P<stmt>(?:SELECT|VALUES|FROM|WITH)\b.+?)\s*;?\s*$",
+    r"^\s*INSERT\s+INTO\s+(?P<name>\w+)\s*(?:\(\s*(?P<cols>[\w\s,]+?)\s*\)\s*)?"
+    r"(?P<stmt>(?:SELECT|VALUES|FROM|WITH)\b.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -1058,7 +1059,12 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
     transform_attach — mapped to sources.attach_database: a directory of
     parquet tables bound under a catalog namespace, queryable as name.tbl)
     and PIVOT/UNPIVOT (rewrite_pivot_stmt). Everything else goes through
-    the token/star rewrites."""
+    the token/star rewrites.
+
+    delta_scan() binds FIRST, before statement dispatch: the calls become
+    plain view names, so they work inside INSERT bodies, PIVOT sources,
+    COPY subqueries, and SUMMARIZE alike — not just bare SELECTs."""
+    text = _bind_delta_scans(spark, text)
     m = _COPY_RE.match(text)
     if m:
         from duckdb_parachute_spark.sources import copy_to
@@ -1138,14 +1144,35 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
             for v in spark.catalog.listTables()
         )
         if not is_temp:
-            return spark.sql(transpile(text))  # catalog table: native INSERT
+            # catalog table: native INSERT, still through the dialect rewrites
+            return spark.sql(transpile(expand_columns(spark, text)))
+        from pyspark.sql import functions as F
+
         stmt = m["stmt"]
         if stmt.strip().upper().startswith("VALUES"):
             stmt = f"SELECT * FROM ({stmt})"
         rows = sql(spark, stmt)
-        merged = spark.table(name).unionByName(
-            rows.toDF(*spark.table(name).columns), allowMissingColumns=False
-        )
+        tbl = spark.table(name)
+        if m["cols"]:
+            # explicit column list: name the incoming columns, NULL-fill the
+            # rest in table order (DuckDB's INSERT column-list semantics)
+            cols = [c.strip() for c in m["cols"].split(",") if c.strip()]
+            if len(rows.columns) != len(cols):
+                raise ValueError(
+                    f"INSERT INTO {name} ({', '.join(cols)}): query returns "
+                    f"{len(rows.columns)} columns, expected {len(cols)}"
+                )
+            rows = rows.toDF(*cols)
+            types = dict(tbl.dtypes)
+            rows = rows.select(
+                *[
+                    F.col(c) if c in cols else F.lit(None).cast(types[c]).alias(c)
+                    for c in tbl.columns
+                ]
+            )
+        else:
+            rows = rows.toDF(*tbl.columns)
+        merged = tbl.unionByName(rows, allowMissingColumns=False)
         merged.localCheckpoint(eager=False).createOrReplaceTempView(name)
         return spark.createDataFrame([(name,)], "inserted string")
     m = _CREATE_MACRO_RE.match(text)
@@ -1197,7 +1224,7 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
     pivoted = rewrite_pivot_stmt(spark, text)
     if pivoted is not None:
         return spark.sql(pivoted)
-    return spark.sql(transpile(expand_columns(spark, _bind_delta_scans(spark, text))))
+    return spark.sql(transpile(expand_columns(spark, text)))
 
 
 def run_script(spark: SparkSession, script: str) -> DataFrame | None:

@@ -454,17 +454,23 @@ def dialect_temp_table(spark, sf_dir):
     matching DuckDB's temp-table behavior. Script chains creation and the
     consuming aggregate through run_script."""
     _views(spark, sf_dir, "orders")
-    return sqlx.run_script(
-        spark,
-        """
-        CREATE OR REPLACE TEMP TABLE big_orders_tt AS
-            SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 150000;
-        SELECT o_custkey, count(*) AS n,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        FROM big_orders_tt
-        GROUP BY o_custkey HAVING count(*) >= 2 ORDER BY o_custkey;
-        """,
-    )
+    try:
+        return sqlx.run_script(
+            spark,
+            """
+            CREATE OR REPLACE TEMP TABLE big_orders_tt AS
+                SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 150000;
+            SELECT o_custkey, count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM big_orders_tt
+            GROUP BY o_custkey HAVING count(*) >= 2 ORDER BY o_custkey;
+            """,
+        )
+    finally:
+        # the returned plan is already resolved against the snapshot, so
+        # dropping the NAME here is safe — and keeps the shared session's
+        # namespace clean (same hygiene as dialect_create_macro's DROPs)
+        sqlx.sql(spark, "DROP TABLE IF EXISTS big_orders_tt")
 
 
 @query(

@@ -314,8 +314,8 @@ WITH aug AS (
     SELECT doc_id, n_email, n_card, n_ssn, len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
            regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t FROM s3
 ), s5 AS (
-    SELECT doc_id, n_email, n_card, n_ssn, n_ip, len(regexp_extract_all(t, '\+?\d{1,2}[ .-]?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b')) AS n_phone,
-           regexp_replace(t, '\+?\d{1,2}[ .-]?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b', '<PHONE>', 'g') AS t FROM s4
+    SELECT doc_id, n_email, n_card, n_ssn, n_ip, len(regexp_extract_all(t, '(?:\+\d{1,2}|\b\d{1,2})[ .-]?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b')) AS n_phone,
+           regexp_replace(t, '(?:\+\d{1,2}|\b\d{1,2})[ .-]?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b', '<PHONE>', 'g') AS t FROM s4
 )
 SELECT doc_id, n_email, n_card, n_ssn, n_ip, n_phone, t AS clean_text
 FROM s5 ORDER BY doc_id

@@ -679,3 +679,33 @@ def test_stratified_sample_exact_and_fallback(spark):
     # deterministic across invocations
     again = {(r["id"], r["s"]) for r in stratified_sample(df, "s", 5, "id").collect()}
     assert again == {(r["id"], r["s"]) for r in out}
+
+
+def test_stratified_sample_null_stratum_kept(spark):
+    # review finding: NULL strata were dropped by the equi-joins; they're a
+    # real partition under the single-window oracle semantics
+    from pyspark.sql import functions as F
+
+    from duckdb_parachute_spark.operators.misc import stratified_sample
+
+    df = spark.range(100).select(
+        "id", F.when(F.col("id") % 3 == 0, None).otherwise(F.lit("a")).alias("s")
+    )
+    out = stratified_sample(df, "s", 4, "id").collect()
+    by_s = {}
+    for r in out:
+        by_s.setdefault(r["s"], []).append(r["id"])
+    assert len(by_s[None]) == 4 and len(by_s["a"]) == 4
+
+
+def test_pii_scrub_digit_runs_not_mangled(spark):
+    # review finding: phone pattern without a leading \b ate 12-digit
+    # suffixes of longer digit runs (order ids, timestamps)
+    from duckdb_parachute_spark.functions.textfns import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "order id 123456789012345 at 20260814120000 ok")], "id long, t string"
+    )
+    r = pii_scrub(df, "t").collect()[0]
+    assert r["clean_text"] == "order id 123456789012345 at 20260814120000 ok"
+    assert r["n_phone"] == 0

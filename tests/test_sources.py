@@ -355,3 +355,23 @@ def test_delta_scan_partitions_and_guards(spark, tmp_path):
     ])
     with pytest.raises(NotImplementedError, match="deletion"):
         delta_scan(spark, root2)
+
+
+def test_delta_scan_tolerates_compaction_sidecars(spark, tmp_path):
+    # review finding: compaction/v2-checkpoint .json files crashed int();
+    # they must be ignored (plain commits alongside stay readable), and a
+    # genuinely MISSING commit must raise the documented NotImplementedError
+    from duckdb_parachute_spark.sources import delta_scan
+
+    root = str(tmp_path / "dlc")
+    a = spark.range(4).selectExpr("id")
+    _delta_part(spark, a, root, "f.parquet")
+    _delta_commit(root, 0, [{"add": {"path": "f.parquet", "partitionValues": {}}}])
+    log = os.path.join(root, "_delta_log")
+    open(os.path.join(log, "00000000000000000000.00000000000000000009.compacted.json"), "w").write("{}")
+    open(os.path.join(log, "00000000000000000001.checkpoint.0000000001.json"), "w").write("{}")
+    assert delta_scan(spark, root).count() == 4
+    # gap: version 1 missing but version 2 present
+    _delta_commit(root, 2, [{"add": {"path": "f.parquet", "partitionValues": {}}}])
+    with pytest.raises(NotImplementedError, match="missing commits"):
+        delta_scan(spark, root)

@@ -541,3 +541,22 @@ def test_insert_into_temp_table(spark):
     r = out.collect()[0]
     assert (r["s"], r["n"]) == (10, 4)
     sqlx.sql(spark, "DROP TABLE itt")
+
+
+def test_insert_into_temp_table_column_list(spark):
+    from duckdb_parachute_spark import sqlx
+
+    out = sqlx.run_script(
+        spark,
+        """
+        CREATE OR REPLACE TEMP TABLE itc AS SELECT 1 AS x, 'a' AS s;
+        INSERT INTO itc (x) VALUES (2);
+        INSERT INTO itc (s, x) SELECT 'c', 3;
+        SELECT x, s FROM itc ORDER BY x;
+        """,
+    )
+    rows = [(r["x"], r["s"]) for r in out.collect()]
+    assert rows == [(1, "a"), (2, None), (3, "c")]
+    with pytest.raises(ValueError, match="expected 1"):
+        sqlx.sql(spark, "INSERT INTO itc (x) VALUES (4, 5)")
+    sqlx.sql(spark, "DROP TABLE itc")
