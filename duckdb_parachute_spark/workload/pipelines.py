@@ -890,3 +890,46 @@ def mm_resize_fit(spark, sf_dir):
         F.encode("text", "utf-8").alias("content"),
     )
     return resize_assets(decode_assets(assets, "image"), 32, 24).orderBy("path")
+
+
+@query(
+    "stream_quality_filter",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(length(text) AS BIGINT) AS n_char
+    FROM documents
+    WHERE length(text) >= 100 AND len(string_split(trim(text), ' ')) >= 20
+      AND lang IN ('en', 'de')
+    """,
+)
+def stream_quality_filter(spark, sf_dir):
+    """Streaming ingest-time quality gate (the LLM-pipeline shape: filter at
+    arrival, never land junk): a file-source stream over the documents
+    parquet, the C4-style length/token gate plus a language allowlist as one
+    codegen'd streaming projection, AvailableNow into a memory sink. Over
+    one backlog the survivor set equals the batch filter — the oracle."""
+    from duckdb_parachute_spark.catalog import load_table as _lt
+
+    schema = _lt(spark, sf_dir, "documents").schema
+    # file-source streams need a DIRECTORY; the testdata table may be a
+    # single parquet file — watch its parent with a glob filter (same
+    # handling as streaming.read_event_stream) — or already a directory
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(f"{sf_dir}/documents.parquet"):
+        src = reader.parquet(f"{sf_dir}/documents.parquet")
+    else:
+        src = reader.option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
+    gated = src.where(
+        (F.length("text") >= 100)
+        & (F.size(F.split(F.trim(F.col("text")), " ")) >= 20)
+        & F.col("lang").isin("en", "de")
+    ).select("doc_id", "lang", F.length("text").cast("bigint").alias("n_char"))
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("q_stream_quality")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("q_stream_quality")
