@@ -505,3 +505,36 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(df, "a", "b").collect()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),
+            st.sampled_from(["a", "b", "c", None]),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_stratified_sample_matches_window_definition(spark, rows, k):
+    """Gate-prefiltered stratified_sample == the plain single-window top-k
+    per stratum (the oracle semantics), for random sizes, NULL strata, and
+    varying k — including strata smaller than k (fallback path)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from duckdb_parachute_spark.operators.misc import stratified_sample
+
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {(r["id"], r["s"]) for r in stratified_sample(df, "s", k, "id").collect()}
+    h = F.md5(F.concat_ws("|", F.lit("42"), F.col("id").cast("string")))
+    w = Window.partitionBy("s").orderBy(h, F.col("id").cast("string"))
+    want = {
+        (r["id"], r["s"])
+        for r in df.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).collect()
+    }
+    assert got == want
