@@ -545,6 +545,45 @@ def rewrite_trailing_commas(sql: str) -> str:
     return _TRAILING_COMMA_RE.sub(lambda m: f"{m.group(1)}{m.group(2)}", sql)
 
 
+_SIMILAR_RE = re.compile(
+    r"(?P<neg>\bNOT\s+)?\bSIMILAR\s+TO\s+(?P<ph>\x00\d+\x00)", re.IGNORECASE
+)
+#: order matters: the longer operators strictly first
+_TILDE_RE = re.compile(r"(?P<op>!~~|~~|!~|~)\s*(?P<ph>\x00\d+\x00)")
+
+
+def rewrite_regex_ops(sql: str, _parts: list[str] | None = None) -> str:
+    """DuckDB regex/LIKE operators → Spark spellings (reference
+    src/parser/transform/expression/transform_operator.cpp: ``SIMILAR TO``
+    and ``~`` bind to regexp_full_match, ``!~`` its negation, ``~~``/``!~~``
+    to (NOT) LIKE; verified full-match on duckdb 1.0: 'abcd' ~ 'b.d' is
+    FALSE). Spark's RLIKE is a PARTIAL match, so the pattern literal is
+    re-wrapped as ^(?:pat)$ — a new masked literal, since patterns are
+    already stashed when token rewrites run."""
+    if _parts is None:
+        return sql
+
+    def anchored(ph: str) -> str:
+        inner = _parts[int(ph[1:-1])][1:-1]
+        _parts.append("'^(?:" + inner + ")$'")
+        return f"\x00{len(_parts) - 1}\x00"
+
+    sql = _SIMILAR_RE.sub(
+        lambda m: ("NOT RLIKE " if m["neg"] else "RLIKE ") + anchored(m["ph"]), sql
+    )
+
+    def tilde(m: re.Match) -> str:
+        op = m["op"]
+        if op == "~~":
+            return f"LIKE {m['ph']}"
+        if op == "!~~":
+            return f"NOT LIKE {m['ph']}"
+        kw = "NOT RLIKE" if op == "!~" else "RLIKE"
+        return f"{kw} {anchored(m['ph'])}"
+
+    return _TILDE_RE.sub(tilde, sql)
+
+
 REWRITES = [
     rewrite_from_first,
     rewrite_trailing_commas,
@@ -558,6 +597,7 @@ REWRITES = [
     rewrite_list_fns,
     rewrite_intdiv,
     rewrite_sample,
+    rewrite_regex_ops,
 ]
 
 
@@ -606,7 +646,7 @@ def transpile(sql: str) -> str:
         # expansion just introduced so the rewrites stay literal-blind
         masked = _LIT_RE.sub(stash, _expand_macros(masked))
     for rw in REWRITES:
-        if rw is rewrite_json_arrows:
+        if rw is rewrite_json_arrows or rw is rewrite_regex_ops:
             masked = rw(masked, _parts=parts)
         else:
             masked = rw(masked)

@@ -491,3 +491,24 @@ def dialect_describe(spark, sf_dir):
         .withColumnRenamed("null", "nullable")
         .orderBy("column_name")
     )
+
+
+_REGEX_OPS_SQL = """
+SELECT o_orderkey,
+       o_orderpriority SIMILAR TO '[0-9]-(URGENT|HIGH)' AS is_hot,
+       o_orderpriority ~ '.*MEDIUM.*' AS is_med,
+       o_orderstatus !~ '[FP]+' AS not_fp,
+       o_orderpriority ~~ '%LOW%' AS is_low
+FROM orders WHERE o_orderkey < 400
+"""
+
+
+@query("dialect_regex_ops", oracle=_REGEX_OPS_SQL)
+def dialect_regex_ops(spark, sf_dir):
+    """SIMILAR TO / ~ / !~ / ~~ operators (reference
+    transform_operator.cpp: regexp_full_match and (NOT) LIKE aliases).
+    Spark's RLIKE is partial-match, so sqlx re-anchors the pattern literal
+    as ^(?:pat)$ — the same DuckDB SQL is the oracle, the strongest
+    transpile check."""
+    _views(spark, sf_dir, "orders")
+    return sqlx.sql(spark, _REGEX_OPS_SQL)

@@ -560,3 +560,29 @@ def test_insert_into_temp_table_column_list(spark):
     with pytest.raises(ValueError, match="expected 1"):
         sqlx.sql(spark, "INSERT INTO itc (x) VALUES (4, 5)")
     sqlx.sql(spark, "DROP TABLE itc")
+
+
+def test_regex_operators():
+    assert transpile("SELECT a SIMILAR TO 'x.y' FROM t") == "SELECT a RLIKE '^(?:x.y)$' FROM t"
+    assert transpile("SELECT a NOT SIMILAR TO 'p' FROM t") == "SELECT a NOT RLIKE '^(?:p)$' FROM t"
+    assert transpile("WHERE s ~ 'a+b'") == "WHERE s RLIKE '^(?:a+b)$'"
+    assert transpile("WHERE s !~ 'a+b'") == "WHERE s NOT RLIKE '^(?:a+b)$'"
+    assert transpile("WHERE s ~~ 'a%'") == "WHERE s LIKE 'a%'"
+    assert transpile("WHERE s !~~ 'a%'") == "WHERE s NOT LIKE 'a%'"
+    # inert inside literals; -> arrow unaffected
+    assert transpile("SELECT 'x ~ y' AS s") == "SELECT 'x ~ y' AS s"
+
+
+def test_regex_operators_live(spark):
+    from duckdb_parachute_spark import sqlx
+
+    r = sqlx.sql(
+        spark,
+        "SELECT 'abc' SIMILAR TO 'a.c' AS a, 'abcd' SIMILAR TO 'a.c' AS b, "
+        "'abc' ~ 'a.c' AS c, 'abcd' ~ 'b.d' AS d, 'abcd' !~ 'xyz' AS e, "
+        "'abc' ~~ 'a%' AS f",
+    ).collect()[0]
+    # pinned against duckdb 1.0 results for the same row
+    assert (r["a"], r["b"], r["c"], r["d"], r["e"], r["f"]) == (
+        True, False, True, False, True, True,
+    )
