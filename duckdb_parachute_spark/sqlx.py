@@ -1057,6 +1057,51 @@ def _bind_delta_scans(spark: SparkSession, text: str) -> str:
     return _DELTA_SCAN_RE.sub(repl, text)
 
 
+#: UNION [ALL] BY NAME (reference transform_setop.cpp setop_all /
+#: by_name): Spark SQL has no BY NAME spelling — the segments run
+#: independently and fold through unionByName(allowMissingColumns=True),
+#: DuckDB's fill-missing-with-NULL semantics. A trailing depth-0
+#: ORDER BY / LIMIT applies to the whole union.
+_UNION_BY_NAME_RE = re.compile(r"\bUNION\s+(?P<all>ALL\s+)?BY\s+NAME\b", re.IGNORECASE)
+_TRAIL_RE = re.compile(r"\b(ORDER\s+BY|LIMIT)\b", re.IGNORECASE)
+
+
+def _union_by_name(spark: SparkSession, text: str) -> DataFrame | None:
+    masked, parts = _mask_literals(text)
+    hits = []
+    pos = 0
+    while True:
+        m = _search_depth0(_UNION_BY_NAME_RE, masked, pos)
+        if not m:
+            break
+        hits.append(m)
+        pos = m.end()
+    if not hits:
+        return None
+    segments, alls, last = [], [], 0
+    for m in hits:
+        segments.append(masked[last : m.start()])
+        alls.append(bool(m["all"]))
+        last = m.end()
+    tail_m = _search_depth0(_TRAIL_RE, masked, last)
+    trailer = ""
+    if tail_m:
+        trailer = _unmask(masked[tail_m.start() :], parts)
+        segments.append(masked[last : tail_m.start()])
+    else:
+        segments.append(masked[last:])
+    out = None
+    for seg in segments:
+        d = sql(spark, _unmask(seg, parts).strip())
+        out = d if out is None else out.unionByName(d, allowMissingColumns=True)
+    if not all(alls):
+        out = out.dropDuplicates()  # plain UNION dedups after name alignment
+    if trailer:
+        out.createOrReplaceTempView("__ubn_result")
+        return spark.sql(f"SELECT * FROM __ubn_result {trailer}")
+    return out
+
+
 #: DESCRIBE <tbl> / DESCRIBE (query) (reference transform_show.cpp →
 #: duckdb_columns): column_name/column_type rows in DuckDB's shape and type
 #: spelling (planning only — the source is probed with LIMIT 0, no job).
@@ -1264,6 +1309,9 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
     pivoted = rewrite_pivot_stmt(spark, text)
     if pivoted is not None:
         return spark.sql(pivoted)
+    ubn = _union_by_name(spark, text)
+    if ubn is not None:
+        return ubn
     return spark.sql(transpile(expand_columns(spark, text)))
 
 

@@ -512,3 +512,24 @@ def dialect_regex_ops(spark, sf_dir):
     transpile check."""
     _views(spark, sf_dir, "orders")
     return sqlx.sql(spark, _REGEX_OPS_SQL)
+
+
+_UBN_SQL = """
+SELECT n_regionkey AS region, CAST(count(*) AS BIGINT) AS nations
+FROM nation GROUP BY n_regionkey
+UNION ALL BY NAME
+SELECT CAST(count(*) AS BIGINT) AS nations, r_regionkey AS region, r_name AS rname
+FROM region JOIN nation ON r_regionkey = n_regionkey GROUP BY r_regionkey, r_name
+ORDER BY region, nations, rname
+"""
+
+
+@query("dialect_union_by_name", oracle=_UBN_SQL)
+def dialect_union_by_name(spark, sf_dir):
+    """UNION ALL BY NAME (reference transform_setop.cpp by_name): columns
+    align by NAME across differently-shaped sides, missing columns fill
+    NULL; Spark has no SQL spelling, so sqlx folds the segments through
+    unionByName(allowMissingColumns=True) and applies the trailing ORDER BY
+    to the union."""
+    _views(spark, sf_dir, "nation", "region")
+    return sqlx.sql(spark, _UBN_SQL)

@@ -586,3 +586,22 @@ def test_regex_operators_live(spark):
     assert (r["a"], r["b"], r["c"], r["d"], r["e"], r["f"]) == (
         True, False, True, False, True, True,
     )
+
+
+def test_union_by_name(spark):
+    from duckdb_parachute_spark import sqlx
+
+    rows = sqlx.sql(
+        spark,
+        "SELECT 1 AS a, 2 AS b UNION ALL BY NAME SELECT 3 AS b, 4 AS c ORDER BY b",
+    ).collect()
+    assert [(r["a"], r["b"], r["c"]) for r in rows] == [(1, 2, None), (None, 3, 4)]
+    # plain (non-ALL) BY NAME dedups
+    rows = sqlx.sql(
+        spark,
+        "SELECT 1 AS a UNION BY NAME SELECT 1 AS a UNION BY NAME SELECT 2 AS a",
+    ).collect()
+    assert sorted(r["a"] for r in rows) == [1, 2]
+    # literal containing the keywords is inert
+    lit = sqlx.sql(spark, "SELECT 'x UNION BY NAME y' AS s").collect()[0]["s"]
+    assert lit == "x UNION BY NAME y"
