@@ -584,6 +584,63 @@ def rewrite_regex_ops(sql: str, _parts: list[str] | None = None) -> str:
     return _TILDE_RE.sub(tilde, sql)
 
 
+_POW_TOK_RE = re.compile(r"\*\*|\^")
+_BIN_BEFORE = set("+-*/%<>=,(")  # a '-' after these is UNARY
+
+
+def rewrite_power(sql: str) -> str:
+    """DuckDB's power operators ``^`` and ``**`` → power(l, r) (reference
+    transform_operator.cpp: ``^`` binds to pow). SILENT-WRONG-ANSWER trap:
+    Spark's ``^`` is bitwise XOR, so 2^3 would be 1, not 8, without this.
+    Pinned against duckdb 1.0: left-associative (2^3^2 = 64), tighter than
+    ``+`` (2+3^2 = 11), and unary minus binds tighter still (-2^2 = 4) — so
+    a unary ``-`` is pulled INTO the left operand. DuckDB's XOR is the
+    xor() function, never ``^``, so this rewrite loses nothing."""
+    while True:
+        m = _POW_TOK_RE.search(sql)
+        if not m:
+            return sql
+        k = m.start()
+        while k > 0 and sql[k - 1].isspace():
+            k -= 1
+        lstart = _operand_start(sql, k)
+        j = lstart
+        while j > 0 and sql[j - 1].isspace():
+            j -= 1
+        if j > 0 and sql[j - 1] == "-":
+            jj = j - 1
+            while jj > 0 and sql[jj - 1].isspace():
+                jj -= 1
+            # unary when preceded by nothing, an operator/paren/comma, or a
+            # KEYWORD (SELECT -2^2, WHERE x = -2^2 AND -2^2 < y); an
+            # identifier/number/')' before the '-' means binary subtraction
+            unary = jj == 0 or sql[jj - 1] in _BIN_BEFORE
+            if not unary and (sql[jj - 1].isalpha() or sql[jj - 1] == "_"):
+                w = jj
+                while w > 0 and (sql[w - 1].isalpha() or sql[w - 1] == "_"):
+                    w -= 1
+                unary = sql[w:jj].lower() in _NON_OPERAND_KEYWORDS
+            if unary:
+                lstart = j - 1  # unary minus: (-2)^2, not -(2^2)
+        i = m.end()
+        while i < len(sql) and sql[i].isspace():
+            i += 1
+        if i < len(sql) and sql[i] in "+-":
+            i += 1
+        if i < len(sql) and sql[i] == "(":
+            i = _balanced_span(sql, i)
+        else:
+            while i < len(sql) and (sql[i].isalnum() or sql[i] in "_."):
+                i += 1
+            if i < len(sql) and sql[i] == "(":
+                i = _balanced_span(sql, i)
+        left = sql[lstart:k].strip()
+        right = sql[m.end() : i].strip()
+        if not left or not right:
+            raise ValueError(f"cannot parse operands of {m.group(0)!r} at {m.start()}: {sql[max(0, m.start()-30):m.start()+30]!r}")
+        sql = sql[:lstart] + f"power({left}, {right})" + sql[i:]
+
+
 REWRITES = [
     rewrite_from_first,
     rewrite_trailing_commas,
@@ -598,6 +655,7 @@ REWRITES = [
     rewrite_intdiv,
     rewrite_sample,
     rewrite_regex_ops,
+    rewrite_power,
 ]
 
 

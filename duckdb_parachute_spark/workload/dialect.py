@@ -533,3 +533,23 @@ def dialect_union_by_name(spark, sf_dir):
     to the union."""
     _views(spark, sf_dir, "nation", "region")
     return sqlx.sql(spark, _UBN_SQL)
+
+
+_POWER_SQL = """
+SELECT l_linenumber,
+       round(avg(l_quantity ^ 2), 4) AS avg_qty_sq,
+       round(avg((1 - l_discount) ** 2 * l_extendedprice) / 1e6, 6) AS disc_sq_m
+FROM lineitem WHERE l_orderkey < 2000
+GROUP BY l_linenumber ORDER BY l_linenumber
+"""
+
+
+@query("dialect_power_operator", oracle=_POWER_SQL)
+def dialect_power_operator(spark, sf_dir):
+    """^ and ** power operators (reference transform_operator.cpp binds ^
+    to pow; duckdb 1.0: 2^3=8). Spark's ^ is bitwise XOR — the classic
+    silent-wrong-answer migration trap — so sqlx parses operands (left-
+    associative, unary-minus-tightest) and emits power(l, r). Same SQL is
+    the oracle."""
+    _views(spark, sf_dir, "lineitem")
+    return sqlx.sql(spark, _POWER_SQL)

@@ -605,3 +605,31 @@ def test_union_by_name(spark):
     # literal containing the keywords is inert
     lit = sqlx.sql(spark, "SELECT 'x UNION BY NAME y' AS s").collect()[0]["s"]
     assert lit == "x UNION BY NAME y"
+
+
+def test_power_operator():
+    from duckdb_parachute_spark.sqlx import rewrite_power
+
+    assert rewrite_power("SELECT 2^3") == "SELECT power(2, 3)"
+    assert rewrite_power("SELECT 2 ** 3 AS p") == "SELECT power(2, 3) AS p"
+    # left-associative like DuckDB: 2^3^2 = (2^3)^2
+    assert rewrite_power("SELECT 2^3^2") == "SELECT power(power(2, 3), 2)"
+    # binds tighter than +; unary minus joins the left operand (-2^2 = 4)
+    assert rewrite_power("SELECT 2+3^2") == "SELECT 2+power(3, 2)"
+    assert rewrite_power("SELECT -2^2") == "SELECT power(-2, 2)"
+    assert rewrite_power("SELECT a - 2^2 FROM t") == "SELECT a - power(2, 2) FROM t"
+    assert rewrite_power("SELECT f(x)^g(y)") == "SELECT power(f(x), g(y))"
+    assert rewrite_power("SELECT (a+b)^2") == "SELECT power((a+b), 2)"
+    assert rewrite_power("SELECT 2^-2") == "SELECT power(2, -2)"
+    # regex anchors inside literals are inert through transpile
+    assert transpile("SELECT '^abc$' AS s") == "SELECT '^abc$' AS s"
+
+
+def test_power_operator_live(spark):
+    from duckdb_parachute_spark import sqlx
+
+    r = sqlx.sql(
+        spark, "SELECT 2^3 AS a, 2^3^2 AS b, 2+3^2 AS c, -2^2 AS d, 2**10 AS e"
+    ).collect()[0]
+    # pinned against duckdb 1.0: (8.0, 64.0, 11.0, 4.0, 1024.0)
+    assert (r["a"], r["b"], r["c"], r["d"], r["e"]) == (8.0, 64.0, 11.0, 4.0, 1024.0)
