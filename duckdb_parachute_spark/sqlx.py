@@ -641,6 +641,23 @@ def rewrite_power(sql: str) -> str:
         sql = sql[:lstart] + f"power({left}, {right})" + sql[i:]
 
 
+#: postfix '!' factorial (reference transform_operator.cpp '!'): match a '!'
+#: NOT part of != / !~ / !~~ and preceded by an operand end.
+_FACT_RE = re.compile(r"(?<=[\w)])\s*!(?![=~])")
+
+
+def rewrite_factorial(sql: str) -> str:
+    """DuckDB's postfix factorial ``5!`` → factorial(5) (Spark's native
+    factorial; both BIGINT for n ≤ 20)."""
+    while True:
+        m = _FACT_RE.search(sql)
+        if not m:
+            return sql
+        k = m.start()  # operand ends where the \s*! match begins
+        lstart = _operand_start(sql, k)
+        sql = sql[:lstart] + f"factorial({sql[lstart:k]})" + sql[m.end() :]
+
+
 REWRITES = [
     rewrite_from_first,
     rewrite_trailing_commas,
@@ -656,6 +673,7 @@ REWRITES = [
     rewrite_sample,
     rewrite_regex_ops,
     rewrite_power,
+    rewrite_factorial,
 ]
 
 
@@ -1115,6 +1133,28 @@ def _bind_delta_scans(spark: SparkSession, text: str) -> str:
     return _DELTA_SCAN_RE.sub(repl, text)
 
 
+#: ORDER BY ALL [DESC|ASC] (reference transform_orderby.cpp order-all):
+#: sort by every output column left-to-right. Spark has no ALL spelling but
+#: supports POSITIONAL order keys, so the clause expands to 1, 2, …, n with
+#: n from a LIMIT-0 probe of the clause-less query (planning only, no job).
+_ORDER_ALL_RE = re.compile(
+    r"\bORDER\s+BY\s+ALL(?P<dir>\s+(?:ASC|DESC))?(?P<tail>\s+LIMIT\b.*)?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _expand_order_all(spark: SparkSession, text: str) -> str:
+    masked, parts = _mask_literals(text)
+    m = _search_depth0(_ORDER_ALL_RE, masked)
+    if not m:
+        return text
+    head = _unmask(masked[: m.start()], parts)
+    n = len(spark.sql(transpile(f"SELECT * FROM ({head}) LIMIT 0")).columns)
+    direction = (m["dir"] or "").strip().upper()
+    keys = ", ".join(f"{i + 1} {direction}".strip() for i in range(n))
+    return f"{head} ORDER BY {keys}{_unmask(m['tail'] or '', parts)}"
+
+
 #: UNION [ALL] BY NAME (reference transform_setop.cpp setop_all /
 #: by_name): Spark SQL has no BY NAME spelling — the segments run
 #: independently and fold through unionByName(allowMissingColumns=True),
@@ -1156,7 +1196,8 @@ def _union_by_name(spark: SparkSession, text: str) -> DataFrame | None:
         out = out.dropDuplicates()  # plain UNION dedups after name alignment
     if trailer:
         out.createOrReplaceTempView("__ubn_result")
-        return spark.sql(f"SELECT * FROM __ubn_result {trailer}")
+        # recurse through sql() so a trailer like ORDER BY ALL still expands
+        return sql(spark, f"SELECT * FROM __ubn_result {trailer}")
     return out
 
 
@@ -1370,7 +1411,7 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
     ubn = _union_by_name(spark, text)
     if ubn is not None:
         return ubn
-    return spark.sql(transpile(expand_columns(spark, text)))
+    return spark.sql(transpile(_expand_order_all(spark, expand_columns(spark, text))))
 
 
 def run_script(spark: SparkSession, script: str) -> DataFrame | None:

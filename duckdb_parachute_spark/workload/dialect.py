@@ -553,3 +553,19 @@ def dialect_power_operator(spark, sf_dir):
     the oracle."""
     _views(spark, sf_dir, "lineitem")
     return sqlx.sql(spark, _POWER_SQL)
+
+
+_ORDER_ALL_SQL = """
+SELECT n_regionkey, n_nationkey % 3 AS trip, CAST(count(*) AS BIGINT) AS n
+FROM nation GROUP BY n_regionkey, n_nationkey % 3
+ORDER BY ALL
+"""
+
+
+@query("dialect_order_by_all", oracle=_ORDER_ALL_SQL)
+def dialect_order_by_all(spark, sf_dir):
+    """ORDER BY ALL (reference transform_orderby.cpp): sort by every output
+    column left-to-right. Spark supports POSITIONAL sort keys, so sqlx
+    expands ALL to 1, 2, …, n via a LIMIT-0 schema probe (planning only)."""
+    _views(spark, sf_dir, "nation")
+    return sqlx.sql(spark, _ORDER_ALL_SQL)

@@ -633,3 +633,26 @@ def test_power_operator_live(spark):
     ).collect()[0]
     # pinned against duckdb 1.0: (8.0, 64.0, 11.0, 4.0, 1024.0)
     assert (r["a"], r["b"], r["c"], r["d"], r["e"]) == (8.0, 64.0, 11.0, 4.0, 1024.0)
+
+
+def test_order_by_all_and_factorial(spark):
+    from duckdb_parachute_spark import sqlx
+    from duckdb_parachute_spark.sqlx import rewrite_factorial
+
+    assert rewrite_factorial("SELECT 5! AS f") == "SELECT factorial(5) AS f"
+    assert rewrite_factorial("SELECT f(3)! + 1") == "SELECT factorial(f(3)) + 1"
+    assert rewrite_factorial("WHERE a != b AND c !~ 'x'") == "WHERE a != b AND c !~ 'x'"
+    rows = sqlx.sql(
+        spark, "SELECT 2 AS b, 1 AS a UNION ALL SELECT 1, 9 ORDER BY ALL"
+    ).collect()
+    assert [(r["b"], r["a"]) for r in rows] == [(1, 9), (2, 1)]
+    rows = sqlx.sql(
+        spark, "SELECT 2 AS b, 1 AS a UNION ALL SELECT 1, 9 ORDER BY ALL DESC"
+    ).collect()
+    assert [(r["b"], r["a"]) for r in rows] == [(2, 1), (1, 9)]
+    assert sqlx.sql(spark, "SELECT 5! AS f").collect()[0]["f"] == 120
+    # ORDER BY ALL with LIMIT tail
+    rows = sqlx.sql(
+        spark, "SELECT 2 AS b UNION ALL SELECT 1 ORDER BY ALL LIMIT 1"
+    ).collect()
+    assert [r["b"] for r in rows] == [1]
