@@ -411,3 +411,59 @@ def text_bm25_topk(spark, sf_dir):
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(20)
     )
+
+
+# Corpus-trained bigram log-probability scoring — the KenLM/CCNet-style
+# "perplexity" quality filter, self-trained so both engines derive the
+# IDENTICAL model from the data: p(w2|w1) = c(w1,w2)/c(w1·) (MLE over the
+# corpus; every scored bigram was seen, so no smoothing term is needed).
+# Spark plan: one exploded-bigram shuffle for counts, one broadcast-scalar-
+# free join back, avg(ln p) per doc. At 100 TB the count tables are the
+# aggregate grain (vocab²-bounded, heavy-hitter-skew-safe: partial aggs).
+_BIGRAM_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+), bg AS (
+    SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+    FROM toks, unnest(generate_series(1, greatest(len(ws) - 1, 0))) t(i)
+), c12 AS (
+    SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2 FROM bg GROUP BY w1, w2
+), c1 AS (
+    SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM bg GROUP BY w1
+)
+SELECT bg.doc_id, round(avg(ln(c12.c2 / c1.c1)), 6) AS avg_logprob
+FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+WHERE bg.doc_id < 300
+GROUP BY bg.doc_id ORDER BY bg.doc_id
+"""
+
+
+@query("text_bigram_logprob", oracle=_BIGRAM_ORACLE)
+def text_bigram_logprob(spark, sf_dir):
+    """Per-document bigram log-probability (perplexity-style quality
+    score): the corpus trains its own MLE bigram model, each document is
+    scored by the mean ln p(w2|w1) of its bigrams. Natural-text documents
+    score high, repetitive/garbled ones low — the CCNet-style filter gate.
+    Two grouped counts + two co-partitioned joins; no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), " ")
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+                F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    return (
+        bg.where(F.col("doc_id") < 300)
+        .join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(F.log(F.col("c2") / F.col("c1"))), 6).alias("avg_logprob"))
+        .orderBy("doc_id")
+    )
