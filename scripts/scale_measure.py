@@ -51,6 +51,11 @@ QUERIES = [
     # (large-star/small-star rounds; word-salted copies keep the pair
     # count — and so the edge set — linear in the factor).
     "dedup_cluster_canonical",
+    # late round-9 additions: the two corpus-sized text scorers (BM25's
+    # pruned token shuffle; the bigram model's vocab-grained counts —
+    # word-salting grows the vocab with the factor, the worst case).
+    "text_bm25_topk",
+    "text_bigram_logprob",
     # plus RECURSIVE_SCALE / FRAMES_SCALE below — harness-local variants of
     # registry queries whose registry form caps its input (l_orderkey<300 /
     # 25-row nation dim), which a data scale-up never grows.
