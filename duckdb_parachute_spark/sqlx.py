@@ -564,8 +564,11 @@ def rewrite_regex_ops(sql: str, _parts: list[str] | None = None) -> str:
         return sql
 
     def anchored(ph: str) -> str:
+        # \A / \z, not ^ / $: Java's $ matches BEFORE a trailing newline,
+        # so '^abc$' would match 'abc\n' while DuckDB's regexp_full_match
+        # does not — verified on duckdb 1.0 ('abc'||chr(10) ~ 'abc' = false)
         inner = _parts[int(ph[1:-1])][1:-1]
-        _parts.append("'^(?:" + inner + ")$'")
+        _parts.append("'\\A(?:" + inner + ")\\z'")
         return f"\x00{len(_parts) - 1}\x00"
 
     sql = _SIMILAR_RE.sub(
@@ -625,8 +628,9 @@ def rewrite_power(sql: str) -> str:
         i = m.end()
         while i < len(sql) and sql[i].isspace():
             i += 1
-        if i < len(sql) and sql[i] in "+-":
-            i += 1
+        # do NOT consume a sign: DuckDB 1.0 rejects 2^-2 outright ("Scalar
+        # Function ^- does not exist" — parens required), so accepting it
+        # here would produce values where the oracle engine errors
         if i < len(sql) and sql[i] == "(":
             i = _balanced_span(sql, i)
         else:
@@ -678,16 +682,23 @@ REWRITES = [
 
 
 _LIT_RE = re.compile(r"'(?:[^']|'')*'")
+#: one left-to-right lexing pass over literals AND comments: alternation
+#: order doesn't matter because re picks the EARLIEST match — a literal
+#: opening before a comment wins (so '--' inside a string stays string) and
+#: vice versa (so an apostrophe inside /* don't */ never opens a literal).
+_TOKEN_RE = re.compile(r"'(?:[^']|'')*'|/\*.*?\*/|--[^\n]*", re.DOTALL)
 _PH_RE = re.compile(r"\x00(\d+)\x00")
 
 
 def _mask_literals(text: str) -> tuple[str, list[str]]:
-    """Replace string literals with inert \\x00N\\x00 placeholders; returns
-    (masked text, table for :func:`_unmask`). Any structural parsing — comma
-    splits, keyword searches, identifier substitution — must run on MASKED
-    text, or a comma/keyword/name inside a user literal corrupts the parse."""
+    """Replace string literals AND comments with inert \\x00N\\x00
+    placeholders; returns (masked text, table for :func:`_unmask`). Any
+    structural parsing — comma splits, keyword searches, identifier or
+    operator rewrites — must run on MASKED text, or a comma/keyword/token
+    inside a user literal or comment corrupts the parse (a QUALIFY in a
+    comment must not rewrite; a ** inside /* bold */ is not a power)."""
     parts: list[str] = []
-    masked = _LIT_RE.sub(
+    masked = _TOKEN_RE.sub(
         lambda m: (parts.append(m.group(0)) or f"\x00{len(parts) - 1}\x00"), text
     )
     return masked, parts
@@ -716,17 +727,30 @@ def transpile(sql: str) -> str:
         parts.append(m.group(0))
         return f"\x00{len(parts) - 1}\x00"
 
-    masked = _LIT_RE.sub(stash, sql)
+    masked = _TOKEN_RE.sub(stash, sql)
     if _MACROS:
-        # macro bodies are stored as raw text: mask any literals an
+        # macro bodies are stored as raw text: mask any literals/comments an
         # expansion just introduced so the rewrites stay literal-blind
-        masked = _LIT_RE.sub(stash, _expand_macros(masked))
+        masked = _TOKEN_RE.sub(stash, _expand_macros(masked))
     for rw in REWRITES:
         if rw is rewrite_json_arrows or rw is rewrite_regex_ops:
             masked = rw(masked, _parts=parts)
         else:
             masked = rw(masked)
-    return _PH_RE.sub(lambda m: parts[int(m.group(1))], masked)
+
+    def restore(m: re.Match) -> str:
+        s = parts[int(m.group(1))]
+        # DuckDB '...' literals are escape-FREE; Spark's parser processes
+        # backslash escapes ('\d' silently becomes 'd'). Doubling the
+        # backslashes at this one exit point makes every literal reach the
+        # engine byte-identical to what DuckDB sees — regex patterns (\d,
+        # \b, the \A/\z full-match anchors) survive intact. Comments are
+        # restored verbatim.
+        if s.startswith("'"):
+            s = s.replace("\\", "\\\\")
+        return s
+
+    return _PH_RE.sub(restore, masked)
 
 
 _COLUMNS_RE = re.compile(r"\bCOLUMNS\s*\(", re.IGNORECASE)
@@ -1149,9 +1173,13 @@ def _expand_order_all(spark: SparkSession, text: str) -> str:
     if not m:
         return text
     head = _unmask(masked[: m.start()], parts)
-    n = len(spark.sql(transpile(f"SELECT * FROM ({head}) LIMIT 0")).columns)
-    direction = (m["dir"] or "").strip().upper()
-    keys = ", ".join(f"{i + 1} {direction}".strip() for i in range(n))
+    # transpile the head BEFORE wrapping: rewrite_from_first is anchored at
+    # statement start, so 'FROM t ORDER BY ALL' must be rewritten standalone
+    n = len(spark.sql(f"SELECT * FROM ({transpile(head)}) LIMIT 0").columns)
+    direction = (m["dir"] or "").strip().upper() or "ASC"
+    # DuckDB's default_null_order is NULLS_LAST for BOTH directions
+    # (config.hpp:179); Spark's ASC default is NULLS FIRST — pin it
+    keys = ", ".join(f"{i + 1} {direction} NULLS LAST" for i in range(n))
     return f"{head} ORDER BY {keys}{_unmask(m['tail'] or '', parts)}"
 
 
@@ -1188,12 +1216,32 @@ def _union_by_name(spark: SparkSession, text: str) -> DataFrame | None:
         segments.append(masked[last : tail_m.start()])
     else:
         segments.append(masked[last:])
-    out = None
-    for seg in segments:
-        d = sql(spark, _unmask(seg, parts).strip())
-        out = d if out is None else out.unionByName(d, allowMissingColumns=True)
-    if not all(alls):
-        out = out.dropDuplicates()  # plain UNION dedups after name alignment
+    # a plain positional set operator in any segment AFTER the first would
+    # be grouped into its segment, breaking left-associativity (DuckDB
+    # evaluates ((A ubn B) union C), we would compute A ubn (B union C)):
+    # refuse loudly rather than silently misalign columns
+    plain_setop = re.compile(
+        r"\bUNION\b(?!\s+(?:ALL\s+)?BY\s+NAME)(?!\s+ALL\s+BY\s+NAME)"
+        r"|\bINTERSECT\b|\bEXCEPT\b",
+        re.IGNORECASE,
+    )
+    for seg in segments[1:]:
+        if _search_depth0(plain_setop, seg):
+            raise NotImplementedError(
+                "mixing positional set operators after a BY NAME operator is "
+                "not supported (left-associativity would be violated); "
+                "parenthesize the positional part"
+            )
+    # fold LEFT-ASSOCIATIVELY with PER-OPERATOR semantics: each non-ALL
+    # union dedups immediately (DuckDB: a later UNION ALL keeps duplicates
+    # produced after an earlier dedup)
+    out = sql(spark, _unmask(segments[0], parts).strip())
+    for seg, is_all in zip(segments[1:], alls):
+        out = out.unionByName(
+            sql(spark, _unmask(seg, parts).strip()), allowMissingColumns=True
+        )
+        if not is_all:
+            out = out.dropDuplicates()
     if trailer:
         out.createOrReplaceTempView("__ubn_result")
         # recurse through sql() so a trailer like ORDER BY ALL still expands
@@ -1419,17 +1467,18 @@ def run_script(spark: SparkSession, script: str) -> DataFrame | None:
     top-level semicolons — semicolons inside string literals or parens are
     inert) and return the LAST statement's result, like an interactive shell
     session. Empty statements and line comments (``--``) are skipped."""
-    # mask literals so ';' inside strings doesn't split
-    parts: list[str] = []
-    masked = _LIT_RE.sub(
-        lambda m: (parts.append(m.group(0)) or f"\x00{len(parts) - 1}\x00"), script
-    )
-    masked = re.sub(r"--[^\n]*", "", masked)
+    # mask literals AND comments in one lexing pass: ';' inside either is
+    # inert, and a '--' inside a string no longer eats the rest of its line
+    masked, parts = _mask_literals(script)
     out: DataFrame | None = None
     for piece in _split_top_level(masked, ";"):
-        stmt = _PH_RE.sub(lambda m: parts[int(m.group(1))], piece).strip()
-        if stmt:
-            out = sql(spark, stmt)
+        # a piece whose only content is comments is not a statement
+        content = _PH_RE.sub(
+            lambda m: parts[int(m.group(1))] if parts[int(m.group(1))].startswith("'") else "",
+            piece,
+        ).strip()
+        if content:
+            out = sql(spark, _unmask(piece, parts).strip())
     return out
 
 

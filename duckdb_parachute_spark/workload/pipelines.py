@@ -20,13 +20,13 @@ from duckdb_parachute_spark.catalog import load_table
 from duckdb_parachute_spark.workload import query
 
 
-def _run_stream(df, spark, name):
+def _run_stream(df, spark, name, mode="complete"):
     """Drive a streaming plan over the full backlog (AvailableNow) into a
     memory sink; returns the result as a batch DataFrame."""
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -126,15 +126,9 @@ def stream_dedup_keys(spark, sf_dir):
 
     ev = read_event_stream(spark, f"{sf_dir}/events.parquet")
     deduped = dedup_within_watermark(ev, ["user_id", "event_type"], "10 hours")
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName("q_stream_dedup")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    return _run_stream(deduped, spark, "q_stream_dedup", mode="append").select(
+        "user_id", "event_type"
     )
-    q.awaitTermination()
-    return spark.table("q_stream_dedup").select("user_id", "event_type")
 
 
 @query(
@@ -924,12 +918,4 @@ def stream_quality_filter(spark, sf_dir):
         & (F.size(F.split(F.trim(F.col("text")), " ")) >= 20)
         & F.col("lang").isin("en", "de")
     ).select("doc_id", "lang", F.length("text").cast("bigint").alias("n_char"))
-    q = (
-        gated.writeStream.format("memory")
-        .queryName("q_stream_quality")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table("q_stream_quality")
+    return _run_stream(gated, spark, "q_stream_quality", mode="append")

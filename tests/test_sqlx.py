@@ -563,10 +563,14 @@ def test_insert_into_temp_table_column_list(spark):
 
 
 def test_regex_operators():
-    assert transpile("SELECT a SIMILAR TO 'x.y' FROM t") == "SELECT a RLIKE '^(?:x.y)$' FROM t"
-    assert transpile("SELECT a NOT SIMILAR TO 'p' FROM t") == "SELECT a NOT RLIKE '^(?:p)$' FROM t"
-    assert transpile("WHERE s ~ 'a+b'") == "WHERE s RLIKE '^(?:a+b)$'"
-    assert transpile("WHERE s !~ 'a+b'") == "WHERE s NOT RLIKE '^(?:a+b)$'"
+    # the emitted literal carries DOUBLED backslashes: Spark's string parser
+    # un-escapes them back to \A / \z (DuckDB literals are escape-free)
+    assert transpile("SELECT a SIMILAR TO 'x.y' FROM t") == r"SELECT a RLIKE '\\A(?:x.y)\\z' FROM t"
+    assert transpile("SELECT a NOT SIMILAR TO 'p' FROM t") == r"SELECT a NOT RLIKE '\\A(?:p)\\z' FROM t"
+    assert transpile("WHERE s ~ 'a+b'") == r"WHERE s RLIKE '\\A(?:a+b)\\z'"
+    assert transpile("WHERE s !~ 'a+b'") == r"WHERE s NOT RLIKE '\\A(?:a+b)\\z'"
+    # a user literal with backslashes reaches Spark byte-identical to DuckDB
+    assert transpile(r"SELECT '\d+' AS p") == r"SELECT '\\d+' AS p"
     assert transpile("WHERE s ~~ 'a%'") == "WHERE s LIKE 'a%'"
     assert transpile("WHERE s !~~ 'a%'") == "WHERE s NOT LIKE 'a%'"
     # inert inside literals; -> arrow unaffected
@@ -620,7 +624,9 @@ def test_power_operator():
     assert rewrite_power("SELECT a - 2^2 FROM t") == "SELECT a - power(2, 2) FROM t"
     assert rewrite_power("SELECT f(x)^g(y)") == "SELECT power(f(x), g(y))"
     assert rewrite_power("SELECT (a+b)^2") == "SELECT power((a+b), 2)"
-    assert rewrite_power("SELECT 2^-2") == "SELECT power(2, -2)"
+    with pytest.raises(ValueError):  # duckdb 1.0 rejects 2^-2 (parens required)
+        rewrite_power("SELECT 2^-2")
+    assert rewrite_power("SELECT 2^(-2)") == "SELECT power(2, (-2))"
     # regex anchors inside literals are inert through transpile
     assert transpile("SELECT '^abc$' AS s") == "SELECT '^abc$' AS s"
 
@@ -633,6 +639,60 @@ def test_power_operator_live(spark):
     ).collect()[0]
     # pinned against duckdb 1.0: (8.0, 64.0, 11.0, 4.0, 1024.0)
     assert (r["a"], r["b"], r["c"], r["d"], r["e"]) == (8.0, 64.0, 11.0, 4.0, 1024.0)
+
+
+def test_full_match_excludes_trailing_newline(spark):
+    # duckdb 1.0: ('abc' || chr(10)) ~ 'abc' is FALSE; Java $ would match
+    # before the newline, hence the \A/\z anchors
+    from duckdb_parachute_spark import sqlx
+
+    r = sqlx.sql(spark, "SELECT ('abc' || chr(10)) ~ 'abc' AS m").collect()[0]["m"]
+    assert r is False
+
+
+def test_comments_are_inert(spark):
+    from duckdb_parachute_spark import sqlx
+
+    assert transpile("SELECT 1 /**/") == "SELECT 1 /**/"
+    assert transpile("SELECT 1 /* **bold** QUALIFY 'x */ FROM t") == (
+        "SELECT 1 /* **bold** QUALIFY 'x */ FROM t"
+    )
+    out = sqlx.run_script(
+        spark,
+        "-- leading comment only;\n/* block; with semi */ SELECT 1 AS x; -- trailing",
+    )
+    assert out.collect()[0]["x"] == 1
+
+
+def test_union_by_name_per_operator_dedup(spark):
+    from duckdb_parachute_spark import sqlx
+
+    # duckdb 1.0: 3 rows — the trailing UNION ALL keeps the duplicate
+    rows = sqlx.sql(
+        spark,
+        "SELECT 1 AS a UNION BY NAME SELECT 2 AS a UNION ALL BY NAME SELECT 2 AS a",
+    ).collect()
+    assert sorted(r["a"] for r in rows) == [1, 2, 2]
+    # positional set op after a BY NAME: refused, not silently misgrouped
+    with pytest.raises(NotImplementedError, match="positional"):
+        sqlx.sql(
+            spark,
+            "SELECT 1 AS a, 2 AS b UNION BY NAME SELECT 20 AS b, 10 AS a UNION ALL SELECT 1, 2",
+        )
+
+
+def test_order_by_all_nulls_last_and_from_first(spark):
+    from duckdb_parachute_spark import sqlx
+
+    # duckdb default null order is NULLS LAST for both directions
+    rows = sqlx.sql(
+        spark,
+        "SELECT * FROM (SELECT 2 AS v UNION ALL SELECT NULL UNION ALL SELECT 1) ORDER BY ALL",
+    ).collect()
+    assert [r["v"] for r in rows] == [1, 2, None]
+    spark.createDataFrame([(2,), (1,)], "v int").createOrReplaceTempView("oba_t")
+    rows = sqlx.sql(spark, "FROM oba_t ORDER BY ALL").collect()
+    assert [r["v"] for r in rows] == [1, 2]
 
 
 def test_order_by_all_and_factorial(spark):
