@@ -491,6 +491,40 @@ def rewrite_list_fns(sql: str) -> str:
     return _LIST_FN_RE.sub(lambda m: f"{_LIST_FN_MAP[m.group(1).lower()]}(", sql)
 
 
+#: DuckDB string_split + aliases take a LITERAL separator; Spark's split
+#: takes a REGEX — string_split(s, '.') must not become split-on-any-char.
+#: A literal second argument is \\Q…\\E-quoted; a computed separator keeps
+#: the DuckDB name and fails analysis loudly rather than silently
+#: re-interpreting it as a regex.
+_STRSPLIT_RE = re.compile(
+    r"\b(?:string_split|str_split|string_to_array)\s*\(", re.IGNORECASE
+)
+
+
+def rewrite_string_split(sql: str, _parts: list[str] | None = None) -> str:
+    if _parts is None:
+        return sql
+    while True:
+        m = _STRSPLIT_RE.search(sql)
+        if not m:
+            return sql
+        end = _balanced_span(sql, m.end() - 1)
+        args = _split_top_level(sql[m.end() : end - 1])
+        if len(args) != 2:
+            raise ValueError(
+                f"string_split expects 2 arguments, got {len(args)}: "
+                f"{sql[m.start():end]!r}"
+            )
+        a0, a1 = args[0].strip(), args[1].strip()
+        mm = re.fullmatch(r"\x00(\d+)\x00", a1)
+        if not mm:
+            return sql  # computed separator: leave the name, fail loudly
+        inner = _parts[int(mm.group(1))][1:-1]
+        _parts.append("'\\Q" + inner + "\\E'")
+        a1 = f"\x00{len(_parts) - 1}\x00"
+        sql = sql[: m.start()] + f"split({a0}, {a1})" + sql[end:]
+
+
 _SAMPLE_ROWS_RE = re.compile(r"\bUSING\s+SAMPLE\s+(\d+)(\s+ROWS\b)?", re.IGNORECASE)
 
 
@@ -676,6 +710,7 @@ REWRITES = [
     rewrite_intdiv,
     rewrite_sample,
     rewrite_regex_ops,
+    rewrite_string_split,
     rewrite_power,
     rewrite_factorial,
 ]
@@ -733,7 +768,7 @@ def transpile(sql: str) -> str:
         # expansion just introduced so the rewrites stay literal-blind
         masked = _TOKEN_RE.sub(stash, _expand_macros(masked))
     for rw in REWRITES:
-        if rw is rewrite_json_arrows or rw is rewrite_regex_ops:
+        if rw in (rewrite_json_arrows, rewrite_regex_ops, rewrite_string_split):
             masked = rw(masked, _parts=parts)
         else:
             masked = rw(masked)

@@ -569,3 +569,22 @@ def dialect_order_by_all(spark, sf_dir):
     expands ALL to 1, 2, …, n via a LIMIT-0 schema probe (planning only)."""
     _views(spark, sf_dir, "nation")
     return sqlx.sql(spark, _ORDER_ALL_SQL)
+
+
+_STRSPLIT_SQL = """
+SELECT o_orderkey,
+       string_split(o_orderpriority, '-')[1] AS prio_code,
+       string_split(o_orderpriority, '-')[2] AS prio_word
+FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey
+"""
+
+
+@query("dialect_string_split", oracle=_STRSPLIT_SQL)
+def dialect_string_split(spark, sf_dir):
+    """string_split with a LITERAL separator (reference
+    string_split.cpp): Spark's split() interprets the separator as a
+    REGEX, so sqlx \\Q…\\E-quotes literal separators ('-' here; '.' or
+    '||' would silently split wrong otherwise). 1-based subscripts ride
+    the existing bracket rewrite."""
+    _views(spark, sf_dir, "orders")
+    return sqlx.sql(spark, _STRSPLIT_SQL)

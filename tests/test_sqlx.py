@@ -716,3 +716,17 @@ def test_order_by_all_and_factorial(spark):
         spark, "SELECT 2 AS b UNION ALL SELECT 1 ORDER BY ALL LIMIT 1"
     ).collect()
     assert [r["b"] for r in rows] == [1]
+
+
+def test_string_split_literal_separator(spark):
+    from duckdb_parachute_spark import sqlx
+
+    # DuckDB string_split takes a LITERAL separator; Spark split takes a
+    # regex — '.' must not split on every character
+    r = sqlx.sql(spark, "SELECT string_split('a.b.c', '.') AS xs").collect()[0]["xs"]
+    assert r == ["a", "b", "c"]
+    r = sqlx.sql(spark, "SELECT str_split('x||y', '||') AS xs").collect()[0]["xs"]
+    assert r == ["x", "y"]
+    # computed separator keeps the DuckDB name → loud analysis error
+    with pytest.raises(Exception):
+        sqlx.sql(spark, "SELECT string_split('a.b', concat('.', '')) AS xs").collect()
