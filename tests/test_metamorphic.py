@@ -196,3 +196,54 @@ def test_pivot_statement_matrix_cross_engine(spark, sf_dir, seed):
         oracle_pdf = con.sql(stmt).df()
         res = compare_frames(stmt, spark_pdf, oracle_pdf)
         assert res.ok, (stmt, res.errors)
+
+
+def _gen_dialect_exprs(seed: int, n: int) -> list[str]:
+    """Random expressions over the NEW dialect operators (regex full-match,
+    power, factorial, string_split): DuckDB-only spellings, so the Spark
+    side must go through sqlx.transpile — this matrix is the rewrite
+    verifier, same spirit as the reference's unoptimized-statement check."""
+    rng = random.Random(seed)
+    pats = ["[a-z]+", "a.*", ".*a.*", "[A-Z].*a?", "x|y|.*e.*", "\\\\w+"]
+    seps = [" ", "a", "-", "||", "."]
+
+    out = []
+    for k in range(n):
+        kind = k % 6
+        if kind == 0:
+            out.append(f"(coalesce(s, '') ~ '{rng.choice(pats)}')")
+        elif kind == 1:
+            out.append(f"(coalesce(s, '') SIMILAR TO '{rng.choice(pats)}')")
+        elif kind == 2:
+            out.append(f"(coalesce(s, '') !~ '{rng.choice(pats)}')")
+        elif kind == 3:
+            sep = rng.choice(seps).replace("'", "''")
+            out.append(f"string_split(coalesce(s, 'q'), '{sep}')[1]")
+        elif kind == 4:
+            base = rng.choice(["2", "3", "(-2)", "coalesce(j, 1)"])
+            expo = rng.choice(["2", "3", "0"])
+            out.append(f"round({base} ^ {expo}, 6)")
+        else:
+            # DuckDB factorial returns HUGEINT (pandas float); cast bridges
+            out.append(f"CAST({rng.randrange(0, 7)}! AS BIGINT)")
+    return out
+
+
+@pytest.mark.parametrize("seed", [7, 31])
+def test_dialect_operator_matrix_cross_engine(spark, seed):
+    from duckdb_parachute_spark import sqlx
+
+    exprs = _gen_dialect_exprs(seed, 36)
+    select = ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    sql = f"SELECT {select} FROM {_values_sql()}"
+    spark_pdf = sqlx.sql(spark, sql).toPandas()
+    con = duckdb.connect()
+    oracle_pdf = con.sql(sql).df()
+    from decimal import Decimal
+
+    for pdf in (spark_pdf, oracle_pdf):
+        for c in pdf.columns:
+            if pdf[c].map(lambda v: isinstance(v, Decimal)).any():
+                pdf[c] = pdf[c].map(lambda v: float(v) if isinstance(v, Decimal) else v)
+    res = compare_frames(f"dialect-ops-seed{seed}", spark_pdf, oracle_pdf)
+    assert res.ok, str(res)
