@@ -1192,6 +1192,114 @@ def _bind_delta_scans(spark: SparkSession, text: str) -> str:
     return _DELTA_SCAN_RE.sub(repl, text)
 
 
+#: ASOF [LEFT] JOIN (reference transform_join.cpp JOIN_ASOF → the planner's
+#: PhysicalAsOfJoin): the SQL spelling over operators.asof.asof_join.
+#: Restricted grammar, rejected LOUDLY outside it: two plain table/view
+#: names with aliases, an ON conjunction of equalities plus exactly one
+#: >= / <= inequality (DuckDB's match condition; strict </> is refused
+#: since the operator implements the reference's inclusive semantics).
+_ASOF_RE = re.compile(
+    r"\bFROM\s+(?P<t1>\w+)(?:\s+AS)?\s+(?P<a1>\w+)\s+"
+    r"ASOF\s+(?P<ltr>LEFT\s+)?JOIN\s+(?P<t2>\w+)(?:\s+AS)?\s+(?P<a2>\w+)\s+"
+    r"ON\s+(?P<cond>.+?)(?P<rest>\s+(?:WHERE|GROUP\s+BY|ORDER\s+BY|LIMIT)\b.*)?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INEQ_RE = re.compile(r"(>=|<=|>|<)")
+
+
+def _asof_join_stmt(spark: SparkSession, text: str) -> DataFrame | None:
+    masked, parts = _mask_literals(text)
+    m = _search_depth0(_ASOF_RE, masked)
+    if not m:
+        return None
+    from duckdb_parachute_spark.operators.asof import asof_join
+
+    a1, a2 = m["a1"], m["a2"]
+    left = spark.table(m["t1"])
+    right = spark.table(m["t2"])
+
+    def unq(tok: str) -> tuple[str, str]:
+        if "." not in tok:
+            raise ValueError(f"ASOF JOIN ON terms must be alias-qualified: {tok!r}")
+        al, c = tok.split(".", 1)
+        if al not in (a1, a2):
+            raise ValueError(f"unknown alias {al!r} in ASOF JOIN condition")
+        return al, c
+
+    eqs: list[tuple[str, str]] = []  # (left col, right col)
+    ineq = None
+    for term in re.split(r"\bAND\b", m["cond"], flags=re.IGNORECASE):
+        term = term.strip()
+        im = _INEQ_RE.search(term)
+        if "=" in term and not im:
+            l, r = (t.strip() for t in term.split("=", 1))
+            (la, lc), (ra, rc) = unq(l), unq(r)
+            if la == ra:
+                raise ValueError(f"equality must join the two sides: {term!r}")
+            eqs.append((lc, rc) if la == a1 else (rc, lc))
+        elif im:
+            if ineq is not None:
+                raise ValueError("ASOF JOIN takes exactly one inequality")
+            op = im.group(1)
+            if op in (">", "<"):
+                raise ValueError(
+                    "strict </> ASOF JOIN is unsupported (the operator "
+                    "implements the reference's inclusive >=/<= semantics)"
+                )
+            l, r = (t.strip() for t in _INEQ_RE.split(term, 1)[::2])
+            (la, lc), (ra, rc) = unq(l), unq(r)
+            if la == ra:
+                raise ValueError(f"inequality must compare the two sides: {term!r}")
+            if la == a2:  # normalize to left-side-first
+                lc, rc = rc, lc
+                op = {">=": "<=", "<=": ">="}[op]
+            ineq = (lc, rc, "backward" if op == ">=" else "forward")
+        else:
+            raise ValueError(f"unsupported ASOF JOIN term: {term!r}")
+    if ineq is None:
+        raise ValueError("ASOF JOIN requires an inequality condition")
+    on, right_on, direction = ineq
+    # the operator partitions by SAME-NAMED keys: align right's key names
+    by = []
+    for lc, rc in eqs:
+        if rc != lc:
+            right = right.withColumnRenamed(rc, lc)
+        by.append(lc)
+    joined = asof_join(
+        left,
+        right,
+        on=on,
+        right_on=right_on if right_on != on else None,
+        by=by,
+        direction=direction,
+        how="left" if m["ltr"] else "inner",
+    )
+    view = "__asof_result"
+    joined.createOrReplaceTempView(view)
+    # rewrite the statement over the joined view: qualifier mapping — left
+    # columns keep their names; right payload collides → suffixed
+    lcols = set(left.columns)
+    rmap = {}
+    for c in right.columns:
+        if c in by or c == right_on:
+            continue
+        rmap[c] = c + "_right" if c in lcols else c
+    head = _unmask(masked[: m.start()], parts)
+    rest = _unmask(m["rest"] or "", parts)
+    stmt = f"{head} FROM {view}{rest}"
+
+    def requal(mm: re.Match) -> str:
+        al, c = mm.group(1), mm.group(2)
+        if al == a1:
+            return c
+        if al == a2:
+            return rmap.get(c, c)
+        return mm.group(0)
+
+    stmt = re.sub(rf"\b({re.escape(a1)}|{re.escape(a2)})\.(\w+)", requal, stmt)
+    return sql(spark, stmt)
+
+
 #: ORDER BY ALL [DESC|ASC] (reference transform_orderby.cpp order-all):
 #: sort by every output column left-to-right. Spark has no ALL spelling but
 #: supports POSITIONAL order keys, so the clause expands to 1, 2, …, n with
@@ -1494,6 +1602,9 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
     ubn = _union_by_name(spark, text)
     if ubn is not None:
         return ubn
+    asof = _asof_join_stmt(spark, text)
+    if asof is not None:
+        return asof
     return spark.sql(transpile(_expand_order_all(spark, expand_columns(spark, text))))
 
 

@@ -588,3 +588,40 @@ def dialect_string_split(spark, sf_dir):
     the existing bracket rewrite."""
     _views(spark, sf_dir, "orders")
     return sqlx.sql(spark, _STRSPLIT_SQL)
+
+
+@query(
+    "dialect_asof_join_sql",
+    oracle="""
+    WITH e AS (SELECT user_id % 200 AS uid, event_id AS eid FROM events WHERE event_id < 2000),
+         o AS (SELECT o_custkey % 200 AS uid, o_orderkey AS okey, o_totalprice FROM orders)
+    SELECT e.uid, e.eid, o.okey, round(o.o_totalprice, 2) AS price
+    FROM e ASOF LEFT JOIN o ON e.uid = o.uid AND e.eid >= o.okey
+    ORDER BY e.uid, e.eid
+    """,
+)
+def dialect_asof_join_sql(spark, sf_dir):
+    """ASOF LEFT JOIN as SQL (reference transform_join.cpp JOIN_ASOF /
+    PhysicalAsOfJoin): the restricted-grammar statement handler parses the
+    equality keys and the single >=/<= match condition and routes through
+    operators.asof.asof_join (union + running-last window — never a range
+    self-join). DuckDB runs its NATIVE ASOF JOIN as the oracle."""
+    from pyspark.sql import functions as F
+
+    load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000).select(
+        (F.col("user_id") % 200).alias("uid"), F.col("event_id").alias("eid")
+    ).createOrReplaceTempView("asof_e")
+    load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 200).alias("uid"),
+        F.col("o_orderkey").alias("okey"),
+        "o_totalprice",
+    ).createOrReplaceTempView("asof_o")
+    return sqlx.sql(
+        spark,
+        """
+        SELECT e.uid, e.eid, o.okey, round(o.o_totalprice, 2) AS price
+        FROM asof_e e ASOF LEFT JOIN asof_o o
+        ON e.uid = o.uid AND e.eid >= o.okey
+        ORDER BY uid, eid
+        """,
+    )

@@ -730,3 +730,39 @@ def test_string_split_literal_separator(spark):
     # computed separator keeps the DuckDB name → loud analysis error
     with pytest.raises(Exception):
         sqlx.sql(spark, "SELECT string_split('a.b', concat('.', '')) AS xs").collect()
+
+
+def test_asof_join_sql(spark):
+    from duckdb_parachute_spark import sqlx
+
+    spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 5, 11.0), ("a", 9, 12.0), ("b", 2, 20.0)],
+        "sym string, t long, price double",
+    ).createOrReplaceTempView("px")
+    spark.createDataFrame(
+        [("a", 4, 100), ("a", 5, 200), ("a", 0, 300), ("b", 3, 400), ("c", 1, 500)],
+        "sym string, ts long, qty long",
+    ).createOrReplaceTempView("tr")
+    rows = sqlx.sql(
+        spark,
+        "SELECT tr.sym, tr.ts, tr.qty, px.price FROM tr AS tr ASOF LEFT JOIN px AS px "
+        "ON tr.sym = px.sym AND tr.ts >= px.t ORDER BY tr.sym, tr.ts",
+    ).collect()
+    # pinned against duckdb 1.0 for the same data
+    assert [(r["sym"], r["ts"], r["qty"], r["price"]) for r in rows] == [
+        ("a", 0, 300, None),
+        ("a", 4, 100, 10.0),
+        ("a", 5, 200, 11.0),
+        ("b", 3, 400, 20.0),
+        ("c", 1, 500, None),
+    ]
+    # inner variant drops unmatched; reversed-operand inequality normalizes
+    rows = sqlx.sql(
+        spark,
+        "SELECT tr.ts, px.price FROM tr tr ASOF JOIN px px "
+        "ON tr.sym = px.sym AND px.t <= tr.ts ORDER BY tr.ts, px.price",
+    ).collect()
+    assert [(r["ts"], r["price"]) for r in rows] == [(3, 20.0), (4, 10.0), (5, 11.0)]
+    # loudly rejected: strict inequality, multiple inequalities
+    with pytest.raises(ValueError, match="strict"):
+        sqlx.sql(spark, "SELECT tr.ts FROM tr tr ASOF JOIN px px ON tr.sym = px.sym AND tr.ts > px.t")
