@@ -152,6 +152,10 @@ AQE_QUERIES = [
     "tpcds_q14_cross_channel_intersect",
     "tpcds_q44_best_worst_rank",
     "job_i09_deep_chain_six",
+    # late round-9 families: the iterative star-contraction fixpoint and the
+    # two-level bigram aggregation — AQE replanning must not change either
+    "dedup_cluster_canonical",
+    "text_bigram_logprob",
 ]
 
 

@@ -546,3 +546,12 @@ def test_delta_scan_pushdown_reaches_parquet(no_aqe, spark, sf_dir, tmp_path):
         f.write(json.dumps({"add": {"path": "f.parquet", "partitionValues": {}}}) + "\n")
     d = delta_scan(spark, root).where("id < 10").select("id")
     assert_plan(d, max_shuffles=0, require_pushed_filters=True, max_scan_columns=1)
+
+
+def test_bigram_counts_partial_aggregate(no_aqe, spark, sf_dir):
+    # the bigram model's count tables must map-side combine before their
+    # exchange — at corpus scale the pre-shuffle reduction is the operator
+    from duckdb_parachute_spark.plans import physical_plan
+
+    plan = physical_plan(_q("text_bigram_logprob", spark, sf_dir), mode="simple")
+    assert "partial_count" in plan or "partial_avg" in plan
