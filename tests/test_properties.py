@@ -538,3 +538,41 @@ def test_stratified_sample_matches_window_definition(spark, rows, k):
         for r in df.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).collect()
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.text(
+            alphabet="abzAZ 0123456789@.-+()_#$\t",
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_pii_scrub_matches_duckdb_on_random_text(spark, texts):
+    """The five PII patterns are claimed Java-regex/RE2-bilingual: random
+    adversarial text (digit runs, @ signs, dots, parens, tabs) must scrub
+    and count IDENTICALLY through Spark's regexp_replace/regexp_count and
+    DuckDB's RE2 engine running the same sequential chain."""
+    import duckdb
+
+    from duckdb_parachute_spark.functions.textfns import PII_PATTERNS, pii_scrub
+
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, t string")
+    got = {
+        r["id"]: (r["clean_text"], r["n_email"], r["n_card"], r["n_ssn"], r["n_ip"], r["n_phone"])
+        for r in pii_scrub(df, "t").collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        cur, counts = t, []
+        for _, pat, tok in PII_PATTERNS:
+            n, cur = con.execute(
+                "SELECT len(regexp_extract_all(?, ?)), regexp_replace(?, ?, ?, 'g')",
+                [cur, pat, cur, pat, tok],
+            ).fetchone()
+            counts.append(n)
+        assert got[i] == (cur, *counts), f"text {t!r}: spark={got[i]} duckdb={(cur, *counts)}"
