@@ -1274,7 +1274,9 @@ def _asof_join_stmt(spark: SparkSession, text: str) -> DataFrame | None:
         direction=direction,
         how="left" if m["ltr"] else "inner",
     )
-    view = "__asof_result"
+    import uuid
+
+    view = f"__asof_{uuid.uuid4().hex[:10]}"  # unique per call
     joined.createOrReplaceTempView(view)
     # rewrite the statement over the joined view: qualifier mapping — left
     # columns keep their names; right payload collides → suffixed
@@ -1386,9 +1388,12 @@ def _union_by_name(spark: SparkSession, text: str) -> DataFrame | None:
         if not is_all:
             out = out.dropDuplicates()
     if trailer:
-        out.createOrReplaceTempView("__ubn_result")
+        import uuid
+
+        view = f"__ubn_{uuid.uuid4().hex[:10]}"  # unique: concurrent sql() calls must not clobber
+        out.createOrReplaceTempView(view)
         # recurse through sql() so a trailer like ORDER BY ALL still expands
-        return sql(spark, f"SELECT * FROM __ubn_result {trailer}")
+        return sql(spark, f"SELECT * FROM {view} {trailer}")
     return out
 
 
