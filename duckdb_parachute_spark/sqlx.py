@@ -525,6 +525,63 @@ def rewrite_string_split(sql: str, _parts: list[str] | None = None) -> str:
         sql = sql[: m.start()] + f"split({a0}, {a1})" + sql[end:]
 
 
+#: DuckDB strftime/strptime use C-style % specifiers (reference
+#: src/function/scalar/strftime_format.cpp); Spark's date_format /
+#: to_timestamp use Java DateTimeFormatter patterns. Literal-argument
+#: formats are translated specifier-by-specifier; an unmapped specifier
+#: raises (never silently emits a wrong pattern).
+_STRF_MAP = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
+    "%I": "hh", "%M": "mm", "%S": "ss", "%p": "a", "%j": "DDD",
+    "%b": "MMM", "%B": "MMMM", "%a": "EEE", "%A": "EEEE", "%%": "%",
+}
+_STRFTIME_RE = re.compile(r"\b(strftime|strptime)\s*\(", re.IGNORECASE)
+
+
+def _c_to_java_fmt(cfmt: str) -> str:
+    out, i = [], 0
+    while i < len(cfmt):
+        ch = cfmt[i]
+        if ch == "%":
+            spec = cfmt[i : i + 2]
+            if spec not in _STRF_MAP:
+                raise ValueError(f"unsupported strftime specifier {spec!r} in {cfmt!r}")
+            out.append(_STRF_MAP[spec])
+            i += 2
+        elif ch.isalpha():
+            out.append(f"'{ch}'")  # bare letters are literals in C, reserved in Java
+            i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def rewrite_strftime(sql: str, _parts: list[str] | None = None) -> str:
+    if _parts is None:
+        return sql
+    pos = 0
+    while True:
+        m = _STRFTIME_RE.search(sql, pos)
+        if not m:
+            return sql
+        end = _balanced_span(sql, m.end() - 1)
+        args = _split_top_level(sql[m.end() : end - 1])
+        if len(args) != 2:
+            raise ValueError(f"{m.group(1)} expects 2 arguments: {sql[m.start():end]!r}")
+        a0, a1 = args[0].strip(), args[1].strip()
+        mm = re.fullmatch(r"\x00(\d+)\x00", a1)
+        if not mm:
+            pos = end  # computed format: leave the DuckDB name, fail loudly
+            continue
+        jfmt = _c_to_java_fmt(_parts[int(mm.group(1))][1:-1])
+        _parts.append("'" + jfmt + "'")
+        ph = f"\x00{len(_parts) - 1}\x00"
+        fn = "date_format" if m.group(1).lower() == "strftime" else "to_timestamp"
+        sql = sql[: m.start()] + f"{fn}({a0}, {ph})" + sql[end:]
+        pos = m.start()
+
+
 _SAMPLE_ROWS_RE = re.compile(r"\bUSING\s+SAMPLE\s+(\d+)(\s+ROWS\b)?", re.IGNORECASE)
 
 
@@ -711,6 +768,7 @@ REWRITES = [
     rewrite_sample,
     rewrite_regex_ops,
     rewrite_string_split,
+    rewrite_strftime,
     rewrite_power,
     rewrite_factorial,
 ]
@@ -768,7 +826,7 @@ def transpile(sql: str) -> str:
         # expansion just introduced so the rewrites stay literal-blind
         masked = _TOKEN_RE.sub(stash, _expand_macros(masked))
     for rw in REWRITES:
-        if rw in (rewrite_json_arrows, rewrite_regex_ops, rewrite_string_split):
+        if rw in (rewrite_json_arrows, rewrite_regex_ops, rewrite_string_split, rewrite_strftime):
             masked = rw(masked, _parts=parts)
         else:
             masked = rw(masked)

@@ -625,3 +625,24 @@ def dialect_asof_join_sql(spark, sf_dir):
         ORDER BY uid, eid
         """,
     )
+
+
+_STRFTIME_SQL = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m') AS ym,
+       strftime(o_orderdate, '%a %d %b %Y') AS pretty,
+       strftime(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d'), '%d/%m/%Y') AS roundtrip
+FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey
+"""
+
+
+@query("dialect_strftime", oracle=_STRFTIME_SQL)
+def dialect_strftime(spark, sf_dir):
+    """strftime/strptime with C-style %-specifiers (reference
+    strftime_format.cpp): translated specifier-by-specifier to Java
+    DateTimeFormatter patterns for date_format/to_timestamp; bare letters
+    become quoted literals, unmapped specifiers raise. Same SQL is the
+    oracle, including locale-dependent %a/%b names (both engines English
+    here)."""
+    _views(spark, sf_dir, "orders")
+    return sqlx.sql(spark, _STRFTIME_SQL)

@@ -766,3 +766,23 @@ def test_asof_join_sql(spark):
     # loudly rejected: strict inequality, multiple inequalities
     with pytest.raises(ValueError, match="strict"):
         sqlx.sql(spark, "SELECT tr.ts FROM tr tr ASOF JOIN px px ON tr.sym = px.sym AND tr.ts > px.t")
+
+
+def test_strftime_strptime(spark):
+    from duckdb_parachute_spark import sqlx
+
+    r = sqlx.sql(
+        spark,
+        "SELECT strftime(DATE '2020-03-07', '%Y-%m-%d') AS a, "
+        "strftime(TIMESTAMP '2020-03-07 14:05:09', '%H:%M:%S %p') AS b, "
+        "strftime(DATE '2020-03-07', '%a %b %d') AS c, "
+        "CAST(strptime('2020-03-07', '%Y-%m-%d') AS DATE) AS d",
+    ).collect()[0]
+    # pinned against duckdb 1.0 output for the same expressions
+    assert r["a"] == "2020-03-07"
+    assert r["b"] == "14:05:09 PM"
+    assert r["c"] == "Sat Mar 07"
+    assert str(r["d"]) == "2020-03-07"
+    # unmapped specifier: loud error, never a silently-wrong Java pattern
+    with pytest.raises(ValueError, match="specifier"):
+        sqlx.transpile("SELECT strftime(x, '%f') FROM t")
