@@ -582,6 +582,25 @@ def rewrite_strftime(sql: str, _parts: list[str] | None = None) -> str:
         pos = m.start()
 
 
+#: 2-arg regexp_extract defaults to group 0 (the whole match) in DuckDB but
+#: group 1 in Spark — pin the DuckDB default explicitly.
+_REGEXP_EXTRACT_RE = re.compile(r"\bregexp_extract\s*\(", re.IGNORECASE)
+
+
+def rewrite_regexp_extract(sql: str) -> str:
+    pos = 0
+    while True:
+        m = _REGEXP_EXTRACT_RE.search(sql, pos)
+        if not m:
+            return sql
+        end = _balanced_span(sql, m.end() - 1)
+        args = _split_top_level(sql[m.end() : end - 1])
+        if len(args) == 2:
+            sql = sql[: end - 1] + ", 0)" + sql[end:]
+            end += 3
+        pos = end
+
+
 _SAMPLE_ROWS_RE = re.compile(r"\bUSING\s+SAMPLE\s+(\d+)(\s+ROWS\b)?", re.IGNORECASE)
 
 
@@ -769,6 +788,7 @@ REWRITES = [
     rewrite_regex_ops,
     rewrite_string_split,
     rewrite_strftime,
+    rewrite_regexp_extract,
     rewrite_power,
     rewrite_factorial,
 ]

@@ -786,3 +786,22 @@ def test_strftime_strptime(spark):
     # unmapped specifier: loud error, never a silently-wrong Java pattern
     with pytest.raises(ValueError, match="specifier"):
         sqlx.transpile("SELECT strftime(x, '%f') FROM t")
+
+
+def test_regexp_extract_default_group(spark):
+    from duckdb_parachute_spark import sqlx
+    from duckdb_parachute_spark.sqlx import rewrite_regexp_extract
+
+    assert rewrite_regexp_extract("SELECT regexp_extract(s, p) FROM t") == (
+        "SELECT regexp_extract(s, p, 0) FROM t"
+    )
+    assert rewrite_regexp_extract("SELECT regexp_extract(s, p, 2) FROM t") == (
+        "SELECT regexp_extract(s, p, 2) FROM t"
+    )
+    # duckdb 1.0: 2-arg form returns the WHOLE match (group 0)
+    r = sqlx.sql(
+        spark,
+        r"SELECT regexp_extract('ab123', '([a-z]+)(\d+)') AS g0, "
+        r"regexp_extract('ab123', '([a-z]+)(\d+)', 2) AS g2",
+    ).collect()[0]
+    assert (r["g0"], r["g2"]) == ("ab123", "123")
