@@ -211,9 +211,10 @@ def _gen_dialect_exprs(seed: int, n: int) -> list[str]:
     pats = ["[a-z]+", "a.*", ".*a.*", "[A-Z].*a?", "x|y|.*e.*", "\\\\w+"]
     seps = [" ", "a", "-", "||", "."]
 
+    fmts = ["%Y-%m-%d", "%d/%m/%Y", "%Y%m", "%a %b %d", "%H:%M"]
     out = []
     for k in range(n):
-        kind = k % 6
+        kind = k % 8
         if kind == 0:
             out.append(f"(coalesce(s, '') ~ '{rng.choice(pats)}')")
         elif kind == 1:
@@ -227,6 +228,13 @@ def _gen_dialect_exprs(seed: int, n: int) -> list[str]:
             base = rng.choice(["2", "3", "(-2)", "coalesce(j, 1)"])
             expo = rng.choice(["2", "3", "0"])
             out.append(f"round({base} ^ {expo}, 6)")
+        elif kind == 5:
+            day = rng.randrange(1, 28)
+            out.append(
+                f"strftime(TIMESTAMP '2021-07-{day:02d} 09:{day:02d}:00', '{rng.choice(fmts)}')"
+            )
+        elif kind == 6:
+            out.append(f"regexp_extract(coalesce(s, ''), '{rng.choice(pats)}')")
         else:
             # DuckDB factorial returns HUGEINT (pandas float); cast bridges
             out.append(f"CAST({rng.randrange(0, 7)}! AS BIGINT)")
