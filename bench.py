@@ -106,6 +106,16 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs] + [
         n for n in qs if n not in HEADLINE and os.environ.get("BENCH_ALL") == "1"
     ]
+    # A/B bisection hooks (round 10, VERDICT r9 item 1): BENCH_ONLY runs a
+    # comma-separated subset of the suite, BENCH_SKIP removes names — both
+    # keep the remaining suite ORDER identical so in-session ordering effects
+    # can be isolated without editing HEADLINE.
+    if os.environ.get("BENCH_ONLY"):
+        only = {s.strip() for s in os.environ["BENCH_ONLY"].split(",") if s.strip()}
+        names = [n for n in names if n in only]
+    if os.environ.get("BENCH_SKIP"):
+        skip = {s.strip() for s in os.environ["BENCH_SKIP"].split(",") if s.strip()}
+        names = [n for n in names if n not in skip]
 
     # Warm up the session once (JIT/codegen infrastructure, parquet reader
     # classes, file listing) so per-query timings reflect steady state — the

@@ -342,22 +342,37 @@ def rewrite_struct_literals(sql: str, _parts: list[str] | None = None) -> str:
 def _operand_start(text: str, end: int) -> int:
     """Start index of the expression ending at `end` (exclusive): walks back
     over a balanced trailing ')' group, then an identifier/dot chain — the
-    same shape the JSON-arrow rewrite uses."""
+    same shape the JSON-arrow rewrite uses. A ``::type`` cast-suffix chain is
+    walked THROUGH (round 10, ADVICE r9): DuckDB's ``::`` binds tighter than
+    every operator this helper serves (``^``, ``!``, subscripts), so in
+    ``x::int ^ 2`` the left operand is the whole ``x::int`` — stopping at the
+    type name would emit ``x::power(int, 2)``."""
     k = end
-    if k > 0 and text[k - 1] == ")":
-        depth = 0
-        k -= 1
-        while k >= 0:
-            if text[k] == ")":
-                depth += 1
-            elif text[k] == "(":
-                depth -= 1
-                if depth == 0:
-                    break
+    while True:
+        if k > 0 and text[k - 1] == ")":
+            depth = 0
             k -= 1
-    while k > 0 and (text[k - 1].isalnum() or text[k - 1] in "_."):
-        k -= 1
-    return k
+            while k >= 0:
+                if text[k] == ")":
+                    depth += 1
+                elif text[k] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k -= 1
+        elif k > 0 and text[k - 1] == "\x00":
+            # masked literal placeholder \x00N\x00 ('2.5'::int) is one operand
+            j = k - 2
+            while j > 0 and text[j].isdigit():
+                j -= 1
+            if j >= 0 and text[j] == "\x00":
+                k = j
+        while k > 0 and (text[k - 1].isalnum() or text[k - 1] in "_."):
+            k -= 1
+        if k >= 2 and text[k - 2 : k] == "::":
+            k -= 2
+            continue
+        return k
 
 
 _NON_OPERAND_KEYWORDS = frozenset(
@@ -748,6 +763,15 @@ def rewrite_power(sql: str) -> str:
                 i += 1
             if i < len(sql) and sql[i] == "(":
                 i = _balanced_span(sql, i)
+        # '::type' suffix on the RIGHT operand binds tighter than '^'
+        # (DuckDB: 2 ^ x::int is 2 ^ (x::int)); consume the type name and an
+        # optional parameter list so the cast stays inside the operand
+        while sql[i : i + 2] == "::":
+            i += 2
+            while i < len(sql) and (sql[i].isalnum() or sql[i] == "_"):
+                i += 1
+            if i < len(sql) and sql[i] == "(":
+                i = _balanced_span(sql, i)
         left = sql[lstart:k].strip()
         right = sql[m.end() : i].strip()
         if not left or not right:
@@ -772,6 +796,174 @@ def rewrite_factorial(sql: str) -> str:
         sql = sql[:lstart] + f"factorial({sql[lstart:k]})" + sql[m.end() :]
 
 
+#: DuckDB integer type names (src/common/types.cpp aliases) → Spark target
+#: types. HUGEINT has no Spark primitive; DECIMAL(38,0) covers its range.
+_INT_CAST_TYPES = {
+    "tinyint": "TINYINT",
+    "int1": "TINYINT",
+    "smallint": "SMALLINT",
+    "int2": "SMALLINT",
+    "short": "SMALLINT",
+    "int": "INT",
+    "integer": "INT",
+    "int4": "INT",
+    "signed": "INT",
+    "bigint": "BIGINT",
+    "int8": "BIGINT",
+    "long": "BIGINT",
+    "hugeint": "DECIMAL(38,0)",
+    # unsigned family: next wider signed Spark type (values always fit;
+    # DuckDB's range-overflow errors become silent headroom — see
+    # _PLAIN_TYPE_MAP note)
+    "utinyint": "SMALLINT",
+    "usmallint": "INT",
+    "uinteger": "BIGINT",
+    "ubigint": "DECIMAL(20,0)",
+    "uhugeint": "DECIMAL(38,0)",
+}
+
+#: DuckDB type names Spark's parser rejects or misreads, mapped 1:1 with NO
+#: value semantics change (bare VARCHAR needs a length in Spark; FLOAT4/8,
+#: REAL, BLOB/BYTEA are DuckDB spellings). Unsigned ints take the next
+#: wider signed Spark type — range-overflow ERRORS diverge (DuckDB rejects
+#: 300::utinyint, we accept), values never do.
+_PLAIN_TYPE_MAP = {
+    "varchar": "STRING",
+    "text": "STRING",
+    "bpchar": "STRING",
+    "char": "STRING",
+    "real": "FLOAT",
+    "float4": "FLOAT",
+    "float8": "DOUBLE",
+    "logical": "BOOLEAN",
+    "bool": "BOOLEAN",
+    "blob": "BINARY",
+    "bytea": "BINARY",
+    "varbinary": "BINARY",
+    "datetime": "TIMESTAMP",
+}
+
+_COLONCOLON_TYPE_RE = re.compile(r"::\s*([A-Za-z_][A-Za-z0-9_]*)")
+_CAST_CALL_RE = re.compile(r"\b(TRY_CAST|CAST)\s*\(", re.IGNORECASE)
+
+
+def _rounding_int_cast(expr: str, target: str, parts: list[str], kw: str) -> str:
+    """DuckDB → Spark integer-cast semantics (round 10). DuckDB ROUNDS when
+    casting to an integer type (reference src/common/operator/cast_operators
+    — verified on duckdb 1.0): DECIMAL and VARCHAR round half AWAY from zero
+    (2.5::int = 3, '-2.5'::int = -3), DOUBLE/FLOAT round half to EVEN
+    ((2.5::double)::int = 2). Spark's CAST truncates toward zero — a silent
+    wrong answer on every fractional input. Emitted shape (CAST spelled with
+    a \\x02 marker so this pass never rescans its own output):
+
+        CASE WHEN typeof(e) IN ('double','float') THEN CAST(rint(dbl) AS T)
+             WHEN typeof(e) = 'string' OR typeof(e) LIKE 'decimal%'
+                  THEN CAST(sign(dbl) * floor(abs(dbl) + 0.5D) AS T)
+             ELSE CAST(e AS T) END            -- dbl = CAST(e AS DOUBLE)
+
+    Every branch is already the target type, so integer inputs take the
+    exact ELSE pass-through — no double round-trip that would corrupt
+    BIGINT values above 2^53 (the rounding branches tolerate the double hop:
+    their inputs are fractional by definition, and every x.5 decision
+    boundary below 2^52 is exactly representable). round() is NOT usable
+    here: it fails analysis on BOOLEAN operands even in untaken branches,
+    where CAST(bool AS DOUBLE) is legal (true::int = 1 must keep working).
+    `expr` is duplicated in the emitted text; Catalyst's subexpression
+    elimination and ReuseSubquery absorb the runtime cost. The typeof probe
+    literals are appended to the mask table (`parts`) like
+    rewrite_regex_ops' anchors, keeping the rewrite literal-blind."""
+
+    def lit(s: str) -> str:
+        parts.append(f"'{s}'")
+        return f"\x00{len(parts) - 1}\x00"
+
+    c = f"{kw}\x02("
+    d = f"{c}{expr} AS DOUBLE)"
+    return (
+        f"CASE WHEN typeof({expr}) IN ({lit('double')}, {lit('float')}) "
+        f"THEN {c}rint({d}) AS {target}) "
+        f"WHEN typeof({expr}) = {lit('string')} OR typeof({expr}) LIKE {lit('decimal%')} "
+        f"THEN {c}sign({d}) * floor(abs({d}) + 0.5D) AS {target}) "
+        f"ELSE {c}{expr} AS {target}) END"
+    )
+
+
+def _process_cast_calls(sql: str, parts: list[str]) -> str:
+    """Recursive innermost-first pass over ``[TRY_]CAST( expr AS type )``:
+    inner casts are processed before the enclosing one, so a rewritten inner
+    cast is already \\x02-marked (invisible to the scan) when the outer
+    duplicates it into the rounding dispatch — text growth stays linear in
+    the number of user-written casts at each nesting level."""
+    m = _CAST_CALL_RE.search(sql)
+    if m is None:
+        return sql
+    open_idx = m.end() - 1
+    end = _balanced_span(sql, open_idx)
+    inner = _process_cast_calls(sql[open_idx + 1 : end - 1], parts)
+    rest = _process_cast_calls(sql[end:], parts)
+    # the LAST depth-0 AS splits expr from the target type
+    split, depth = -1, 0
+    for am in re.finditer(r"\(|\)|\bAS\b", inner, re.IGNORECASE):
+        if am.group(0) == "(":
+            depth += 1
+        elif am.group(0) == ")":
+            depth -= 1
+        elif depth == 0:
+            split = am.start()
+    if split >= 0:
+        expr, typ = inner[:split].strip(), inner[split + 2 :].strip()
+        kw = m.group(1).upper()
+        if typ.lower() in _INT_CAST_TYPES:
+            rep = _rounding_int_cast(expr, _INT_CAST_TYPES[typ.lower()], parts, kw)
+            return sql[: m.start()] + rep + rest
+        if typ.lower() in _PLAIN_TYPE_MAP:
+            return (
+                sql[: m.start()]
+                + f"{kw}\x02({expr} AS {_PLAIN_TYPE_MAP[typ.lower()]})"
+                + rest
+            )
+    return sql[: open_idx + 1] + inner + ")" + rest
+
+
+def rewrite_int_casts(sql: str, _parts: list[str] | None = None) -> str:
+    """Rewrite ``expr::intType`` and ``[TRY_]CAST(expr AS intType)`` to the
+    rounding dispatch of _rounding_int_cast, and map DuckDB-only integer
+    type names (INT1/2/4/8, SIGNED, HUGEINT) to Spark types (HUGEINT →
+    DECIMAL(38,0)). Runs LAST in REWRITES: its output contains IF/CAST text
+    no earlier rewrite should see, while earlier rewrites (power, factorial,
+    brackets) may leave ``::`` casts in their operands for this pass."""
+    if _parts is None:
+        return sql
+    # CAST(...) spelling first (recursive, innermost-first), then '::'; both
+    # emit marker-spelled casts, so neither ever rescans generated text
+    sql = _process_cast_calls(sql, _parts)
+    while True:
+        m = next(
+            (
+                mm
+                for mm in _COLONCOLON_TYPE_RE.finditer(sql)
+                if mm.group(1).lower() in _INT_CAST_TYPES
+            ),
+            None,
+        )
+        if m is None:
+            break
+        lstart = _operand_start(sql, m.start())
+        expr = sql[lstart : m.start()]
+        if not expr.strip():
+            raise ValueError(
+                f"cannot parse operand of '::' at {m.start()}: "
+                f"{sql[max(0, m.start() - 30) : m.start() + 10]!r}"
+            )
+        target = _INT_CAST_TYPES[m.group(1).lower()]
+        sql = sql[:lstart] + _rounding_int_cast(expr, target, _parts, "CAST") + sql[m.end() :]
+    # plain type-name mapping for the '::' spelling (no semantics change)
+    sql = _COLONCOLON_TYPE_RE.sub(
+        lambda mm: f"::{_PLAIN_TYPE_MAP.get(mm.group(1).lower(), mm.group(1))}", sql
+    )
+    return sql.replace("\x02(", "(")
+
+
 REWRITES = [
     rewrite_from_first,
     rewrite_trailing_commas,
@@ -791,6 +983,7 @@ REWRITES = [
     rewrite_regexp_extract,
     rewrite_power,
     rewrite_factorial,
+    rewrite_int_casts,
 ]
 
 
@@ -846,7 +1039,7 @@ def transpile(sql: str) -> str:
         # expansion just introduced so the rewrites stay literal-blind
         masked = _TOKEN_RE.sub(stash, _expand_macros(masked))
     for rw in REWRITES:
-        if rw in (rewrite_json_arrows, rewrite_regex_ops, rewrite_string_split, rewrite_strftime):
+        if rw in (rewrite_json_arrows, rewrite_regex_ops, rewrite_string_split, rewrite_strftime, rewrite_int_casts):
             masked = rw(masked, _parts=parts)
         else:
             masked = rw(masked)

@@ -646,3 +646,30 @@ def dialect_strftime(spark, sf_dir):
     here)."""
     _views(spark, sf_dir, "orders")
     return sqlx.sql(spark, _STRFTIME_SQL)
+
+
+_INTCAST_SQL = """
+SELECT l_orderkey,
+       (l_extendedprice * l_discount)::INT AS disc_money_int,
+       CAST(l_extendedprice / 7 AS BIGINT) AS sliced_big,
+       (l_quantity + 0.5)::BIGINT AS qty_half_up,
+       ((l_extendedprice / 3)::DOUBLE)::INT AS via_double,
+       TRY_CAST(concat(CAST(l_linenumber AS VARCHAR), '.5') AS INT) AS str_half
+FROM lineitem WHERE l_orderkey < 400
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@query("dialect_int_cast_round", oracle=_INTCAST_SQL)
+def dialect_int_cast_round(spark, sf_dir):
+    """Integer-target casts ROUND in DuckDB (reference
+    src/common/operator/cast_operators.hpp NumericTryCast / decimal casts):
+    DECIMAL and VARCHAR round half AWAY from zero (2.5::int = 3,
+    '-2.5'::int = -3), DOUBLE/FLOAT round half to EVEN ((2.5::double)::int
+    = 2) — all pinned against duckdb 1.0. Spark's CAST truncates toward
+    zero, a silent wrong answer on every fractional operand, so
+    sqlx.rewrite_int_casts emits a typeof()-dispatched rounding CASE whose
+    ELSE branch keeps already-integer operands on the exact passthrough
+    path (no double round-trip above 2^53). Same SQL is the oracle."""
+    _views(spark, sf_dir, "lineitem")
+    return sqlx.sql(spark, _INTCAST_SQL)

@@ -212,9 +212,24 @@ def _gen_dialect_exprs(seed: int, n: int) -> list[str]:
     seps = [" ", "a", "-", "||", "."]
 
     fmts = ["%Y-%m-%d", "%d/%m/%Y", "%Y%m", "%a %b %d", "%H:%M"]
+    int_casts = [
+        # DECIMAL operand → half away from zero; DOUBLE operand → half even;
+        # VARCHAR operand → half away (rewrite_int_casts, pinned duckdb 1.0)
+        "(2.5)::int",
+        "(-2.5)::int",
+        "(coalesce(j, 1) * 2.5)::bigint",
+        "coalesce(x, 0.5)::int",
+        "(coalesce(x, 0.25) * 4)::bigint",
+        "'3.5'::int",
+        "'-2.5'::int",
+        "CAST(coalesce(x, -0.5) AS INT)",
+        "CAST(coalesce(j, 2) * 1.5 AS BIGINT)",
+        "TRY_CAST(coalesce(x, 2.5) AS INT)",
+        "coalesce(i, 0)::bigint",
+    ]
     out = []
     for k in range(n):
-        kind = k % 8
+        kind = k % 9
         if kind == 0:
             out.append(f"(coalesce(s, '') ~ '{rng.choice(pats)}')")
         elif kind == 1:
@@ -235,9 +250,11 @@ def _gen_dialect_exprs(seed: int, n: int) -> list[str]:
             )
         elif kind == 6:
             out.append(f"regexp_extract(coalesce(s, ''), '{rng.choice(pats)}')")
-        else:
+        elif kind == 7:
             # DuckDB factorial returns HUGEINT (pandas float); cast bridges
             out.append(f"CAST({rng.randrange(0, 7)}! AS BIGINT)")
+        else:
+            out.append(rng.choice(int_casts))
     return out
 
 

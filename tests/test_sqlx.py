@@ -57,7 +57,9 @@ def test_sample():
 
 
 def test_transpile_passthrough():
-    sql = "SELECT try_cast(a AS INT), b ILIKE '%x%' FROM t GROUP BY ALL"
+    # int-target casts are no longer passthrough (round 10: DuckDB rounds,
+    # Spark truncates — rewrite_int_casts), so the inert sample uses DOUBLE
+    sql = "SELECT try_cast(a AS DOUBLE), b ILIKE '%x%' FROM t GROUP BY ALL"
     assert transpile(sql) == sql
 
 
@@ -158,9 +160,11 @@ def test_struct_and_map_literals():
     assert transpile("SELECT {'o': {'i': x}} AS s") == (
         "SELECT named_struct('o', named_struct('i', x)) AS s"
     )
-    assert transpile("SELECT MAP {'a': 1, 'b': v::INT} AS m") == (
-        "SELECT map('a', 1, 'b', v::INT) AS m"
-    )
+    # the '::INT' cast inside a value must not split the pair; it then takes
+    # the round-10 rounding dispatch (rewrite_int_casts), so check shape
+    out = transpile("SELECT MAP {'a': 1, 'b': v::INT} AS m")
+    assert out.startswith("SELECT map('a', 1, 'b', CASE WHEN typeof(v)")
+    assert out.endswith("END) AS m")
     # a brace inside a string literal is inert
     assert transpile("SELECT '{not: struct}' AS s") == "SELECT '{not: struct}' AS s"
     # identifier merely ENDING in 'map' is not the MAP keyword
@@ -627,6 +631,15 @@ def test_power_operator():
     with pytest.raises(ValueError):  # duckdb 1.0 rejects 2^-2 (parens required)
         rewrite_power("SELECT 2^-2")
     assert rewrite_power("SELECT 2^(-2)") == "SELECT power(2, (-2))"
+    # '::' binds tighter than '^' (round 10, ADVICE r9): the cast suffix
+    # stays inside the operand on BOTH sides
+    assert rewrite_power("SELECT x::int ^ 2 FROM t") == "SELECT power(x::int, 2) FROM t"
+    assert rewrite_power("SELECT 2 ^ x::int FROM t") == "SELECT power(2, x::int) FROM t"
+    assert (
+        rewrite_power("SELECT x::decimal(4,1) ^ y::int FROM t")
+        == "SELECT power(x::decimal(4,1), y::int) FROM t"
+    )
+    assert rewrite_power("SELECT (a+b)::int ^ 2") == "SELECT power((a+b)::int, 2)"
     # regex anchors inside literals are inert through transpile
     assert transpile("SELECT '^abc$' AS s") == "SELECT '^abc$' AS s"
 
@@ -639,6 +652,10 @@ def test_power_operator_live(spark):
     ).collect()[0]
     # pinned against duckdb 1.0: (8.0, 64.0, 11.0, 4.0, 1024.0)
     assert (r["a"], r["b"], r["c"], r["d"], r["e"]) == (8.0, 64.0, 11.0, 4.0, 1024.0)
+    # cast-suffixed operands, pinned against duckdb 1.0:
+    # 2.9::int ^ 2 = 9.0 (round-to-3 cast first), 2 ^ 2.9::int = 8.0
+    r2 = sqlx.sql(spark, "SELECT 2.9::int ^ 2 AS a, 2 ^ 2.9::int AS b").collect()[0]
+    assert (r2["a"], r2["b"]) == (9.0, 8.0)
 
 
 def test_full_match_excludes_trailing_newline(spark):
