@@ -201,18 +201,21 @@ def main() -> None:
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     total = round(sum(timings.values()), 3)
-    # Calibration-normalized suite ratio (round 9, VERDICT r8 item 1c): the
-    # BASELINE.md DuckDB suite total was measured on a host whose Spark
-    # scheduling floor was spark_noop ≈ 0.124 s; when today's host floor is
-    # slower, the suite — floor-dominated at sf0.1 (BASELINE.md §round-8) —
-    # inflates with it. value_floor_normalized rescales the measured total
-    # by ref_floor/measured_floor, clamped so a FASTER host never inflates
-    # the claim; both raw and normalized ratios are recorded so the judge
-    # sees each.
-    ref_calib = {"spark_noop": 0.124, "spark_shuffle": 0.123}
-    # 4.78 s = 25-query basis (BASELINE.md r5-r8 additions); +10.71 s for
-    # round 9's dedup_cluster_canonical row (BASELINE.md round-9 addition)
-    duckdb_suite_sec = 15.49 if abs((sf or 0) - 0.1) < 1e-9 else None
+    # Per-query DuckDB baseline (round 10, VERDICT r9 item 2 + ADVICE): the
+    # basis is read from bench_baseline.json next to this script — NOT a
+    # hardcoded suite total — and summed over the queries that actually ran,
+    # so editing HEADLINE (or running a BENCH_ONLY subset) can never silently
+    # misstate the claim: queries without a baseline row are listed in
+    # `baseline_missing` and the ratios are omitted unless every timed query
+    # has one. The floor normalization (round 9) rescales by the reference
+    # host's Spark scheduling floor, clamped so a FASTER host never inflates
+    # the claim; raw and normalized ratios are both recorded.
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+    baseline = json.load(open(base_path)) if os.path.exists(base_path) else {}
+    base_q = baseline.get("queries", {})
+    ref_calib = baseline.get("ref_calib", {"spark_noop": 0.124, "spark_shuffle": 0.123})
+    missing = [n for n in timings if n not in base_q]
+    same_sf = abs((sf or 0) - float(baseline.get("sf", -1))) < 1e-9
     floor_scale = min(1.0, ref_calib["spark_noop"] / max(calib["spark_noop"], 1e-9))
     out = {
         "metric": "suite_wall_clock",
@@ -224,10 +227,27 @@ def main() -> None:
         "value_floor_normalized": round(total * floor_scale, 3),
         "sf": sf,
     }
-    if duckdb_suite_sec is not None:
-        out["baseline_duckdb_sec"] = duckdb_suite_sec
-        out["ratio_raw"] = round(total / duckdb_suite_sec, 3)
-        out["ratio_floor_normalized"] = round(total * floor_scale / duckdb_suite_sec, 3)
+    if missing or not same_sf:
+        out["baseline_missing"] = missing if missing else f"baseline is sf={baseline.get('sf')}"
+        print(f"# WARNING: no ratios — baseline mismatch: {out['baseline_missing']}", file=sys.stderr)
+    else:
+        basis = round(sum(base_q[n] for n in timings), 3)
+        out["baseline_duckdb_sec"] = basis
+        out["ratio_raw"] = round(total / basis, 3)
+        out["ratio_floor_normalized"] = round(total * floor_scale / basis, 3)
+        # Outlier-robust suite ratio (VERDICT r9 item 2): drop the single
+        # largest DuckDB-basis row from BOTH sides so the headline never
+        # hinges on one oracle-hostile query (r9: dedup_cluster_canonical
+        # was 69 % of the basis).
+        if len(timings) > 1:
+            top = max(timings, key=lambda n: base_q[n])
+            basis1 = basis - base_q[top]
+            total1 = total - timings[top]
+            out["excl_top1"] = top
+            out["ratio_raw_excl_top1"] = round(total1 / max(basis1, 1e-9), 3)
+            out["ratio_floor_normalized_excl_top1"] = round(
+                total1 * floor_scale / max(basis1, 1e-9), 3
+            )
     print(json.dumps(out))
     spark.stop()
 
