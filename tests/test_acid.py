@@ -9,6 +9,7 @@ shared dml rewrites.
 
 from __future__ import annotations
 
+import json
 import os
 
 import pytest
@@ -219,3 +220,67 @@ def test_committed_tags_reads_one_manifest(spark, table, monkeypatch):
     monkeypatch.setattr(acid_mod, "_manifest_path", counting)
     assert t.committed_tags() == {"b:0", "b:1", "b:2"}
     assert len(opens) == 1
+
+
+def test_cow_on_root_with_space_and_percent(spark, tmp_path):
+    """input_file_name() percent-encodes special characters in the URI; the
+    _relpath decode must still match snapshot.files on such roots — before
+    round 10 a space in the root silently duplicated rows on DELETE (the hit
+    file stayed in 'keep' while its rewrite was also added); _assert_hits
+    now makes that class of mismatch loud instead of silent."""
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("grp"), (F.col("id") * 2).alias("v")
+    )
+    root = tmp_path / "odd dir %20name" / "t"
+    t = VersionedTable.create(spark, str(root), df.repartition(4))
+    t2 = t.delete_where(F.col("k") == 7)
+    assert t2.read().count() == 39
+    assert t2.read().where(F.col("k") == 7).count() == 0
+    # exactly one of the 4 files was rewritten
+    assert len(set(t.snapshot.files) & set(t2.snapshot.files)) == 3
+    t3 = t2.update_set(F.col("k") == 8, {"v": F.lit(-1)})
+    assert t3.read().where(F.col("k") == 8).head().v == -1
+    assert t3.read().count() == 39
+
+
+def test_assert_hits_raises_on_unknown_file(spark, table):
+    with pytest.raises(RuntimeError, match="not in snapshot"):
+        table._assert_hits({"data/bogus/part-00000.parquet"})
+
+
+def test_commit_protocol_cross_process_race(tmp_path):
+    """Spark-less: N processes race put_if_absent on ONE manifest path —
+    exactly one must win, losers must see CommitConflict, and the final
+    content must be the winner's (never torn/interleaved). This is the
+    object-store contract the CommitProtocol interface documents, exercised
+    on the local implementation across real process boundaries."""
+    import multiprocessing as mp
+
+    final = str(tmp_path / "v00000001.json")
+
+    def attempt(idx: int, q) -> None:
+        from duckdb_parachute_spark.operators.acid import (
+            CommitConflict,
+            LocalCommitProtocol,
+        )
+
+        try:
+            LocalCommitProtocol().put_if_absent(f'{{"writer": {idx}}}', final)
+            q.put(("win", idx))
+        except CommitConflict:
+            q.put(("lose", idx))
+
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [ctx.Process(target=attempt, args=(i, q)) for i in range(8)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(30)
+    results = [q.get(timeout=5) for _ in range(8)]
+    winners = [i for tag, i in results if tag == "win"]
+    assert len(winners) == 1, results
+    with open(final) as f:
+        assert json.load(f) == {"writer": winners[0]}
+    # no temp litter left behind by the losers
+    assert [p for p in os.listdir(tmp_path) if p.startswith(".tmp-")] == []
