@@ -1419,9 +1419,132 @@ def _bind_prepared(stmt: str, args: list[str]) -> str:
 
 
 _ATTACH_RE = re.compile(
-    r"^\s*ATTACH\s+(?:DATABASE\s+)?'(?P<path>[^']+)'\s+AS\s+(?P<name>\w+)\s*;?\s*$",
+    r"^\s*ATTACH\s+(?:DATABASE\s+)?'(?P<path>[^']+)'\s+AS\s+(?P<name>\w+)"
+    r"\s*(?:\(\s*(?P<opts>[^)]*)\s*\))?\s*;?\s*$",
     re.IGNORECASE,
 )
+
+#: tables ATTACHed with (TYPE VERSIONED[, KEY col]): name → (root, key).
+#: Transactional DML statements against these names route through
+#: operators.acid.VersionedTable so the reference's physical_insert/
+#: delete/update surface is reachable from SQL (round 10, VERDICT r9
+#: item 5). Process-global like _MACROS; DETACH removes the entry.
+_VERSIONED: dict[str, tuple[str, str | None]] = {}
+
+_DELETE_STMT_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<name>\w+)\s*(?:WHERE\s+(?P<cond>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_STMT_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<name>\w+)\s+SET\s+(?P<sets>.+?)"
+    r"(?:\s+WHERE\s+(?P<cond>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_REPLACE_RE = re.compile(
+    r"^\s*INSERT\s+OR\s+REPLACE\s+INTO\s+(?P<name>\w+)\s+"
+    r"(?P<stmt>(?:SELECT|VALUES|FROM|WITH)\b.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _versioned_view(spark: SparkSession, name: str):
+    """(Re)bind the temp view for a versioned table at its LATEST snapshot;
+    returns the opened handle."""
+    from duckdb_parachute_spark.operators.acid import VersionedTable
+
+    root, _ = _VERSIONED[name.lower()]
+    t = VersionedTable.open(spark, root)
+    t.read().createOrReplaceTempView(name)
+    return t
+
+
+def _cast_to_table(rows, table_df):
+    """Positional INSERT semantics: rename incoming columns to the table's
+    and cast each to the table's type (ANSI — bad values error, like
+    DuckDB's INSERT cast). Without the cast, a literal like 111.25 arrives
+    as DECIMAL(5,2) and would fork the snapshot's parquet schema against
+    the table's DOUBLE column."""
+    from pyspark.sql import functions as F
+
+    tgt = table_df.schema
+    if len(rows.columns) != len(tgt.fields):
+        raise ValueError(
+            f"INSERT: query returns {len(rows.columns)} columns, table has {len(tgt.fields)}"
+        )
+    renamed = rows.toDF(*[f.name for f in tgt.fields])
+    return renamed.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in tgt.fields])
+
+
+def _versioned_dml(spark: SparkSession, text: str):
+    """Route INSERT / INSERT OR REPLACE / DELETE / UPDATE statements whose
+    target is a versioned-ATTACHed table through the transactional store
+    (reference physical_insert.cpp / physical_delete.cpp /
+    physical_update.cpp under MVCC; here each statement is one snapshot
+    commit — losers of a concurrent commit raise CommitConflict exactly as
+    through the Python API). Returns None when the statement is not
+    versioned DML. Predicates and SET expressions are DuckDB-flavored: they
+    go through transpile() before F.expr."""
+    from pyspark.sql import functions as F
+
+    m = _INSERT_REPLACE_RE.match(text)
+    if m and m["name"].lower() in _VERSIONED:
+        name = m["name"]
+        _, key = _VERSIONED[name.lower()]
+        if not key:
+            raise ValueError(
+                f"INSERT OR REPLACE INTO {name}: attach the table with "
+                f"(TYPE VERSIONED, KEY <col>) to declare the upsert key"
+            )
+        stmt = m["stmt"]
+        if stmt.strip().upper().startswith("VALUES"):
+            stmt = f"SELECT * FROM ({stmt})"
+        t = _versioned_view(spark, name)
+        rows = _cast_to_table(sql(spark, stmt), t.read())
+        t2 = t.merge_upsert(rows, key)
+        t2.read().createOrReplaceTempView(name)
+        return spark.createDataFrame([(name, t2.snapshot.version)], "merged string, version int")
+    m = _INSERT_TEMP_RE.match(text)
+    if m and m["name"].lower() in _VERSIONED:
+        name = m["name"]
+        if m["cols"]:
+            raise ValueError(
+                f"INSERT INTO {name} (cols): explicit column lists are not "
+                f"supported on versioned tables yet — insert full rows"
+            )
+        stmt = m["stmt"]
+        if stmt.strip().upper().startswith("VALUES"):
+            stmt = f"SELECT * FROM ({stmt})"
+        t = _versioned_view(spark, name)
+        rows = _cast_to_table(sql(spark, stmt), t.read())
+        t2 = t.insert(rows)
+        t2.read().createOrReplaceTempView(name)
+        return spark.createDataFrame([(name, t2.snapshot.version)], "inserted string, version int")
+    m = _DELETE_STMT_RE.match(text)
+    if m and m["name"].lower() in _VERSIONED:
+        t = _versioned_view(spark, m["name"])
+        cond = F.expr(transpile(m["cond"])) if m["cond"] else F.lit(True)
+        t2 = t.delete_where(cond)
+        t2.read().createOrReplaceTempView(m["name"])
+        return spark.createDataFrame(
+            [(m["name"], t2.snapshot.version)], "deleted string, version int"
+        )
+    m = _UPDATE_STMT_RE.match(text)
+    if m and m["name"].lower() in _VERSIONED:
+        t = _versioned_view(spark, m["name"])
+        masked, parts = _mask_literals(m["sets"])
+        assigns = {}
+        for piece in _split_top_level(masked, ","):
+            col, _, rhs = piece.partition("=")
+            if not rhs:
+                raise ValueError(f"cannot parse SET assignment: {piece!r}")
+            assigns[col.strip()] = F.expr(transpile(_unmask(rhs, parts).strip()))
+        cond = F.expr(transpile(m["cond"])) if m["cond"] else F.lit(True)
+        t2 = t.update_set(cond, assigns)
+        t2.read().createOrReplaceTempView(m["name"])
+        return spark.createDataFrame(
+            [(m["name"], t2.snapshot.version)], "updated string, version int"
+        )
+    return None
 #: USE <db> (reference transform_use.cpp): default catalog namespace for
 #: unqualified table names — maps directly onto the Spark catalog.
 _USE_RE = re.compile(r"^\s*USE\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
@@ -1787,6 +1910,9 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
         if m["ife"]:
             return spark.sql(f"DROP TABLE IF EXISTS {m['name']}")
         return spark.sql(f"DROP TABLE {m['name']}")
+    vdml = _versioned_dml(spark, text)
+    if vdml is not None:
+        return vdml
     m = _INSERT_TEMP_RE.match(text)
     if m:
         name = m["name"]
@@ -1862,12 +1988,27 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
         return sql(spark, _bind_prepared(_PREPARED[name], args))
     m = _ATTACH_RE.match(text)
     if m:
+        opts = {}
+        for piece in (m["opts"] or "").split(","):
+            kv = piece.strip().split(None, 1)
+            if len(kv) == 2:
+                opts[kv[0].lower()] = kv[1].strip().strip("'")
+        if opts.get("type", "").lower() == "versioned":
+            _VERSIONED[m["name"].lower()] = (m["path"], opts.get("key"))
+            t = _versioned_view(spark, m["name"])
+            return spark.createDataFrame(
+                [(m["name"], t.snapshot.version)], "attached_versioned string, version int"
+            )
         from duckdb_parachute_spark.sources import attach_database
 
         tables = attach_database(spark, m["name"], m["path"])
         return spark.createDataFrame([(t,) for t in tables], "attached_table string")
     m = _DETACH_RE.match(text)
     if m:
+        if m["name"].lower() in _VERSIONED:
+            del _VERSIONED[m["name"].lower()]
+            spark.catalog.dropTempView(m["name"])
+            return spark.createDataFrame([(m["name"],)], "detached string")
         from duckdb_parachute_spark.sources import detach_database
 
         detach_database(spark, m["name"])

@@ -284,3 +284,61 @@ def test_commit_protocol_cross_process_race(tmp_path):
         assert json.load(f) == {"writer": winners[0]}
     # no temp litter left behind by the losers
     assert [p for p in os.listdir(tmp_path) if p.startswith(".tmp-")] == []
+
+
+def test_sql_dml_statements_over_versioned_store(spark, tmp_path):
+    """VERDICT r9 item 5: INSERT / INSERT OR REPLACE / DELETE / UPDATE
+    statements against a table ATTACHed with (TYPE VERSIONED, KEY ...) route
+    through VersionedTable — one committed snapshot per statement — and the
+    view re-binds to the latest snapshot after each."""
+    from duckdb_parachute_spark import sqlx
+
+    root = str(tmp_path / "vt")
+    df = spark.range(0, 20).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    VersionedTable.create(spark, root, df.repartition(4))
+    sqlx.sql(spark, f"ATTACH '{root}' AS vt (TYPE VERSIONED, KEY k)")
+    try:
+        sqlx.sql(spark, "DELETE FROM vt WHERE k % 2 = 1")
+        assert sqlx.sql(spark, "SELECT count(*) AS n FROM vt").head().n == 10
+        sqlx.sql(spark, "UPDATE vt SET v = v + 1 WHERE k < 4")
+        assert sqlx.sql(spark, "SELECT v FROM vt WHERE k = 2").head().v == 21
+        sqlx.sql(spark, "INSERT INTO vt VALUES (100, 1), (101, 2)")
+        assert sqlx.sql(spark, "SELECT count(*) AS n FROM vt").head().n == 12
+        sqlx.sql(spark, "INSERT OR REPLACE INTO vt VALUES (100, 999), (102, 3)")
+        assert sqlx.sql(spark, "SELECT v FROM vt WHERE k = 100").head().v == 999
+        assert sqlx.sql(spark, "SELECT count(*) AS n FROM vt").head().n == 13
+        # four SQL statements = four commits on top of create
+        assert VersionedTable.open(spark, root).snapshot.version == 4
+        # conflict through the SQL path: a stale Python handle loses to the
+        # SQL-committed versions — same write-write semantics either way
+        stale = VersionedTable.open(spark, root, version=1)
+        with pytest.raises(CommitConflict):
+            stale.delete_where(F.col("k") == 0)
+    finally:
+        sqlx.sql(spark, "DETACH vt")
+    assert "vt" not in [t.name for t in spark.catalog.listTables() if t.isTemporary]
+
+
+def test_sql_dml_insert_casts_to_table_types(spark, tmp_path):
+    """INSERT literals are cast to the TABLE's column types before the data
+    files are written (DuckDB INSERT semantics) — otherwise a DECIMAL(5,2)
+    literal would fork the snapshot's parquet schema against a DOUBLE
+    column and later snapshot reads would break."""
+    from duckdb_parachute_spark import sqlx
+
+    root = str(tmp_path / "vt2")
+    df = spark.range(0, 4).select(
+        F.col("id").alias("k"), (F.col("id") * 1.5).alias("price")
+    )
+    VersionedTable.create(spark, root, df)
+    sqlx.sql(spark, f"ATTACH '{root}' AS vt2 (TYPE VERSIONED)")
+    try:
+        sqlx.sql(spark, "INSERT INTO vt2 VALUES (10, 111.25)")
+        got = dict(VersionedTable.open(spark, root).read().dtypes)
+        assert got["price"] == "double"
+        assert sqlx.sql(spark, "SELECT price FROM vt2 WHERE k = 10").head().price == 111.25
+        # INSERT OR REPLACE without a declared key raises loudly
+        with pytest.raises(ValueError, match="KEY"):
+            sqlx.sql(spark, "INSERT OR REPLACE INTO vt2 VALUES (10, 1.0)")
+    finally:
+        sqlx.sql(spark, "DETACH vt2")
