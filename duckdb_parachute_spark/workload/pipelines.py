@@ -790,18 +790,21 @@ def stream_acid_versioned_sink(spark, sf_dir):
            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
     FROM lineitem
     WHERE (l_orderkey < 500 AND l_quantity >= 10)
-       OR (l_orderkey >= 500 AND l_orderkey < 1000)
+       OR (l_orderkey >= 500 AND l_orderkey < 900)
     GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )
 def src_delta_scan(spark, sf_dir):
     """Delta Lake log reader (reference extension/delta, delta_scan table
-    function; public _delta_log JSON format): the query BUILDS a two-commit
-    Delta table from lineitem — v0 adds two files split at l_orderkey=500,
-    v1 DELETEs l_quantity<10 from the first file as remove+add — then scans
-    the latest snapshot. The oracle states the same final predicate over the
-    base table; matching proves add/remove reconstruction, not just parquet
-    reading."""
+    function; public _delta_log format) — CHECKPOINTED fixture (round 10,
+    VERDICT r9 item 4): the query builds a Delta table from lineitem whose
+    commits 0–1 (two adds split at l_orderkey=500, then a DELETE of
+    l_quantity<10 as remove+add) are VACUUMED AWAY and survive only inside a
+    classic ``1.checkpoint.parquet``; commit 2 (a second DELETE of
+    l_orderkey>=900 as remove+add) folds on top as JSON. Matching the oracle
+    proves checkpoint-state reconstruction PLUS incremental add/remove
+    folding — the default shape of real Delta tables, which checkpoint every
+    10 commits."""
     import json
     import shutil
 
@@ -821,16 +824,26 @@ def src_delta_scan(spark, sf_dir):
         shutil.move(g.glob(os.path.join(staging, "part-*.parquet"))[0], os.path.join(root, rel))
         shutil.rmtree(staging)
 
-    part(li.where("l_orderkey < 500"), "f1.parquet")
-    part(li.where("l_orderkey >= 500 AND l_orderkey < 1000"), "f2.parquet")
-    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
-        f.write(json.dumps({"protocol": {"minReaderVersion": 1}}) + "\n")
-        for p in ("f1.parquet", "f2.parquet"):
-            f.write(json.dumps({"add": {"path": p, "partitionValues": {}}}) + "\n")
     part(li.where("l_orderkey < 500 AND l_quantity >= 10"), "f1r.parquet")
-    with open(os.path.join(root, "_delta_log", f"{1:020d}.json"), "w") as f:
-        f.write(json.dumps({"remove": {"path": "f1.parquet"}}) + "\n")
-        f.write(json.dumps({"add": {"path": "f1r.parquet", "partitionValues": {}}}) + "\n")
+    part(li.where("l_orderkey >= 500 AND l_orderkey < 1000"), "f2.parquet")
+    # classic checkpoint at version 1: the reconciled state {f1r, f2} — the
+    # pre-checkpoint JSON commits deliberately do not exist (vacuumed)
+    cp = spark.createDataFrame(
+        [
+            (("f1r.parquet", {}, True), None, None),
+            (("f2.parquet", {}, True), None, None),
+            (None, (1,), None),
+            (None, None, ("delta-fixture",)),
+        ],
+        "add struct<path: string, partitionValues: map<string,string>, dataChange: boolean>, "
+        "protocol struct<minReaderVersion: int>, metaData struct<id: string>",
+    )
+    part(cp, os.path.join("_delta_log", f"{1:020d}.checkpoint.parquet"))
+    # commit 2 on top of the checkpoint: DELETE l_orderkey >= 900 from f2
+    part(li.where("l_orderkey >= 500 AND l_orderkey < 900"), "f2r.parquet")
+    with open(os.path.join(root, "_delta_log", f"{2:020d}.json"), "w") as f:
+        f.write(json.dumps({"remove": {"path": "f2.parquet"}}) + "\n")
+        f.write(json.dumps({"add": {"path": "f2r.parquet", "partitionValues": {}}}) + "\n")
 
     from duckdb_parachute_spark.sources import delta_scan
 

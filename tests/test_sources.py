@@ -375,3 +375,97 @@ def test_delta_scan_tolerates_compaction_sidecars(spark, tmp_path):
     _delta_commit(root, 2, [{"add": {"path": "f.parquet", "partitionValues": {}}}])
     with pytest.raises(NotImplementedError, match="missing commits"):
         delta_scan(spark, root)
+
+
+def _delta_checkpoint(spark, root, version, adds, n_parts=1, reader_version=1):
+    """Write a classic checkpoint parquet: one row per action, nullable
+    add/protocol/metaData struct columns (the public checkpoint schema
+    subset delta_scan folds)."""
+    import glob as g
+    import shutil
+    import uuid as u
+
+    schema = (
+        "add struct<path: string, partitionValues: map<string,string>, dataChange: boolean>, "
+        "protocol struct<minReaderVersion: int>, "
+        "metaData struct<id: string>"
+    )
+    rows = [((p, pv, True), None, None) for p, pv in adds]
+    rows.append((None, (reader_version,), None))
+    rows.append((None, None, ("cp-table",)))
+    df = spark.createDataFrame(rows, schema)
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    tmp = os.path.join(root, ".tmpcp_" + u.uuid4().hex)
+    df.repartition(n_parts).write.parquet(tmp)
+    parts = sorted(g.glob(os.path.join(tmp, "part-*.parquet")))
+    if n_parts == 1:
+        shutil.move(parts[0], os.path.join(log, f"{version:020d}.checkpoint.parquet"))
+    else:
+        for i, p in enumerate(parts, start=1):
+            shutil.move(
+                p,
+                os.path.join(
+                    log, f"{version:020d}.checkpoint.{i:010d}.{len(parts):010d}.parquet"
+                ),
+            )
+    shutil.rmtree(tmp)
+
+
+def test_delta_scan_reads_from_checkpoint(spark, tmp_path):
+    """Checkpoint-compacted log (round 10): JSON commits 0..1 vacuumed away,
+    classic checkpoint at v1 carries the reconciled state, commit 2 folds on
+    top. Real Delta tables checkpoint every 10 commits, so this is the
+    common shape in the wild."""
+    from duckdb_parachute_spark.sources import delta_scan
+
+    root = str(tmp_path / "dlcp")
+    a = spark.range(0, 10).selectExpr("id", "id * 2 AS v")
+    b = spark.range(10, 15).selectExpr("id", "id * 2 AS v")
+    _delta_part(spark, a, root, "f1.parquet")
+    _delta_part(spark, b, root, "f2.parquet")
+    # checkpoint at v1: state = {f1, f2}; commits 0 and 1 do NOT exist
+    _delta_checkpoint(
+        spark, root, 1, [("f1.parquet", {}), ("f2.parquet", {})]
+    )
+    # commit 2: delete ids < 5 (remove f1, add rewritten f1r)
+    a2 = a.where("id >= 5")
+    _delta_part(spark, a2, root, "f1r.parquet")
+    _delta_commit(root, 2, [
+        {"remove": {"path": "f1.parquet", "dataChange": True}},
+        {"add": {"path": "f1r.parquet", "partitionValues": {}, "dataChange": True}},
+    ])
+    assert sorted(r["id"] for r in delta_scan(spark, root).collect()) == list(range(5, 15))
+    # time travel TO the checkpoint version itself (no JSON needed at all)
+    assert sorted(r["id"] for r in delta_scan(spark, root, version=1).collect()) == list(range(15))
+    # pre-checkpoint versions are gone entirely (neither commit JSON nor a
+    # covering checkpoint exists): loud, not silently wrong
+    with pytest.raises(FileNotFoundError, match="version 0"):
+        delta_scan(spark, root, version=0)
+
+
+def test_delta_scan_multipart_checkpoint_and_partitions(spark, tmp_path):
+    from duckdb_parachute_spark.sources import delta_scan
+
+    root = str(tmp_path / "dlcp2")
+    a = spark.range(3).selectExpr("id")
+    _delta_part(spark, a, root, "y=2020/p1.parquet")
+    _delta_part(spark, a, root, "y=2021/p2.parquet")
+    _delta_checkpoint(
+        spark, root, 0,
+        [("y=2020/p1.parquet", {"y": "2020"}), ("y=2021/p2.parquet", {"y": "2021"})],
+        n_parts=2,
+    )
+    rows = delta_scan(spark, root).groupBy("y").count().collect()
+    assert {(r["y"], r["count"]) for r in rows} == {("2020", 3), ("2021", 3)}
+
+
+def test_delta_scan_checkpoint_protocol_guard(spark, tmp_path):
+    from duckdb_parachute_spark.sources import delta_scan
+
+    root = str(tmp_path / "dlcp3")
+    a = spark.range(3).selectExpr("id")
+    _delta_part(spark, a, root, "f.parquet")
+    _delta_checkpoint(spark, root, 0, [("f.parquet", {})], reader_version=3)
+    with pytest.raises(NotImplementedError, match="deletion"):
+        delta_scan(spark, root)
