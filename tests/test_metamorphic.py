@@ -211,7 +211,12 @@ def _gen_dialect_exprs(seed: int, n: int) -> list[str]:
     pats = ["[a-z]+", "a.*", ".*a.*", "[A-Z].*a?", "x|y|.*e.*", "\\\\w+"]
     seps = [" ", "a", "-", "||", "."]
 
-    fmts = ["%Y-%m-%d", "%d/%m/%Y", "%Y%m", "%a %b %d", "%H:%M"]
+    # round 10: %f microseconds, ISO %G/%V/%u (function-backed), bare-letter
+    # literal runs, and a literal apostrophe — each a distinct emitter path
+    fmts = [
+        "%Y-%m-%d", "%d/%m/%Y", "%Y%m", "%a %b %d", "%H:%M",
+        "%H:%M:%S.%f", "%G-W%V-%u", "wk %V of %G", "day %d!", "it''s %Y",
+    ]
     int_casts = [
         # DECIMAL operand → half away from zero; DOUBLE operand → half even;
         # VARCHAR operand → half away (rewrite_int_casts, pinned duckdb 1.0)

@@ -801,8 +801,25 @@ def test_strftime_strptime(spark):
     assert r["c"] == "Sat Mar 07"
     assert str(r["d"]) == "2020-03-07"
     # unmapped specifier: loud error, never a silently-wrong Java pattern
+    # (%f/%G/%V/%u graduated to mapped in round 10; %n nanoseconds has no
+    # Spark representation and stays the loud-raise witness)
     with pytest.raises(ValueError, match="specifier"):
-        sqlx.transpile("SELECT strftime(x, '%f') FROM t")
+        sqlx.transpile("SELECT strftime(x, '%n') FROM t")
+    # format-only specifiers cannot PARSE: strptime raises, never guesses
+    with pytest.raises(ValueError, match="format-only"):
+        sqlx.transpile("SELECT strptime('2020-53-5', '%G-%V-%u')")
+    # round-10 additions, pinned against duckdb 1.0
+    r2 = sqlx.sql(
+        spark,
+        "SELECT strftime(TIMESTAMP '2021-01-01 09:08:07.123456', '%G-%V-%u') AS iso, "
+        "strftime(TIMESTAMP '2021-07-04 09:08:07.123456', '%H:%M:%S.%f') AS micros, "
+        "strftime(DATE '2023-03-05', 'day: %d') AS bare, "
+        "strftime(DATE '2023-03-05', 'it''s %Y') AS apos",
+    ).collect()[0]
+    assert r2["iso"] == "2020-53-5"
+    assert r2["micros"] == "09:08:07.123456"
+    assert r2["bare"] == "day: 05"
+    assert r2["apos"] == "it's 2023"
 
 
 def test_regexp_extract_default_group(spark):
