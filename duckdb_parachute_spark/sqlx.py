@@ -234,6 +234,13 @@ def rewrite_exclude(sql: str) -> str:
 
 _REPLACE_RE = re.compile(r"\*\s+REPLACE\s*\(", re.IGNORECASE)
 _AS_SPLIT_RE = re.compile(r"\s+AS\s+", re.IGNORECASE)
+#: a set operator consumed BY POSITION: followed by SELECT or (SELECT —
+#: distinguishes it from the star-EXCEPT column list `* EXCEPT (a, b)` and
+#: from UNION [ALL] BY NAME (handled name-aligned in _union_by_name)
+_POSITIONAL_SETOP_RE = re.compile(
+    r"\b(UNION|INTERSECT|EXCEPT)\s+(?:(?:ALL|DISTINCT)\s+)?(?:SELECT\b|\(\s*SELECT\b)",
+    re.IGNORECASE,
+)
 
 
 def _balanced_span(text: str, open_idx: int, open_ch: str = "(", close_ch: str = ")") -> int:
@@ -265,7 +272,22 @@ def rewrite_star_replace(sql: str) -> str:
     Rewrites at EVERY paren depth (subqueries, CTE bodies, IN/EXISTS), like
     rewrite_exclude — each pass removes one ``* REPLACE (`` so the loop
     terminates.
+
+    Positional-consumer guard (round 10, ADVICE r9): when the probe-based
+    in-place expansion (expand_star_replace) could NOT handle the occurrence
+    and the statement also contains a position-addressed consumer — a
+    set operator without BY NAME, or an INSERT — the move silently
+    misaligns columns relative to DuckDB, so this raises instead.
     """
+    if _REPLACE_RE.search(sql) and (
+        _POSITIONAL_SETOP_RE.search(sql) or re.match(r"\s*INSERT\b", sql, re.IGNORECASE)
+    ):
+        raise ValueError(
+            "* REPLACE here moves replaced columns to the end of the select "
+            "list, which would silently misalign a positional consumer "
+            "(UNION/INTERSECT/EXCEPT by position, INSERT ... SELECT); "
+            "rewrite the star as an explicit column list"
+        )
     while True:
         m = _REPLACE_RE.search(sql)
         if not m:
@@ -1177,6 +1199,17 @@ def expand_columns(spark: SparkSession, text: str) -> str:
     for item in items:
         spans = []  # (start, end, arg) of each COLUMNS ref in this item
         for m in _COLUMNS_RE.finditer(item):
+            # a ref inside a SUBQUERY within the item must not expand against
+            # the OUTER source's schema (round 10, ADVICE r9): depth-0-
+            # within-the-item only — function args like min(COLUMNS(*)) sit
+            # at depth ≥ 1 but have no SELECT of their own to mis-scope to
+            prefix = item[: m.start()]
+            if re.search(r"\bSELECT\b", prefix, re.IGNORECASE) and prefix.count(
+                "("
+            ) > prefix.count(")"):
+                raise ValueError(
+                    f"COLUMNS(...) inside a subquery is unsupported: {item.strip()!r}"
+                )
             end = _balanced_span(item, m.end() - 1)
             # unmask the arg before comparing: two refs to the same 'regex'
             # carry DIFFERENT placeholders but must count as one argument
@@ -1212,6 +1245,60 @@ def expand_columns(spark: SparkSession, text: str) -> str:
     return _unmask(
         f"{head} {', '.join(i.strip() for i in out_items)} {masked[frm.start():]}", parts
     )
+
+
+def expand_star_replace(spark: SparkSession, text: str) -> str:
+    """Positional ``* REPLACE`` expansion (round 10, ADVICE r9): DuckDB
+    keeps each replaced column at its ORIGINAL position in the star, so the
+    move-to-end token rewrite (rewrite_star_replace) silently misaligns any
+    position-addressed consumer (UNION by position, INSERT ... SELECT).
+    Where a session is available and the outer FROM is probeable — the same
+    LIMIT-0 schema probe as expand_columns — expand the star into the full
+    column list with replacements IN PLACE; unprobeable or nested
+    occurrences fall through to the token rewrite, which now raises when
+    the statement also has a positional consumer."""
+    if not _REPLACE_RE.search(text):
+        return text
+    masked, parts = _mask_literals(text)
+    sel = _search_depth0(_SELECT_RE, masked)
+    frm = _search_depth0(_FROM_RE, masked, sel.end() if sel else 0)
+    if sel is None or frm is None:
+        return text
+    m = _REPLACE_RE.search(masked, sel.end())
+    if m is None or m.start() > frm.start():
+        return text
+    if masked.count("(", 0, m.start()) != masked.count(")", 0, m.start()):
+        return text  # nested occurrence: token-rewrite territory
+    # qualified stars (t.* REPLACE) keep the token path: the probe schema is
+    # the whole FROM, not one alias's columns
+    if masked[: m.start()].rstrip().endswith("."):
+        return text
+    clause = _search_depth0(_CLAUSE_RE, masked, frm.end())
+    source = _unmask(
+        masked[frm.end() : clause.start() if clause else len(masked)], parts
+    ).strip()
+    try:
+        cols = spark.sql(transpile(f"SELECT * FROM {source} LIMIT 0")).columns
+    except Exception:
+        return text  # unprobeable source: token rewrite decides
+    end = _balanced_span(masked, m.end() - 1)
+    repl: dict[str, tuple[str, str]] = {}
+    for item in _split_top_level(masked[m.end() : end - 1]):
+        ps = _AS_SPLIT_RE.split(item.strip())
+        if len(ps) < 2:
+            raise ValueError(f"* REPLACE item needs 'expr AS col': {item.strip()!r}")
+        expr, col = " AS ".join(ps[:-1]), ps[-1].strip()
+        repl[col.lower()] = (expr, col)
+    known = {c.lower() for c in cols}
+    unknown = sorted(k for k in repl if k not in known)
+    if unknown:
+        raise ValueError(f"* REPLACE names unknown column(s) {unknown}; source has {cols}")
+    rendered = ", ".join(
+        f"{repl[c.lower()][0]} AS {c}" if c.lower() in repl else _quote_ident(c)
+        for c in cols
+    )
+    out = _unmask(masked[: m.start()] + rendered + masked[end:], parts)
+    return expand_star_replace(spark, out)  # further occurrences, if probeable
 
 
 _PIVOT_STMT_RE = re.compile(
@@ -2095,7 +2182,11 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
     asof = _asof_join_stmt(spark, text)
     if asof is not None:
         return asof
-    return spark.sql(transpile(_expand_order_all(spark, expand_columns(spark, text))))
+    return spark.sql(
+        transpile(
+            _expand_order_all(spark, expand_star_replace(spark, expand_columns(spark, text)))
+        )
+    )
 
 
 def run_script(spark: SparkSession, script: str) -> DataFrame | None:

@@ -839,3 +839,52 @@ def test_regexp_extract_default_group(spark):
         r"regexp_extract('ab123', '([a-z]+)(\d+)', 2) AS g2",
     ).collect()[0]
     assert (r["g0"], r["g2"]) == ("ab123", "123")
+
+
+def test_star_replace_positional_expansion(spark):
+    """Round 10 (ADVICE r9): with a probeable outer FROM, * REPLACE expands
+    to the full column list with replacements IN PLACE — positional
+    consumers (UNION by position) now align exactly as in DuckDB."""
+    from duckdb_parachute_spark import sqlx
+
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k int, s string, x double"
+    ).createOrReplaceTempView("srp_t")
+    df = sqlx.sql(spark, "SELECT * REPLACE (x * 2 AS x) FROM srp_t ORDER BY k")
+    assert df.columns == ["k", "s", "x"]  # x stays third, not moved to the end
+    assert [tuple(r) for r in df.collect()] == [(1, "a", 20.0), (2, "b", 40.0)]
+    rows = sqlx.sql(
+        spark,
+        "SELECT * REPLACE (k + 100 AS k) FROM srp_t "
+        "UNION ALL SELECT k, s, x FROM srp_t",
+    ).collect()
+    assert sorted(r["k"] for r in rows) == [1, 2, 101, 102]
+    # unknown replaced column: loud
+    with pytest.raises(ValueError, match="unknown column"):
+        sqlx.sql(spark, "SELECT * REPLACE (1 AS nope) FROM srp_t")
+
+
+def test_star_replace_token_path_guards_positional_consumers():
+    """The session-free token rewrite still moves replaced columns to the
+    end; combined with a positional set operator or INSERT that would
+    silently misalign vs DuckDB, so it raises."""
+    from duckdb_parachute_spark.sqlx import rewrite_star_replace
+
+    with pytest.raises(ValueError, match="positional"):
+        rewrite_star_replace("SELECT * REPLACE (a+1 AS a) FROM t UNION ALL SELECT a, b FROM t")
+    with pytest.raises(ValueError, match="positional"):
+        rewrite_star_replace("INSERT INTO u SELECT * REPLACE (a+1 AS a) FROM t")
+    # star-EXCEPT column lists and UNION BY NAME are NOT positional consumers
+    out = rewrite_star_replace("SELECT * EXCEPT (b), * REPLACE (a+1 AS a) FROM t")
+    assert "EXCEPT (a), a+1 AS a" in out
+
+
+def test_columns_in_subquery_raises(spark):
+    from duckdb_parachute_spark import sqlx
+
+    spark.createDataFrame([(1, 2)], "a int, b int").createOrReplaceTempView("colsub_t")
+    with pytest.raises(ValueError, match="subquery"):
+        sqlx.sql(spark, "SELECT (SELECT max(COLUMNS(*)) FROM colsub_t) FROM colsub_t")
+    # aggregate-wrapped refs (depth >= 1 but no SELECT of their own) still work
+    r = sqlx.sql(spark, "SELECT min(COLUMNS(*)) FROM colsub_t").collect()[0]
+    assert (r["a"], r["b"]) == (1, 2)
