@@ -56,6 +56,13 @@ QUERIES = [
     # word-salting grows the vocab with the factor, the worst case).
     "text_bm25_topk",
     "text_bigram_logprob",
+    # round-10 additions (VERDICT r9 item 8): the stratified sampler —
+    # replicated copies keep the same lang values, so every stratum gets
+    # FACTOR x hotter, exactly the hot-stratum shape the gate prefilter
+    # exists for — and the PII scrub, a pure narrow regex map whose wall
+    # must track the corpus linearly.
+    "sample_stratified_topk",
+    "text_pii_scrub",
     # plus RECURSIVE_SCALE / FRAMES_SCALE below — harness-local variants of
     # registry queries whose registry form caps its input (l_orderkey<300 /
     # 25-row nation dim), which a data scale-up never grows.
@@ -182,6 +189,13 @@ def _frames_scale_df(spark, sf_dir):
 
 EXTRA = {RECURSIVE_SCALE: (_recursive_scale_df, _REC_SQL),
          FRAMES_SCALE: (_frames_scale_df, _FRAMES_SQL)}
+
+# SCALE_ONLY=a,b,c — time just a subset (data generation unchanged); the
+# per-round additions don't need to re-time the whole table every time.
+if os.environ.get("SCALE_ONLY"):
+    _only = {s.strip() for s in os.environ["SCALE_ONLY"].split(",") if s.strip()}
+    QUERIES = [q for q in QUERIES if q in _only]
+    EXTRA = {k: v for k, v in EXTRA.items() if k in _only}
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 RUNS = int(os.environ.get("BENCH_RUNS", "3"))
