@@ -407,8 +407,10 @@ _NON_OPERAND_KEYWORDS = frozenset(
 def rewrite_brackets(sql: str) -> str:
     """DuckDB bracket syntax → Spark builtins:
     - [e1, e2]  literal at expression position → array(e1, e2)
-    - x[i]      1-based subscript → element_at(x, i)   (Spark's x[i] is
-                0-based, so a plain passthrough would be off by one)
+    - x[i]      1-based subscript → try_element_at(x, i)   (Spark's x[i]
+                is 0-based, so a plain passthrough would be off by one;
+                try_ because DuckDB returns NULL out of bounds while ANSI
+                element_at throws — round 10)
     - x[a:b]    inclusive slice → slice(x, a, b - a + 1)
     String literals are skipped; brackets directly after an identifier, ')',
     or ']' are subscripts, anything else is a list literal."""
@@ -459,7 +461,7 @@ def rewrite_brackets(sql: str) -> str:
                 a, b = (p.strip() for p in parts)
                 repl = f"slice({operand}, {a}, ({b}) - ({a}) + 1)"
             else:
-                repl = f"element_at({operand}, {inner})"
+                repl = f"try_element_at({operand}, {_zero_safe_index(inner)})"
             out = [head, repl]
         else:
             out.append(f"array({inner})")
@@ -526,6 +528,148 @@ _LIST_FN_RE = re.compile(
 def rewrite_list_fns(sql: str) -> str:
     """list_transform/list_filter (+ aliases) → transform/filter."""
     return _LIST_FN_RE.sub(lambda m: f"{_LIST_FN_MAP[m.group(1).lower()]}(", sql)
+
+
+#: DuckDB function names → Spark builtins with IDENTICAL semantics, pinned
+#: against duckdb 1.0 (round 10; reference src/core_functions/*/functions
+#: .json aliases): arg_min/arg_max ≡ min_by/max_by; strpos ≡ instr (1-based,
+#: 0 absent); list_extract/element ≡ try_element_at (1-based, negative from
+#: end, NULL out of bounds — plain element_at THROWS under ANSI);
+#: list_position ≡ array_position (both return 0 when absent, measured —
+#: docs claiming NULL are wrong for this wheel); list_contains ≡
+#: array_contains; regexp_matches ≡ regexp_like (both PARTIAL match);
+#: *_split_regex ≡ split (both regex separators); list_value/pack ≡ array.
+_FN_ALIAS_MAP = {
+    "arg_min": "min_by",
+    "arg_max": "max_by",
+    "strpos": "instr",
+    "list_contains": "array_contains",
+    "array_has": "array_contains",
+    "list_position": "array_position",
+    "list_indexof": "array_position",
+    "regexp_matches": "regexp_like",
+    "string_split_regex": "split",
+    "str_split_regex": "split",
+    "regexp_split_to_array": "split",
+    "list_value": "array",
+    "list_pack": "array",
+}
+_FN_ALIAS_RE = re.compile(
+    r"\b(" + "|".join(_FN_ALIAS_MAP) + r")\s*\(", re.IGNORECASE
+)
+
+
+def _zero_safe_index(ix: str) -> str:
+    """DuckDB list subscripts accept index 0 and yield NULL; Spark's
+    [try_]element_at THROWS INVALID_INDEX_OF_ZERO. Literal integers resolve
+    statically; a masked string placeholder is a MAP key (0 never reaches
+    it); any other expression gets nullif(ix, 0) — try_element_at(x, NULL)
+    is NULL, matching DuckDB. A computed NON-integer key would fail the
+    nullif coercion loudly rather than silently diverge."""
+    s = ix.strip()
+    if re.fullmatch(r"\x00\d+\x00", s):
+        return s
+    if re.fullmatch(r"-?\d+", s):
+        return "CAST(NULL AS INT)" if int(s) == 0 else s
+    return f"nullif({s}, 0)"
+
+
+_LIST_EXTRACT_RE = re.compile(
+    r"\b(?:list_extract|list_element|array_extract)\s*\(", re.IGNORECASE
+)
+
+
+def rewrite_fn_aliases(sql: str) -> str:
+    """Rename-only function aliasing (semantics verified identical; see
+    _FN_ALIAS_MAP), plus the one argument-surgery case small enough to live
+    here: list_extract/list_element/array_extract → try_element_at with a
+    zero-safe index."""
+    sql = _FN_ALIAS_RE.sub(lambda m: f"{_FN_ALIAS_MAP[m.group(1).lower()]}(", sql)
+    while True:
+        m = _LIST_EXTRACT_RE.search(sql)
+        if not m:
+            return sql
+        end = _balanced_span(sql, m.end() - 1)
+        args = _split_top_level(sql[m.end() : end - 1])
+        if len(args) != 2:
+            raise ValueError(f"list_extract expects 2 arguments: {sql[m.start():end]!r}")
+        rep = f"try_element_at({args[0].strip()}, {_zero_safe_index(args[1])})"
+        sql = sql[: m.start()] + rep + sql[end:]
+
+
+#: date_diff/datediff('part', a, b) counts PART BOUNDARIES CROSSED (signed)
+#: in DuckDB — date_diff('month', Jan 31, Feb 1) = 1 — while Spark's
+#: timestampdiff counts COMPLETE units (same call = 0): a silent off-by-one
+#: on every fractional interval. Each supported part maps to an explicit
+#: boundary formula; unsupported parts raise. Spark's own 2-arg
+#: date_diff/datediff (end, start) is left untouched.
+_DATE_DIFF_RE = re.compile(r"\b(?:date_diff|datediff)\s*\(", re.IGNORECASE)
+_DATE_DIFF_PARTS = {
+    "year": "bigint(year({b}) - year({a}))",
+    "quarter": "bigint((year({b})*4 + quarter({b})) - (year({a})*4 + quarter({a})))",
+    "month": "bigint((year({b})*12 + month({b})) - (year({a})*12 + month({a})))",
+    "week": (
+        "bigint(datediff(CAST(date_trunc({wk}, {b}) AS DATE), "
+        "CAST(date_trunc({wk}, {a}) AS DATE)) DIV 7)"
+    ),
+    "day": "bigint(datediff(CAST({b} AS DATE), CAST({a} AS DATE)))",
+    "hour": (
+        "bigint((unix_timestamp(date_trunc({hh}, {b})) - "
+        "unix_timestamp(date_trunc({hh}, {a}))) DIV 3600)"
+    ),
+    "minute": (
+        "bigint((unix_timestamp(date_trunc({mi}, {b})) - "
+        "unix_timestamp(date_trunc({mi}, {a}))) DIV 60)"
+    ),
+    "second": (
+        "bigint(unix_timestamp(date_trunc({ss}, {b})) - "
+        "unix_timestamp(date_trunc({ss}, {a})))"
+    ),
+}
+_DATE_DIFF_ALIASES = {
+    "years": "year", "y": "year", "yr": "year", "yrs": "year",
+    "quarters": "quarter",
+    "months": "month", "mon": "month", "mons": "month",
+    "weeks": "week", "w": "week",
+    "days": "day", "d": "day",
+    "hours": "hour", "h": "hour", "hr": "hour", "hrs": "hour",
+    "minutes": "minute", "min": "minute", "mins": "minute", "m": "minute",
+    "seconds": "second", "sec": "second", "secs": "second", "s": "second",
+}
+
+
+def rewrite_date_diff(sql: str, _parts: list[str] | None = None) -> str:
+    if _parts is None:
+        return sql
+
+    def lit(s: str) -> str:
+        _parts.append(f"'{s}'")
+        return f"\x00{len(_parts) - 1}\x00"
+
+    pos = 0
+    while True:
+        m = _DATE_DIFF_RE.search(sql, pos)
+        if not m:
+            return sql
+        end = _balanced_span(sql, m.end() - 1)
+        args = _split_top_level(sql[m.end() : end - 1])
+        if len(args) != 3:
+            pos = end  # Spark's own 2-arg datediff(end, start): untouched
+            continue
+        p, a, b = (s.strip() for s in args)
+        mm = re.fullmatch(r"\x00(\d+)\x00", p)
+        if not mm:
+            pos = end  # computed part name: leave it, fails loudly downstream
+            continue
+        part = _parts[int(mm.group(1))][1:-1].lower()
+        part = _DATE_DIFF_ALIASES.get(part, part)
+        if part not in _DATE_DIFF_PARTS:
+            raise ValueError(f"unsupported date_diff part {part!r}")
+        rep = _DATE_DIFF_PARTS[part].format(
+            a=a, b=b, wk=lit("week"), hh=lit("hour"), mi=lit("minute"), ss=lit("second")
+        )
+        sql = sql[: m.start()] + rep + sql[end:]
+        pos = m.start() + len(rep)
 
 
 #: DuckDB string_split + aliases take a LITERAL separator; Spark's split
@@ -1076,6 +1220,8 @@ REWRITES = [
     rewrite_string_split,
     rewrite_strftime,
     rewrite_regexp_extract,
+    rewrite_fn_aliases,
+    rewrite_date_diff,
     rewrite_power,
     rewrite_factorial,
     rewrite_int_casts,
@@ -1134,7 +1280,7 @@ def transpile(sql: str) -> str:
         # expansion just introduced so the rewrites stay literal-blind
         masked = _TOKEN_RE.sub(stash, _expand_macros(masked))
     for rw in REWRITES:
-        if rw in (rewrite_json_arrows, rewrite_regex_ops, rewrite_string_split, rewrite_strftime, rewrite_int_casts):
+        if rw in (rewrite_json_arrows, rewrite_regex_ops, rewrite_string_split, rewrite_strftime, rewrite_int_casts, rewrite_date_diff):
             masked = rw(masked, _parts=parts)
         else:
             masked = rw(masked)

@@ -673,3 +673,58 @@ def dialect_int_cast_round(spark, sf_dir):
     path (no double round-trip above 2^53). Same SQL is the oracle."""
     _views(spark, sf_dir, "lineitem")
     return sqlx.sql(spark, _INTCAST_SQL)
+
+
+_FN_ALIAS_SQL = """
+SELECT o_orderstatus,
+       arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS cheapest_key,
+       arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS priciest_key,
+       CAST(max(strpos(o_orderpriority, 'U')) AS BIGINT) AS max_pos,
+       CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[123]|T$') THEN 1 ELSE 0 END) AS BIGINT) AS re_hits,
+       CAST(max(list_extract(string_split_regex(o_orderpriority, '[^A-Z]+'), 2)) AS VARCHAR) AS second_word,
+       CAST(sum(list_position(['1-URGENT', '2-HIGH', '3-MEDIUM'], o_orderpriority)) AS BIGINT) AS prio_rank_sum
+FROM orders WHERE o_orderkey < 2000
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@query("dialect_fn_aliases", oracle=_FN_ALIAS_SQL)
+def dialect_fn_aliases(spark, sf_dir):
+    """DuckDB function-name aliases (reference src/core_functions/*/
+    functions.json alias lists), pinned semantics: arg_min/arg_max ≡
+    min_by/max_by (the price*1e5+key tiebreak keeps both engines
+    deterministic), strpos ≡ instr (1-based, 0 when absent),
+    regexp_matches ≡ regexp_like (both PARTIAL match), string_split_regex ≡
+    split (both regex separators), list_extract ≡ try_element_at with the
+    zero-safe index rule (DuckDB l[0] is NULL; ANSI element_at throws),
+    list_position ≡ array_position (both 0 when absent). The totalprice
+    tiebreak keeps arg_min/arg_max deterministic in both engines. Same SQL
+    is the oracle."""
+    _views(spark, sf_dir, "orders")
+    return sqlx.sql(spark, _FN_ALIAS_SQL)
+
+
+_DATE_DIFF_SQL = """
+SELECT o_orderpriority,
+       CAST(sum(date_diff('month', o_orderdate, TIMESTAMP '1996-06-15 12:00:00')) AS BIGINT) AS months,
+       CAST(sum(date_diff('week', o_orderdate, TIMESTAMP '1996-06-15 12:00:00')) AS BIGINT) AS weeks,
+       CAST(sum(date_diff('day', o_orderdate, TIMESTAMP '1996-06-15 12:00:00')) AS BIGINT) AS days,
+       CAST(max(date_diff('quarter', o_orderdate, TIMESTAMP '1996-06-15 12:00:00')) AS BIGINT) AS max_q,
+       CAST(min(datediff('year', o_orderdate, TIMESTAMP '1996-06-15 12:00:00')) AS BIGINT) AS min_y
+FROM orders WHERE o_orderkey < 2000
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@query("dialect_date_diff", oracle=_DATE_DIFF_SQL)
+def dialect_date_diff(spark, sf_dir):
+    """date_diff/datediff('part', a, b) counts PART BOUNDARIES CROSSED
+    (reference src/common/types/date.cpp date part logic; duckdb 1.0:
+    date_diff('month', Jan 31, Feb 1) = 1) — Spark's timestampdiff counts
+    COMPLETE units and would be off by one on every fractional interval, so
+    sqlx emits explicit boundary formulas per part (year/quarter/month from
+    calendar fields, week via Monday truncation, day via date diff,
+    hour/minute/second via unit truncation + epoch arithmetic). Same SQL is
+    the oracle."""
+    _views(spark, sf_dir, "orders")
+    return sqlx.sql(spark, _DATE_DIFF_SQL)

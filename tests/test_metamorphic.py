@@ -232,9 +232,23 @@ def _gen_dialect_exprs(seed: int, n: int) -> list[str]:
         "TRY_CAST(coalesce(x, 2.5) AS INT)",
         "coalesce(i, 0)::bigint",
     ]
+    fn_aliases = [
+        # rename-only aliases + boundary-crossing date_diff (round 10);
+        # arg_min/arg_max are AGGREGATES — tested in test_sqlx, not here
+        "strpos(coalesce(s, ''), 'a')",
+        "list_extract([10, 20, 30], coalesce(j, 1))",
+        "list_position([10, 20, 30], coalesce(i, 0))",
+        "list_contains([1, 2, 3], coalesce(j, 0))",
+        "regexp_matches(coalesce(s, ''), '[a-z]+a')",
+        "string_split_regex(coalesce(s, 'q1w22e'), '[0-9]+')[1]",
+        "date_diff('month', DATE '2021-01-31', DATE '2021-01-31' + (coalesce(i, 0) % 90))",
+        "date_diff('day', DATE '2021-01-01', DATE '2021-01-01' + (coalesce(j, 0) % 90))",
+        "date_diff('week', DATE '2021-01-03', DATE '2021-01-03' + (coalesce(i, 0) % 30))",
+        "date_diff('quarter', DATE '2021-02-11', DATE '2021-02-11' + (coalesce(i, 0) % 200))",
+    ]
     out = []
     for k in range(n):
-        kind = k % 9
+        kind = k % 10
         if kind == 0:
             out.append(f"(coalesce(s, '') ~ '{rng.choice(pats)}')")
         elif kind == 1:
@@ -258,8 +272,10 @@ def _gen_dialect_exprs(seed: int, n: int) -> list[str]:
         elif kind == 7:
             # DuckDB factorial returns HUGEINT (pandas float); cast bridges
             out.append(f"CAST({rng.randrange(0, 7)}! AS BIGINT)")
-        else:
+        elif kind == 8:
             out.append(rng.choice(int_casts))
+        else:
+            out.append(rng.choice(fn_aliases))
     return out
 
 

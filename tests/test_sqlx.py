@@ -74,11 +74,11 @@ def test_bracket_list_literal_vs_subscript():
     from duckdb_parachute_spark.sqlx import rewrite_brackets
 
     assert rewrite_brackets("SELECT [1, 2, 3] AS xs") == "SELECT array(1, 2, 3) AS xs"
-    assert rewrite_brackets("SELECT xs[2] FROM t") == "SELECT element_at(xs, 2) FROM t"
+    assert rewrite_brackets("SELECT xs[2] FROM t") == "SELECT try_element_at(xs, 2) FROM t"
     # subscript binds to a full call chain, 1-based like DuckDB
     assert (
         rewrite_brackets("SELECT split(s, ',')[1] FROM t")
-        == "SELECT element_at(split(s, ','), 1) FROM t"
+        == "SELECT try_element_at(split(s, ','), 1) FROM t"
     )
     # keyword before '[' means literal, not subscript
     assert rewrite_brackets("WHERE k IN [1,2]") == "WHERE k IN array(1,2)"
@@ -888,3 +888,58 @@ def test_columns_in_subquery_raises(spark):
     # aggregate-wrapped refs (depth >= 1 but no SELECT of their own) still work
     r = sqlx.sql(spark, "SELECT min(COLUMNS(*)) FROM colsub_t").collect()[0]
     assert (r["a"], r["b"]) == (1, 2)
+
+
+def test_fn_aliases_and_zero_safe_subscripts(spark):
+    """Round 10: DuckDB function-name aliases (verified-identical semantics)
+    and the zero-index rule — DuckDB list[0] / list_extract(l, 0) yield
+    NULL, Spark's [try_]element_at throws INVALID_INDEX_OF_ZERO."""
+    from duckdb_parachute_spark import sqlx
+    from duckdb_parachute_spark.sqlx import rewrite_fn_aliases
+
+    assert rewrite_fn_aliases("SELECT strpos(s, 'a') FROM t") == "SELECT instr(s, 'a') FROM t"
+    assert rewrite_fn_aliases("SELECT list_extract(l, i) FROM t") == (
+        "SELECT try_element_at(l, nullif(i, 0)) FROM t"
+    )
+    assert rewrite_fn_aliases("SELECT list_extract(l, 0)") == (
+        "SELECT try_element_at(l, CAST(NULL AS INT))"
+    )
+    assert rewrite_fn_aliases("SELECT list_extract(l, 2)") == "SELECT try_element_at(l, 2)"
+    r = sqlx.sql(
+        spark,
+        "SELECT list_extract([10, 20, 30], 0) AS z, [10, 20][0] AS zb, "
+        "list_extract([10, 20, 30], -1) AS neg, list_position([1, 2], 9) AS miss, "
+        "strpos('hello', 'z') AS sp, regexp_matches('abcd', 'b.d') AS rm",
+    ).collect()[0]
+    # pinned against duckdb 1.0: (None, None, 30, 0, 0, True)
+    assert (r["z"], r["zb"], r["neg"], r["miss"], r["sp"], r["rm"]) == (
+        None, None, 30, 0, 0, True,
+    )
+    # arg_min/arg_max are aggregates -> min_by/max_by
+    spark.createDataFrame([(1, 5), (2, 3), (3, 9)], "k int, v int").createOrReplaceTempView("am_t")
+    r2 = sqlx.sql(spark, "SELECT arg_min(k, v) AS lo, arg_max(k, v) AS hi FROM am_t").collect()[0]
+    assert (r2["lo"], r2["hi"]) == (2, 3)
+
+
+def test_date_diff_boundary_semantics(spark):
+    """date_diff counts PART BOUNDARIES CROSSED (duckdb 1.0:
+    date_diff('month', Jan 31, Feb 1) = 1), not complete units
+    (timestampdiff would say 0)."""
+    from duckdb_parachute_spark import sqlx
+
+    r = sqlx.sql(
+        spark,
+        "SELECT date_diff('month', DATE '2021-01-31', DATE '2021-02-01') AS m, "
+        "date_diff('month', DATE '2021-02-01', DATE '2021-01-31') AS mneg, "
+        "date_diff('year', DATE '2020-12-31', DATE '2021-01-01') AS y, "
+        "date_diff('week', DATE '2021-01-03', DATE '2021-01-04') AS w, "
+        "date_diff('day', TIMESTAMP '2021-01-01 23:59:59', TIMESTAMP '2021-01-02 00:00:01') AS d, "
+        "date_diff('hour', TIMESTAMP '2021-01-01 01:59:59', TIMESTAMP '2021-01-01 02:00:01') AS h, "
+        "datediff('days', DATE '2021-01-01', DATE '2021-03-01') AS dd, "
+        "datediff(DATE '2021-03-01', DATE '2021-01-01') AS spark2arg",
+    ).collect()[0]
+    assert (r["m"], r["mneg"], r["y"], r["w"], r["d"], r["h"], r["dd"], r["spark2arg"]) == (
+        1, -1, 1, 1, 1, 1, 59, 59,
+    )
+    with pytest.raises(ValueError, match="date_diff part"):
+        sqlx.transpile("SELECT date_diff('millennium', a, b) FROM t")
