@@ -553,6 +553,10 @@ _FN_ALIAS_MAP = {
     "regexp_split_to_array": "split",
     "list_value": "array",
     "list_pack": "array",
+    # aggregates: list/array_agg ≡ collect_list (both NULL-skipping,
+    # order-nondeterministic without an ORDER BY in both engines)
+    "list": "collect_list",
+    "array_agg": "collect_list",
 }
 _FN_ALIAS_RE = re.compile(
     r"\b(" + "|".join(_FN_ALIAS_MAP) + r")\s*\(", re.IGNORECASE
@@ -594,6 +598,101 @@ def rewrite_fn_aliases(sql: str) -> str:
         if len(args) != 2:
             raise ValueError(f"list_extract expects 2 arguments: {sql[m.start():end]!r}")
         rep = f"try_element_at({args[0].strip()}, {_zero_safe_index(args[1])})"
+        sql = sql[: m.start()] + rep + sql[end:]
+
+
+#: list_sort / list_reverse_sort (reference src/core_functions/scalar/list/
+#: list_sort.cpp): DuckDB defaults are ASC NULLS LAST (measured on 1.0:
+#: list_sort([3,NULL,1]) = [1,3,NULL]); Spark's array_sort matches exactly,
+#: sort_array matches ASC NULLS FIRST, reverse(array_sort) matches DESC
+#: NULLS FIRST, and DESC NULLS LAST takes an explicit comparator lambda.
+#: This was excluded from the rename map in round 9 for exactly this
+#: null-ordering trap; round 10 maps each (direction, nulls) pair.
+_LIST_SORT_RE = re.compile(r"\b(list_sort|list_reverse_sort|array_reverse_sort)\s*\(", re.IGNORECASE)
+_DESC_NULLS_LAST_CMP = (
+    "(l, r) -> CASE WHEN l IS NULL AND r IS NULL THEN 0 WHEN l IS NULL THEN 1 "
+    "WHEN r IS NULL THEN -1 WHEN l > r THEN -1 WHEN l < r THEN 1 ELSE 0 END"
+)
+
+
+def rewrite_list_sort(sql: str, _parts: list[str] | None = None) -> str:
+    if _parts is None:
+        return sql
+
+    def opt(arg: str | None) -> str:
+        if arg is None:
+            return ""
+        mm = re.fullmatch(r"\x00(\d+)\x00", arg.strip())
+        if not mm:
+            raise ValueError(f"list_sort modifiers must be literals: {arg!r}")
+        return _parts[int(mm.group(1))][1:-1].strip().upper()
+
+    while True:
+        m = _LIST_SORT_RE.search(sql)
+        if not m:
+            return sql
+        end = _balanced_span(sql, m.end() - 1)
+        args = _split_top_level(sql[m.end() : end - 1])
+        x = args[0].strip()
+        if m.group(1).lower() == "list_sort":
+            direction = opt(args[1] if len(args) > 1 else None) or "ASC"
+            nulls = opt(args[2] if len(args) > 2 else None) or "NULLS LAST"
+        else:  # list_reverse_sort ≡ DESC NULLS LAST (measured)
+            direction, nulls = "DESC", "NULLS LAST"
+        if direction == "ASC":
+            rep = f"array_sort({x})" if nulls == "NULLS LAST" else f"sort_array({x})"
+        elif nulls == "NULLS FIRST":
+            rep = f"reverse(array_sort({x}))"
+        else:
+            rep = f"array_sort({x}, {_DESC_NULLS_LAST_CMP})"
+        sql = sql[: m.start()] + rep + sql[end:]
+
+
+#: string_agg(expr[, sep] [ORDER BY ...]) (reference src/core_functions/
+#: aggregate/distributive/string_agg.cpp; default separator ','): Spark's
+#: listagg takes the order as WITHIN GROUP (ORDER BY ...). Without an ORDER
+#: BY both engines are order-nondeterministic — mapped verbatim.
+_STRING_AGG_RE = re.compile(r"\bstring_agg\s*\(", re.IGNORECASE)
+_ORDER_BY_IN_ARG_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+
+
+def rewrite_string_agg(sql: str, _parts: list[str] | None = None) -> str:
+    if _parts is None:
+        return sql
+
+    def lit(s: str) -> str:
+        _parts.append(f"'{s}'")
+        return f"\x00{len(_parts) - 1}\x00"
+
+    while True:
+        m = _STRING_AGG_RE.search(sql)
+        if not m:
+            return sql
+        end = _balanced_span(sql, m.end() - 1)
+        args = _split_top_level(sql[m.end() : end - 1])
+        expr = args[0].strip()
+        sep, order = None, None
+        if len(args) > 2:
+            raise ValueError(f"string_agg expects at most 2 arguments: {sql[m.start():end]!r}")
+        if len(args) == 2:
+            tail = args[1]
+            om = _ORDER_BY_IN_ARG_RE.search(tail)
+            # only a depth-0 ORDER BY splits the arg (a subquery's would not)
+            while om and tail.count("(", 0, om.start()) != tail.count(")", 0, om.start()):
+                om = _ORDER_BY_IN_ARG_RE.search(tail, om.end())
+            if om:
+                sep, order = tail[: om.start()].strip() or None, tail[om.end() :].strip()
+            else:
+                sep = tail.strip()
+        else:
+            om = _ORDER_BY_IN_ARG_RE.search(expr)
+            while om and expr.count("(", 0, om.start()) != expr.count(")", 0, om.start()):
+                om = _ORDER_BY_IN_ARG_RE.search(expr, om.end())
+            if om:
+                expr, order = expr[: om.start()].strip(), expr[om.end() :].strip()
+        rep = f"listagg({expr}, {sep if sep else lit(',')})"
+        if order:
+            rep += f" WITHIN GROUP (ORDER BY {order})"
         sql = sql[: m.start()] + rep + sql[end:]
 
 
@@ -1221,6 +1320,8 @@ REWRITES = [
     rewrite_strftime,
     rewrite_regexp_extract,
     rewrite_fn_aliases,
+    rewrite_list_sort,
+    rewrite_string_agg,
     rewrite_date_diff,
     rewrite_power,
     rewrite_factorial,
@@ -1280,7 +1381,7 @@ def transpile(sql: str) -> str:
         # expansion just introduced so the rewrites stay literal-blind
         masked = _TOKEN_RE.sub(stash, _expand_macros(masked))
     for rw in REWRITES:
-        if rw in (rewrite_json_arrows, rewrite_regex_ops, rewrite_string_split, rewrite_strftime, rewrite_int_casts, rewrite_date_diff):
+        if rw in (rewrite_json_arrows, rewrite_regex_ops, rewrite_string_split, rewrite_strftime, rewrite_int_casts, rewrite_date_diff, rewrite_list_sort, rewrite_string_agg):
             masked = rw(masked, _parts=parts)
         else:
             masked = rw(masked)

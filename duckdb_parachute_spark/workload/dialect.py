@@ -728,3 +728,31 @@ def dialect_date_diff(spark, sf_dir):
     the oracle."""
     _views(spark, sf_dir, "orders")
     return sqlx.sql(spark, _DATE_DIFF_SQL)
+
+
+_STRAGG_SORT_SQL = """
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS names_csv,
+       string_agg(substr(n_name, 1, 1) ORDER BY n_name DESC) AS initials_desc,
+       list_sort(list(n_nationkey)) AS keys_asc,
+       list_sort(list(n_nationkey), 'DESC') AS keys_desc,
+       list_reverse_sort(list(n_nationkey % 5)) AS mods_desc
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+
+
+@query(
+    "dialect_string_agg_sort",
+    oracle=_STRAGG_SORT_SQL,
+    join_arrays=("keys_asc", "keys_desc", "mods_desc"),
+)
+def dialect_string_agg_sort(spark, sf_dir):
+    """string_agg(expr[, sep] ORDER BY ...) → listagg WITHIN GROUP (default
+    separator ','), and list_sort/list_reverse_sort with DuckDB's measured
+    defaults — ASC NULLS LAST ≡ Spark array_sort; each (direction, nulls)
+    pair maps to array_sort / sort_array / reverse(array_sort) / an explicit
+    comparator (reference string_agg.cpp, list_sort.cpp). list() ≡
+    collect_list is order-nondeterministic, so every aggregate carries an
+    explicit order. Same SQL is the oracle."""
+    _views(spark, sf_dir, "nation")
+    return sqlx.sql(spark, _STRAGG_SORT_SQL)

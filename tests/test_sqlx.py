@@ -205,8 +205,21 @@ def test_list_comprehension_and_list_fns():
     assert transpile("SELECT [y FOR y IN l IF y % 2 = 0] FROM t") == (
         "SELECT transform(filter(l, y -> y % 2 = 0), y -> y) FROM t"
     )
-    # unmapped list fns pass through untouched (semantics differ)
-    assert transpile("SELECT list_sort(l) FROM t") == "SELECT list_sort(l) FROM t"
+    # list_sort graduated to mapped in round 10 (null-ordering matched:
+    # DuckDB default ASC NULLS LAST ≡ array_sort); each variant measured
+    assert transpile("SELECT list_sort(l) FROM t") == "SELECT array_sort(l) FROM t"
+    assert transpile("SELECT list_sort(l, 'ASC', 'NULLS FIRST') FROM t") == (
+        "SELECT sort_array(l) FROM t"
+    )
+    assert transpile("SELECT list_sort(l, 'DESC', 'NULLS FIRST') FROM t") == (
+        "SELECT reverse(array_sort(l)) FROM t"
+    )
+    assert "array_sort(l, (l, r) -> CASE" in transpile("SELECT list_reverse_sort(l) FROM t")
+    # string_agg → listagg [WITHIN GROUP]
+    assert transpile("SELECT string_agg(s, '|' ORDER BY s DESC) FROM t") == (
+        "SELECT listagg(s, '|') WITHIN GROUP (ORDER BY s DESC) FROM t"
+    )
+    assert transpile("SELECT string_agg(s) FROM t") == "SELECT listagg(s, ',') FROM t"
 
 
 def test_sample_rows_form():
