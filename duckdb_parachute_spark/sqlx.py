@@ -601,6 +601,33 @@ def rewrite_fn_aliases(sql: str) -> str:
         sql = sql[: m.start()] + rep + sql[end:]
 
 
+#: quantile_cont ≡ percentile (linear interpolation, scalar AND array
+#: quantile forms both match on DOUBLE inputs — DuckDB's DECIMAL-input
+#: quantile keeps the source scale, so decimal operands should be cast to
+#: DOUBLE by the caller for cross-engine-identical output);
+#: quantile_disc/quantile pick the exact element at the same rank as
+#: Spark's percentile_disc, which only has the ordered-set spelling —
+#: argument surgery, default q = 0.5 (reference src/core_functions/
+#: aggregate/holistic/quantile.cpp; values pinned on duckdb 1.0).
+_QUANTILE_DISC_RE = re.compile(r"\b(?:quantile_disc|quantile)\s*\(", re.IGNORECASE)
+
+
+def rewrite_quantiles(sql: str) -> str:
+    sql = re.sub(r"\bquantile_cont\s*\(", "percentile(", sql, flags=re.IGNORECASE)
+    while True:
+        m = _QUANTILE_DISC_RE.search(sql)
+        if not m:
+            return sql
+        end = _balanced_span(sql, m.end() - 1)
+        args = _split_top_level(sql[m.end() : end - 1])
+        if len(args) not in (1, 2):
+            raise ValueError(f"quantile_disc expects 1-2 arguments: {sql[m.start():end]!r}")
+        x = args[0].strip()
+        q = args[1].strip() if len(args) == 2 else "0.5"
+        rep = f"percentile_disc({q}) WITHIN GROUP (ORDER BY {x})"
+        sql = sql[: m.start()] + rep + sql[end:]
+
+
 #: list_sort / list_reverse_sort (reference src/core_functions/scalar/list/
 #: list_sort.cpp): DuckDB defaults are ASC NULLS LAST (measured on 1.0:
 #: list_sort([3,NULL,1]) = [1,3,NULL]); Spark's array_sort matches exactly,
@@ -1320,6 +1347,7 @@ REWRITES = [
     rewrite_strftime,
     rewrite_regexp_extract,
     rewrite_fn_aliases,
+    rewrite_quantiles,
     rewrite_list_sort,
     rewrite_string_agg,
     rewrite_date_diff,

@@ -756,3 +756,27 @@ def dialect_string_agg_sort(spark, sf_dir):
     explicit order. Same SQL is the oracle."""
     _views(spark, sf_dir, "nation")
     return sqlx.sql(spark, _STRAGG_SORT_SQL)
+
+
+_QUANTILE_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4) AS p50,
+       round((quantile_cont(CAST(l_extendedprice AS DOUBLE), [0.25, 0.75]))[2], 4) AS p75,
+       CAST(quantile_disc(l_quantity, 0.9) AS DOUBLE) AS q90_disc,
+       CAST(quantile(l_linenumber, 0.5) AS BIGINT) AS line_med
+FROM lineitem WHERE l_orderkey < 2000
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@query("dialect_quantiles", oracle=_QUANTILE_SQL)
+def dialect_quantiles(spark, sf_dir):
+    """quantile_cont ≡ percentile (interpolated; the array-of-quantiles form
+    maps too) and quantile_disc/quantile ≡ percentile_disc rewritten to the
+    ordered-set WITHIN GROUP spelling (reference src/core_functions/
+    aggregate/holistic/quantile.cpp). Operands are cast to DOUBLE in-query
+    on BOTH sides: DuckDB's DECIMAL-input quantile keeps the source scale
+    (2.5 → '1.7' at scale 1) while Spark interpolates in double — the one
+    pinned divergence, documented at the rewrite. Same SQL is the oracle."""
+    _views(spark, sf_dir, "lineitem")
+    return sqlx.sql(spark, _QUANTILE_SQL)

@@ -956,3 +956,25 @@ def test_date_diff_boundary_semantics(spark):
     )
     with pytest.raises(ValueError, match="date_diff part"):
         sqlx.transpile("SELECT date_diff('millennium', a, b) FROM t")
+
+
+def test_quantile_rewrites(spark):
+    from duckdb_parachute_spark import sqlx
+
+    assert transpile("SELECT quantile_cont(x, 0.5) FROM t") == (
+        "SELECT percentile(x, 0.5) FROM t"
+    )
+    assert transpile("SELECT quantile_disc(x, 0.25) FROM t") == (
+        "SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY x) FROM t"
+    )
+    assert transpile("SELECT quantile(x, 0.9) FROM t") == (
+        "SELECT percentile_disc(0.9) WITHIN GROUP (ORDER BY x) FROM t"
+    )
+    # pinned against duckdb 1.0: disc picks the exact element at the rank
+    r = sqlx.sql(
+        spark,
+        "SELECT quantile_cont(CAST(x AS DOUBLE), 0.25) AS a, "
+        "CAST(quantile_disc(x, 0.6) AS DOUBLE) AS b "
+        "FROM (VALUES (1.0),(2.0),(4.0),(8.0)) t(x)",
+    ).collect()[0]
+    assert (r["a"], r["b"]) == (1.75, 4.0)
