@@ -306,3 +306,48 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count_distinct("shingle").alias("n_hits"))
     )
+
+
+def semantic_cluster_assign(
+    df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Assign each embedding to its nearest centroid by cosine (SemDeDup,
+    Abbas et al. 2023 — semantic dedup clusters the corpus first so the
+    quadratic pair search runs per-cluster, never corpus-wide). `centroids`
+    is (centroid_id, centroid) and is tiny by construction (k clusters), so
+    it BROADCASTS: the assignment is one map-side crossJoin + per-row argmax
+    — no shuffle of the corpus. Ties break to the lowest centroid_id, making
+    the assignment deterministic and SQL-replayable."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    from duckdb_parachute_spark.functions.vector import array_cosine_similarity
+
+    scored = df.select(id_col, vec_col).crossJoin(broadcast(centroids)).withColumn(
+        "__sim", array_cosine_similarity(F.col(vec_col), F.col("centroid"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
+def semantic_dup_pairs(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """SemDeDup pair discovery: cluster-assign, then cosine pairs ≥
+    threshold WITHIN each cluster (embedding_neardup_pairs with the cluster
+    as the bucket). At 100 TB the cluster count scales with the corpus, so
+    per-cluster membership stays bounded and the per-bucket self-join never
+    degenerates to all-pairs; cross-cluster near-dups are the recall
+    tradeoff the paper accepts (mitigable with multi-probe assignment)."""
+    assigned = semantic_cluster_assign(df, centroids, id_col, vec_col)
+    return embedding_neardup_pairs(
+        assigned, id_col, vec_col, threshold, bucket_col="centroid_id"
+    )

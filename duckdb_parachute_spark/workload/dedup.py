@@ -380,3 +380,57 @@ def dedup_keep_canonical(spark, sf_dir):
     return kept.agg(F.count(F.lit(1)).alias("n_kept")).crossJoin(
         dropped.agg(F.count(F.lit(1)).alias("n_dropped"))
     )
+
+
+@query(
+    "dedup_semantic_pairs",
+    oracle="""
+    WITH cents AS (
+        SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS centroid
+        FROM embeddings WHERE vec_id < 6
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.centroid) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    )
+    SELECT a.vec_id AS id1, b.vec_id AS id2, a.centroid_id AS cluster_id,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM assigned a JOIN assigned b
+      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.85
+    ORDER BY id1, id2
+    """,
+)
+def dedup_semantic_pairs(spark, sf_dir):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster-assign every embedding to its nearest centroid (broadcast
+    crossJoin + per-row argmax — no corpus shuffle), then cosine pairs ≥
+    threshold WITHIN clusters only, so the quadratic search is bounded by
+    cluster size, never corpus size. Centroids here are the deterministic
+    seed set vec_id < 6 (k-means iterations are not SQL-expressible; the
+    IVF trainer in similarity/ provides them in production) so the oracle
+    replays assignment AND pair search exactly."""
+    from duckdb_parachute_spark.dedup import semantic_cluster_assign, embedding_neardup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    assigned = semantic_cluster_assign(e, cents, "vec_id", "embedding")
+    pairs = embedding_neardup_pairs(assigned, "vec_id", "embedding", 0.85, bucket_col="centroid_id")
+    cluster_of = assigned.select(F.col("vec_id").alias("id1"), F.col("centroid_id").alias("cluster_id"))
+    return (
+        pairs.join(cluster_of, "id1")
+        .select("id1", "id2", "cluster_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy("id1", "id2")
+    )
