@@ -152,6 +152,10 @@ class VersionedTable:
         self.root = root
         self.snapshot = snapshot
         self.commit_protocol = commit_protocol or LocalCommitProtocol()
+        #: open-transaction state (begin()/commit()): the pinned base
+        #: version, and the staged op chain for the squashed manifest op
+        self._txn_base: int | None = None
+        self._txn_ops: tuple[str, ...] = ()
 
     # -- construction --------------------------------------------------------
 
@@ -376,15 +380,63 @@ class VersionedTable:
         tags = self.snapshot.tags
         if op.startswith("insert#"):
             tags = tags + (op.split("#", 1)[1],)
+        snap = Snapshot(
+            self.snapshot.version + 1,
+            self.snapshot.version,
+            op,
+            files,
+            self.snapshot.schema_json,
+            tags,
+        )
+        if self._txn_base is not None:
+            # inside an open transaction: STAGE the snapshot (data files are
+            # on disk, the manifest is withheld) — the chain publishes as ONE
+            # version at commit(). vacuum never sweeps staged-uncommitted
+            # files, so a crashed transaction leaks bounded garbage, never
+            # corrupts published state.
+            nxt = VersionedTable(self.spark, self.root, snap, self.commit_protocol)
+            nxt._txn_base = self._txn_base
+            nxt._txn_ops = self._txn_ops + (op,)
+            return nxt
+        snap = self._commit(self.root, snap, self.commit_protocol)
+        return VersionedTable(self.spark, self.root, snap, self.commit_protocol)
+
+    # -- multi-statement transactions -----------------------------------------
+
+    def begin(self) -> "VersionedTable":
+        """Open a multi-statement transaction pinned at THIS snapshot
+        (reference duck_transaction_manager.cpp interactive transactions):
+        DML on the returned handle stages copy-on-write results without
+        publishing; :meth:`commit` publishes the final state as ONE version
+        with parent = the pinned snapshot, so a concurrent writer who
+        committed in between makes the whole transaction lose with
+        :class:`CommitConflict` — classic optimistic MVCC. Dropping the
+        handle (or just not committing) is a rollback: no manifest was ever
+        written, published state is untouched."""
+        if self._txn_base is not None:
+            raise ValueError("transaction already open on this handle")
+        t = VersionedTable(self.spark, self.root, self.snapshot, self.commit_protocol)
+        t._txn_base = self.snapshot.version
+        t._txn_ops = ()
+        return t
+
+    def commit(self) -> "VersionedTable":
+        """Publish the staged transaction as one snapshot (no-op transaction
+        returns a handle at the pinned base)."""
+        if self._txn_base is None:
+            raise ValueError("no open transaction on this handle (call begin())")
+        if not self._txn_ops:
+            out = VersionedTable(self.spark, self.root, self.snapshot, self.commit_protocol)
+            return out
         snap = self._commit(
             self.root,
             Snapshot(
-                self.snapshot.version + 1,
-                self.snapshot.version,
-                op,
-                files,
+                self._txn_base + 1,
+                self._txn_base,
+                "txn[" + ",".join(self._txn_ops) + "]",
+                self.snapshot.files,
                 self.snapshot.schema_json,
-                tags,
+                self.snapshot.tags,
             ),
             self.commit_protocol,
         )

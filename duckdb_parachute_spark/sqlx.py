@@ -1882,15 +1882,45 @@ _INSERT_REPLACE_RE = re.compile(
 )
 
 
+#: open SQL transaction (BEGIN/COMMIT/ROLLBACK): staged VersionedTable
+#: handles keyed by attached name. None = no transaction open. Within a
+#: transaction the temp view re-binds to the STAGED snapshot after each
+#: statement — the session reads its own uncommitted writes, DuckDB's
+#: same-connection semantics (reference duck_transaction_manager.cpp).
+_TXN_STAGE: dict[str, object] | None = None
+
+_BEGIN_RE = re.compile(r"^\s*BEGIN(\s+TRANSACTION)?\s*;?\s*$", re.IGNORECASE)
+_COMMIT_STMT_RE = re.compile(r"^\s*(COMMIT|END)(\s+TRANSACTION)?\s*;?\s*$", re.IGNORECASE)
+_ROLLBACK_RE = re.compile(r"^\s*ROLLBACK(\s+TRANSACTION)?\s*;?\s*$", re.IGNORECASE)
+
+
 def _versioned_view(spark: SparkSession, name: str):
-    """(Re)bind the temp view for a versioned table at its LATEST snapshot;
-    returns the opened handle."""
+    """(Re)bind the temp view for a versioned table and return the handle:
+    the open transaction's STAGED handle when one exists, else the latest
+    committed snapshot (opening a fresh staged handle if a transaction is
+    active so this table's first touch joins it)."""
     from duckdb_parachute_spark.operators.acid import VersionedTable
 
-    root, _ = _VERSIONED[name.lower()]
+    key = name.lower()
+    if _TXN_STAGE is not None and key in _TXN_STAGE:
+        t = _TXN_STAGE[key]
+        t.read().createOrReplaceTempView(name)
+        return t
+    root, _ = _VERSIONED[key]
     t = VersionedTable.open(spark, root)
+    if _TXN_STAGE is not None:
+        t = t.begin()
+        _TXN_STAGE[key] = t
     t.read().createOrReplaceTempView(name)
     return t
+
+
+def _after_versioned_dml(name: str, t2) -> None:
+    """Post-DML bookkeeping: inside a transaction the staged handle replaces
+    the previous stage; either way the view re-binds to the newest state."""
+    if _TXN_STAGE is not None:
+        _TXN_STAGE[name.lower()] = t2
+    t2.read().createOrReplaceTempView(name)
 
 
 def _cast_to_table(rows, table_df):
@@ -1936,7 +1966,7 @@ def _versioned_dml(spark: SparkSession, text: str):
         t = _versioned_view(spark, name)
         rows = _cast_to_table(sql(spark, stmt), t.read())
         t2 = t.merge_upsert(rows, key)
-        t2.read().createOrReplaceTempView(name)
+        _after_versioned_dml(name, t2)
         return spark.createDataFrame([(name, t2.snapshot.version)], "merged string, version int")
     m = _INSERT_TEMP_RE.match(text)
     if m and m["name"].lower() in _VERSIONED:
@@ -1952,14 +1982,14 @@ def _versioned_dml(spark: SparkSession, text: str):
         t = _versioned_view(spark, name)
         rows = _cast_to_table(sql(spark, stmt), t.read())
         t2 = t.insert(rows)
-        t2.read().createOrReplaceTempView(name)
+        _after_versioned_dml(name, t2)
         return spark.createDataFrame([(name, t2.snapshot.version)], "inserted string, version int")
     m = _DELETE_STMT_RE.match(text)
     if m and m["name"].lower() in _VERSIONED:
         t = _versioned_view(spark, m["name"])
         cond = F.expr(transpile(m["cond"])) if m["cond"] else F.lit(True)
         t2 = t.delete_where(cond)
-        t2.read().createOrReplaceTempView(m["name"])
+        _after_versioned_dml(m["name"], t2)
         return spark.createDataFrame(
             [(m["name"], t2.snapshot.version)], "deleted string, version int"
         )
@@ -1975,7 +2005,7 @@ def _versioned_dml(spark: SparkSession, text: str):
             assigns[col.strip()] = F.expr(transpile(_unmask(rhs, parts).strip()))
         cond = F.expr(transpile(m["cond"])) if m["cond"] else F.lit(True)
         t2 = t.update_set(cond, assigns)
-        t2.read().createOrReplaceTempView(m["name"])
+        _after_versioned_dml(m["name"], t2)
         return spark.createDataFrame(
             [(m["name"], t2.snapshot.version)], "updated string, version int"
         )
@@ -2345,6 +2375,41 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
         if m["ife"]:
             return spark.sql(f"DROP TABLE IF EXISTS {m['name']}")
         return spark.sql(f"DROP TABLE {m['name']}")
+    global _TXN_STAGE
+    m = _BEGIN_RE.match(text)
+    if m:
+        if _TXN_STAGE is not None:
+            raise ValueError("a transaction is already open (COMMIT or ROLLBACK first)")
+        _TXN_STAGE = {}
+        return spark.createDataFrame([("begin",)], "txn string")
+    m = _COMMIT_STMT_RE.match(text)
+    if m:
+        if _TXN_STAGE is None:
+            raise ValueError("COMMIT without an open transaction")
+        staged, _TXN_STAGE = _TXN_STAGE, None
+        committed = []
+        try:
+            for key, handle in staged.items():
+                t2 = handle.commit()
+                t2.read().createOrReplaceTempView(key)
+                committed.append((key, t2.snapshot.version))
+        except Exception:
+            # a loser (CommitConflict) aborts the rest: restore every view to
+            # its latest COMMITTED snapshot so uncommitted state never leaks
+            for key in staged:
+                _versioned_view(spark, key)
+            raise
+        if not committed:
+            committed = [("(empty)", -1)]
+        return spark.createDataFrame(committed, "committed string, version int")
+    m = _ROLLBACK_RE.match(text)
+    if m:
+        if _TXN_STAGE is None:
+            raise ValueError("ROLLBACK without an open transaction")
+        staged, _TXN_STAGE = _TXN_STAGE, None
+        for key in staged:
+            _versioned_view(spark, key)  # re-bind to latest committed
+        return spark.createDataFrame([("rollback",)], "txn string")
     vdml = _versioned_dml(spark, text)
     if vdml is not None:
         return vdml

@@ -626,3 +626,75 @@ def dml_acid_sql(spark, sf_dir):
         FROM vt_sql GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
     )
+
+
+@query(
+    "dml_acid_txn",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    upd AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderstatus = 'O'
+                    THEN o_totalprice * 1.05 ELSE o_totalprice END AS o_totalprice
+        FROM base
+    ),
+    committed AS (SELECT * FROM upd WHERE NOT coalesce(o_totalprice > 400000, FALSE))
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total,
+           CAST(2 AS BIGINT) AS final_version
+    FROM committed GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def dml_acid_txn(spark, sf_dir):
+    """Multi-statement SQL transactions over the versioned store (round 10
+    — reference duck_transaction_manager.cpp interactive transactions):
+    BEGIN stages every DML (read-your-writes inside the transaction, zero
+    manifests published), COMMIT publishes the chain as ONE squashed
+    version, ROLLBACK discards it. The script runs a committed
+    UPDATE+DELETE transaction, then a ROLLED-BACK delete-everything
+    transaction whose effects must be invisible, then one more committed
+    no-op-shaped transaction — the oracle replays only the committed chain
+    and pins the final version number (create=0, txn=1, txn=2)."""
+    import os
+    import tempfile
+
+    from duckdb_parachute_spark import sqlx
+    from duckdb_parachute_spark.operators.acid import VersionedTable
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    root = os.path.join(tempfile.mkdtemp(prefix="parachute_acid_txn_"), "t")
+    VersionedTable.create(spark, root, base.repartition(4))
+    sqlx.run_script(
+        spark,
+        f"""
+        ATTACH '{root}' AS vtt (TYPE VERSIONED, KEY o_orderkey);
+        BEGIN TRANSACTION;
+        UPDATE vtt SET o_totalprice = o_totalprice * 1.05 WHERE o_orderstatus = 'O';
+        DELETE FROM vtt WHERE o_totalprice > 400000;
+        COMMIT;
+        BEGIN;
+        DELETE FROM vtt;
+        ROLLBACK;
+        BEGIN;
+        UPDATE vtt SET o_totalprice = o_totalprice + 0 WHERE o_orderkey < 0;
+        COMMIT
+        """,
+    )
+    final_version = VersionedTable.open(spark, root).snapshot.version
+    out = sqlx.sql(
+        spark,
+        """
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total
+        FROM vtt GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+    ).withColumn("final_version", F.lit(final_version).cast("bigint"))
+    sqlx.sql(spark, "DETACH vtt")
+    return out

@@ -342,3 +342,70 @@ def test_sql_dml_insert_casts_to_table_types(spark, tmp_path):
             sqlx.sql(spark, "INSERT OR REPLACE INTO vt2 VALUES (10, 1.0)")
     finally:
         sqlx.sql(spark, "DETACH vt2")
+
+
+def test_transaction_begin_commit_squashes_one_version(spark, table):
+    """begin()/commit(): DML stages (no manifests published), commit
+    publishes ONE squashed version whose parent is the pinned base."""
+    t = table.begin()
+    t = t.delete_where(F.col("k") >= 50)
+    t = t.update_set(F.col("k") == 0, {"v": F.lit(-5)})
+    t = t.insert(spark.createDataFrame([(200, 0, 1)], "k long, grp long, v long"))
+    # nothing published while staging
+    assert VersionedTable.open(spark, table.root).snapshot.version == 0
+    t2 = t.commit()
+    assert t2.snapshot.version == 1
+    assert t2.snapshot.op == "txn[delete,update,insert]"
+    assert t2.read().count() == 51
+    assert t2.read().where(F.col("k") == 0).head().v == -5
+    # a dropped staged chain is a rollback: no manifest, state unchanged
+    t3 = t2.begin().delete_where(F.col("k") < 1000)
+    del t3
+    assert VersionedTable.open(spark, table.root).read().count() == 51
+
+
+def test_transaction_conflict_is_whole_transaction(spark, table):
+    """Optimistic MVCC: a transaction pinned at version 0 loses to ANY
+    commit of version 1 in between — all of its statements, atomically."""
+    t = table.begin()
+    t = t.delete_where(F.col("k") == 1)
+    # concurrent writer commits version 1 first
+    table.insert(spark.createDataFrame([(500, 0, 0)], "k long, grp long, v long"))
+    with pytest.raises(CommitConflict):
+        t.commit()
+    # published state is the concurrent writer's, untouched by the loser
+    assert VersionedTable.open(spark, table.root).read().count() == 101
+
+
+def test_sql_transaction_statements(spark, tmp_path):
+    from duckdb_parachute_spark import sqlx
+
+    root = str(tmp_path / "vtx")
+    df = spark.range(0, 10).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    VersionedTable.create(spark, root, df.repartition(2))
+    sqlx.sql(spark, f"ATTACH '{root}' AS vtx (TYPE VERSIONED, KEY k)")
+    try:
+        sqlx.sql(spark, "BEGIN TRANSACTION")
+        sqlx.sql(spark, "DELETE FROM vtx WHERE k >= 5")
+        sqlx.sql(spark, "UPDATE vtx SET v = -1 WHERE k = 0")
+        # read-your-writes inside the transaction; nothing on disk yet
+        assert sqlx.sql(spark, "SELECT count(*) AS n FROM vtx").head().n == 5
+        assert VersionedTable.open(spark, root).snapshot.version == 0
+        sqlx.sql(spark, "COMMIT")
+        t = VersionedTable.open(spark, root)
+        assert t.snapshot.version == 1 and t.snapshot.op.startswith("txn[")
+        # ROLLBACK discards staged state and re-binds the committed view
+        sqlx.sql(spark, "BEGIN")
+        sqlx.sql(spark, "DELETE FROM vtx")
+        assert sqlx.sql(spark, "SELECT count(*) AS n FROM vtx").head().n == 0
+        sqlx.sql(spark, "ROLLBACK")
+        assert sqlx.sql(spark, "SELECT count(*) AS n FROM vtx").head().n == 5
+        assert VersionedTable.open(spark, root).snapshot.version == 1
+        with pytest.raises(ValueError, match="without an open"):
+            sqlx.sql(spark, "COMMIT")
+        sqlx.sql(spark, "BEGIN")
+        with pytest.raises(ValueError, match="already open"):
+            sqlx.sql(spark, "BEGIN")
+        sqlx.sql(spark, "ROLLBACK")
+    finally:
+        sqlx.sql(spark, "DETACH vtx")
