@@ -1691,6 +1691,16 @@ _COPY_RE = re.compile(
     r"\s*(?:\(\s*(?P<opts>.*?)\s*\)|WITH\s*\(\s*(?P<opts2>.*?)\s*\))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+#: COPY <table> FROM 'path' (opts) — the INGEST direction (reference
+#: src/parser/statement/copy_statement.cpp is bidirectional): read the file
+#: with the format's reader and route the rows through INSERT INTO, so temp
+#: tables, catalog tables, AND versioned-attached tables (one transactional
+#: snapshot per COPY) all work as targets.
+_COPY_FROM_RE = re.compile(
+    r"^\s*COPY\s+(?P<tbl>\w+)\s+FROM\s+'(?P<path>[^']+)'"
+    r"\s*(?:\(\s*(?P<opts>.*?)\s*\)|WITH\s*\(\s*(?P<opts2>.*?)\s*\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 #: SET key = value / PRAGMA key = value (reference src/main/settings/):
 #: `threads` maps to the shuffle-partition knob, spark.* passes through,
 #: everything else is accepted as a no-op (documented).
@@ -1980,7 +1990,12 @@ def _versioned_dml(spark: SparkSession, text: str):
         if stmt.strip().upper().startswith("VALUES"):
             stmt = f"SELECT * FROM ({stmt})"
         t = _versioned_view(spark, name)
-        rows = _cast_to_table(sql(spark, stmt), t.read())
+        rows = sql(spark, stmt)
+        rows = (
+            _align_by_name(rows, t.read(), name)
+            if m["byname"]
+            else _cast_to_table(rows, t.read())
+        )
         t2 = t.insert(rows)
         _after_versioned_dml(name, t2)
         return spark.createDataFrame([(name, t2.snapshot.version)], "inserted string, version int")
@@ -2285,10 +2300,31 @@ _DROP_TABLE_RE = re.compile(
 #: discipline as CREATE TEMP TABLE. Appends to CATALOG tables fall through
 #: to native Spark SQL.
 _INSERT_TEMP_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+(?P<name>\w+)\s*(?:\(\s*(?P<cols>[\w\s,]+?)\s*\)\s*)?"
+    r"^\s*INSERT\s+INTO\s+(?P<name>\w+)\s*(?P<byname>BY\s+NAME\s+)?"
+    r"(?:\(\s*(?P<cols>[\w\s,]+?)\s*\)\s*)?"
     r"(?P<stmt>(?:SELECT|VALUES|FROM|WITH)\b.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _align_by_name(rows, table_df, name: str):
+    """INSERT ... BY NAME (reference transform_insert.cpp insert_column_order
+    BY_NAME): result columns match table columns by NAME (case-insensitive),
+    missing table columns fill NULL, extra result columns are an error."""
+    from pyspark.sql import functions as F
+
+    have = {c.lower(): c for c in rows.columns}
+    extra = [c for c in rows.columns if c.lower() not in {f.name.lower() for f in table_df.schema.fields}]
+    if extra:
+        raise ValueError(f"INSERT INTO {name} BY NAME: result has columns not in the table: {extra}")
+    return rows.select(
+        *[
+            F.col(have[f.name.lower()]).cast(f.dataType).alias(f.name)
+            if f.name.lower() in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in table_df.schema.fields
+        ]
+    )
 
 
 def sql(spark: SparkSession, text: str) -> DataFrame:
@@ -2314,6 +2350,28 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
         fmt = opts.pop("format", None) or _infer_copy_format(m["path"])
         copy_to(rel, m["path"], fmt=fmt, **opts)
         return spark.createDataFrame([(m["path"],)], "copied string")
+    m = _COPY_FROM_RE.match(text)
+    if m:
+        opts = _parse_copy_options(m["opts"] or m["opts2"] or "")
+        fmt = opts.pop("format", None) or _infer_copy_format(m["path"])
+        if fmt == "csv":
+            from duckdb_parachute_spark.sources import read_csv_auto
+
+            rows = read_csv_auto(
+                spark,
+                m["path"],
+                header=opts.pop("header", None),
+                delimiter=opts.pop("sep", opts.pop("delimiter", None)),
+            ).drop("_rejected_record")
+        elif fmt == "json":
+            rows = spark.read.json(m["path"])
+        else:
+            rows = spark.read.parquet(m["path"])
+        if opts:
+            raise ValueError(f"unsupported COPY FROM options: {sorted(opts)}")
+        view = f"__copy_from_{abs(hash(m['path'])) % 10**8}"
+        rows.createOrReplaceTempView(view)
+        return sql(spark, f"INSERT INTO {m['tbl']} SELECT * FROM {view}")
     m = _SET_RE.match(text)
     if m:
         key, val = m["key"].lower(), m["val"].strip().strip("'")
@@ -2430,7 +2488,9 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
             stmt = f"SELECT * FROM ({stmt})"
         rows = sql(spark, stmt)
         tbl = spark.table(name)
-        if m["cols"]:
+        if m["byname"]:
+            rows = _align_by_name(rows, tbl, name)
+        elif m["cols"]:
             # explicit column list: name the incoming columns, NULL-fill the
             # rest in table order (DuckDB's INSERT column-list semantics)
             cols = [c.strip() for c in m["cols"].split(",") if c.strip()]

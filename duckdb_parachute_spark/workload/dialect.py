@@ -780,3 +780,51 @@ def dialect_quantiles(spark, sf_dir):
     pinned divergence, documented at the rewrite. Same SQL is the oracle."""
     _views(spark, sf_dir, "lineitem")
     return sqlx.sql(spark, _QUANTILE_SQL)
+
+
+@query(
+    "dialect_copy_from_by_name",
+    oracle="""
+    SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+           CAST(count(n_name) AS BIGINT) AS named
+    FROM (
+        SELECT n_nationkey, n_name, n_regionkey FROM nation
+        UNION ALL
+        SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey = 0
+        UNION ALL
+        SELECT n_nationkey + 100, NULL, n_regionkey FROM nation WHERE n_nationkey < 3
+    )
+    GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def dialect_copy_from_by_name(spark, sf_dir):
+    """COPY <tbl> FROM 'file.csv' — the INGEST half of the reference's
+    bidirectional COPY (copy_statement.cpp) — plus INSERT INTO ... BY NAME
+    (transform_insert.cpp BY_NAME column order): the query round-trips a
+    region-0 slice of nation through a CSV file back into a temp table, then
+    BY-NAME-inserts reordered rows with a NULL-filled missing column. The
+    oracle states the equivalent unions over the base table."""
+    import os
+    import tempfile
+
+    _views(spark, sf_dir, "nation")
+    base = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+    sqlx.sql(spark, f"CREATE OR REPLACE TEMP TABLE cfbn AS {base}")
+    csv_path = os.path.join(tempfile.mkdtemp(prefix="parachute_copyfrom_"), "r0.csv")
+    sqlx.sql(spark, f"COPY ({base} WHERE n_regionkey = 0) TO '{csv_path}' (FORMAT csv, HEADER)")
+    sqlx.sql(spark, f"COPY cfbn FROM '{csv_path}' (HEADER)")
+    sqlx.sql(
+        spark,
+        "INSERT INTO cfbn BY NAME "
+        "SELECT n_regionkey, n_nationkey + 100 AS n_nationkey FROM nation WHERE n_nationkey < 3",
+    )
+    return sqlx.sql(
+        spark,
+        """
+        SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+               CAST(count(n_name) AS BIGINT) AS named
+        FROM cfbn GROUP BY n_regionkey ORDER BY n_regionkey
+        """,
+    )

@@ -978,3 +978,35 @@ def test_quantile_rewrites(spark):
         "FROM (VALUES (1.0),(2.0),(4.0),(8.0)) t(x)",
     ).collect()[0]
     assert (r["a"], r["b"]) == (1.75, 4.0)
+
+
+def test_copy_from_and_insert_by_name(spark, tmp_path):
+    """COPY <tbl> FROM 'path' (the ingest direction, reference
+    copy_statement.cpp) routes through INSERT INTO — temp tables AND
+    versioned tables (one transactional snapshot per COPY); INSERT INTO ...
+    BY NAME aligns by column name, NULL-fills missing, raises on extras."""
+    from duckdb_parachute_spark import sqlx
+    from duckdb_parachute_spark.operators.acid import VersionedTable
+
+    csv = str(tmp_path / "in.csv")
+    with open(csv, "w") as f:
+        f.write("k,v\n1,10\n2,20\n")
+    sqlx.sql(spark, "CREATE OR REPLACE TEMP TABLE cft AS SELECT 0 AS k, 0 AS v WHERE FALSE")
+    sqlx.sql(spark, f"COPY cft FROM '{csv}' (HEADER)")
+    assert sorted(tuple(r) for r in spark.table("cft").collect()) == [(1, 10), (2, 20)]
+    root = str(tmp_path / "vt")
+    VersionedTable.create(spark, root, spark.createDataFrame([(9, 90)], "k int, v int"))
+    sqlx.sql(spark, f"ATTACH '{root}' AS vcf (TYPE VERSIONED)")
+    try:
+        sqlx.sql(spark, f"COPY vcf FROM '{csv}' (HEADER)")
+        assert VersionedTable.open(spark, root).snapshot.version == 1
+        assert sqlx.sql(spark, "SELECT count(*) AS n FROM vcf").head().n == 3
+    finally:
+        sqlx.sql(spark, "DETACH vcf")
+    # BY NAME: reordered + missing columns
+    sqlx.sql(spark, "INSERT INTO cft BY NAME SELECT 77 AS v, 7 AS k")
+    sqlx.sql(spark, "INSERT INTO cft BY NAME SELECT 99 AS v")
+    got = {(r.k, r.v) for r in spark.table("cft").collect()}
+    assert (7, 77) in got and (None, 99) in got
+    with pytest.raises(ValueError, match="not in the table"):
+        sqlx.sql(spark, "INSERT INTO cft BY NAME SELECT 1 AS nope")
