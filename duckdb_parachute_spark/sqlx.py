@@ -1899,6 +1899,41 @@ _INSERT_REPLACE_RE = re.compile(
 #: same-connection semantics (reference duck_transaction_manager.cpp).
 _TXN_STAGE: dict[str, object] | None = None
 
+#: time travel: <versioned-table> AT (VERSION => n) — the reference's delta
+#: extension spelling (extension/delta supports AT (VERSION => ...) /
+#: (TIMESTAMP => ...)); manifests carry no wall-clock, so TIMESTAMP raises.
+_AT_VERSION_RE = re.compile(
+    r"\b(?P<name>\w+)\s+AT\s*\(\s*(?P<kind>VERSION|TIMESTAMP)\s*=>\s*(?P<v>[^)]+?)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _bind_time_travel(spark: SparkSession, text: str) -> str:
+    """Bind each `name AT (VERSION => n)` over a versioned-attached table to
+    a pinned temp view and substitute the view name — works anywhere a table
+    reference does (joins, subqueries, INSERT sources)."""
+    if not _AT_VERSION_RE.search(text):
+        return text
+    from duckdb_parachute_spark.operators.acid import VersionedTable
+
+    def bind(m: re.Match) -> str:
+        key = m["name"].lower()
+        if key not in _VERSIONED:
+            return m.group(0)  # not ours (e.g. delta_scan output handled upstream)
+        if m["kind"].upper() == "TIMESTAMP":
+            raise ValueError(
+                "AT (TIMESTAMP => ...) is unsupported: versioned-store "
+                "manifests carry no wall-clock; use AT (VERSION => n)"
+            )
+        version = int(m["v"])
+        root, _ = _VERSIONED[key]
+        view = f"__{key}_at_v{version}"
+        VersionedTable.open(spark, root, version=version).read().createOrReplaceTempView(view)
+        return view
+
+    return _AT_VERSION_RE.sub(bind, text)
+
+
 _BEGIN_RE = re.compile(r"^\s*BEGIN(\s+TRANSACTION)?\s*;?\s*$", re.IGNORECASE)
 _COMMIT_STMT_RE = re.compile(r"^\s*(COMMIT|END)(\s+TRANSACTION)?\s*;?\s*$", re.IGNORECASE)
 _ROLLBACK_RE = re.compile(r"^\s*ROLLBACK(\s+TRANSACTION)?\s*;?\s*$", re.IGNORECASE)
@@ -2339,7 +2374,7 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
     delta_scan() binds FIRST, before statement dispatch: the calls become
     plain view names, so they work inside INSERT bodies, PIVOT sources,
     COPY subqueries, and SUMMARIZE alike — not just bare SELECTs."""
-    text = _bind_delta_scans(spark, text)
+    text = _bind_time_travel(spark, _bind_delta_scans(spark, text))
     m = _COPY_RE.match(text)
     if m:
         from duckdb_parachute_spark.sources import copy_to

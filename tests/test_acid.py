@@ -409,3 +409,28 @@ def test_sql_transaction_statements(spark, tmp_path):
         sqlx.sql(spark, "ROLLBACK")
     finally:
         sqlx.sql(spark, "DETACH vtx")
+
+
+def test_sql_time_travel_at_version(spark, tmp_path):
+    """name AT (VERSION => n) over a versioned-attached table (the delta
+    extension's spelling) binds a pinned snapshot anywhere a table ref
+    works; TIMESTAMP travel raises (manifests carry no wall-clock)."""
+    from duckdb_parachute_spark import sqlx
+
+    root = str(tmp_path / "tv")
+    df = spark.range(0, 10).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    VersionedTable.create(spark, root, df)
+    sqlx.sql(spark, f"ATTACH '{root}' AS tv (TYPE VERSIONED)")
+    try:
+        sqlx.sql(spark, "DELETE FROM tv WHERE k >= 5")
+        assert sqlx.sql(spark, "SELECT count(*) AS n FROM tv").head().n == 5
+        assert sqlx.sql(spark, "SELECT count(*) AS n FROM tv AT (VERSION => 0)").head().n == 10
+        joined = sqlx.sql(
+            spark,
+            "SELECT count(*) AS n FROM tv a JOIN tv AT (VERSION => 0) b ON a.k = b.k",
+        ).head().n
+        assert joined == 5
+        with pytest.raises(ValueError, match="TIMESTAMP"):
+            sqlx.sql(spark, "SELECT * FROM tv AT (TIMESTAMP => '2021-01-01')")
+    finally:
+        sqlx.sql(spark, "DETACH tv")
