@@ -270,7 +270,7 @@ def embedding_neardup_pairs(
         joined.where(F.col("id1") < F.col("id2"))
         .withColumn("cosine", sim)
         .where(F.col("cosine") >= threshold)
-        .select("id1", "id2", "cosine")
+        .select(*keys, "id1", "id2", "cosine")
     )
 
 
@@ -347,7 +347,13 @@ def semantic_dup_pairs(
     per-cluster membership stays bounded and the per-bucket self-join never
     degenerates to all-pairs; cross-cluster near-dups are the recall
     tradeoff the paper accepts (mitigable with multi-probe assignment)."""
-    assigned = semantic_cluster_assign(df, centroids, id_col, vec_col)
+    # materialize the assignment ONCE (lazy localCheckpoint, the repo's
+    # snapshot-once pattern): without it Catalyst recomputes the
+    # crossJoin+argmax window for EACH self-join side — at 100 TB that is
+    # two extra corpus passes for nothing
+    assigned = semantic_cluster_assign(df, centroids, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
     return embedding_neardup_pairs(
         assigned, id_col, vec_col, threshold, bucket_col="centroid_id"
     )

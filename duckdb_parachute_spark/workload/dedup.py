@@ -419,18 +419,14 @@ def dedup_semantic_pairs(spark, sf_dir):
     seed set vec_id < 6 (k-means iterations are not SQL-expressible; the
     IVF trainer in similarity/ provides them in production) so the oracle
     replays assignment AND pair search exactly."""
-    from duckdb_parachute_spark.dedup import semantic_cluster_assign, embedding_neardup_pairs
+    from duckdb_parachute_spark.dedup import semantic_dup_pairs
 
     e = load_table(spark, sf_dir, "embeddings")
     cents = e.where(F.col("vec_id") < 6).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").cast("array<double>").alias("centroid"),
     )
-    assigned = semantic_cluster_assign(e, cents, "vec_id", "embedding")
-    pairs = embedding_neardup_pairs(assigned, "vec_id", "embedding", 0.85, bucket_col="centroid_id")
-    cluster_of = assigned.select(F.col("vec_id").alias("id1"), F.col("centroid_id").alias("cluster_id"))
-    return (
-        pairs.join(cluster_of, "id1")
-        .select("id1", "id2", "cluster_id", F.round("cosine", 6).alias("cosine"))
-        .orderBy("id1", "id2")
-    )
+    pairs = semantic_dup_pairs(e, cents, "vec_id", "embedding", 0.85)
+    return pairs.select(
+        "id1", "id2", F.col("centroid_id").alias("cluster_id"), F.round("cosine", 6).alias("cosine")
+    ).orderBy("id1", "id2")
