@@ -553,6 +553,9 @@ _FN_ALIAS_MAP = {
     "regexp_split_to_array": "split",
     "list_value": "array",
     "list_pack": "array",
+    # array_to_string(list, sep) ≡ array_join: both skip NULL elements and
+    # share the 3-arg null-replacement form
+    "array_to_string": "array_join",
     # aggregates: list/array_agg ≡ collect_list (both NULL-skipping,
     # order-nondeterministic without an ORDER BY in both engines)
     "list": "collect_list",

@@ -245,6 +245,13 @@ def _gen_dialect_exprs(seed: int, n: int) -> list[str]:
         "date_diff('day', DATE '2021-01-01', DATE '2021-01-01' + (coalesce(j, 0) % 90))",
         "date_diff('week', DATE '2021-01-03', DATE '2021-01-03' + (coalesce(i, 0) % 30))",
         "date_diff('quarter', DATE '2021-02-11', DATE '2021-02-11' + (coalesce(i, 0) % 200))",
+        # arrays stringified (null kept as a token): a bare NULL element
+        # makes pandas drift to float/masked representations that the strict
+        # compare flags even when values agree
+        "array_to_string(list_transform(list_sort([j, i, 7]), x -> coalesce(CAST(x AS VARCHAR), 'N')), '|')",
+        "array_to_string(list_transform(list_sort([i, j], 'DESC'), x -> coalesce(CAST(x AS VARCHAR), 'N')), '|')",
+        "array_to_string(list_transform(list_sort([j, NULL, i], 'ASC', 'NULLS FIRST'), x -> coalesce(CAST(x AS VARCHAR), 'N')), '|')",
+        "array_to_string(list_transform(list_reverse_sort([i, 3, j]), x -> coalesce(CAST(x AS VARCHAR), 'N')), '|')",
     ]
     out = []
     for k in range(n):
