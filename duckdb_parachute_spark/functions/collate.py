@@ -45,7 +45,12 @@ their bases), ro (ă â after a, î after i, ș ț after s/t with the legacy
 cedilla forms a secondary step later), tr (ç ğ ö ş ü after their bases and
 the four-way dotted/dotless i: …h < ı < i < j with I the uppercase of ı and
 İ of i, tokenized before lower() — Java's İ→"i"+combining-dot lowercasing
-never runs). Outside the tailored letters,
+never runs), is (accented vowels as full letters after their bases, ð after
+d, …z < þ < æ < ö), et (the base-letter move: s < š < z < ž < t, and
+õ ä ö ü after w), lt (č š ž primary after their bases; the ogonek/dot/
+macron vowels SECONDARY — 'ab' < 'ąb' < 'ac' — and y primary-equal to i,
+i << į << y at the secondary level, via single-codepoint secondary
+weights). Outside the tailored letters,
 accented input folds to its base letter at the primary level — full ICU
 root-order for arbitrary scripts is out of scope (documented SURVEY §1.2);
 punctuation is compared bytewise (ICU default non-ignorable).
@@ -69,8 +74,8 @@ _AFTER = "\uffff"
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"
 _UPPER = _LOWER.upper()
-_X_LOWER = "æøåäöñüčřšž" + "ąćęłńóśźż" + "ăâîșțşţ" + "çğ"
-_X_UPPER = "ÆØÅÄÖÑÜČŘŠŽ" + "ĄĆĘŁŃÓŚŹŻ" + "ĂÂÎȘȚŞŢ" + "ÇĞ"
+_X_LOWER = "æøåäöñüčřšž" + "ąćęłńóśźż" + "ăâîșțşţ" + "çğ" + "áðéíúýþõėįųū"
+_X_UPPER = "ÆØÅÄÖÑÜČŘŠŽ" + "ĄĆĘŁŃÓŚŹŻ" + "ĂÂÎȘȚŞŢ" + "ÇĞ" + "ÁÐÉÍÚÝÞÕĖĮŲŪ"
 #: translate() args for the lower-first tertiary key (swap case so that
 #: lowercase sorts before uppercase bytewise).
 _SWAP_SRC = _LOWER + _UPPER + _X_LOWER + _X_UPPER
@@ -210,6 +215,54 @@ _LOCALES: dict[str, _LocaleSpec] = {
         tertiary=("ı" + _T_TI + "i" + _T_Ti, "0123"),
     ),
 }
+_LOCALES.update(
+    {
+        # Icelandic (round 10): accented vowels are FULL letters directly
+        # after their bases, ð after d, and the tail …z < þ < æ < ö — all
+        # pinned on DuckDB's ICU is: a á b d ð e é f i í o ó u ú y ý z þ æ ö,
+        # lower-first case (aA). No contractions.
+        "is": _LocaleSpec(
+            primary=(
+                ("á", "a{"), ("ð", "d{"), ("é", "e{"), ("í", "i{"),
+                ("ó", "o{"), ("ú", "u{"), ("ý", "y{"),
+                ("þ", "z{"), ("æ", "z|"), ("ö", "z}"),
+            ),
+        ),
+        # Estonian (round 10): the famous BASE-LETTER MOVE — z sorts inside
+        # the s group (s < š < z < ž < t), and õ ä ö ü follow w before x/y
+        # (pinned on ICU et: s š z ž t u v w õ ä ö ü x y, lower-first).
+        "et": _LocaleSpec(
+            primary=(
+                ("š", "s{"), ("ž", "s}"), ("z", "s|"),
+                ("õ", "w{"), ("ä", "w|"), ("ö", "w}"), ("ü", "w~"),
+            ),
+        ),
+        # Lithuanian (round 10): č/š/ž are primary letters after their
+        # bases, but the ogonek/dot/macron vowels are SECONDARY differences
+        # and y is PRIMARY-EQUAL to i (measured on DuckDB's ICU lt:
+        # 'ab' < 'ąb' < 'ac', 'ib' < 'įb' < 'yb' < 'ic', eb < ęb < ėb,
+        # ub < ųb < ūb — accent-like, NOT full letters; lower-first). The
+        # generic accent fold supplies the primary merge for the vowels;
+        # secondary replaces pin the within-group order where raw bytes
+        # disagree (ė < ę and ū < ų bytewise, ICU wants the reverse).
+        "lt": _LocaleSpec(
+            primary=(
+                ("č", "c{"), ("š", "s{"), ("ž", "z{"), ("y", "i"),
+            ),
+            # secondary weights must stay SINGLE codepoints here: UCA
+            # compares secondaries position-by-position, so a 1→2 char
+            # marker would shift later positions ('eą' must sort before
+            # 'ęa' — the weight of position 1 decides, not string length).
+            # Natural codepoints already give a < ą, i < į; the two pairs
+            # whose byte order ICU reverses borrow the UPPERCASE codepoint
+            # sitting one below the lower form (Ė=U+0116 < ė=U+0117,
+            # Ū=U+016A < ū=U+016B), and y borrows dotless ı (U+0131 > į).
+            secondary=(
+                ("ę", "Ė"), ("ų", "Ū"), ("y", "ı"),
+            ),
+        ),
+    }
+)
 # Norwegian shares the Danish tailoring in CLDR. (DuckDB's bundled ICU data
 # resolves 'nb'/'no' to the ROOT collation — observed empirically — so these
 # aliases intentionally follow CLDR rather than that fallback.)

@@ -238,3 +238,43 @@ def collate_locale_cs_rank(spark, sf_dir):
         df, [collate.locale_collation_key(F.col("s"), "cs")], out="rnk"
     )
     return ranked.select("s", "rnk").orderBy("rnk", "s")
+
+
+@query(
+    "collate_locale_lt_rank",
+    oracle="""
+    SELECT s, CAST(rank() OVER (ORDER BY s COLLATE lt) AS BIGINT) AS rnk
+    FROM (
+        SELECT CASE p_partkey % 4
+                 WHEN 0 THEN translate(p_name, 'aiu', 'ąįų')
+                 WHEN 1 THEN replace(p_name, 'i', 'y')
+                 WHEN 2 THEN translate(p_name, 'esz', 'ęšž')
+                 ELSE p_name
+               END AS s
+        FROM part
+        WHERE p_partkey % 9 = 0
+    )
+    ORDER BY rnk, s
+    """,
+)
+def collate_locale_lt_rank(spark, sf_dir):
+    """ICU Lithuanian collation (round 10) — the subtlest tailoring in the
+    supported set: č/š/ž are primary letters after their bases, but the
+    ogonek vowels are SECONDARY differences ('ab' < 'ąb' < 'ac') and y is
+    PRIMARY-EQUAL to i sorting i << į << y at the secondary level — so
+    'riny' ranks next to 'rini', not after 'rinx'. Ranked on
+    locale_collation_key('lt') vs DuckDB's real ICU ``COLLATE lt``."""
+    from duckdb_parachute_spark.functions.scalar import global_rank
+
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 9 == 0)
+    s = (
+        F.when(F.col("p_partkey") % 4 == 0, F.translate(F.col("p_name"), "aiu", "ąįų"))
+        .when(F.col("p_partkey") % 4 == 1, F.replace("p_name", F.lit("i"), F.lit("y")))
+        .when(F.col("p_partkey") % 4 == 2, F.translate(F.col("p_name"), "esz", "ęšž"))
+        .otherwise(F.col("p_name"))
+    )
+    df = p.select(s.alias("s"))
+    ranked = global_rank(
+        df, [collate.locale_collation_key(F.col("s"), "lt")], out="rnk"
+    )
+    return ranked.select("s", "rnk").orderBy("rnk", "s")

@@ -437,6 +437,12 @@ _LOCALE_ALPHABETS = {
     "pl": "abcelnoszączęłńóśźżĄŁŻZ",
     "ro": "abistuzăâîșțşţĂȘŢZ",
     "tr": "cdghijkosuvzıiçğöşüIİÇŞZ",
+    # round-10 additions: Icelandic full-letter accents + ð/þ/æ/ö tail,
+    # Estonian's base-letter move (z inside the s group), Lithuanian's
+    # y-between-į-and-j
+    "is": "abdefiouyzáðéíóúýþæöÁÐÞÆÖZ",
+    "et": "astuvwxyzšžõäöüŠŽÕÄÖÜZ",
+    "lt": "abceijksuzączęėįyšųūžĄĖĮŠŽZ",
 }
 
 
@@ -461,7 +467,7 @@ def test_locale_collation_total_order_matches_icu(spark, oracle, locale, data):
     icu = [
         r[0]
         for r in oracle.execute(
-            f"SELECT s FROM (SELECT unnest(?) s) ORDER BY s COLLATE {locale}",
+            f'SELECT s FROM (SELECT unnest(?) s) ORDER BY s COLLATE "{locale}"',
             [words],
         ).fetchall()
     ]
