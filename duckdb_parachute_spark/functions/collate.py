@@ -42,7 +42,7 @@ sv/fi (å ä ö after z), de (ß ≡ ss at primary, umlauts at secondary),
 es (ñ as a separate letter after n), cs (č ř š ž after their base letters;
 digraph ``ch`` as a separate letter after h), pl (ą ć ę ł ń ó ś ź ż after
 their bases), ro (ă â after a, î after i, ș ț after s/t with the legacy
-cedilla forms a secondary step later), tr (ç ğ ö ş ü after their bases and
+cedilla forms ş/ţ EQUAL to them at every strength, as ICU ties them), tr (ç ğ ö ş ü after their bases and
 the four-way dotted/dotless i: …h < ı < i < j with I the uppercase of ı and
 İ of i, tokenized before lower() — Java's İ→"i"+combining-dot lowercasing
 never runs), is (accented vowels as full letters after their bases, ð after
@@ -180,19 +180,22 @@ _LOCALES: dict[str, _LocaleSpec] = {
         ),
     ),
     # Romanian: ă < â after a, î after i, ș after s, ț after t; the legacy
-    # cedilla forms ş/ţ share the comma-below letters' primary slot and sort
-    # a secondary step after them (pinned: 'șb' < 'şb' in ICU ro).
+    # cedilla forms ş/ţ are EQUAL to the comma-below forms at every ICU
+    # strength (measured round 11 on DuckDB's ICU ro by sorting BOTH input
+    # orders: ['ş','ș'] and ['ș','ş'] each come back unchanged — a stable
+    # sort on equal keys; the old "pinned: 'șb' < 'şb'" was that stable-sort
+    # artifact read as an ordering). Tokenize rewrites every cedilla case
+    # form to its comma form BEFORE any level splits, so all three key
+    # levels alias — the one documented exception to the key's injectivity.
     "ro": _LocaleSpec(
+        tokenize=(("ş", "ș"), ("Ş", "Ș"), ("ţ", "ț"), ("Ţ", "Ț")),
         primary=(
             ("ă", "a{"),
             ("â", "a|"),
             ("î", "i{"),
             ("ș", "s{"),
-            ("ş", "s{"),
             ("ț", "t{"),
-            ("ţ", "t{"),
         ),
-        secondary=(("ş", "ș" + _AFTER), ("ţ", "ț" + _AFTER)),
     ),
     # Turkish: ç ğ ö ş ü after their bases, and the four-way dotted/dotless
     # i — alphabet …h < ı < i < j with I the UPPERCASE of ı and İ of i
@@ -276,8 +279,10 @@ def locale_collation_key(col: Column | str, locale: str) -> Column:
     (ICU, extension/icu/icu_extension.cpp) on the documented subset.
 
     Sorting / ranking / comparing on this key bytewise matches the ICU
-    collation: distinct strings never compare equal (the tertiary key is a
-    bijection of the input), mirroring ICU's identical-level backstop.
+    collation: the tertiary key is injective on the input except for pairs
+    ICU itself compares EQUAL at every strength (ro's legacy-cedilla ş/ţ ≡
+    comma-below ș/ț — those alias the full key, exactly as ICU ties them;
+    a stable sort then preserves input order on both sides).
     Pure Catalyst expressions — scales as a plain projection.
     """
     c = F.col(col) if isinstance(col, str) else col
