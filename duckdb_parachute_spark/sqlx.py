@@ -1902,6 +1902,13 @@ _INSERT_REPLACE_RE = re.compile(
 #: same-connection semantics (reference duck_transaction_manager.cpp).
 _TXN_STAGE: dict[str, object] | None = None
 
+#: versions pinned at BEGIN for every attached versioned table (round 11):
+#: the transaction's first touch of a table opens AT this version, so reads
+#: across tables see ONE consistent snapshot taken at BEGIN (DuckDB's
+#: transaction-start visibility) and the optimistic conflict check runs
+#: against the BEGIN state, not first-touch time.
+_TXN_PIN: dict[str, int] | None = None
+
 #: time travel: <versioned-table> AT (VERSION => n) — the reference's delta
 #: extension spelling (extension/delta supports AT (VERSION => ...) /
 #: (TIMESTAMP => ...)); manifests carry no wall-clock, so TIMESTAMP raises.
@@ -1955,10 +1962,14 @@ def _versioned_view(spark: SparkSession, name: str):
         t.read().createOrReplaceTempView(name)
         return t
     root, _ = _VERSIONED[key]
-    t = VersionedTable.open(spark, root)
     if _TXN_STAGE is not None:
+        # first touch inside a transaction: open AT the BEGIN-pinned version
+        # (consistent cross-table snapshot), stage a txn handle
+        t = VersionedTable.open(spark, root, version=(_TXN_PIN or {}).get(key))
         t = t.begin()
         _TXN_STAGE[key] = t
+    else:
+        t = VersionedTable.open(spark, root)
     t.read().createOrReplaceTempView(name)
     return t
 
@@ -2471,30 +2482,45 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
         if m["ife"]:
             return spark.sql(f"DROP TABLE IF EXISTS {m['name']}")
         return spark.sql(f"DROP TABLE {m['name']}")
-    global _TXN_STAGE
+    global _TXN_STAGE, _TXN_PIN
     m = _BEGIN_RE.match(text)
     if m:
         if _TXN_STAGE is not None:
             raise ValueError("a transaction is already open (COMMIT or ROLLBACK first)")
-        _TXN_STAGE = {}
+        from duckdb_parachute_spark.operators.acid import latest_committed_version
+
+        # pin every attached table's version NOW: the transaction reads one
+        # consistent cross-table snapshot taken at BEGIN
+        pins = {}
+        for key, (root, _) in _VERSIONED.items():
+            v = latest_committed_version(root)
+            if v is not None:
+                pins[key] = v
+        _TXN_STAGE, _TXN_PIN = {}, pins
         return spark.createDataFrame([("begin",)], "txn string")
     m = _COMMIT_STMT_RE.match(text)
     if m:
         if _TXN_STAGE is None:
             raise ValueError("COMMIT without an open transaction")
-        staged, _TXN_STAGE = _TXN_STAGE, None
-        committed = []
+        staged, _TXN_STAGE, _TXN_PIN = _TXN_STAGE, None, None
+        from duckdb_parachute_spark.operators.acid import commit_multi
+
         try:
-            for key, handle in staged.items():
-                t2 = handle.commit()
-                t2.read().createOrReplaceTempView(key)
-                committed.append((key, t2.snapshot.version))
+            # ATOMIC across tables (round 11, VERDICT r10 item 2): one
+            # decision-record put-if-absent commits every staged table or
+            # none — a conflict on ANY table leaves NO table advanced
+            done = commit_multi(staged)
         except Exception:
-            # a loser (CommitConflict) aborts the rest: restore every view to
-            # its latest COMMITTED snapshot so uncommitted state never leaks
+            # the whole transaction lost: restore every view to its latest
+            # COMMITTED snapshot so uncommitted state never leaks
             for key in staged:
                 _versioned_view(spark, key)
             raise
+        committed = []
+        for key in staged:
+            t2 = done[key]
+            t2.read().createOrReplaceTempView(key)
+            committed.append((key, t2.snapshot.version))
         if not committed:
             committed = [("(empty)", -1)]
         return spark.createDataFrame(committed, "committed string, version int")
@@ -2502,7 +2528,7 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
     if m:
         if _TXN_STAGE is None:
             raise ValueError("ROLLBACK without an open transaction")
-        staged, _TXN_STAGE = _TXN_STAGE, None
+        staged, _TXN_STAGE, _TXN_PIN = _TXN_STAGE, None, None
         for key in staged:
             _versioned_view(spark, key)  # re-bind to latest committed
         return spark.createDataFrame([("rollback",)], "txn string")
