@@ -709,3 +709,36 @@ def test_pii_scrub_digit_runs_not_mangled(spark):
     r = pii_scrub(df, "t").collect()[0]
     assert r["clean_text"] == "order id 123456789012345 at 20260814120000 ok"
     assert r["n_phone"] == 0
+
+
+def test_embedding_neardup_hot_bucket_cap_and_overflow(spark):
+    """Round-11: a degenerate cluster larger than max_bucket_size is capped
+    out of the pair search (no quadratic blowup) and reported through the
+    overflow side-channel; normal clusters are unaffected."""
+    from pyspark.sql import functions as F
+
+    from duckdb_parachute_spark.dedup import (
+        embedding_neardup_overflow,
+        embedding_neardup_pairs,
+    )
+
+    # bucket 0: 20 identical vectors (hot), bucket 1: 3 identical (normal)
+    df = spark.range(0, 23).select(
+        F.col("id").alias("vid"),
+        F.when(F.col("id") < 20, F.lit(0)).otherwise(F.lit(1)).alias("bkt"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("emb"),
+    )
+    pairs = embedding_neardup_pairs(
+        df, "vid", "emb", 0.9, bucket_col="bkt", max_bucket_size=10
+    )
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    assert got == {(20, 21), (20, 22), (21, 22)}  # hot bucket 0 excluded
+    over = embedding_neardup_overflow(df, "vid", "bkt", max_bucket_size=10).collect()
+    assert len(over) == 1
+    assert over[0]["bkt"] == 0 and over[0]["bucket_size"] == 20
+    assert over[0]["id_sample"] == [0, 1, 2, 3, 4]
+    # cap disabled: the hot bucket contributes its full quadratic set
+    allp = embedding_neardup_pairs(
+        df, "vid", "emb", 0.9, bucket_col="bkt", max_bucket_size=None
+    )
+    assert allp.count() == 20 * 19 // 2 + 3

