@@ -469,3 +469,125 @@ def test_delta_scan_checkpoint_protocol_guard(spark, tmp_path):
     _delta_checkpoint(spark, root, 0, [("f.parquet", {})], reader_version=3)
     with pytest.raises(NotImplementedError, match="deletion"):
         delta_scan(spark, root)
+
+
+def _delta_v2_checkpoint(
+    spark, root, version, inline_adds, sidecars, reader_features=("v2Checkpoint",)
+):
+    """Write a v2/uuid checkpoint: N.checkpoint.<uuid>.parquet with protocol
+    (minReaderVersion 3 + readerFeatures), optional INLINE adds, and
+    `sidecar` actions naming parquet add-lists under _delta_log/_sidecars/
+    (the public v2 checkpoint spec shape)."""
+    import glob as g
+    import shutil
+    import uuid as u
+
+    log = os.path.join(root, "_delta_log")
+    scdir = os.path.join(log, "_sidecars")
+    os.makedirs(scdir, exist_ok=True)
+
+    def write_single(df, dest):
+        tmp = os.path.join(root, ".tmpv2_" + u.uuid4().hex)
+        df.coalesce(1).write.parquet(tmp)
+        shutil.move(sorted(g.glob(os.path.join(tmp, "part-*.parquet")))[0], dest)
+        shutil.rmtree(tmp)
+
+    sc_schema = (
+        "add struct<path: string, partitionValues: map<string,string>, dataChange: boolean>"
+    )
+    sidecar_names = []
+    for adds in sidecars:
+        name = u.uuid4().hex + ".parquet"
+        write_single(
+            spark.createDataFrame([((p, pv, True),) for p, pv in adds], sc_schema),
+            os.path.join(scdir, name),
+        )
+        sidecar_names.append(name)
+    cp_schema = (
+        "add struct<path: string, partitionValues: map<string,string>, dataChange: boolean>, "
+        "protocol struct<minReaderVersion: int, readerFeatures: array<string>>, "
+        "metaData struct<id: string>, "
+        "sidecar struct<path: string, sizeInBytes: bigint>, "
+        "checkpointMetadata struct<version: bigint>"
+    )
+    rows = [((p, pv, True), None, None, None, None) for p, pv in inline_adds]
+    rows.append((None, (3, list(reader_features)), None, None, None))
+    rows.append((None, None, ("v2-table",), None, None))
+    rows += [(None, None, None, (n, 1), None) for n in sidecar_names]
+    rows.append((None, None, None, None, (version,)))
+    write_single(
+        spark.createDataFrame(rows, cp_schema),
+        os.path.join(log, f"{version:020d}.checkpoint.{u.uuid4()}.parquet"),
+    )
+
+
+def test_delta_scan_v2_checkpoint_with_sidecars(spark, tmp_path):
+    """Round 11 (VERDICT r10 item 4): v2/uuid checkpoint whose state is
+    split across one inline add and two sidecar parquet files; a JSON
+    commit folds on top. Pre-checkpoint JSON does not exist (vacuumed)."""
+    from duckdb_parachute_spark.sources import delta_scan
+
+    root = str(tmp_path / "dlv2")
+    a = spark.range(0, 10).selectExpr("id", "id * 2 AS v")
+    b = spark.range(10, 15).selectExpr("id", "id * 2 AS v")
+    c = spark.range(15, 18).selectExpr("id", "id * 2 AS v")
+    _delta_part(spark, a, root, "f1.parquet")
+    _delta_part(spark, b, root, "f2.parquet")
+    _delta_part(spark, c, root, "f3.parquet")
+    _delta_v2_checkpoint(
+        spark,
+        root,
+        1,
+        inline_adds=[("f1.parquet", {})],
+        sidecars=[[("f2.parquet", {})], [("f3.parquet", {})]],
+    )
+    # commit 2: delete ids < 5 (remove f1, add rewritten f1r)
+    a2 = a.where("id >= 5")
+    _delta_part(spark, a2, root, "f1r.parquet")
+    _delta_commit(root, 2, [
+        {"remove": {"path": "f1.parquet", "dataChange": True}},
+        {"add": {"path": "f1r.parquet", "partitionValues": {}, "dataChange": True}},
+    ])
+    assert sorted(r["id"] for r in delta_scan(spark, root).collect()) == list(range(5, 18))
+    # time travel TO the v2 checkpoint version itself
+    assert sorted(r["id"] for r in delta_scan(spark, root, version=1).collect()) == list(range(18))
+    with pytest.raises(FileNotFoundError, match="version 0"):
+        delta_scan(spark, root, version=0)
+
+
+def test_delta_scan_v2_checkpoint_dv_feature_rejected(spark, tmp_path):
+    """deletionVectors in readerFeatures (DVs are default-on in recent
+    writers) must stay loudly rejected, even via a v2 checkpoint."""
+    from duckdb_parachute_spark.sources import delta_scan
+
+    root = str(tmp_path / "dlv2dv")
+    a = spark.range(3).selectExpr("id")
+    _delta_part(spark, a, root, "f.parquet")
+    _delta_v2_checkpoint(
+        spark,
+        root,
+        0,
+        inline_adds=[("f.parquet", {})],
+        sidecars=[],
+        reader_features=("v2Checkpoint", "deletionVectors"),
+    )
+    with pytest.raises(NotImplementedError, match="deletion"):
+        delta_scan(spark, root)
+
+
+def test_delta_scan_add_with_deletion_vector_rejected(spark, tmp_path):
+    """A per-add deletionVector entry is data we would misread (rows in the
+    file are logically deleted): reject at the action level regardless of
+    what the protocol row claims."""
+    from duckdb_parachute_spark.sources import delta_scan
+
+    root = str(tmp_path / "dladv")
+    a = spark.range(3).selectExpr("id")
+    _delta_part(spark, a, root, "f.parquet")
+    _delta_commit(root, 0, [
+        {"add": {"path": "f.parquet", "partitionValues": {},
+                 "deletionVector": {"storageType": "u", "pathOrInlineDv": "x",
+                                    "offset": 1, "sizeInBytes": 40, "cardinality": 2}}},
+    ])
+    with pytest.raises(NotImplementedError, match="deletion vector"):
+        delta_scan(spark, root)
