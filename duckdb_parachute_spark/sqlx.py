@@ -238,7 +238,9 @@ _AS_SPLIT_RE = re.compile(r"\s+AS\s+", re.IGNORECASE)
 #: distinguishes it from the star-EXCEPT column list `* EXCEPT (a, b)` and
 #: from UNION [ALL] BY NAME (handled name-aligned in _union_by_name)
 _POSITIONAL_SETOP_RE = re.compile(
-    r"\b(UNION|INTERSECT|EXCEPT)\s+(?:(?:ALL|DISTINCT)\s+)?(?:SELECT\b|\(\s*SELECT\b)",
+    # any number of opening parens before SELECT (round 11, ADVICE r10:
+    # 'UNION ((SELECT ...' must not escape the positional-consumer guard)
+    r"\b(UNION|INTERSECT|EXCEPT)\s+(?:(?:ALL|DISTINCT)\s+)?(?:\(\s*)*SELECT\b",
     re.IGNORECASE,
 )
 
@@ -566,19 +568,59 @@ _FN_ALIAS_RE = re.compile(
 )
 
 
-def _zero_safe_index(ix: str) -> str:
+#: index expressions that are PROVABLY numeric: literal arithmetic, or a
+#: trailing cast to an integer type — the only shapes the bracket zero-guard
+#: may wrap (brackets are also MAP access; see _zero_safe_index)
+_NUMERIC_INDEX_RE = re.compile(r"[\d\s()+\-*/%.]+\Z")
+_INT_CAST_TAIL_RE = re.compile(
+    r"(?:::\s*u?(?:tiny|small|big|huge)?int(?:eger)?\d*\s*"
+    r"|AS\s+u?(?:tiny|small|big|huge)?int(?:eger)?\d*\s*\)\s*)\Z",
+    re.IGNORECASE,
+)
+
+
+def _zero_safe_index(ix: str, assume_numeric: bool = False) -> str:
     """DuckDB list subscripts accept index 0 and yield NULL; Spark's
     [try_]element_at THROWS INVALID_INDEX_OF_ZERO. Literal integers resolve
     statically; a masked string placeholder is a MAP key (0 never reaches
-    it); any other expression gets nullif(ix, 0) — try_element_at(x, NULL)
-    is NULL, matching DuckDB. A computed NON-integer key would fail the
-    nullif coercion loudly rather than silently diverge."""
+    it). Other expressions get nullif(ix, 0) — try_element_at(x, NULL) is
+    NULL, matching DuckDB — but ONLY when the index is numeric:
+    unconditionally for the list_* functions (``assume_numeric``, their
+    index argument is numeric by signature), and for brackets only when the
+    text is provably numeric (literal arithmetic / trailing int cast),
+    because brackets are ALSO MAP access (round 11, ADVICE r10):
+    ``m[key_col]`` with a string column must stay ``try_element_at(m,
+    key_col)`` — wrapping it in nullif compares string to int, which errors
+    under ANSI. The accepted residual divergence: a computed NUMERIC
+    bracket index that evaluates to 0 at runtime errors loudly
+    (INVALID_INDEX_OF_ZERO) instead of returning DuckDB's NULL."""
     s = ix.strip()
     if re.fullmatch(r"\x00\d+\x00", s):
         return s
     if re.fullmatch(r"-?\d+", s):
         return "CAST(NULL AS INT)" if int(s) == 0 else s
-    return f"nullif({s}, 0)"
+
+    def toplevel_arith() -> bool:
+        # depth-0 arithmetic means a numeric index: map keys are never
+        # arithmetic (SQL string concatenation is ||, masked by this point)
+        depth = 0
+        for ch in s:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and ch in "+-*/%":
+                return True
+        return False
+
+    if (
+        assume_numeric
+        or _NUMERIC_INDEX_RE.fullmatch(s)
+        or _INT_CAST_TAIL_RE.search(s)
+        or toplevel_arith()
+    ):
+        return f"nullif({s}, 0)"
+    return s
 
 
 _LIST_EXTRACT_RE = re.compile(
@@ -600,7 +642,7 @@ def rewrite_fn_aliases(sql: str) -> str:
         args = _split_top_level(sql[m.end() : end - 1])
         if len(args) != 2:
             raise ValueError(f"list_extract expects 2 arguments: {sql[m.start():end]!r}")
-        rep = f"try_element_at({args[0].strip()}, {_zero_safe_index(args[1])})"
+        rep = f"try_element_at({args[0].strip()}, {_zero_safe_index(args[1], assume_numeric=True)})"
         sql = sql[: m.start()] + rep + sql[end:]
 
 

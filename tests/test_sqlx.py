@@ -1010,3 +1010,46 @@ def test_copy_from_and_insert_by_name(spark, tmp_path):
     assert (7, 77) in got and (None, 99) in got
     with pytest.raises(ValueError, match="not in the table"):
         sqlx.sql(spark, "INSERT INTO cft BY NAME SELECT 1 AS nope")
+
+
+def test_bracket_map_access_with_column_key(spark):
+    """Round 11 (ADVICE r10): brackets are also MAP access — m[key_col]
+    with a string column must NOT get the numeric zero-guard (nullif would
+    compare string to int and error under ANSI). Provably-numeric bracket
+    indexes keep the guard; the list_* functions always do (numeric by
+    signature)."""
+    from duckdb_parachute_spark import sqlx
+    from duckdb_parachute_spark.sqlx import rewrite_brackets, transpile
+
+    # computed key of unknown type: raw passthrough
+    assert rewrite_brackets("SELECT m[k] FROM t") == "SELECT try_element_at(m, k) FROM t"
+    # provably numeric shapes keep the NULL-on-zero guard
+    assert rewrite_brackets("SELECT l[i + 1] FROM t") == (
+        "SELECT try_element_at(l, nullif(i + 1, 0)) FROM t"
+    )
+    assert "nullif" in transpile("SELECT l[CAST(k AS INT)] FROM t")
+    assert "nullif" in transpile("SELECT l[k::bigint] FROM t")
+    # end-to-end: string-keyed map lookup through a column (DuckDB's
+    # map[varchar]), incl. a missing key -> NULL
+    spark.createDataFrame(
+        [("a",), ("b",), ("nope",)], "k string"
+    ).createOrReplaceTempView("mapk_t")
+    rows = sqlx.sql(
+        spark, "SELECT k, map('a', 1, 'b', 2)[k] AS v FROM mapk_t ORDER BY k"
+    ).collect()
+    assert [(r["k"], r["v"]) for r in rows] == [("a", 1), ("b", 2), ("nope", None)]
+
+
+def test_star_replace_guard_sees_parenthesized_setop():
+    """Round 11 (ADVICE r10): 'UNION ((SELECT ...' — extra parens around the
+    set operand must not escape the positional-consumer guard."""
+    from duckdb_parachute_spark.sqlx import rewrite_star_replace
+
+    with pytest.raises(ValueError, match="positional"):
+        rewrite_star_replace(
+            "SELECT * REPLACE (a+1 AS a) FROM t UNION ((SELECT a, b FROM t))"
+        )
+    with pytest.raises(ValueError, match="positional"):
+        rewrite_star_replace(
+            "SELECT * REPLACE (a+1 AS a) FROM t INTERSECT (((SELECT a, b FROM t)))"
+        )
