@@ -64,7 +64,15 @@ class CommitProtocol:
     ``final_path`` with ``content`` iff no object exists there, atomically
     with respect to every concurrent caller (same process, other processes,
     other machines), and raises :class:`CommitConflict` if the path already
-    exists or another caller wins the race. Implementations:
+    exists or another caller wins the race.
+
+    Round 11: the protocol also carries the commit-path READS —
+    ``get`` / ``list_dir`` / ``ensure_dir`` / ``delete`` — so the ENTIRE
+    metadata plane (manifests, decision records, version listing, vacuum of
+    old manifests) is storage-agnostic: a VersionedTable runs its full
+    lifecycle against :class:`InMemoryCommitProtocol` in tests. Only the
+    DATA plane (parquet files) stays on Spark's own Hadoop filesystem
+    layer, which already speaks object stores natively. Implementations:
 
     * :class:`LocalCommitProtocol` (default): write a private temp file,
       ``os.link`` onto the final path — POSIX hard-link creation is atomic
@@ -80,6 +88,30 @@ class CommitProtocol:
 
     def put_if_absent(self, content: str, final_path: str) -> None:
         raise NotImplementedError
+
+    # -- commit-path reads: local-filesystem defaults ------------------------
+
+    def get(self, path: str) -> str:
+        """Read one metadata object; FileNotFoundError if absent (object
+        stores: GET — read-after-write consistent on S3/GCS/Azure)."""
+        with open(path) as f:
+            return f.read()
+
+    def list_dir(self, path: str) -> list[str]:
+        """Names directly under ``path`` ([] if it does not exist); object
+        stores: LIST with a prefix + delimiter."""
+        try:
+            return os.listdir(path)
+        except FileNotFoundError:
+            return []
+
+    def ensure_dir(self, path: str) -> None:
+        """Create the container; a no-op on stores without directories."""
+        os.makedirs(path, exist_ok=True)
+
+    def delete(self, path: str) -> None:
+        """Remove one metadata object (vacuum of old manifests)."""
+        os.unlink(path)
 
 
 class LocalCommitProtocol(CommitProtocol):
@@ -132,9 +164,29 @@ class InMemoryCommitProtocol(CommitProtocol):
                 )
             self._objects[final_path] = content
 
-    def get(self, path: str) -> str | None:
+    def get(self, path: str) -> str:
         with self._lock:
-            return self._objects.get(path)
+            if path not in self._objects:
+                raise FileNotFoundError(path)
+            return self._objects[path]
+
+    def list_dir(self, path: str) -> list[str]:
+        prefix = path.rstrip("/") + "/"
+        with self._lock:
+            return sorted(
+                {
+                    k[len(prefix) :].split("/", 1)[0]
+                    for k in self._objects
+                    if k.startswith(prefix)
+                }
+            )
+
+    def ensure_dir(self, path: str) -> None:
+        pass  # keyspace store: directories do not exist
+
+    def delete(self, path: str) -> None:
+        with self._lock:
+            self._objects.pop(path, None)
 
 
 @dataclass(frozen=True)
@@ -154,12 +206,20 @@ def _manifest_path(root: str, version: int) -> str:
     return os.path.join(root, _COMMITS, f"v{version:08d}.json")
 
 
-def _list_versions(root: str) -> list[int]:
-    cdir = os.path.join(root, _COMMITS)
-    if not os.path.isdir(cdir):
-        return []
+#: default protocol for read helpers — the local filesystem
+_LOCAL = None  # initialized after the class definitions below
+
+
+def _proto(protocol: "CommitProtocol | None") -> "CommitProtocol":
+    global _LOCAL
+    if _LOCAL is None:
+        _LOCAL = LocalCommitProtocol()
+    return protocol or _LOCAL
+
+
+def _list_versions(root: str, protocol: "CommitProtocol | None" = None) -> list[int]:
     out = []
-    for name in os.listdir(cdir):
+    for name in _proto(protocol).list_dir(os.path.join(root, _COMMITS)):
         if name.startswith("v") and name.endswith(".json"):
             try:
                 out.append(int(name[1:-5]))
@@ -168,9 +228,8 @@ def _list_versions(root: str) -> list[int]:
     return sorted(out)
 
 
-def _read_manifest(root: str, version: int) -> dict:
-    with open(_manifest_path(root, version)) as f:
-        return json.load(f)
+def _read_manifest(root: str, version: int, protocol: "CommitProtocol | None" = None) -> dict:
+    return json.loads(_proto(protocol).get(_manifest_path(root, version)))
 
 
 # -- multi-table atomic commit (round 11, VERDICT r10 item 2) ----------------
@@ -201,11 +260,10 @@ def _read_manifest(root: str, version: int) -> dict:
 _DECISIONS = "_txn"
 
 
-def _decision_outcome(path: str) -> str | None:
+def _decision_outcome(path: str, protocol: "CommitProtocol | None" = None) -> str | None:
     """'commit' / 'abort' / None (undecided or record missing)."""
     try:
-        with open(path) as f:
-            return json.load(f)["outcome"]
+        return json.loads(_proto(protocol).get(path))["outcome"]
     except FileNotFoundError:
         return None
 
@@ -220,27 +278,27 @@ def _decide(
         protocol.put_if_absent(content, path)
         return outcome
     except CommitConflict:
-        landed = _decision_outcome(path)
+        landed = _decision_outcome(path, protocol)
         if landed is None:  # raced a non-atomic reader? re-read once
             raise RuntimeError(f"decision record {path} exists but unreadable")
         return landed
 
 
-def _manifest_visible(manifest: dict) -> bool:
+def _manifest_visible(manifest: dict, protocol: "CommitProtocol | None" = None) -> bool:
     """A manifest without a decision pointer is a plain committed snapshot;
     with one, it is visible iff the decision record says 'commit'."""
     d = manifest.get("decision")
-    return d is None or _decision_outcome(d) == "commit"
+    return d is None or _decision_outcome(d, protocol) == "commit"
 
 
-def _latest_committed(root: str) -> tuple[int, dict] | None:
+def _latest_committed(root: str, protocol: "CommitProtocol | None" = None) -> tuple[int, dict] | None:
     """(version, manifest) of the newest COMMITTED snapshot, walking past
     aborted/undecided multi-table manifests. Returns the manifest too so the
     common latest-open path stays one manifest read (committed_tags relies
     on that O(1) property)."""
-    for v in reversed(_list_versions(root)):
-        m = _read_manifest(root, v)
-        if _manifest_visible(m):
+    for v in reversed(_list_versions(root, protocol)):
+        m = _read_manifest(root, v, protocol)
+        if _manifest_visible(m, protocol):
             return v, m
     return None
 
@@ -290,10 +348,10 @@ def _claim_slot(
             )
             return snap
         except CommitConflict:
-            occ = _read_manifest(root, v)
+            occ = _read_manifest(root, v, protocol)
             d = occ.get("decision")
             if d is not None:
-                outcome = _decision_outcome(d) or _decide(d, "abort", {}, protocol)
+                outcome = _decision_outcome(d, protocol) or _decide(d, "abort", {}, protocol)
                 if outcome == "abort":
                     v += 1
                     continue
@@ -330,7 +388,7 @@ def commit_multi(staged: dict[str, "VersionedTable"]) -> dict[str, "VersionedTab
     ordered = sorted(real.items(), key=lambda kv: kv[1].root)
     first = ordered[0][1]
     ddir = os.path.join(first.root, _DECISIONS)
-    os.makedirs(ddir, exist_ok=True)
+    first.commit_protocol.ensure_dir(ddir)
     decision_path = os.path.join(ddir, f"txn-{uuid.uuid4().hex}.json")
     claimed: dict[str, Snapshot] = {}
     for k, h in ordered:
@@ -394,24 +452,39 @@ class VersionedTable:
     # -- construction --------------------------------------------------------
 
     @classmethod
-    def create(cls, spark: SparkSession, root: str, df: DataFrame) -> "VersionedTable":
-        os.makedirs(os.path.join(root, _COMMITS), exist_ok=True)
-        os.makedirs(os.path.join(root, _DATA), exist_ok=True)
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        df: DataFrame,
+        commit_protocol: CommitProtocol | None = None,
+    ) -> "VersionedTable":
+        protocol = commit_protocol or LocalCommitProtocol()
+        protocol.ensure_dir(os.path.join(root, _COMMITS))
+        os.makedirs(os.path.join(root, _DATA), exist_ok=True)  # data plane
         files = cls._write_data(root, 0, df)
-        snap = cls._commit(root, Snapshot(0, -1, "create", tuple(files), df.schema.json()))
-        return cls(spark, root, snap)
+        snap = cls._commit(
+            root, Snapshot(0, -1, "create", tuple(files), df.schema.json()), protocol
+        )
+        return cls(spark, root, snap, protocol)
 
     @classmethod
-    def open(cls, spark: SparkSession, root: str, version: int | None = None) -> "VersionedTable":
+    def open(
+        cls,
+        spark: SparkSession,
+        root: str,
+        version: int | None = None,
+        commit_protocol: CommitProtocol | None = None,
+    ) -> "VersionedTable":
         """Open the latest COMMITTED snapshot, or time-travel to ``version``.
         Manifests belonging to undecided or aborted multi-table transactions
         are invisible — never the latest, and an explicit time travel to one
         raises (the version never happened)."""
-        versions = _list_versions(root)
+        versions = _list_versions(root, commit_protocol)
         if not versions:
             raise FileNotFoundError(f"no committed versions under {root}")
         if version is None:
-            got = _latest_committed(root)
+            got = _latest_committed(root, commit_protocol)
             if got is None:
                 raise FileNotFoundError(f"no committed versions under {root}")
             v, m = got
@@ -419,8 +492,8 @@ class VersionedTable:
             v = version
             if v not in versions:
                 raise FileNotFoundError(f"version {v} not in {versions}")
-            m = _read_manifest(root, v)
-            if not _manifest_visible(m):
+            m = _read_manifest(root, v, commit_protocol)
+            if not _manifest_visible(m, commit_protocol):
                 raise FileNotFoundError(
                     f"version {v} of {root} was never committed (aborted or "
                     f"undecided multi-table transaction)"
@@ -431,20 +504,22 @@ class VersionedTable:
             m["op"],
             tuple(m["files"]),
             m.get("schema", ""),
-            tuple(m["tags"]) if "tags" in m else cls._scan_tags(root, m["version"]),
+            tuple(m["tags"]) if "tags" in m else cls._scan_tags(root, m["version"], commit_protocol),
         )
-        return cls(spark, root, snap)
+        return cls(spark, root, snap, commit_protocol)
 
     @staticmethod
-    def _scan_tags(root: str, up_to: int) -> tuple[str, ...]:
+    def _scan_tags(
+        root: str, up_to: int, protocol: CommitProtocol | None = None
+    ) -> tuple[str, ...]:
         """Legacy path for pre-`tags` manifests: reconstruct the cumulative
         tag set by scanning history (new commits then carry it forward)."""
         out = []
-        for v in _list_versions(root):
+        for v in _list_versions(root, protocol):
             if v > up_to:
                 break
-            m = _read_manifest(root, v)
-            if m["op"].startswith("insert#") and _manifest_visible(m):
+            m = _read_manifest(root, v, protocol)
+            if m["op"].startswith("insert#") and _manifest_visible(m, protocol):
                 out.append(m["op"].split("#", 1)[1])
         return tuple(out)
 
@@ -465,9 +540,9 @@ class VersionedTable:
 
     def history(self) -> list[dict]:
         out = []
-        for v in _list_versions(self.root):
-            m = _read_manifest(self.root, v)
-            if not _manifest_visible(m):
+        for v in _list_versions(self.root, self.commit_protocol):
+            m = _read_manifest(self.root, v, self.commit_protocol)
+            if not _manifest_visible(m, self.commit_protocol):
                 continue  # aborted/undecided multi-table txn: never happened
             out.append({k: m[k] for k in ("version", "parent", "op")} | {"n_files": len(m["files"])})
         return out
@@ -485,7 +560,11 @@ class VersionedTable:
         the LATEST manifest's cumulative ``tags`` field — one file open per
         check, constant in history length, and immune to vacuum of old
         manifests (the markers travel with every new manifest)."""
-        return set(VersionedTable.open(self.spark, self.root).snapshot.tags)
+        return set(
+            VersionedTable.open(
+                self.spark, self.root, commit_protocol=self.commit_protocol
+            ).snapshot.tags
+        )
 
     def insert_tagged(self, rows: DataFrame, tag: str) -> "VersionedTable":
         """Idempotent tagged INSERT — the exactly-once sink primitive (the
@@ -497,13 +576,17 @@ class VersionedTable:
         if "#" in tag:
             raise ValueError("tag must not contain '#'")
         if tag in self.committed_tags():
-            return VersionedTable.open(self.spark, self.root)
+            return VersionedTable.open(
+                self.spark, self.root, commit_protocol=self.commit_protocol
+            )
         new_v = self.snapshot.version + 1
         added = self._write_data(self.root, new_v, rows)
         try:
             return self._publish(f"insert#{tag}", tuple(self.snapshot.files) + tuple(added))
         except CommitConflict:
-            latest = VersionedTable.open(self.spark, self.root)
+            latest = VersionedTable.open(
+                self.spark, self.root, commit_protocol=self.commit_protocol
+            )
             if tag in latest.committed_tags():
                 return latest  # our tag won via another writer: exactly-once held
             raise
@@ -701,13 +784,17 @@ class VersionedTable:
         staged-but-uncommitted files are never swept (orphans from aborted
         commits at recent versions are left for a later vacuum to collect,
         once history has moved past them)."""
-        versions = _list_versions(self.root)
+        versions = _list_versions(self.root, self.commit_protocol)
         # retention counts COMMITTED snapshots only: the retained window must
         # never consist solely of aborted/pending multi-table manifests (that
         # would sweep the last readable state). Recent invisible manifests
         # inside the window are kept too — an UNDECIDED one may still commit.
         visible = [
-            v for v in versions if _manifest_visible(_read_manifest(self.root, v))
+            v
+            for v in versions
+            if _manifest_visible(
+                _read_manifest(self.root, v, self.commit_protocol), self.commit_protocol
+            )
         ]
         if retain_last > 0 and visible:
             oldest_kept = visible[-retain_last:][0]
@@ -717,7 +804,7 @@ class VersionedTable:
             oldest_kept = versions[-1] + 1 if versions else 0
         referenced: set[str] = set()
         for v in keep_versions:
-            referenced.update(_read_manifest(self.root, v)["files"])
+            referenced.update(_read_manifest(self.root, v, self.commit_protocol)["files"])
         removed = []
         data_root = os.path.join(self.root, _DATA)
         for token in sorted(os.listdir(data_root)):
@@ -737,5 +824,5 @@ class VersionedTable:
                 os.rmdir(tdir)
         for v in versions:
             if v not in keep_versions:
-                os.unlink(_manifest_path(self.root, v))
+                self.commit_protocol.delete(_manifest_path(self.root, v))
         return removed
