@@ -50,7 +50,11 @@ d, …z < þ < æ < ö), et (the base-letter move: s < š < z < ž < t, and
 õ ä ö ü after w), lt (č š ž primary after their bases; the ogonek/dot/
 macron vowels SECONDARY — 'ab' < 'ąb' < 'ac' — and y primary-equal to i,
 i << į << y at the secondary level, via single-codepoint secondary
-weights). Outside the tailored letters,
+weights), sk (ch after h; ä and ô FULL letters after a/o while the acutes
+stay secondary; č š ž after their bases), hr (č ć after c, dž đ after d,
+š ž after s/z, and the lj/nj/dž digraph contractions with case forms
+lj < Lj < LJ — mixed lJ is l+J, not a contraction). Outside the tailored
+letters,
 accented input folds to its base letter at the primary level — full ICU
 root-order for arbitrary scripts is out of scope (documented SURVEY §1.2);
 punctuation is compared bytewise (ICU default non-ignorable).
@@ -74,8 +78,12 @@ _AFTER = "\uffff"
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"
 _UPPER = _LOWER.upper()
-_X_LOWER = "æøåäöñüčřšž" + "ąćęłńóśźż" + "ăâîșțşţ" + "çğ" + "áðéíúýþõėįųū"
-_X_UPPER = "ÆØÅÄÖÑÜČŘŠŽ" + "ĄĆĘŁŃÓŚŹŻ" + "ĂÂÎȘȚŞŢ" + "ÇĞ" + "ÁÐÉÍÚÝÞÕĖĮŲŪ"
+_X_LOWER = (
+    "æøåäöñüčřšž" + "ąćęłńóśźż" + "ăâîșțşţ" + "çğ" + "áðéíúýþõėįųū" + "ďĺľňôŕťđ"
+)
+_X_UPPER = (
+    "ÆØÅÄÖÑÜČŘŠŽ" + "ĄĆĘŁŃÓŚŹŻ" + "ĂÂÎȘȚŞŢ" + "ÇĞ" + "ÁÐÉÍÚÝÞÕĖĮŲŪ" + "ĎĹĽŇÔŔŤĐ"
+)
 #: translate() args for the lower-first tertiary key (swap case so that
 #: lowercase sorts before uppercase bytewise).
 _SWAP_SRC = _LOWER + _UPPER + _X_LOWER + _X_UPPER
@@ -94,6 +102,13 @@ _T_AO, _T_Ao, _T_ao = "\x05", "\x06", "\x07"
 #: leave the string BEFORE lower() runs (Java lowercases I→i, losing the
 #: distinction, and İ→"i"+combining-dot, corrupting lengths).
 _T_TI, _T_Ti = "\x0e", "\x0f"
+#: Croatian digraph tokens (round 11): lj/nj/dž case forms lj<Lj<LJ etc. —
+#: the mixed forms lJ/nJ/dŽ are NOT contractions (l + letter J), measured
+#: on DuckDB's ICU hr: 'lJa' < 'lja' < 'Lja' < 'LJa'. No overlap hazards:
+#: no pattern's first char is another's second char.
+_T_lj, _T_Lj, _T_LJ = "\x10", "\x11", "\x12"
+_T_nj, _T_Nj, _T_NJ = "\x13", "\x14", "\x15"
+_T_dz, _T_Dz, _T_DZ = "\x16", "\x17", "\x18"
 
 
 @dataclass(frozen=True)
@@ -262,6 +277,61 @@ _LOCALES.update(
             # Ū=U+016A < ū=U+016B), and y borrows dotless ı (U+0131 > į).
             secondary=(
                 ("ę", "Ė"), ("ų", "Ū"), ("y", "ı"),
+            ),
+        ),
+    }
+)
+_LOCALES.update(
+    {
+        # Slovak (round 11, measured on DuckDB's ICU sk): ch a full letter
+        # after h (as in Czech); ä a FULL letter after a ('azz' < 'äa' <
+        # 'ba' — unlike German's secondary umlaut); ô a full letter after o
+        # ('ozz' < 'ôa' < 'pa', while ó stays a secondary accent); č š ž
+        # after their bases. The acute/caron accents á é í ó ú ý ĺ ľ ŕ ň ď ť
+        # are SECONDARY ('aa' < 'áa' < 'ab') — the generic accent fold
+        # handles them, with ĺ(U+013A) < ľ(U+013E) already in codepoint
+        # order. Lower-first case (cha < cHa < Cha < CHa = the cs contraction
+        # case shape, reproduced by the lower()-collapse + case-swap).
+        "sk": _LocaleSpec(
+            primary=(
+                ("ch", "h{"),
+                ("ä", "a{"),
+                ("č", "c{"),
+                ("ô", "o{"),
+                ("š", "s{"),
+                ("ž", "z{"),
+            ),
+        ),
+        # Croatian (round 11, measured on DuckDB's ICU hr): full-letter
+        # alphabet c < č < ć < d < dž < đ < e, l < lj < m, n < nj < o,
+        # s < š < t, z < ž. The digraphs lj/nj/dž contract case-sensitively
+        # (lj < Lj < LJ at tertiary, lower-first; mixed lJ/nJ/dŽ are l+J
+        # etc., NOT contractions — all pinned both input orders). Tokens
+        # leave the string before lower() so DŽ→dž lowercasing never runs.
+        "hr": _LocaleSpec(
+            tokenize=(
+                ("LJ", _T_LJ), ("Lj", _T_Lj), ("lj", _T_lj),
+                ("NJ", _T_NJ), ("Nj", _T_Nj), ("nj", _T_nj),
+                ("DŽ", _T_DZ), ("Dž", _T_Dz), ("dž", _T_dz),
+            ),
+            primary=(
+                (_T_lj, "l{"), (_T_Lj, "l{"), (_T_LJ, "l{"),
+                (_T_nj, "n{"), (_T_Nj, "n{"), (_T_NJ, "n{"),
+                (_T_dz, "d{"), (_T_Dz, "d{"), (_T_DZ, "d{"),
+                ("č", "c{"),
+                ("ć", "c|"),
+                ("đ", "d|"),
+                ("š", "s{"),
+                ("ž", "z{"),
+            ),
+            secondary=(
+                (_T_lj, "lj"), (_T_Lj, "lj"), (_T_LJ, "lj"),
+                (_T_nj, "nj"), (_T_Nj, "nj"), (_T_NJ, "nj"),
+                (_T_dz, "dž"), (_T_Dz, "dž"), (_T_DZ, "dž"),
+            ),
+            tertiary=(
+                _T_lj + _T_Lj + _T_LJ + _T_nj + _T_Nj + _T_NJ + _T_dz + _T_Dz + _T_DZ,
+                "123123123",
             ),
         ),
     }

@@ -324,3 +324,45 @@ def collate_locale_ro_rank(spark, sf_dir):
         df, [collate.locale_collation_key(F.col("s"), "ro")], out="rnk"
     )
     return ranked.select("s", "rnk").orderBy("rnk", "s")
+
+
+@query(
+    "collate_locale_hr_rank",
+    oracle="""
+    SELECT s, CAST(rank() OVER (ORDER BY s COLLATE hr) AS BIGINT) AS rnk
+    FROM (
+        SELECT CASE p_partkey % 5
+                 WHEN 0 THEN replace(p_name, 'li', 'lj')
+                 WHEN 1 THEN replace(p_name, 'li', 'Lj')
+                 WHEN 2 THEN replace(p_name, 'n', 'nj')
+                 WHEN 3 THEN translate(p_name, 'cdsz', 'čđšž')
+                 ELSE replace(p_name, 'd', 'dž')
+               END AS s
+        FROM part
+        WHERE p_partkey % 9 = 0
+    )
+    ORDER BY rnk, s
+    """,
+)
+def collate_locale_hr_rank(spark, sf_dir):
+    """ICU Croatian collation (round 11): the digraph contractions lj/nj/dž
+    are FULL letters (l < lj < m, n < nj < o, d < dž < đ < e) whose case
+    forms order lj < Lj < LJ at the tertiary level — part names seeded with
+    lj/Lj/nj/dž digraphs and the č/ć/đ/š/ž letters, ranked on
+    locale_collation_key('hr') vs DuckDB's real ICU ``COLLATE hr``
+    (reference extension/icu/icu_extension.cpp:119)."""
+    from duckdb_parachute_spark.functions.scalar import global_rank
+
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 9 == 0)
+    s = (
+        F.when(F.col("p_partkey") % 5 == 0, F.replace("p_name", F.lit("li"), F.lit("lj")))
+        .when(F.col("p_partkey") % 5 == 1, F.replace("p_name", F.lit("li"), F.lit("Lj")))
+        .when(F.col("p_partkey") % 5 == 2, F.replace("p_name", F.lit("n"), F.lit("nj")))
+        .when(F.col("p_partkey") % 5 == 3, F.translate(F.col("p_name"), "cdsz", "čđšž"))
+        .otherwise(F.replace("p_name", F.lit("d"), F.lit("dž")))
+    )
+    df = p.select(s.alias("s"))
+    ranked = global_rank(
+        df, [collate.locale_collation_key(F.col("s"), "hr")], out="rnk"
+    )
+    return ranked.select("s", "rnk").orderBy("rnk", "s")

@@ -454,6 +454,10 @@ _LOCALE_ALPHABETS = {
     "is": "abdefiouyzáðéíóúýþæöÁÐÞÆÖZ",
     "et": "astuvwxyzšžõäöüŠŽÕÄÖÜZ",
     "lt": "abceijksuzączęėįyšųūžĄĖĮŠŽZ",
+    # round-11 additions: Slovak's full-letter ä/ô + ch digraph and
+    # secondary acutes; Croatian's lj/nj/dž contraction case forms
+    "sk": "abcdhioprszáäéĺľňóôšžÄCHÔZ",
+    "hr": "abcdejlmnoszčćđšžLJNJDŽZ",
 }
 
 
