@@ -843,6 +843,144 @@ def rewrite_date_diff(sql: str, _parts: list[str] | None = None) -> str:
         pos = m.start() + len(rep)
 
 
+#: date_part/datepart/extract parts whose DuckDB semantics DIVERGE from (or
+#: don't exist in) Spark's extract (round 11, pinned on duckdb 1.0 under a
+#: non-UTC Spark session tz):
+#:   dow        DuckDB Sunday=0..6; Spark dayofweek Sunday=1
+#:   isodow     Monday=1..Sunday=7 (Spark: no such field)
+#:   isoyear    ISO-8601 week-numbering year → Spark YEAROFWEEK
+#:   epoch      DOUBLE seconds incl. fractional micros, the naive timestamp
+#:              taken as UTC — timestampdiff over TIMESTAMP_NTZ is the one
+#:              session-timezone-INDEPENDENT spelling (unix_micros would
+#:              shift by the session offset)
+#:   second     truncated integer seconds (Spark extract returns DECIMAL
+#:              with the fraction); microsecond/millisecond INCLUDE the
+#:              seconds component (30.123456 s → 30123456 µs)
+#:   decade/century/millennium/era/yearweek  (Spark: no such fields)
+#: Parts with identical cross-engine semantics (year..minute, quarter,
+#: week, doy) pass through untouched; unknown parts also pass through and
+#: fail loudly in Spark's analyzer rather than silently diverging. Emitted
+#: nested extracts are \x02-marked so the extract pass never rescans its
+#: own output.
+_DATE_PART_FORMULAS = {
+    "dow": "CAST(dayofweek({x}) - 1 AS BIGINT)",
+    "isodow": "CAST((dayofweek({x}) + 5) % 7 + 1 AS BIGINT)",
+    "isoyear": "CAST(extract\x02(YEAROFWEEK FROM {x}) AS BIGINT)",
+    "epoch": (
+        "(CAST(timestampdiff(MICROSECOND, TIMESTAMP_NTZ {e0}, "
+        "CAST({x} AS TIMESTAMP_NTZ)) AS DOUBLE) / 1000000.0)"
+    ),
+    "microsecond": "CAST(round(extract\x02(SECOND FROM {x}) * 1000000) AS BIGINT)",
+    "millisecond": "CAST(floor(extract\x02(SECOND FROM {x}) * 1000) AS BIGINT)",
+    "second": "CAST(floor(extract\x02(SECOND FROM {x})) AS BIGINT)",
+    "decade": "CAST(floor(year({x}) / 10) AS BIGINT)",
+    "century": "CAST(floor((year({x}) - 1) / 100) + 1 AS BIGINT)",
+    "millennium": "CAST(floor((year({x}) - 1) / 1000) + 1 AS BIGINT)",
+    "era": "CAST(CASE WHEN year({x}) > 0 THEN 1 ELSE 0 END AS BIGINT)",
+    "yearweek": "CAST(extract\x02(YEAROFWEEK FROM {x}) * 100 + weekofyear({x}) AS BIGINT)",
+}
+_DATE_PART_ALIASES = {
+    "dayofweek": "dow", "weekday": "dow",
+    "microseconds": "microsecond", "us": "microsecond", "usec": "microsecond",
+    "milliseconds": "millisecond", "ms": "millisecond", "msec": "millisecond",
+    "seconds": "second", "sec": "second", "secs": "second", "s": "second",
+    "decades": "decade", "centuries": "century",
+    "millenniums": "millennium", "millennia": "millennium",
+}
+_DATE_PART_RE = re.compile(r"\b(?:date_part|datepart)\s*\(", re.IGNORECASE)
+_EXTRACT_CALL_RE = re.compile(r"\bextract\s*\(", re.IGNORECASE)
+_EXTRACT_INNER_RE = re.compile(r"\s*([A-Za-z_]+)\s+FROM\s+(.+)\Z", re.IGNORECASE | re.DOTALL)
+
+
+def rewrite_date_part(sql: str, _parts: list[str] | None = None) -> str:
+    if _parts is None:
+        return sql
+
+    def lit(s: str) -> str:
+        _parts.append(f"'{s}'")
+        return f"\x00{len(_parts) - 1}\x00"
+
+    def formula(part_name: str) -> str | None:
+        part = _DATE_PART_ALIASES.get(part_name.lower(), part_name.lower())
+        return _DATE_PART_FORMULAS.get(part)
+
+    pos = 0
+    while True:  # date_part('part', x) / datepart('part', x)
+        m = _DATE_PART_RE.search(sql, pos)
+        if not m:
+            break
+        end = _balanced_span(sql, m.end() - 1)
+        args = _split_top_level(sql[m.end() : end - 1])
+        mm = re.fullmatch(r"\x00(\d+)\x00", args[0].strip()) if len(args) == 2 else None
+        f = formula(_parts[int(mm.group(1))][1:-1]) if mm else None
+        if f is None:
+            pos = end  # identical-semantics or computed part: pass through
+            continue
+        rep = f.format(x=args[1].strip(), e0=lit("1970-01-01 00:00:00"))
+        sql = sql[: m.start()] + rep + sql[end:]
+        pos = m.start() + len(rep)
+    pos = 0
+    while True:  # extract(PART FROM x)
+        m = _EXTRACT_CALL_RE.search(sql, pos)
+        if not m:
+            break
+        end = _balanced_span(sql, m.end() - 1)
+        fm = _EXTRACT_INNER_RE.match(sql[m.end() : end - 1])
+        f = formula(fm.group(1)) if fm else None
+        if f is None:
+            pos = end
+            continue
+        rep = f.format(x=fm.group(2).strip(), e0=lit("1970-01-01 00:00:00"))
+        sql = sql[: m.start()] + rep + sql[end:]
+        pos = m.start() + len(rep)
+    return sql
+
+
+#: DuckDB xor(a, b) is BITWISE xor (Spark has no 2-arg xor function; its ^
+#: operator is bitwise xor, while DuckDB's ^ is POWER — which is why this
+#: rewrite must run AFTER rewrite_power has consumed DuckDB-authored ^).
+_XOR_RE = re.compile(r"\bxor\s*\(", re.IGNORECASE)
+
+#: DuckDB list_reduce/reduce/array_reduce(l, (a,b) -> e) folds left using
+#: the FIRST element as the initial accumulator (no 3-arg form; empty list
+#: errors). Spark's reduce requires an explicit init → emit
+#: reduce(slice(l, 2, size-1), element_at(l, 1), lam). Divergence: an empty
+#: list yields NULL here (try_element_at), where DuckDB raises — looser,
+#: never wrong on non-empty input. Spark's own 3-arg reduce passes through.
+_LIST_REDUCE_RE = re.compile(r"\b(?:list_reduce|array_reduce|reduce)\s*\(", re.IGNORECASE)
+
+
+def rewrite_xor_reduce(sql: str) -> str:
+    while True:
+        m = _XOR_RE.search(sql)
+        if not m:
+            break
+        end = _balanced_span(sql, m.end() - 1)
+        args = _split_top_level(sql[m.end() : end - 1])
+        if len(args) != 2:
+            raise ValueError(f"xor expects 2 arguments: {sql[m.start():end]!r}")
+        rep = f"({args[0].strip()} ^ {args[1].strip()})"
+        sql = sql[: m.start()] + rep + sql[end:]
+    pos = 0
+    while True:
+        m = _LIST_REDUCE_RE.search(sql, pos)
+        if not m:
+            break
+        end = _balanced_span(sql, m.end() - 1)
+        args = _split_top_level(sql[m.end() : end - 1])
+        if len(args) != 2:
+            pos = end  # Spark's own reduce(l, init, merge[, finish]): untouched
+            continue
+        l, lam = args[0].strip(), args[1].strip()
+        rep = (
+            f"reduce\x02(slice({l}, 2, greatest(size({l}) - 1, 0)), "
+            f"try_element_at({l}, 1), {lam})"
+        )
+        sql = sql[: m.start()] + rep + sql[end:]
+        pos = m.start() + len(rep)
+    return sql
+
+
 #: DuckDB string_split + aliases take a LITERAL separator; Spark's split
 #: takes a REGEX — string_split(s, '.') must not become split-on-any-char.
 #: A literal second argument is \\Q…\\E-quoted; a computed separator keeps
@@ -1402,8 +1540,10 @@ REWRITES = [
     rewrite_list_sort,
     rewrite_string_agg,
     rewrite_date_diff,
+    rewrite_date_part,
     rewrite_power,
     rewrite_factorial,
+    rewrite_xor_reduce,
     rewrite_int_casts,
 ]
 
@@ -1460,7 +1600,7 @@ def transpile(sql: str) -> str:
         # expansion just introduced so the rewrites stay literal-blind
         masked = _TOKEN_RE.sub(stash, _expand_macros(masked))
     for rw in REWRITES:
-        if rw in (rewrite_json_arrows, rewrite_regex_ops, rewrite_string_split, rewrite_strftime, rewrite_int_casts, rewrite_date_diff, rewrite_list_sort, rewrite_string_agg):
+        if rw in (rewrite_json_arrows, rewrite_regex_ops, rewrite_string_split, rewrite_strftime, rewrite_int_casts, rewrite_date_diff, rewrite_date_part, rewrite_list_sort, rewrite_string_agg):
             masked = rw(masked, _parts=parts)
         else:
             masked = rw(masked)

@@ -828,3 +828,34 @@ def dialect_copy_from_by_name(spark, sf_dir):
         FROM cfbn GROUP BY n_regionkey ORDER BY n_regionkey
         """,
     )
+
+
+_DATE_PART_SQL = """
+SELECT o_orderkey,
+       CAST(date_part('dow', o_orderdate) AS BIGINT) AS dow,
+       CAST(extract(isodow FROM o_orderdate) AS BIGINT) AS isodow,
+       CAST(date_part('isoyear', o_orderdate) AS BIGINT) AS isoyr,
+       CAST(date_part('yearweek', o_orderdate) AS BIGINT) AS yw,
+       CAST(date_part('decade', o_orderdate) AS BIGINT) AS dec,
+       CAST(extract(century FROM o_orderdate) AS BIGINT) AS cen,
+       CAST(date_part('era', o_orderdate) AS BIGINT) AS era,
+       CAST(date_part('epoch', o_orderdate) AS DOUBLE) AS ep,
+       CAST(date_part('doy', o_orderdate) AS BIGINT) AS doy
+FROM orders WHERE o_orderkey % 101 = 0
+ORDER BY o_orderkey
+"""
+
+
+@query("dialect_date_part", oracle=_DATE_PART_SQL)
+def dialect_date_part(spark, sf_dir):
+    """date_part/datepart/extract divergence map (round 11; reference
+    src/common/types/date.cpp date-part logic, pinned on duckdb 1.0):
+    dow numbers Sunday=0 (Spark's dayofweek says 1), isodow Monday=1..7
+    (Spark lacks the field), isoyear → YEAROFWEEK, epoch returns DOUBLE
+    seconds with the naive value taken as UTC (emitted via TIMESTAMP_NTZ
+    timestampdiff so the result is session-timezone-independent),
+    decade/century/millennium/era/yearweek computed from calendar fields.
+    Identical-semantics parts (doy here) pass through untouched. Same SQL
+    is the oracle."""
+    _views(spark, sf_dir, "orders")
+    return sqlx.sql(spark, _DATE_PART_SQL)

@@ -261,9 +261,42 @@ def _gen_dialect_exprs(seed: int, n: int) -> list[str]:
         "array_to_string(list_transform(list_sort([j, NULL, i], 'ASC', 'NULLS FIRST'), x -> coalesce(CAST(x AS VARCHAR), 'N')), '|')",
         "array_to_string(list_transform(list_reverse_sort([i, 3, j]), x -> coalesce(CAST(x AS VARCHAR), 'N')), '|')",
     ]
+    # round 11: identical-semantics builtins (probed cross-engine before
+    # inclusion), the xor / list_reduce rewrites, and the date_part
+    # divergence map (dow numbering, isodow/isoyear/epoch/decade/century/
+    # millennium/era/yearweek, sub-second fields incl. the seconds
+    # component)
+    misc_fns = [
+        "greatest(i, j, 0)",
+        "least(coalesce(i, 0), coalesce(j, 0))",
+        "left(coalesce(s, 'abc'), 2)",
+        "right(coalesce(s, 'abc'), 2)",
+        "repeat(coalesce(s, 'ab'), 2)",
+        "reverse(coalesce(s, 'xy'))",
+        "translate(coalesce(s, ''), 'ab', 'xy')",
+        "lpad(coalesce(s, 'q'), 6, '.')",
+        "rpad(coalesce(s, 'q'), 6, '.')",
+        "(coalesce(i, 0) & coalesce(j, 0))",
+        "(coalesce(i, 0) | coalesce(j, 0))",
+        "xor(coalesce(i, 0), coalesce(j, 0))",
+        "CAST(ceil(coalesce(x, 1.2)) AS BIGINT)",
+        "CAST(floor(coalesce(x, 1.2)) AS BIGINT)",
+        "round(ln(abs(coalesce(i, 2)) + 1), 6)",
+        "list_filter([i, j, 7], y -> y IS NOT NULL AND y > 0)[1]",
+        "list_reduce([coalesce(i, 0), coalesce(j, 0), 7], (a, b) -> a + b)",
+        "reduce([1, 2, 3, coalesce(j, 4)], (a, b) -> a * b)",
+        "len(coalesce(s, ''))",
+        "last_day(DATE '2021-02-04' + (coalesce(i, 0) % 300))",
+    ]
+    date_parts = [
+        "dow", "isodow", "isoyear", "decade", "century", "millennium",
+        "era", "yearweek", "epoch", "seconds", "us", "ms",
+        # identical-semantics parts, BIGINT-bridged for the pandas compare
+        "year", "month", "day", "quarter", "week", "doy", "hour", "minute",
+    ]
     out = []
     for k in range(n):
-        kind = k % 10
+        kind = k % 12
         if kind == 0:
             out.append(f"(coalesce(s, '') ~ '{rng.choice(pats)}')")
         elif kind == 1:
@@ -289,8 +322,18 @@ def _gen_dialect_exprs(seed: int, n: int) -> list[str]:
             out.append(f"CAST({rng.randrange(0, 7)}! AS BIGINT)")
         elif kind == 8:
             out.append(rng.choice(int_casts))
-        else:
+        elif kind == 9:
             out.append(rng.choice(fn_aliases))
+        elif kind == 10:
+            out.append(rng.choice(misc_fns))
+        else:
+            part = rng.choice(date_parts)
+            day = rng.randrange(1, 28)
+            ts = f"TIMESTAMP '202{rng.randrange(0, 5)}-0{rng.randrange(1, 9)}-{day:02d} 0{rng.randrange(0, 9)}:{day:02d}:3{rng.randrange(0, 9)}.{rng.randrange(0, 999999):06d}'"
+            spelling = rng.choice(
+                [f"date_part('{part}', {ts})", f"extract({part} FROM {ts})"]
+            )
+            out.append(f"CAST({spelling} AS DOUBLE)")
     return out
 
 

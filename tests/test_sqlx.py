@@ -1053,3 +1053,46 @@ def test_star_replace_guard_sees_parenthesized_setop():
         rewrite_star_replace(
             "SELECT * REPLACE (a+1 AS a) FROM t INTERSECT (((SELECT a, b FROM t)))"
         )
+
+
+def test_date_part_divergence_map(spark):
+    """Round 11: DuckDB date_part/extract semantics that diverge from Spark
+    — dow Sunday=0, isodow, isoyear, epoch (tz-independent, fractional
+    micros), truncated second, sub-second fields including the seconds
+    component, decade/century/millennium/era/yearweek. Identical parts and
+    unknown parts pass through (the latter fail loudly in the analyzer)."""
+    from duckdb_parachute_spark import sqlx
+
+    r = sqlx.sql(
+        spark,
+        "SELECT date_part('dow', DATE '2021-07-04') AS dow,"
+        " extract(isodow FROM DATE '2021-07-04') AS iso,"
+        " date_part('epoch', TIMESTAMP '2021-07-04 10:20:30.123456') AS ep,"
+        " date_part('us', TIMESTAMP '2021-07-04 10:20:30.123456') AS us,"
+        " date_part('seconds', TIMESTAMP '2021-07-04 10:20:30.987') AS sec,"
+        " extract(century FROM DATE '2001-01-01') AS cen,"
+        " date_part('yearweek', DATE '2021-01-01') AS yw,"
+        " date_part('year', DATE '2021-07-04') AS y",
+    ).head()
+    assert (r["dow"], r["iso"], r["sec"], r["cen"], r["yw"], r["y"]) == (
+        0, 7, 30, 21, 202053, 2021,
+    )
+    assert r["ep"] == 1625394030.123456 and r["us"] == 30123456
+
+
+def test_xor_and_list_reduce_rewrites(spark):
+    """Round 11: DuckDB xor(a,b) is bitwise (its ^ is power); list_reduce
+    folds left with the first element as the initial accumulator."""
+    from duckdb_parachute_spark import sqlx
+
+    r = sqlx.sql(
+        spark,
+        "SELECT xor(5, 3) AS x, 2 ^ 3 AS pow,"
+        " list_reduce([1, 2, 3], (a, b) -> a + b) AS lr,"
+        " reduce([1, 2, 3, 4], (a, b) -> a * b) AS rd,"
+        " array_reduce([5], (a, b) -> a + b) AS single,"
+        " list_reduce(['x', 'y'], (a, b) -> a || b) AS cat",
+    ).head()
+    assert (r["x"], r["pow"], r["lr"], r["rd"], r["single"], r["cat"]) == (
+        6, 8.0, 6, 24, 5, "xy",
+    )
