@@ -350,7 +350,7 @@ def decontaminate(
 
 
 def semantic_cluster_assign(
-    df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+    df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str, probes: int = 1
 ) -> DataFrame:
     """Assign each embedding to its nearest centroid by cosine (SemDeDup,
     Abbas et al. 2023 — semantic dedup clusters the corpus first so the
@@ -369,7 +369,12 @@ def semantic_cluster_assign(
     ~10k centroids an IVF-style coarse quantizer should prune candidates
     first (similarity.ivf_*). Ties break to the lowest centroid_id
     (ascending struct max over (sim, -cid)), deterministic and
-    SQL-replayable."""
+    SQL-replayable.
+
+    ``probes`` > 1 is MULTI-PROBE assignment (the SemDeDup paper's recall
+    mitigation for near-dups that straddle a cluster boundary): each row
+    lands in its top-``probes`` clusters — one extra generator (explode) in
+    the same zero-exchange plan, row growth exactly ×probes by design."""
     rows = centroids.select(
         F.col("centroid_id").cast("long").alias("cid"),
         F.col("centroid").cast("array<double>").alias("vec"),
@@ -405,12 +410,17 @@ def semantic_cluster_assign(
             (-c["cid"]).alias("negcid"),
         ),
     )
-    return (
-        df.select(id_col, vec_col)
-        .crossJoin(F.broadcast(packed))
-        .withColumn("__best", F.array_max(sims))
-        .select(id_col, vec_col, (-F.col("__best.negcid")).alias("centroid_id"))
-    )
+    scored = df.select(id_col, vec_col).crossJoin(F.broadcast(packed))
+    if probes <= 1:
+        return scored.withColumn("__best", F.array_max(sims)).select(
+            id_col, vec_col, (-F.col("__best.negcid")).alias("centroid_id")
+        )
+    # top-`probes`: natural struct sort is (sim ASC, negcid ASC); reversed,
+    # ties still resolve to the LOWEST centroid_id (larger -cid first)
+    top = F.slice(F.reverse(F.array_sort(sims)), 1, probes)
+    return scored.select(
+        id_col, vec_col, F.explode(top).alias("__c")
+    ).select(id_col, vec_col, (-F.col("__c.negcid")).alias("centroid_id"))
 
 
 def semantic_dup_pairs(
@@ -420,6 +430,7 @@ def semantic_dup_pairs(
     vec_col: str,
     threshold: float,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    probes: int = 1,
 ) -> DataFrame:
     """SemDeDup pair discovery: cluster-assign (zero-exchange argmax), then
     cosine pairs ≥ threshold WITHIN each cluster (embedding_neardup_pairs
@@ -428,14 +439,17 @@ def semantic_dup_pairs(
     self-join never degenerates to all-pairs; clusters that blow past
     ``max_bucket_size`` anyway (clustering failure) are capped away with an
     overflow side-channel. Cross-cluster near-dups are the recall tradeoff
-    the paper accepts (mitigable with multi-probe assignment)."""
+    the paper accepts; ``probes`` > 1 (multi-probe assignment) recovers
+    pairs straddling a boundary — a pair sharing SEVERAL probed clusters
+    appears once per shared cluster (distinct (id1, id2, cluster); callers
+    wanting the pair set alone drop the cluster column and distinct)."""
     # materialize the assignment ONCE (lazy localCheckpoint, the repo's
     # snapshot-once pattern): without it Catalyst recomputes the argmax
     # scan for EACH self-join side — at 100 TB that is two extra corpus
     # passes for nothing
-    assigned = semantic_cluster_assign(df, centroids, id_col, vec_col).localCheckpoint(
-        eager=False
-    )
+    assigned = semantic_cluster_assign(
+        df, centroids, id_col, vec_col, probes=probes
+    ).localCheckpoint(eager=False)
     return embedding_neardup_pairs(
         assigned,
         id_col,

@@ -430,3 +430,53 @@ def dedup_semantic_pairs(spark, sf_dir):
     return pairs.select(
         "id1", "id2", F.col("centroid_id").alias("cluster_id"), F.round("cosine", 6).alias("cosine")
     ).orderBy("id1", "id2")
+
+
+@query(
+    "dedup_semantic_probes",
+    oracle="""
+    WITH cents AS (
+        SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS centroid
+        FROM embeddings WHERE vec_id < 6
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.centroid) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn <= 2
+    )
+    SELECT a.vec_id AS id1, b.vec_id AS id2, a.centroid_id AS cluster_id,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM assigned a JOIN assigned b
+      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.8
+    ORDER BY id1, id2, cluster_id
+    """,
+)
+def dedup_semantic_probes(spark, sf_dir):
+    """SemDeDup MULTI-PROBE assignment (round 11; Abbas et al. 2023 §recall
+    — near-dup pairs that straddle a cluster boundary are the single-probe
+    recall loss): every embedding lands in its top-2 clusters, the pair
+    search still runs per-cluster. The assignment stays the zero-exchange
+    broadcast argmax with one extra explode (row growth exactly ×2 by
+    design, never a shuffle); the oracle replays it as a rn <= 2 window.
+    A pair sharing both probed clusters appears once per shared cluster in
+    both engines."""
+    from duckdb_parachute_spark.dedup import semantic_dup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    pairs = semantic_dup_pairs(e, cents, "vec_id", "embedding", 0.8, probes=2)
+    return pairs.select(
+        "id1", "id2", F.col("centroid_id").alias("cluster_id"), F.round("cosine", 6).alias("cosine")
+    ).orderBy("id1", "id2", "cluster_id")

@@ -598,3 +598,16 @@ def test_semantic_assign_zero_exchange_plan(spark):
     for r in df.collect():
         best = min(cent, key=lambda c: (-cos(r["emb"], cent[c]), c))
         assert got[r["vid"]] == best, (r["vid"], got[r["vid"]], best)
+    # multi-probe (round 11): top-2 clusters per row, still zero shuffle —
+    # the only addition to the plan is a Generate (explode)
+    multi = semantic_cluster_assign(df, cents, "vid", "emb", probes=2)
+    mplan = multi._jdf.queryExecution().executedPlan().toString()
+    for shuffle in ("Exchange hashpartitioning", "Exchange rangepartitioning", "Exchange SinglePartition"):
+        assert shuffle not in mplan, mplan
+    assert "Generate explode" in mplan, mplan
+    assert multi.count() == 2 * df.count()
+    mgot = {(r["vid"], r["centroid_id"]) for r in multi.collect()}
+    for r in df.collect():
+        top2 = sorted(cent, key=lambda c: (-cos(r["emb"], cent[c]), c))[:2]
+        for c in top2:
+            assert (r["vid"], c) in mgot, (r["vid"], c)
