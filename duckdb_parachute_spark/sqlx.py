@@ -406,6 +406,41 @@ _NON_OPERAND_KEYWORDS = frozenset(
 )
 
 
+#: DuckDB array-type spelling `T[]` (CAST(x AS INT[]), x::VARCHAR[]) →
+#: Spark ARRAY<T>, innermost-out so INT[][] nests. Runs BEFORE
+#: rewrite_brackets, which would otherwise parse the empty [] as a broken
+#: subscript. Only EMPTY brackets after a KNOWN type name rewrite — a
+#: column that happens to be named like a type still subscripts normally
+#: (x[2] never matches), and DuckDB's fixed-size INT[3] is NOT handled
+#: (ambiguous with a literal subscript textually; it raises downstream).
+_ARRAY_TYPE_RE = re.compile(r"((?:ARRAY<[^\[\]]+>)|[A-Za-z_][A-Za-z0-9_]*)\s*\[\s*\]")
+_TYPE_WORDS = {
+    "int", "integer", "bigint", "smallint", "tinyint", "hugeint", "signed",
+    "int1", "int2", "int4", "int8", "utinyint", "usmallint", "uinteger",
+    "ubigint", "uhugeint", "double", "float", "real", "float4", "float8",
+    "decimal", "numeric", "varchar", "text", "string", "char", "bpchar",
+    "date", "timestamp", "timestamptz", "datetime", "time", "boolean",
+    "bool", "logical", "blob", "bytea", "varbinary", "interval", "uuid",
+    "json",
+}
+
+
+def rewrite_array_types(sql: str) -> str:
+    pos = 0
+    while True:
+        m = _ARRAY_TYPE_RE.search(sql, pos)
+        if not m:
+            return sql
+        inner = m.group(1)
+        low = inner.lower()
+        if not (inner.startswith("ARRAY<") or low in _TYPE_WORDS):
+            pos = m.end()
+            continue
+        mapped = _INT_CAST_TYPES.get(low, _PLAIN_TYPE_MAP.get(low, inner))
+        sql = sql[: m.start()] + f"ARRAY<{mapped}>" + sql[m.end() :]
+        pos = m.start()  # rescan: INT[][] nests outward
+
+
 def rewrite_brackets(sql: str) -> str:
     """DuckDB bracket syntax → Spark builtins:
     - [e1, e2]  literal at expression position → array(e1, e2)
@@ -562,6 +597,29 @@ _FN_ALIAS_MAP = {
     # order-nondeterministic without an ORDER BY in both engines)
     "list": "collect_list",
     "array_agg": "collect_list",
+    # round 11 (probed identical on duckdb 1.0 before inclusion):
+    "starts_with": "startswith",
+    "ends_with": "endswith",
+    "datetrunc": "date_trunc",
+    "printf": "format_string",  # both are C-printf style
+    "to_hex": "hex",
+    "from_hex": "unhex",
+    "unicode": "ascii",  # Spark ascii() returns the full codepoint, not just ASCII
+    "ord": "ascii",
+    "list_append": "array_append",
+    "list_min": "array_min",
+    "list_max": "array_max",
+    "array_length": "size",
+    "list_concat": "concat",  # duplicate-keeping concatenation in both
+    "list_has_any": "arrays_overlap",
+    # order of the result list is UNSPECIFIED in DuckDB (hash order); Spark
+    # returns first-operand order — set-equal, sequence may differ
+    "list_intersect": "array_intersect",
+    # banker's rounding: Spark bround is HALF_EVEN and type-aware (exact on
+    # DECIMAL, IEEE on DOUBLE) — matches duckdb 1.0 on every probed case
+    # incl. the decimal-exact 2.345 → 2.34 a double hop would miss
+    "round_even": "bround",
+    "roundbankers": "bround",
 }
 _FN_ALIAS_RE = re.compile(
     r"\b(" + "|".join(_FN_ALIAS_MAP) + r")\s*\(", re.IGNORECASE
@@ -934,6 +992,130 @@ def rewrite_date_part(sql: str, _parts: list[str] | None = None) -> str:
         sql = sql[: m.start()] + rep + sql[end:]
         pos = m.start() + len(rep)
     return sql
+
+
+#: Function-gap surgery (round 11): DuckDB spellings Spark lacks or whose
+#: semantics silently diverge, found by a systematic 85-function probe and
+#: each pinned on duckdb 1.0 before inclusion. The big correctness trap:
+#: DuckDB's 1-arg log() is LOG BASE 10 while Spark's is ln — a silently
+#: wrong answer on every call (2-arg log(base, x) agrees and passes
+#: through). Swaps/formulas: DuckDB [lr]trim/trim(src, chars) vs Spark's
+#: (chars, src); list_prepend's (elem, list) vs array_prepend's (list,
+#: elem); list_slice is end-INCLUSIVE; list_sum/list_avg skip NULLs and
+#: return NULL on empty/all-null (sum reuses the list_reduce fold so the
+#: element type survives; avg is DOUBLE like DuckDB's); fmod takes the
+#: DIVISOR's sign (floored mod, measured: fmod(-7.5, 2.0) = 0.5 — NOT C
+#: fmod); even() rounds away from zero to the next even; isinf/isfinite by
+#: ±Infinity compare (NULL-propagating); to_base → conv(n, 10, b);
+#: dayname/monthname → date_format EEEE/MMMM (full names — Spark's
+#: dayname() gives 'Sun'); epoch_ms/us/ns via TIMESTAMP_NTZ timestampdiff
+#: (session-tz-independent, same as the date_part epoch); format('{} {}')
+#: → format_string with %s (python-brace forms beyond plain {} raise).
+#: list_distinct/list_unique drop NULLs like DuckDB (array_compact);
+#: DuckDB leaves list_distinct's ORDER unspecified — ours is first-seen.
+#: list_has_all via array_except (multiset-blind, matching DuckDB).
+_FN_GAP_RE = re.compile(
+    r"\b(log|ltrim|rtrim|trim|list_prepend|list_slice|list_sum|list_avg|"
+    r"list_has_all|list_distinct|list_unique|fdiv|fmod|even|isinf|isfinite|"
+    r"to_base|dayname|monthname|epoch_ms|epoch_us|epoch_ns|format)"
+    r"\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | None:
+    """Replacement text for one gap call, or None to pass through."""
+    a = [s.strip() for s in args]
+    n = len(a)
+    if name == "log":
+        return f"log10({a[0]})" if n == 1 else None
+    if name in ("ltrim", "rtrim", "trim"):
+        return f"{name}\x02({a[1]}, {a[0]})" if n == 2 else None
+    if name == "list_prepend" and n == 2:
+        return f"array_prepend({a[1]}, {a[0]})"
+    if name == "list_slice" and n == 3:
+        return f"slice({a[0]}, {a[1]}, ({a[2]}) - ({a[1]}) + 1)"
+    if name in ("list_sum", "list_avg") and n == 1:
+        # DOUBLE accumulator: Spark's aggregate() requires merge output ==
+        # accumulator type, so a DECIMAL list can't fold type-preserving
+        # (acc+v widens the scale); DuckDB's integer list_sum is HUGEINT,
+        # which pandas renders as float anyway — DOUBLE matches both.
+        fl = f"filter({a[0]}, y -> y IS NOT NULL)"
+        s = (
+            f"aggregate(slice({fl}, 2, greatest(size({fl}) - 1, 0)), "
+            f"CAST(try_element_at({fl}, 1) AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        if name == "list_sum":
+            return s
+        return f"({s} / nullif(size({fl}), 0))"
+    if name == "list_has_all" and n == 2:
+        return f"(size(array_except({a[1]}, {a[0]})) = 0)"
+    if name == "list_distinct" and n == 1:
+        return f"array_distinct(array_compact({a[0]}))"
+    if name == "list_unique" and n == 1:
+        return f"size(array_distinct(array_compact({a[0]})))"
+    if name == "fdiv" and n == 2:
+        return f"CAST(floor(({a[0]}) / ({a[1]})) AS DOUBLE)"
+    if name == "fmod" and n == 2:
+        return f"(((({a[0]}) % ({a[1]})) + ({a[1]})) % ({a[1]}))"
+    if name == "even" and n == 1:
+        return f"(sign(CAST({a[0]} AS DOUBLE)) * ceil(abs({a[0]}) / 2) * 2)"
+    if name == "isinf" and n == 1:
+        return f"(abs(CAST({a[0]} AS DOUBLE)) = CAST({lit('Infinity')} AS DOUBLE))"
+    if name == "isfinite" and n == 1:
+        d = f"CAST({a[0]} AS DOUBLE)"
+        return f"(NOT isnan({d}) AND abs({d}) <> CAST({lit('Infinity')} AS DOUBLE))"
+    if name == "to_base" and n == 2:
+        return f"conv({a[0]}, 10, {a[1]})"
+    if name == "dayname" and n == 1:
+        return f"date_format({a[0]}, {lit('EEEE')})"
+    if name == "monthname" and n == 1:
+        return f"date_format({a[0]}, {lit('MMMM')})"
+    if name in ("epoch_ms", "epoch_us", "epoch_ns") and n == 1:
+        unit = "MILLISECOND" if name == "epoch_ms" else "MICROSECOND"
+        e = (
+            f"timestampdiff({unit}, TIMESTAMP_NTZ {lit('1970-01-01 00:00:00')}, "
+            f"CAST({a[0]} AS TIMESTAMP_NTZ))"
+        )
+        return f"({e} * CAST(1000 AS BIGINT))" if name == "epoch_ns" else e
+    if name == "format" and n >= 1:
+        mm = re.fullmatch(r"\x00(\d+)\x00", a[0])
+        if not mm:
+            raise ValueError("format() needs a literal format string")
+        fmt = parts[int(mm.group(1))][1:-1]
+        if re.search(r"\{[^}]", fmt) or fmt.count("{}") != n - 1:
+            raise ValueError(
+                f"format(): only plain '{{}}' placeholders are supported, got {fmt!r}"
+            )
+        converted = fmt.replace("%", "%%").replace("{}", "%s")
+        return f"format_string({lit(converted)}, {', '.join(a[1:])})" if n > 1 else f"format_string({lit(converted)})"
+    return None
+
+
+def rewrite_fn_gaps(sql: str, _parts: list[str] | None = None) -> str:
+    if _parts is None:
+        return sql
+
+    def lit(s: str) -> str:
+        _parts.append(f"'{s}'")
+        return f"\x00{len(_parts) - 1}\x00"
+
+    pos = 0
+    while True:
+        m = _FN_GAP_RE.search(sql, pos)
+        if not m:
+            return sql
+        end = _balanced_span(sql, m.end() - 1)
+        args = _split_top_level(sql[m.end() : end - 1])
+        rep = _fn_gap_emit(m.group(1).lower(), args, lit, _parts)
+        if rep is None:
+            pos = end
+            continue
+        sql = sql[: m.start()] + rep + sql[end:]
+        # rescan FROM the replacement: copied argument text may contain
+        # nested gap calls (list_sum(list_slice(...))); self-matching
+        # emissions are \x02-marked, so no loop
+        pos = m.start()
 
 
 #: DuckDB xor(a, b) is BITWISE xor (Spark has no 2-arg xor function; its ^
@@ -1527,6 +1709,7 @@ REWRITES = [
     rewrite_star_replace,
     rewrite_exclude,
     rewrite_struct_literals,
+    rewrite_array_types,  # before brackets: INT[] is a TYPE, not a subscript
     rewrite_brackets,
     rewrite_list_fns,
     rewrite_intdiv,
@@ -1536,6 +1719,7 @@ REWRITES = [
     rewrite_strftime,
     rewrite_regexp_extract,
     rewrite_fn_aliases,
+    rewrite_fn_gaps,
     rewrite_quantiles,
     rewrite_list_sort,
     rewrite_string_agg,
@@ -1600,7 +1784,7 @@ def transpile(sql: str) -> str:
         # expansion just introduced so the rewrites stay literal-blind
         masked = _TOKEN_RE.sub(stash, _expand_macros(masked))
     for rw in REWRITES:
-        if rw in (rewrite_json_arrows, rewrite_regex_ops, rewrite_string_split, rewrite_strftime, rewrite_int_casts, rewrite_date_diff, rewrite_date_part, rewrite_list_sort, rewrite_string_agg):
+        if rw in (rewrite_json_arrows, rewrite_regex_ops, rewrite_string_split, rewrite_strftime, rewrite_int_casts, rewrite_date_diff, rewrite_date_part, rewrite_list_sort, rewrite_string_agg, rewrite_fn_gaps):
             masked = rw(masked, _parts=parts)
         else:
             masked = rw(masked)

@@ -287,6 +287,25 @@ def _gen_dialect_exprs(seed: int, n: int) -> list[str]:
         "reduce([1, 2, 3, coalesce(j, 4)], (a, b) -> a * b)",
         "len(coalesce(s, ''))",
         "last_day(DATE '2021-02-04' + (coalesce(i, 0) % 300))",
+        # round-11 function-gap batch (rewrite_fn_gaps + alias additions)
+        "round(log(abs(coalesce(i, 2)) + 1.5), 6)",
+        "ltrim(coalesce(s, 'aax'), 'a')",
+        "trim(coalesce(s, 'axa'), 'a')",
+        "fmod(coalesce(x, 1.5), 2.0)",
+        "fmod(coalesce(x, 1.5), -2.0)",
+        "even(coalesce(x, 1.1))",
+        "round_even(coalesce(x, 2.5), 1)",
+        "epoch_ms(TIMESTAMP '2021-07-04 10:20:30.123')",
+        "list_sum([i, j, 5])",
+        "list_avg([coalesce(i, 1), 4])",
+        "list_has_all([i, j, 1], [1])",
+        "list_unique([i, j, i])",
+        "to_base(abs(coalesce(j, 3)) + 1, 2)",
+        "dayname(DATE '2021-01-01' + (coalesce(i, 0) % 200))",
+        "starts_with(coalesce(s, ''), 'a')",
+        "unicode(coalesce(nullif(s, ''), 'q'))",
+        "list_min([i, j, 9])",
+        "array_length([i, j])",
     ]
     date_parts = [
         "dow", "isodow", "isoyear", "decade", "century", "millennium",

@@ -1096,3 +1096,65 @@ def test_xor_and_list_reduce_rewrites(spark):
     assert (r["x"], r["pow"], r["lr"], r["rd"], r["single"], r["cat"]) == (
         6, 8.0, 6, 24, 5, "xy",
     )
+
+
+def test_function_gap_rewrites_match_duckdb(spark):
+    """Round 11: the systematic function-gap batch — every spelling below
+    runs through sqlx on Spark AND raw on DuckDB and must agree. Includes
+    the silent-wrong-answer trap (DuckDB 1-arg log() is log10, Spark's is
+    ln), arg-order swaps (trim family, list_prepend), the floored-mod fmod,
+    banker's round_even → bround, epoch_ms/us/ns, the T[] array-type
+    spelling, and the rename batch."""
+    import duckdb
+
+    from duckdb_parachute_spark import sqlx
+
+    con = duckdb.connect()
+    cases = [
+        "log(100.0)", "round(log(50.0), 8)", "log(2.0, 8.0)",
+        "ltrim('xxay', 'x')", "rtrim('ayxx', 'x')", "trim('xayx', 'x')",
+        "list_prepend(0, [1,2])", "list_slice([1,2,3,4], 2, 3)",
+        "list_sum([1.5, 2.5])", "list_sum(CAST([] AS INT[]))",
+        "list_avg([1, NULL, 2])", "list_unique([1,1,NULL,2])",
+        "list_has_all([1,2,3],[2,3])", "list_has_all([1,2],[5])",
+        "fdiv(-7.0, 2.0)", "fmod(-7.5, 2.0)", "fmod(7.5, -2.0)",
+        "even(2.5)", "even(-2.5)", "even(0)",
+        "isinf(1.0)", "isfinite(1.0)",
+        "round_even(2.345, 2)", "roundbankers(2.665, 2)",
+        "to_base(255, 16)",
+        "dayname(DATE '2021-07-04')", "monthname(DATE '2021-07-04')",
+        "epoch_ms(TIMESTAMP '2021-07-04 10:20:30.123')",
+        "epoch_us(TIMESTAMP '2021-07-04 10:20:30.123456')",
+        "epoch_ns(TIMESTAMP '2021-07-04 10:20:30.123456')",
+        "format('{} x {}', 1, 'two')", "format('100% {}', 5)",
+        "starts_with('hello', 'he')", "ends_with('hello', 'lo')",
+        "printf('%d-%s', 7, 'x')", "to_hex(255)", "unicode('é')", "ord('Z')",
+        "list_append([1,2], 3)", "list_min([3,1])", "list_max([3,1])",
+        "array_length([1,2,3])", "list_concat([1],[2])",
+        "list_has_any([1,2],[2,3])",
+        "CAST([1,2] AS DOUBLE[])[1]", "CAST([[1],[2]] AS INT[][])[1][1]",
+        "list_sum(list_slice([1,2,3,4], 2, 4))",
+    ]
+    bad = []
+    for c in cases:
+        sql = f"SELECT {c} AS r"
+        a = sqlx.sql(spark, sql).head()[0]
+        b = con.sql(sql).fetchone()[0]
+        # numeric results compare by value (duck HUGEINT/DECIMAL arrive as
+        # int/Decimal where ours are BIGINT/DOUBLE — same number)
+        from decimal import Decimal
+
+        num = (int, float, Decimal)
+        same = a == b or (
+            isinstance(a, num)
+            and isinstance(b, num)
+            and not isinstance(a, bool)
+            and not isinstance(b, bool)
+            and float(a) == float(b)
+        )
+        if not same:
+            bad.append((c, a, b))
+    assert not bad, bad
+    # loud, not silent: brace-spec formats and fixed-size array casts
+    with pytest.raises(ValueError, match="plain"):
+        sqlx.sql(spark, "SELECT format('{:d}', 1)")
