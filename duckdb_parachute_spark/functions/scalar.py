@@ -7,13 +7,26 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+#: DuckDB/PostgreSQL time_bucket origin: 2000-01-03 00:00:00 (a Monday, so
+#: week-multiple buckets align to Mondays) — measured on duckdb 1.0:
+#: time_bucket(INTERVAL 2 DAY, '2021-07-04') = 2021-07-03, which a
+#: unix-epoch origin gets wrong for any width that doesn't divide a day.
+_TB_ORIGIN_SECONDS = 946_857_600  # epoch seconds of 2000-01-03 00:00:00 UTC
+
+
 def time_bucket(width_seconds: int, ts: Column) -> Column:
     """DuckDB time_bucket(INTERVAL, ts) (reference
     extension/core_functions/scalar/date/functions.json): floor-align a
-    timestamp to a fixed-width bucket. TZ-free integer arithmetic on the NTZ
-    epoch — equivalent to Spark's window() start but usable as a scalar."""
-    sec = F.unix_micros(ts.cast("timestamp")) / F.lit(1_000_000)
-    bucket = (F.floor(sec / width_seconds) * width_seconds).cast("long")
+    timestamp to a fixed-width bucket anchored at the PostgreSQL origin
+    2000-01-03 (round 11 fix — the previous unix-epoch anchor diverged on
+    multi-day widths). TZ-free integer arithmetic on the NTZ epoch —
+    equivalent to Spark's window() start but usable as a scalar."""
+    sec = F.unix_micros(ts.cast("timestamp")) / F.lit(1_000_000) - F.lit(
+        _TB_ORIGIN_SECONDS
+    )
+    bucket = (F.floor(sec / width_seconds) * width_seconds).cast("long") + F.lit(
+        _TB_ORIGIN_SECONDS
+    )
     return F.timestamp_seconds(bucket).cast("timestamp_ntz")
 
 

@@ -620,6 +620,11 @@ _FN_ALIAS_MAP = {
     # incl. the decimal-exact 2.345 → 2.34 a double hop would miss
     "round_even": "bround",
     "roundbankers": "bround",
+    # round-11 batch 3
+    "gen_random_uuid": "uuid",
+    "week": "weekofyear",  # both ISO week-of-year
+    "list_value": "array",
+    "array_value": "array",
 }
 _FN_ALIAS_RE = re.compile(
     r"\b(" + "|".join(_FN_ALIAS_MAP) + r")\s*\(", re.IGNORECASE
@@ -921,8 +926,8 @@ def rewrite_date_diff(sql: str, _parts: list[str] | None = None) -> str:
 #: nested extracts are \x02-marked so the extract pass never rescans its
 #: own output.
 _DATE_PART_FORMULAS = {
-    "dow": "CAST(dayofweek({x}) - 1 AS BIGINT)",
-    "isodow": "CAST((dayofweek({x}) + 5) % 7 + 1 AS BIGINT)",
+    "dow": "CAST(dayofweek\x02({x}) - 1 AS BIGINT)",
+    "isodow": "CAST((dayofweek\x02({x}) + 5) % 7 + 1 AS BIGINT)",
     "isoyear": "CAST(extract\x02(YEAROFWEEK FROM {x}) AS BIGINT)",
     "epoch": (
         "(CAST(timestampdiff(MICROSECOND, TIMESTAMP_NTZ {e0}, "
@@ -935,7 +940,7 @@ _DATE_PART_FORMULAS = {
     "century": "CAST(floor((year({x}) - 1) / 100) + 1 AS BIGINT)",
     "millennium": "CAST(floor((year({x}) - 1) / 1000) + 1 AS BIGINT)",
     "era": "CAST(CASE WHEN year({x}) > 0 THEN 1 ELSE 0 END AS BIGINT)",
-    "yearweek": "CAST(extract\x02(YEAROFWEEK FROM {x}) * 100 + weekofyear({x}) AS BIGINT)",
+    "yearweek": "CAST(extract\x02(YEAROFWEEK FROM {x}) * 100 + weekofyear\x02({x}) AS BIGINT)",
 }
 _DATE_PART_ALIASES = {
     "dayofweek": "dow", "weekday": "dow",
@@ -1017,16 +1022,188 @@ def rewrite_date_part(sql: str, _parts: list[str] | None = None) -> str:
 _FN_GAP_RE = re.compile(
     r"\b(log|ltrim|rtrim|trim|list_prepend|list_slice|list_sum|list_avg|"
     r"list_has_all|list_distinct|list_unique|fdiv|fmod|even|isinf|isfinite|"
-    r"to_base|dayname|monthname|epoch_ms|epoch_us|epoch_ns|format)"
+    r"to_base|dayname|monthname|epoch_ms|epoch_us|epoch_ns|format|"
+    # round-11 batch 3: function-form date parts (DuckDB dayofweek() is the
+    # 0-based dow — Spark's same-named builtin is 1-based, a silent off-by-
+    # one), map/struct accessors, null-dropping array dedup, vector metrics,
+    # first-match-only regexp_replace, julian, time_bucket
+    r"dayofweek|weekday|isodow|isoyear|epoch|decade|century|millennium|era|"
+    r"yearweek|map_extract|struct_pack|struct_extract|array_unique|"
+    r"array_distinct|list_resize|list_where|list_select|julian|"
+    r"list_cosine_similarity|list_inner_product|list_dot_product|"
+    r"list_distance|regexp_replace|time_bucket)"
     r"\s*\(",
     re.IGNORECASE,
 )
+
+#: DuckDB time_bucket aligns to PostgreSQL's origin 2000-01-03 00:00:00
+#: (a Monday, so week-multiples align to Mondays) — measured:
+#: time_bucket(INTERVAL 2 DAY, '2021-07-04') = 2021-07-03.
+_TB_ORIGIN = "2000-01-03 00:00:00"
+_INTERVAL_LIT_RE = re.compile(
+    r"\AINTERVAL\s+'?(\d+)'?\s+(SECOND|MINUTE|HOUR|DAY|WEEK)S?\Z", re.IGNORECASE
+)
+_TB_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+
+
+def _regexp_replace_emit(a: list[str], lit, parts: list[str]) -> str:
+    """DuckDB regexp_replace replaces the FIRST match only unless the 'g'
+    flag is passed (Spark always replaces all — a silent wrong answer on
+    every 3-arg call). Literal patterns/replacements translate: flags i/m/s
+    become inline groups, replacement backrefs \\N become Spark's $N (and a
+    literal $ escapes); first-only wraps the pattern in a non-greedy
+    ^([\\s\\S]*?)(…) with the backrefs shifted by the 2 added groups. A
+    non-literal pattern/replacement where surgery would be needed raises
+    rather than silently diverging."""
+
+    def unlit(x: str) -> str | None:
+        mm = re.fullmatch(r"\x00(\d+)\x00", x)
+        return parts[int(mm.group(1))][1:-1] if mm else None
+
+    s, p_raw, r_raw = a[0], unlit(a[1]), unlit(a[2])
+    flags = ""
+    if len(a) == 4:
+        fl = unlit(a[3])
+        if fl is None:
+            raise ValueError("regexp_replace: flags must be a literal")
+        flags = fl.lower()
+        bad = set(flags) - set("gismc")
+        if bad:
+            raise ValueError(f"regexp_replace: unsupported flags {sorted(bad)}")
+    inline = "".join(f"(?{f})" for f in "ism" if f in flags)
+    is_global = "g" in flags
+
+    def xlate_repl(r: str, shift: int) -> str:
+        out, i = [], 0
+        while i < len(r):
+            ch = r[i]
+            if ch == "\\" and i + 1 < len(r) and r[i + 1].isdigit():
+                out.append(f"${int(r[i + 1]) + shift}")
+                i += 2
+            elif ch == "\\" and i + 1 < len(r):
+                out.append(r[i : i + 2])
+                i += 2
+            elif ch == "$":
+                out.append("\\$")
+                i += 1
+            else:
+                out.append(ch)
+                i += 1
+        return "".join(out)
+
+    if is_global:
+        if p_raw is None and not inline:
+            p_arg = a[1]
+        elif p_raw is None:
+            raise ValueError("regexp_replace: inline flags need a literal pattern")
+        else:
+            p_arg = lit(inline + p_raw)
+        r_arg = lit(xlate_repl(r_raw, 0)) if r_raw is not None else a[2]
+        return f"regexp_replace\x02({s}, {p_arg}, {r_arg})"
+    # first-match-only
+    if p_raw is None or r_raw is None:
+        raise ValueError(
+            "regexp_replace without the 'g' flag replaces the FIRST match "
+            "only; that needs a literal pattern and replacement here"
+        )
+    if p_raw.startswith("^"):
+        if "m" in flags:
+            raise ValueError("regexp_replace: first-only with '^' under 'm' is unsupported")
+        # anchored pattern: replace-all matches at most once anyway
+        return f"regexp_replace\x02({s}, {lit(inline + p_raw)}, {lit(xlate_repl(r_raw, 0))})"
+    wrapped = inline + r"^([\s\S]*?)(" + p_raw + ")"
+    return (
+        f"regexp_replace\x02({s}, {lit(wrapped)}, {lit('$1' + xlate_repl(r_raw, 2))})"
+    )
 
 
 def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | None:
     """Replacement text for one gap call, or None to pass through."""
     a = [s.strip() for s in args]
     n = len(a)
+    if name in (
+        "dayofweek", "weekday", "isodow", "isoyear", "epoch", "decade",
+        "century", "millennium", "era", "yearweek",
+    ) and n == 1:
+        part = _DATE_PART_ALIASES.get(name, name)
+        return _DATE_PART_FORMULAS[part].format(
+            x=a[0], e0=lit("1970-01-01 00:00:00")
+        )
+    if name == "regexp_replace" and n in (3, 4):
+        return _regexp_replace_emit(a, lit, parts)
+    if name == "map_extract" and n == 2:
+        return f"filter(array(try_element_at({a[0]}, {a[1]})), y -> y IS NOT NULL)"
+    if name == "struct_pack":
+        fields = []
+        for arg in a:
+            mm = re.match(r"\A([A-Za-z_][A-Za-z0-9_]*)\s*:=\s*(.+)\Z", arg, re.DOTALL)
+            if not mm:
+                raise ValueError(f"struct_pack expects name := expr, got {arg!r}")
+            fields.append(f"{lit(mm.group(1))}, {mm.group(2)}")
+        return f"named_struct({', '.join(fields)})"
+    if name == "struct_extract" and n == 2:
+        key = re.fullmatch(r"\x00(\d+)\x00", a[1])
+        if not key:
+            raise ValueError("struct_extract needs a literal field name")
+        field = parts[int(key.group(1))][1:-1]
+        return f"(({a[0]}).`{field}`)"
+    if name in ("array_unique",) and n == 1:
+        return f"size(array_distinct\x02(array_compact({a[0]})))"
+    if name == "array_distinct" and n == 1:
+        # DuckDB array_distinct/list_distinct DROP NULLs; Spark's keeps one
+        return f"array_distinct\x02(array_compact({a[0]}))"
+    if name == "list_resize" and n == 2:
+        return (
+            f"slice(transform(sequence(1, greatest({a[1]}, 1)), "
+            f"i -> try_element_at({a[0]}, i)), 1, greatest({a[1]}, 0))"
+        )
+    if name == "list_where" and n == 2:
+        return (
+            f"flatten(zip_with({a[0]}, {a[1]}, "
+            f"(v, m) -> CASE WHEN m THEN array(v) ELSE array() END))"
+        )
+    if name == "list_select" and n == 2:
+        return f"transform({a[1]}, i -> try_element_at({a[0]}, i))"
+    if name == "julian" and n == 1:
+        e = (
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ {lit('1970-01-01 00:00:00')}, "
+            f"CAST({a[0]} AS TIMESTAMP_NTZ))"
+        )
+        return f"(CAST({e} AS DOUBLE) / 86400000000.0 + 2440588.0)"
+    if name in (
+        "list_cosine_similarity", "list_inner_product", "list_dot_product", "list_distance",
+    ) and n == 2:
+        dot = (
+            f"aggregate(zip_with({a[0]}, {a[1]}, "
+            f"(p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+        )
+        if name in ("list_inner_product", "list_dot_product"):
+            return f"({dot})"
+        if name == "list_distance":
+            return (
+                f"sqrt(aggregate(zip_with({a[0]}, {a[1]}, (p, q) -> "
+                f"(CAST(p AS DOUBLE) - CAST(q AS DOUBLE)) * (CAST(p AS DOUBLE) - CAST(q AS DOUBLE))), "
+                f"0.0D, (acc, v) -> acc + v))"
+            )
+        nrm = (
+            "sqrt(aggregate({v}, 0.0D, (acc, q) -> acc + CAST(q AS DOUBLE) * CAST(q AS DOUBLE)))"
+        )
+        return f"(({dot}) / ({nrm.format(v=a[0])} * {nrm.format(v=a[1])}))"
+    if name == "time_bucket" and n == 2:
+        mm = _INTERVAL_LIT_RE.match(a[0])
+        if not mm:
+            raise ValueError(
+                f"time_bucket: only INTERVAL n SECOND/MINUTE/HOUR/DAY/WEEK "
+                f"widths are supported, got {a[0]!r} (month/year buckets are "
+                f"variable-width)"
+            )
+        secs = int(mm.group(1)) * _TB_SECONDS[mm.group(2).lower()]
+        o = f"TIMESTAMP_NTZ {lit(_TB_ORIGIN)}"
+        d = f"timestampdiff(SECOND, {o}, CAST({a[1]} AS TIMESTAMP_NTZ))"
+        return (
+            f"CAST(timestampadd(SECOND, CAST(floor(({d}) / {secs}) AS BIGINT) "
+            f"* {secs}, {o}) AS TIMESTAMP)"
+        )
     if name == "log":
         return f"log10({a[0]})" if n == 1 else None
     if name in ("ltrim", "rtrim", "trim"):
@@ -1219,7 +1396,7 @@ _STRF_MAP = {
 _STRF_FUNC = {
     "%G": "lpad(CAST(extract(YEAROFWEEK FROM {a}) AS STRING), 4, {zero})",
     "%V": "lpad(CAST(weekofyear({a}) AS STRING), 2, {zero})",
-    "%u": "CAST(weekday({a}) + 1 AS STRING)",
+    "%u": "CAST(weekday\x02({a}) + 1 AS STRING)",
 }
 _STRFTIME_RE = re.compile(r"\b(strftime|strptime)\s*\(", re.IGNORECASE)
 

@@ -1134,6 +1134,35 @@ def test_function_gap_rewrites_match_duckdb(spark):
         "list_has_any([1,2],[2,3])",
         "CAST([1,2] AS DOUBLE[])[1]", "CAST([[1],[2]] AS INT[][])[1][1]",
         "list_sum(list_slice([1,2,3,4], 2, 4))",
+        # batch 3: first-match-only regexp_replace (DuckDB default!),
+        # 0-based dayofweek/weekday function forms, map/struct accessors,
+        # vector metrics, julian, PostgreSQL-origin time_bucket
+        "regexp_replace('aaa', 'a', 'b')",
+        "regexp_replace('aaa', 'a', 'b', 'g')",
+        "regexp_replace('aAa', 'a', 'b', 'i')",
+        "regexp_replace('aAa', 'a', 'b', 'ig')",
+        "regexp_replace('cost: 4 dollars', '(\\d+) dollars', 'USD \\1')",
+        "regexp_replace('banana', '^ba', 'X')",
+        "dayofweek(DATE '2021-07-04')", "weekday(DATE '2021-07-05')",
+        "isodow(DATE '2021-07-04')", "epoch(TIMESTAMP '2021-07-04 10:20:30.5')",
+        "decade(DATE '2021-07-04')", "century(DATE '2021-07-04')",
+        "yearweek(DATE '2021-01-01')", "week(DATE '2021-07-04')",
+        "map_extract(MAP {'a': 5}, 'a')[1]",
+        "array_length(map_extract(MAP {'a': 5}, 'zz'))",
+        "struct_pack(a := 1, b := 'x').b",
+        "struct_extract({'a': 7}, 'a')",
+        "array_unique([1,1,NULL])", "array_distinct([1,1,NULL])[1]",
+        "list_resize([1,2,3], 2)[2]", "array_length(list_resize([1], 0))",
+        "list_where([1,2,3],[true,false,true])[2]",
+        "list_select([10,20,30],[3,1])[1]",
+        "julian(DATE '2021-07-04')", "julian(TIMESTAMP '2021-07-04 12:00:00')",
+        "round(list_cosine_similarity([1.0,2.0],[2.0,1.0]), 10)",
+        "list_inner_product([1.0,2.0],[3.0,4.0])",
+        "list_distance([0.0,0.0],[3.0,4.0])",
+        "time_bucket(INTERVAL 15 MINUTE, TIMESTAMP '2021-07-04 10:22:30')",
+        "time_bucket(INTERVAL 2 DAY, TIMESTAMP '2021-07-04 10:22:30')",
+        "time_bucket(INTERVAL 1 WEEK, TIMESTAMP '2021-07-08 10:22:30')",
+        "list_value(1, 2)[1]", "array_value(7, 8)[2]",
     ]
     bad = []
     for c in cases:
