@@ -2257,8 +2257,26 @@ _COPY_FROM_RE = re.compile(
 #: `threads` maps to the shuffle-partition knob, spark.* passes through,
 #: everything else is accepted as a no-op (documented).
 _SET_RE = re.compile(
-    r"^\s*(?:SET|PRAGMA)\s+(?P<key>[\w.]+)\s*=\s*(?P<val>'[^']*'|[\w.]+)\s*;?\s*$",
+    # both DuckDB assignment spellings: SET k = v and SET k TO v (round 11;
+    # reference transform_set.cpp), plus PRAGMA k = v
+    r"^\s*(?:SET|PRAGMA)\s+(?P<key>[\w.]+)\s*(?:=|TO\s+)\s*(?P<val>'[^']*'|[\w.]+)\s*;?\s*$",
     re.IGNORECASE,
+)
+#: round-11 statement surface (reference transform_show.cpp, transform_
+#: pragma.cpp, transform_checkpoint.cpp, transform_vacuum.cpp):
+#: SHOW <t> ≡ DESCRIBE <t>; PRAGMA table_info/version/show_tables;
+#: CHECKPOINT and ANALYZE are accepted no-ops (no WAL / stats are
+#: Catalyst's); TRUNCATE empties a versioned table (one delete-all commit)
+#: or rebinds a temp table to its empty projection.
+_SHOW_TABLE_RE = re.compile(r"^\s*SHOW\s+(?!TABLES\b|DATABASES\b|ALL\b|FUNCTIONS\b|VIEWS\b|TBLPROPERTIES\b|COLUMNS\b|CREATE\b|PARTITIONS\b)(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
+_PRAGMA_RE = re.compile(
+    r"^\s*PRAGMA\s+(?P<name>\w+)\s*(?:\(\s*'(?P<arg>[^']*)'\s*\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_CHECKPOINT_RE = re.compile(r"^\s*(?:FORCE\s+)?CHECKPOINT\s*;?\s*$", re.IGNORECASE)
+_ANALYZE_RE = re.compile(r"^\s*(?:ANALYZE|VACUUM(?:\s+ANALYZE)?)\s*;?\s*$", re.IGNORECASE)
+_TRUNCATE_RE = re.compile(
+    r"^\s*TRUNCATE\s+(?:TABLE\s+)?(?P<name>\w+)\s*;?\s*$", re.IGNORECASE
 )
 
 
@@ -2990,6 +3008,65 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
         inner = m["src"]
         rel = sql(spark, inner[1:-1] if inner.startswith("(") else f"SELECT * FROM {inner}")
         return summarize_table(rel)
+    m = _SHOW_TABLE_RE.match(text)
+    if m:
+        # DuckDB: SHOW <t> ≡ DESCRIBE <t> (transform_show.cpp)
+        return sql(spark, f"DESCRIBE {m['name']}")
+    m = _PRAGMA_RE.match(text)
+    if m:
+        pname = m["name"].lower()
+        if pname == "table_info":
+            if not m["arg"]:
+                raise ValueError("PRAGMA table_info needs a table name argument")
+            from pyspark.sql import functions as F
+
+            d = sql(spark, f"DESCRIBE {m['arg']}")
+            # DuckDB's shape: cid, name, type, notnull, dflt_value, pk
+            from pyspark.sql.window import Window
+
+            w = Window.orderBy(F.monotonically_increasing_id())
+            return d.select(
+                (F.row_number().over(w) - 1).cast("int").alias("cid"),
+                F.col("column_name").alias("name"),
+                F.col("column_type").alias("type"),
+                (F.col("null") == "NO").alias("notnull"),
+                F.lit(None).cast("string").alias("dflt_value"),
+                F.lit(False).alias("pk"),
+            )
+        if pname == "version":
+            return spark.createDataFrame(
+                [(f"spark {spark.version}",)], "library_version string"
+            )
+        if pname == "show_tables":
+            return sql(spark, "SHOW TABLES").selectExpr("tableName AS name")
+        if pname in ("database_size", "enable_profiling", "disable_profiling",
+                     "enable_progress_bar", "disable_progress_bar"):
+            return spark.createDataFrame([(pname,)], "pragma string")
+        raise ValueError(f"unsupported PRAGMA {m['name']!r}")
+    if _CHECKPOINT_RE.match(text):
+        # no WAL to flush: snapshots are already durable at commit time
+        return spark.createDataFrame([], "Success string")
+    if _ANALYZE_RE.match(text):
+        # statistics are Catalyst/AQE's job; accepted as a no-op
+        return spark.createDataFrame([("analyzed",)], "analyze string")
+    m = _TRUNCATE_RE.match(text)
+    if m:
+        name = m["name"]
+        if name.lower() in _VERSIONED:
+            t = _versioned_view(spark, name)
+            t2 = t.delete_where(__import__("pyspark.sql.functions", fromlist=["lit"]).lit(True))
+            _after_versioned_dml(name, t2)
+            return spark.createDataFrame(
+                [(name, t2.snapshot.version)], "truncated string, version int"
+            )
+        is_temp = any(
+            v.name.lower() == name.lower() and v.isTemporary
+            for v in spark.catalog.listTables()
+        )
+        if is_temp:
+            spark.table(name).limit(0).createOrReplaceTempView(name)
+            return spark.createDataFrame([(name,)], "truncated string")
+        return spark.sql(f"TRUNCATE TABLE {name}")
     m = _DESCRIBE_RE.match(text)
     if m:
         from duckdb_parachute_spark.functions.system import duckdb_type_name
@@ -3000,11 +3077,14 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
             f"SELECT * FROM ({inner[1:-1] if inner.startswith('(') else 'SELECT * FROM ' + inner}) LIMIT 0",
         )
         rows = [
-            (f.name, duckdb_type_name(f.dataType.simpleString()), "YES" if f.nullable else "NO")
+            (f.name, duckdb_type_name(f.dataType.simpleString()),
+             "YES" if f.nullable else "NO", None, None, None)
             for f in rel.schema.fields
         ]
         return spark.createDataFrame(
-            rows, "column_name string, column_type string, null string"
+            rows,
+            "column_name string, column_type string, null string, "
+            "key string, default string, extra string",
         )
     m = _USE_RE.match(text)
     if m:

@@ -488,7 +488,7 @@ def dialect_describe(spark, sf_dir):
     _views(spark, sf_dir, "nation")
     return (
         sqlx.sql(spark, "DESCRIBE nation")
-        .withColumnRenamed("null", "nullable")
+        .selectExpr("column_name", "column_type", "`null` AS nullable")
         .orderBy("column_name")
     )
 
@@ -894,3 +894,38 @@ def dialect_fn_gaps(spark, sf_dir):
     and banker's round_even -> bround. Same SQL is the oracle."""
     _views(spark, sf_dir, "nation")
     return sqlx.sql(spark, _FN_GAPS_SQL)
+
+
+@query(
+    "dialect_stmt_surface",
+    oracle="""
+    SELECT CAST(cid AS BIGINT) AS cid, name, "type" AS col_type,
+           "notnull" AS not_null, pk
+    FROM pragma_table_info('nation') ORDER BY cid
+    """,
+)
+def dialect_stmt_surface(spark, sf_dir):
+    """Round-11 statement surface (reference transform_show.cpp /
+    transform_pragma.cpp / transform_set.cpp): the script exercises
+    SET k TO v, SHOW <t> (≡ DESCRIBE), CHECKPOINT and ANALYZE no-ops, and
+    TRUNCATE on a temp table; the graded result is PRAGMA table_info in
+    DuckDB's exact six-column shape (cid/name/type/notnull/dflt_value/pk)
+    with the repo's DuckDB type-name mapping, compared against the REAL
+    pragma_table_info table function."""
+    _views(spark, sf_dir, "nation")
+    sqlx.run_script(
+        spark,
+        """
+        SET threads TO 32;
+        CREATE OR REPLACE TEMP TABLE stmt_probe AS SELECT * FROM nation;
+        SHOW stmt_probe;
+        CHECKPOINT;
+        ANALYZE;
+        TRUNCATE stmt_probe
+        """,
+    )
+    assert sqlx.sql(spark, "SELECT count(*) AS n FROM stmt_probe").head()["n"] == 0
+    return sqlx.sql(spark, "PRAGMA table_info('nation')").selectExpr(
+        "CAST(cid AS BIGINT) AS cid", "name", "type AS col_type",
+        "notnull AS not_null", "pk"
+    ).orderBy("cid")

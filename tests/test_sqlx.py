@@ -1187,3 +1187,52 @@ def test_function_gap_rewrites_match_duckdb(spark):
     # loud, not silent: brace-spec formats and fixed-size array casts
     with pytest.raises(ValueError, match="plain"):
         sqlx.sql(spark, "SELECT format('{:d}', 1)")
+
+
+def test_statement_surface_round11(spark, tmp_path):
+    """Round 11: SET k TO v, SHOW <t> ≡ DESCRIBE, PRAGMA table_info/version/
+    show_tables, CHECKPOINT/ANALYZE no-ops, TRUNCATE on temp and versioned
+    tables (reference transform_show/pragma/checkpoint.cpp)."""
+    from duckdb_parachute_spark import sqlx
+    from duckdb_parachute_spark.operators.acid import VersionedTable
+
+    spark.createDataFrame([(1, "x"), (2, "y")], "a int, b string").createOrReplaceTempView("st_t")
+    r = sqlx.sql(spark, "SET threads TO 4").head()
+    assert (r["setting"], r["value"]) == ("threads", "4")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # SHOW <t> = DESCRIBE <t>, DuckDB's six-column shape
+    rows = sqlx.sql(spark, "SHOW st_t").collect()
+    assert [(r["column_name"], r["column_type"]) for r in rows] == [
+        ("a", "INTEGER"), ("b", "VARCHAR"),
+    ]
+    ti = sqlx.sql(spark, "PRAGMA table_info('st_t')").collect()
+    assert [(r["cid"], r["name"], r["type"], r["notnull"], r["pk"]) for r in ti] == [
+        (0, "a", "INTEGER", False, False), (1, "b", "VARCHAR", False, False),
+    ]
+    assert sqlx.sql(spark, "PRAGMA version").head()["library_version"].startswith("spark")
+    assert "st_t" in {r["name"] for r in sqlx.sql(spark, "PRAGMA show_tables").collect()}
+    with pytest.raises(ValueError, match="unsupported PRAGMA"):
+        sqlx.sql(spark, "PRAGMA nope")
+    sqlx.sql(spark, "CHECKPOINT")
+    sqlx.sql(spark, "ANALYZE")
+    # TRUNCATE a temp table: empty, schema intact
+    sqlx.sql(spark, "TRUNCATE st_t")
+    out = sqlx.sql(spark, "SELECT count(*) AS n FROM st_t").head()
+    assert out["n"] == 0
+    assert [f.name for f in spark.table("st_t").schema.fields] == ["a", "b"]
+    # TRUNCATE a versioned table: one delete-all commit
+    root = str(tmp_path / "tr")
+    VersionedTable.create(
+        spark, root, spark.range(5).selectExpr("id AS k", "id * 2 AS v")
+    )
+    sqlx.sql(spark, f"ATTACH '{root}' AS trv (TYPE VERSIONED)")
+    try:
+        r2 = sqlx.sql(spark, "TRUNCATE TABLE trv").head()
+        assert r2["version"] == 1
+        assert sqlx.sql(spark, "SELECT count(*) AS n FROM trv").head()["n"] == 0
+        assert VersionedTable.open(spark, root).read().count() == 0
+        # time travel still sees the pre-truncate rows
+        assert sqlx.sql(spark, "SELECT count(*) AS n FROM trv AT (VERSION => 0)").head()["n"] == 5
+    finally:
+        sqlx.sql(spark, "DETACH trv")
