@@ -53,8 +53,10 @@ i << į << y at the secondary level, via single-codepoint secondary
 weights), sk (ch after h; ä and ô FULL letters after a/o while the acutes
 stay secondary; č š ž after their bases), hr (č ć after c, dž đ after d,
 š ž after s/z, and the lj/nj/dž digraph contractions with case forms
-lj < Lj < LJ — mixed lJ is l+J, not a contraction). Outside the tailored
-letters,
+lj < Lj < LJ — mixed lJ is l+J, not a contraction), cy (EIGHT digraph
+letters ch dd ff ng ll ph rh th, each after its base — ng after g — with
+lower < title < upper case forms; circumflex vowels secondary). Outside
+the tailored letters,
 accented input folds to its base letter at the primary level — full ICU
 root-order for arbitrary scripts is out of scope (documented SURVEY §1.2);
 punctuation is compared bytewise (ICU default non-ignorable).
@@ -80,9 +82,11 @@ _LOWER = "abcdefghijklmnopqrstuvwxyz"
 _UPPER = _LOWER.upper()
 _X_LOWER = (
     "æøåäöñüčřšž" + "ąćęłńóśźż" + "ăâîșțşţ" + "çğ" + "áðéíúýþõėįųū" + "ďĺľňôŕťđ"
+    + "êûŵŷ"
 )
 _X_UPPER = (
     "ÆØÅÄÖÑÜČŘŠŽ" + "ĄĆĘŁŃÓŚŹŻ" + "ĂÂÎȘȚŞŢ" + "ÇĞ" + "ÁÐÉÍÚÝÞÕĖĮŲŪ" + "ĎĹĽŇÔŔŤĐ"
+    + "ÊÛŴŶ"
 )
 #: translate() args for the lower-first tertiary key (swap case so that
 #: lowercase sorts before uppercase bytewise).
@@ -336,6 +340,39 @@ _LOCALES.update(
         ),
     }
 )
+def _welsh_spec() -> _LocaleSpec:
+    """Welsh (round 11, measured on DuckDB's ICU cy): EIGHT digraph letters
+    — ch dd ff ng ll ph rh th — each a full letter directly after its base,
+    including the famous ng AFTER g ('gzz' < 'nga' < 'ha'); case forms
+    contract lower < title < upper (lLa < lla < Lla < LLa: mixed lL is
+    l + L, not a contraction), lower-first; circumflex vowels â ê î ô û ŵ ŷ
+    are secondary accents via the generic fold. Tokens come from the
+    private-use area (24 of them: 8 digraphs × 3 case forms), built
+    programmatically."""
+    digraphs = ["ch", "dd", "ff", "ng", "ll", "ph", "rh", "th"]
+    tokenize, primary, secondary = [], [], []
+    t_src, t_dst = "", ""
+    for i, dg in enumerate(digraphs):
+        lower, title, upper = dg, dg.capitalize(), dg.upper()
+        toks = [chr(0xE000 + 3 * i + j) for j in range(3)]
+        # longest-uppercase first reproduces leftmost-greedy matching on
+        # self-overlaps ('LLl' = LL|l, 'lll' = ll|l)
+        tokenize += [(upper, toks[2]), (title, toks[1]), (lower, toks[0])]
+        slot = dg[0] + "{"
+        primary += [(t, slot) for t in toks]
+        secondary += [(t, lower) for t in toks]
+        t_src += "".join(toks)
+        t_dst += "123"
+    return _LocaleSpec(
+        tokenize=tuple(tokenize),
+        primary=tuple(primary),
+        secondary=tuple(secondary),
+        tertiary=(t_src, t_dst),
+    )
+
+
+_LOCALES["cy"] = _welsh_spec()
+
 # Norwegian shares the Danish tailoring in CLDR. (DuckDB's bundled ICU data
 # resolves 'nb'/'no' to the ROOT collation — observed empirically — so these
 # aliases intentionally follow CLDR rather than that fallback.)

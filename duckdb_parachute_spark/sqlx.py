@@ -625,6 +625,8 @@ _FN_ALIAS_MAP = {
     "week": "weekofyear",  # both ISO week-of-year
     "list_value": "array",
     "array_value": "array",
+    # compensated f*/kahan sums live in rewrite_fn_gaps (DOUBLE in/out)
+    "arbitrary": "any_value",
 }
 _FN_ALIAS_RE = re.compile(
     r"\b(" + "|".join(_FN_ALIAS_MAP) + r")\s*\(", re.IGNORECASE
@@ -1031,7 +1033,14 @@ _FN_GAP_RE = re.compile(
     r"yearweek|map_extract|struct_pack|struct_extract|array_unique|"
     r"array_distinct|list_resize|list_where|list_select|julian|"
     r"list_cosine_similarity|list_inner_product|list_dot_product|"
-    r"list_distance|regexp_replace|time_bucket)"
+    r"list_distance|regexp_replace|time_bucket|"
+    # round-11 aggregate batch: DuckDB skewness/kurtosis are SAMPLE-
+    # corrected (Spark's are population — silent divergence); kurtosis_pop
+    # equals Spark's kurtosis exactly (measured); product via sign-aware
+    # exp-sum-ln; sem = stddev_pop/sqrt(n); geomean; ordered first/last ->
+    # min_by/max_by
+    r"skewness|kurtosis|kurtosis_pop|product|sem|geomean|first|last|"
+    r"favg|fsum|kahan_sum|sumkahan)"
     r"\s*\(",
     re.IGNORECASE,
 )
@@ -1189,6 +1198,63 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
             "sqrt(aggregate({v}, 0.0D, (acc, q) -> acc + CAST(q AS DOUBLE) * CAST(q AS DOUBLE)))"
         )
         return f"(({dot}) / ({nrm.format(v=a[0])} * {nrm.format(v=a[1])}))"
+    if name == "skewness" and n == 1:
+        # DuckDB is sample-corrected: g1 * sqrt(n(n-1)) / (n-2); NULL for
+        # n < 3 via nullif (matching DuckDB's NULL)
+        c = f"count({a[0]})"
+        return (
+            f"(skewness\x02({a[0]}) * sqrt({c} * ({c} - 1)) / "
+            f"nullif({c} - 2, 0))"
+        )
+    if name == "kurtosis" and n == 1:
+        # sample-corrected excess kurtosis from Spark's population g2:
+        # (n-1)/((n-2)(n-3)) * ((n+1) g2 + 6) — verified bit-for-bit
+        c = f"count({a[0]})"
+        return (
+            f"(CAST({c} - 1 AS DOUBLE) / nullif(({c} - 2) * ({c} - 3), 0) * "
+            f"(({c} + 1) * kurtosis\x02({a[0]}) + 6))"
+        )
+    if name == "kurtosis_pop" and n == 1:
+        return f"kurtosis\x02({a[0]})"
+    if name == "product" and n == 1:
+        # true multiplication fold (collect_list skips NULLs) — an
+        # exp-sum-ln spelling drifts ulps from DuckDB's direct multiply;
+        # the group materializes as an array, fine for a scalar aggregate
+        return (
+            f"CASE WHEN count({a[0]}) = 0 THEN CAST(NULL AS DOUBLE) "
+            f"ELSE aggregate(collect_list(CAST({a[0]} AS DOUBLE)), 1.0D, "
+            f"(acc, b) -> acc * b) END"
+        )
+    if name in ("favg", "fsum", "kahan_sum", "sumkahan") and n == 1:
+        # compensated float aggregates: DOUBLE in, DOUBLE out (a plain
+        # rename would keep DECIMAL inputs DECIMAL)
+        fn = "avg" if name == "favg" else "sum"
+        return f"{fn}(CAST({a[0]} AS DOUBLE))"
+    if name == "sem" and n == 1:
+        return f"(stddev_pop({a[0]}) / sqrt(count({a[0]})))"
+    if name == "geomean" and n == 1:
+        return f"exp(avg(ln(CAST({a[0]} AS DOUBLE))))"
+    if name in ("first", "last"):
+        om = _ORDER_BY_IN_ARG_RE.search(args[0]) if n == 1 else None
+        if om is None:
+            return None  # Spark's own first/last pass through
+        expr = args[0][: om.start()].strip()
+        order = args[0][om.end() :].strip()
+        desc = bool(re.search(r"\bDESC\b\s*$", order, re.IGNORECASE))
+        key = re.sub(r"\s+(DESC|ASC)\s*$", "", order, flags=re.IGNORECASE).strip()
+        if "," in key:
+            raise ValueError(f"{name}(e ORDER BY ...): one sort key supported")
+        # DuckDB's default null ordering is NULLS LAST either direction, so
+        # `last` lands ON a null-key row when one exists; the struct flag
+        # keeps those rows participating (a bare min_by/max_by drops null
+        # keys) and sorts them to the correct end
+        lo = (name == "first") != desc  # first ASC / last DESC -> min_by
+        if name == "first":
+            flag = f"CAST({key} IS NULL AS INT)" if not desc else f"CAST({key} IS NOT NULL AS INT)"
+        else:
+            flag = f"CAST({key} IS NULL AS INT)" if not desc else f"CAST({key} IS NOT NULL AS INT)"
+        fn = "min_by" if lo else "max_by"
+        return f"{fn}({expr}, struct({flag}, {key}))"
     if name == "time_bucket" and n == 2:
         mm = _INTERVAL_LIT_RE.match(a[0])
         if not mm:

@@ -929,3 +929,35 @@ def dialect_stmt_surface(spark, sf_dir):
         "CAST(cid AS BIGINT) AS cid", "name", "type AS col_type",
         "notnull AS not_null", "pk"
     ).orderBy("cid")
+
+
+_AGG_GAPS_SQL = """
+SELECT o_orderstatus,
+       round(skewness(o_totalprice), 6) AS skew_samp,
+       round(kurtosis(o_totalprice), 6) AS kurt_samp,
+       round(kurtosis_pop(o_totalprice), 6) AS kurt_pop,
+       round(sem(o_totalprice), 6) AS std_err,
+       round(geomean(o_totalprice), 4) AS geo_mean,
+       round(product(CASE WHEN o_orderkey % 997 = 0 THEN 1.5 ELSE 1.0 END), 4) AS prod_sparse,
+       first(o_orderkey ORDER BY o_totalprice) AS cheapest,
+       last(o_orderkey ORDER BY o_totalprice) AS priciest,
+       first(o_orderkey ORDER BY o_totalprice DESC) AS priciest2,
+       round(favg(o_totalprice), 4) AS f_avg,
+       round(fsum(o_totalprice), 4) AS f_sum
+FROM orders WHERE o_orderkey % 13 = 0
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@query("dialect_agg_gaps", oracle=_AGG_GAPS_SQL)
+def dialect_agg_gaps(spark, sf_dir):
+    """Round-11 aggregate gaps, driver-graded (reference
+    core_functions/aggregate/distributive + holistic): DuckDB's skewness
+    and kurtosis are SAMPLE-corrected where Spark's are population —
+    rewritten through the exact correction formulas (verified bit-for-bit:
+    kurtosis_pop ≡ Spark kurtosis); sem = stddev_pop/sqrt(n); geomean;
+    product as a true multiplication fold; ordered-aggregate first/last
+    (e ORDER BY k [DESC]) → min_by/max_by with DuckDB's NULLS-LAST key
+    placement; compensated favg/fsum as DOUBLE. Same SQL is the oracle."""
+    _views(spark, sf_dir, "orders")
+    return sqlx.sql(spark, _AGG_GAPS_SQL)

@@ -458,6 +458,7 @@ _LOCALE_ALPHABETS = {
     # secondary acutes; Croatian's lj/nj/dž contraction case forms
     "sk": "abcdhioprszáäéĺľňóôšžÄCHÔZ",
     "hr": "abcdejlmnoszčćđšžLJNJDŽZ",
+    "cy": "abcdefghlnprstuwyâêŵŷCHDFGLNRTZ",
 }
 
 

@@ -1164,9 +1164,22 @@ def test_function_gap_rewrites_match_duckdb(spark):
         "time_bucket(INTERVAL 1 WEEK, TIMESTAMP '2021-07-08 10:22:30')",
         "list_value(1, 2)[1]", "array_value(7, 8)[2]",
     ]
+    agg_rows = "(VALUES (1, 1.5), (2, -2.5), (3, 4.0), (4, 8.5), (5, NULL)) t(i, x)"
+    agg_cases = [
+        # DuckDB skewness/kurtosis are SAMPLE-corrected (Spark: population);
+        # kurtosis_pop == Spark's kurtosis bit-for-bit; product is a true
+        # multiplication fold; ordered first/last -> min_by/max_by with
+        # DuckDB's NULLS-LAST key handling
+        "round(skewness(x), 10)", "round(kurtosis(x), 10)",
+        "round(kurtosis_pop(x), 10)", "product(i)", "round(product(x), 10)",
+        "product(i * 0)", "round(sem(x), 10)", "round(geomean(i), 10)",
+        "favg(x)", "fsum(x)", "kahan_sum(x)",
+        "first(i ORDER BY x)", "last(i ORDER BY x)",
+        "first(i ORDER BY x DESC)", "last(i ORDER BY x DESC)",
+    ]
     bad = []
-    for c in cases:
-        sql = f"SELECT {c} AS r"
+    for c in cases + agg_cases:
+        sql = f"SELECT {c} AS r" + (f" FROM {agg_rows}" if c in agg_cases else "")
         a = sqlx.sql(spark, sql).head()[0]
         b = con.sql(sql).fetchone()[0]
         # numeric results compare by value (duck HUGEINT/DECIMAL arrive as
