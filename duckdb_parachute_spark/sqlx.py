@@ -627,6 +627,8 @@ _FN_ALIAS_MAP = {
     "array_value": "array",
     # compensated f*/kahan sums live in rewrite_fn_gaps (DOUBLE in/out)
     "arbitrary": "any_value",
+    "prefix": "startswith",
+    "suffix": "endswith",
 }
 _FN_ALIAS_RE = re.compile(
     r"\b(" + "|".join(_FN_ALIAS_MAP) + r")\s*\(", re.IGNORECASE
@@ -1040,7 +1042,9 @@ _FN_GAP_RE = re.compile(
     # exp-sum-ln; sem = stddev_pop/sqrt(n); geomean; ordered first/last ->
     # min_by/max_by
     r"skewness|kurtosis|kurtosis_pop|product|sem|geomean|first|last|"
-    r"favg|fsum|kahan_sum|sumkahan)"
+    r"favg|fsum|kahan_sum|sumkahan|generate_series|range|gcd|lcm|"
+    r"greatest_common_divisor|least_common_multiple|array_slice|"
+    r"array_pop_front|array_pop_back)"
     r"\s*\(",
     re.IGNORECASE,
 )
@@ -1255,6 +1259,48 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
             flag = f"CAST({key} IS NULL AS INT)" if not desc else f"CAST({key} IS NOT NULL AS INT)"
         fn = "min_by" if lo else "max_by"
         return f"{fn}({expr}, struct({flag}, {key}))"
+    if name == "generate_series":
+        if n == 2:
+            # DuckDB's scalar form returns [] when a > b (inclusive ends)
+            return (
+                f"slice(sequence({a[0]}, greatest({a[0]}, {a[1]})), 1, "
+                f"greatest(({a[1]}) - ({a[0]}) + 1, 0))"
+            )
+        if n == 3:
+            return f"sequence({a[0]}, {a[1]}, {a[2]})"
+        return None
+    if name == "range":
+        # scalar range() lists are end-EXCLUSIVE; FROM-position range()
+        # was already handled (and marked) by rewrite_series_tvf
+        if n == 1:
+            return (
+                f"slice(sequence(0, greatest(({a[0]}) - 1, 0)), 1, "
+                f"greatest({a[0]}, 0))"
+            )
+        if n == 2:
+            return (
+                f"slice(sequence({a[0]}, greatest(({a[1]}) - 1, {a[0]})), 1, "
+                f"greatest(({a[1]}) - ({a[0]}), 0))"
+            )
+        return None
+    if name in ("gcd", "greatest_common_divisor", "lcm", "least_common_multiple") and n == 2:
+        # Euclid as a bounded fold: 96 iterations covers the 64-bit
+        # worst case (~92 for consecutive Fibonacci numbers)
+        g = (
+            f"aggregate(sequence(1, 96), "
+            f"named_struct({lit('x')}, bigint(abs({a[0]})), {lit('y')}, bigint(abs({a[1]}))), "
+            f"(acc, i) -> CASE WHEN acc.y = 0 THEN acc "
+            f"ELSE named_struct({lit('x')}, acc.y, {lit('y')}, acc.x % acc.y) END).x"
+        )
+        if name in ("gcd", "greatest_common_divisor"):
+            return f"({g})"
+        return f"(bigint(abs({a[0]})) * bigint(abs({a[1]})) DIV nullif({g}, 0))"
+    if name == "array_slice" and n == 3:
+        return f"slice({a[0]}, {a[1]}, ({a[2]}) - ({a[1]}) + 1)"
+    if name == "array_pop_front" and n == 1:
+        return f"slice({a[0]}, 2, greatest(size({a[0]}) - 1, 0))"
+    if name == "array_pop_back" and n == 1:
+        return f"slice({a[0]}, 1, greatest(size({a[0]}) - 1, 0))"
     if name == "time_bucket" and n == 2:
         mm = _INTERVAL_LIT_RE.match(a[0])
         if not mm:
@@ -1359,6 +1405,63 @@ def rewrite_fn_gaps(sql: str, _parts: list[str] | None = None) -> str:
         # nested gap calls (list_sum(list_slice(...))); self-matching
         # emissions are \x02-marked, so no loop
         pos = m.start()
+
+
+#: FROM generate_series(a, b[, s]) / FROM range(a, b[, s]) table functions
+#: (round 11; reference src/function/table/range.cpp): both map to Spark's
+#: native lazy range() TVF — generated per-partition, no array
+#: materialization, the scale-correct source. generate_series is
+#: end-INCLUSIVE (end+sign adjustment; a computed step passes through and
+#: fails loudly), range is exclusive like Spark's. DuckDB's default column
+#: names (generate_series / range) are reproduced via a projection; an
+#: alias t(i) takes precedence. Emission marks range\x02( so the pass
+#: never rematches its own output.
+_SERIES_TVF_RE = re.compile(r"\bFROM\s+(generate_series|range)\s*\(", re.IGNORECASE)
+_TVF_ALIAS_RE = re.compile(
+    r"\s*(?:AS\s+)?(?P<tbl>[A-Za-z_]\w*)?\s*(?:\(\s*(?P<col>[A-Za-z_]\w*)\s*\))?",
+    re.IGNORECASE,
+)
+_NOT_ALIAS_WORDS = {
+    "where", "group", "order", "limit", "join", "on", "inner", "left",
+    "right", "full", "cross", "union", "intersect", "except", "having",
+    "qualify", "using", "window", "offset", "semi", "anti", "natural",
+    "select", "from",
+}
+
+
+def rewrite_series_tvf(sql: str) -> str:
+    pos = 0
+    while True:
+        m = _SERIES_TVF_RE.search(sql, pos)
+        if not m:
+            return sql
+        end = _balanced_span(sql, m.end() - 1)
+        args = [a.strip() for a in _split_top_level(sql[m.end() : end - 1])]
+        fn = m.group(1).lower()
+        am = _TVF_ALIAS_RE.match(sql, end)
+        tbl = am.group("tbl") if am else None
+        col = am.group("col") if am else None
+        if tbl and tbl.lower() in _NOT_ALIAS_WORDS:
+            tbl, col = None, None
+        a_end = am.end() if (am and tbl) else end
+        col = col or fn
+        if fn == "generate_series":
+            if len(args) == 2:
+                rargs = [args[0], f"({args[1]}) + 1"]
+            elif len(args) == 3 and re.fullmatch(r"-?\d+", args[2]):
+                bump = 1 if int(args[2]) > 0 else -1
+                rargs = [args[0], f"({args[1]}) + {bump}", args[2]]
+            else:
+                pos = end  # computed step: unsupported, loud downstream
+                continue
+        else:
+            rargs = args
+        rep = (
+            f"FROM (SELECT id AS {col} FROM range\x02({', '.join(rargs)}))"
+            + (f" {tbl}" if tbl else "")
+        )
+        sql = sql[: m.start()] + rep + sql[a_end:]
+        pos = m.start() + len(rep)
 
 
 #: DuckDB xor(a, b) is BITWISE xor (Spark has no 2-arg xor function; its ^
@@ -1961,6 +2064,7 @@ REWRITES = [
     rewrite_string_split,
     rewrite_strftime,
     rewrite_regexp_extract,
+    rewrite_series_tvf,
     rewrite_fn_aliases,
     rewrite_fn_gaps,
     rewrite_quantiles,

@@ -335,8 +335,12 @@ def _stage_events_with_sentinels(spark, sf_dir):
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
     max_ts = ev_b.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    # per-PROCESS staging (round 11): two concurrent sweeps sharing one
+    # sf_dir-keyed stage raced — one overwrote the parquet mid-read of the
+    # other (FAILED_READ_FILE). The pid suffix isolates writers; overwrite
+    # within a process still reflects the current writer config.
     tag = re.sub(r"[^0-9a-z]", "_", sf_dir.lower()).strip("_")
-    stage = f"/tmp/parachute_outer_stage/{tag}"
+    stage = f"/tmp/parachute_outer_stage/{tag}-p{os.getpid()}"
     norm = ev_b.withColumn("ts", F.col("ts").cast("timestamp"))
     sent = spark.createDataFrame(
         [

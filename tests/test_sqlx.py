@@ -1177,8 +1177,19 @@ def test_function_gap_rewrites_match_duckdb(spark):
         "first(i ORDER BY x)", "last(i ORDER BY x)",
         "first(i ORDER BY x DESC)", "last(i ORDER BY x DESC)",
     ]
+    series_cases = [
+        # scalar series lists (slice-guarded empties) + Euclid-fold gcd/lcm
+        # + array slice/pop + prefix/suffix renames
+        "range(5)[2]", "range(2, 6)[3]", "array_length(range(3, 3))",
+        "array_length(generate_series(2, 1))", "generate_series(1, 7, 2)[3]",
+        "gcd(12, 18)", "lcm(4, 6)", "gcd(-12, 18)", "gcd(0, 5)",
+        "greatest_common_divisor(21, 6)", "least_common_multiple(21, 6)",
+        "prefix('hello', 'he')", "suffix('hello', 'lo')",
+        "array_slice([1,2,3,4], 2, 3)[1]",
+        "array_pop_front([1,2,3])[1]", "array_pop_back([1,2,3])[2]",
+    ]
     bad = []
-    for c in cases + agg_cases:
+    for c in cases + agg_cases + series_cases:
         sql = f"SELECT {c} AS r" + (f" FROM {agg_rows}" if c in agg_cases else "")
         a = sqlx.sql(spark, sql).head()[0]
         b = con.sql(sql).fetchone()[0]
@@ -1249,3 +1260,28 @@ def test_statement_surface_round11(spark, tmp_path):
         assert sqlx.sql(spark, "SELECT count(*) AS n FROM trv AT (VERSION => 0)").head()["n"] == 5
     finally:
         sqlx.sql(spark, "DETACH trv")
+
+
+def test_series_table_functions(spark):
+    """Round 11: FROM generate_series / FROM range map to Spark's native
+    lazy range() TVF (per-partition generation, no array materialization)
+    with DuckDB's column names and inclusive/exclusive end semantics."""
+    import duckdb
+
+    from duckdb_parachute_spark import sqlx
+
+    con = duckdb.connect()
+    for q in [
+        "SELECT i, i * 2 AS d FROM generate_series(0, 4) t(i) ORDER BY i",
+        "SELECT * FROM generate_series(2, 10, 3) ORDER BY 1",
+        "SELECT * FROM generate_series(5, 1, -2) ORDER BY 1",
+        "SELECT * FROM range(3) ORDER BY 1",
+        "SELECT * FROM range(1, 7, 2) t(v) ORDER BY v",
+        "SELECT sum(g.i) AS s FROM generate_series(1, 100) g(i)",
+    ]:
+        a = [tuple(r) for r in sqlx.sql(spark, q).collect()]
+        b = con.sql(q).fetchall()
+        assert a == b, (q, a, b)
+    # the plan is Spark's native Range source — no exploded array scan
+    plan = sqlx.sql(spark, "SELECT * FROM generate_series(1, 10)")._jdf.queryExecution().executedPlan().toString()
+    assert "Range (" in plan, plan
