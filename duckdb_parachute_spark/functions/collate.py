@@ -55,8 +55,12 @@ stay secondary; č š ž after their bases), hr (č ć after c, dž đ after d,
 š ž after s/z, and the lj/nj/dž digraph contractions with case forms
 lj < Lj < LJ — mixed lJ is l+J, not a contraction), cy (EIGHT digraph
 letters ch dd ff ng ll ph rh th, each after its base — ng after g — with
-lower < title < upper case forms; circumflex vowels secondary). Outside
-the tailored letters,
+lower < title < upper case forms; circumflex vowels secondary), hu (cs
+dzs gy ly ny sz ty zs as full letters — dz untailored — with the DOUBLED
+written forms ccs/ssz/… equal to the spelled-out pair at primary+secondary
+and a tertiary step after; ö/ü full letters with ő/ű secondary; contraction
+matching via the leftmost-greedy marker regex because sz/zs overlap
+cyclically). Outside the tailored letters,
 accented input folds to its base letter at the primary level — full ICU
 root-order for arbitrary scripts is out of scope (documented SURVEY §1.2);
 punctuation is compared bytewise (ICU default non-ignorable).
@@ -82,11 +86,11 @@ _LOWER = "abcdefghijklmnopqrstuvwxyz"
 _UPPER = _LOWER.upper()
 _X_LOWER = (
     "æøåäöñüčřšž" + "ąćęłńóśźż" + "ăâîșțşţ" + "çğ" + "áðéíúýþõėįųū" + "ďĺľňôŕťđ"
-    + "êûŵŷ"
+    + "êûŵŷőű"
 )
 _X_UPPER = (
     "ÆØÅÄÖÑÜČŘŠŽ" + "ĄĆĘŁŃÓŚŹŻ" + "ĂÂÎȘȚŞŢ" + "ÇĞ" + "ÁÐÉÍÚÝÞÕĖĮŲŪ" + "ĎĹĽŇÔŔŤĐ"
-    + "ÊÛŴŶ"
+    + "ÊÛŴŶŐŰ"
 )
 #: translate() args for the lower-first tertiary key (swap case so that
 #: lowercase sorts before uppercase bytewise).
@@ -129,6 +133,14 @@ class _LocaleSpec:
     #: identity means raw-bytes case order.
     tertiary: tuple[str, str] = field(default=("", ""))
     upper_first: bool = False
+    #: leftmost-greedy contraction MARKER regex (round 11, Hungarian): when
+    #: a locale's contractions overlap cyclically (hu sz/zs: sz's z starts
+    #: zs and zs's s starts sz), NO order of chained replace() reproduces
+    #: ICU's leftmost-greedy matching — but one global regexp_replace with
+    #: longest-first alternatives does. Matches are wrapped \x1f…\x1f and
+    #: the ordinary tokenize replaces then consume the UNAMBIGUOUS marked
+    #: spellings ('\x1fsz\x1f').
+    pretokenize: str = ""
 
 
 _LOCALES: dict[str, _LocaleSpec] = {
@@ -373,6 +385,60 @@ def _welsh_spec() -> _LocaleSpec:
 
 _LOCALES["cy"] = _welsh_spec()
 
+
+def _hungarian_spec() -> _LocaleSpec:
+    """Hungarian (round 11, all measured on DuckDB's ICU hu): the digraphs
+    cs dzs gy ly ny sz ty zs are FULL letters after their bases (dz is NOT
+    tailored — 'dza' < 'dzz' measured, matching CLDR hu); ö/ü are full
+    letters after o/u with ő/ű their secondary long forms; á é í ó ú stay
+    secondary accents. The DOUBLED written forms (ccs ≡ cs+cs, ssz, ggy,
+    lly, nny, tty, zzs, ddzs) expand to a doubled-marked first token + a
+    plain second: equal at primary AND secondary to the spelled-out pair,
+    with the tertiary per-token order cs < ccs-part < Cs < Ccs-part < CS <
+    CCS-part (measured: cscsa < ccsa < CsCsa < Ccsa < CCSa). Contraction
+    matching is the leftmost-greedy marker regex (pretokenize) because
+    sz/zs overlap cyclically."""
+    digraphs = ["cs", "dzs", "gy", "ly", "ny", "sz", "ty", "zs"]
+    alts, tokenize, primary, secondary = [], [], [], []
+    t_src, t_dst = "", ""
+    for i, dg in enumerate(digraphs):
+        lower, title, upper = dg, dg.capitalize(), dg.upper()
+        dbl_lower = dg[0] + dg  # ccs, ddzs, ...
+        dbl_title = dg[0].upper() + dg
+        dbl_upper = dbl_lower.upper()
+        # 6 tokens: lower, title, upper, and their doubled-marked variants
+        t = [chr(0xE020 + 6 * i + j) for j in range(6)]
+        # longest alternatives first: doubled forms, then plain case forms
+        alts += [dbl_lower, dbl_title, dbl_upper, upper, title, lower]
+        mk = lambda s: "\x1f" + s + "\x1f"
+        tokenize += [
+            (mk(dbl_lower), t[3] + t[0]),
+            (mk(dbl_title), t[4] + t[0]),
+            (mk(dbl_upper), t[5] + t[2]),
+            (mk(upper), t[2]),
+            (mk(title), t[1]),
+            (mk(lower), t[0]),
+        ]
+        slot = dg[0] + "{"
+        primary += [(x, slot) for x in t]
+        secondary += [(x, lower) for x in t]
+        t_src += "".join(t)
+        # tertiary digits: lower=1 < dbl-part=2 < title=3 < dbl-title-part=4
+        # < upper=5 < dbl-upper-part=6; token order in t is
+        # [lower, title, upper, dbl-lo, dbl-ti, dbl-up]
+        t_dst += "135246"
+    return _LocaleSpec(
+        pretokenize="(" + "|".join(alts) + ")",
+        tokenize=tuple(tokenize),
+        primary=tuple(primary)
+        + (("ö", "o{"), ("ő", "o{"), ("ü", "u{"), ("ű", "u{")),
+        secondary=tuple(secondary),
+        tertiary=(t_src, t_dst),
+    )
+
+
+_LOCALES["hu"] = _hungarian_spec()
+
 # Norwegian shares the Danish tailoring in CLDR. (DuckDB's bundled ICU data
 # resolves 'nb'/'no' to the ROOT collation — observed empirically — so these
 # aliases intentionally follow CLDR rather than that fallback.)
@@ -400,6 +466,8 @@ def locale_collation_key(col: Column | str, locale: str) -> Column:
             f"unsupported locale collation: {locale!r} (have {sorted(_LOCALES)})"
         ) from None
     tok = c
+    if spec.pretokenize:
+        tok = F.regexp_replace(tok, spec.pretokenize, "\x1f$1\x1f")
     for pat, rep in spec.tokenize:
         tok = F.replace(tok, F.lit(pat), F.lit(rep))
     prim = F.lower(tok)

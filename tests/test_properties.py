@@ -459,6 +459,10 @@ _LOCALE_ALPHABETS = {
     "sk": "abcdhioprszáäéĺľňóôšžÄCHÔZ",
     "hr": "abcdejlmnoszčćđšžLJNJDŽZ",
     "cy": "abcdefghlnprstuwyâêŵŷCHDFGLNRTZ",
+    # Hungarian: digraph material (incl. the sz/zs cycle and doubled forms
+    # like ssz/ccs arising from random draws), full-letter ö/ü with
+    # secondary ő/ű, and secondary acutes
+    "hu": "abcdegilnostuyzáéóöőúüűCDGSLNTYZS",
 }
 
 
