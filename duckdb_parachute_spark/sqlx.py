@@ -1044,7 +1044,14 @@ _FN_GAP_RE = re.compile(
     r"skewness|kurtosis|kurtosis_pop|product|sem|geomean|first|last|"
     r"favg|fsum|kahan_sum|sumkahan|generate_series|range|gcd|lcm|"
     r"greatest_common_divisor|least_common_multiple|array_slice|"
-    r"array_pop_front|array_pop_back)"
+    r"array_pop_front|array_pop_back|"
+    # round-11 JSON family (reference extension/json): built on Spark 4's
+    # VARIANT — to_json(variant_get(...)) reproduces DuckDB's JSON-typed
+    # json_extract exactly (strings stay quoted, where get_json_object
+    # unquotes); json_type via schema_of_variant with DuckDB's type names
+    r"json_valid|json_extract|json_extract_string|json_extract_path|"
+    r"json_extract_path_text|json_keys|json_type|json_object|json_array|"
+    r"json_array_length|json)"
     r"\s*\(",
     re.IGNORECASE,
 )
@@ -1301,6 +1308,46 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
         return f"slice({a[0]}, 2, greatest(size({a[0]}) - 1, 0))"
     if name == "array_pop_back" and n == 1:
         return f"slice({a[0]}, 1, greatest(size({a[0]}) - 1, 0))"
+    if name == "json_valid" and n == 1:
+        # DuckDB json_valid('null') is TRUE but try_parse_json('null')
+        # yields a null VARIANT — the trim branch keeps it valid
+        return (
+            f"(try_parse_json({a[0]}) IS NOT NULL OR trim({a[0]}) = {lit('null')})"
+        )
+    if name in ("json_extract", "json_extract_path") and n == 2:
+        return f"to_json(variant_get(try_parse_json({a[0]}), {a[1]}))"
+    if name in ("json_extract_string", "json_extract_path_text") and n == 2:
+        return f"get_json_object({a[0]}, {a[1]})"
+    if name == "json_keys" and n in (1, 2):
+        src = a[0] if n == 1 else f"get_json_object({a[0]}, {a[1]})"
+        return f"json_object_keys({src})"
+    if name == "json_array_length" and n in (1, 2):
+        src = a[0] if n == 1 else f"get_json_object({a[0]}, {a[1]})"
+        return f"size(from_json({src}, {lit('array<string>')}))"
+    if name == "json_type" and n in (1, 2):
+        src = a[0] if n == 1 else f"to_json(variant_get(try_parse_json({a[0]}), {a[1]}))"
+        s = f"schema_of_variant(try_parse_json({src}))"
+        return (
+            f"CASE WHEN {s} LIKE {lit('OBJECT%')} OR {s} LIKE {lit('STRUCT%')} THEN {lit('OBJECT')} "
+            f"WHEN {s} LIKE {lit('ARRAY%')} THEN {lit('ARRAY')} "
+            f"WHEN {s} = {lit('STRING')} THEN {lit('VARCHAR')} "
+            f"WHEN {s} = {lit('BOOLEAN')} THEN {lit('BOOLEAN')} "
+            f"WHEN {s} = {lit('BIGINT')} THEN "
+            f"CASE WHEN try_cast(trim({src}) AS BIGINT) < 0 THEN {lit('BIGINT')} ELSE {lit('UBIGINT')} END "
+            f"WHEN {s} LIKE {lit('DECIMAL%')} OR {s} IN ({lit('DOUBLE')}, {lit('FLOAT')}) THEN {lit('DOUBLE')} "
+            f"WHEN {s} = {lit('VOID')} AND trim({src}) = {lit('null')} THEN {lit('NULL')} "
+            f"ELSE NULL END"
+        )
+    if name == "json_object":
+        if n % 2 != 0:
+            raise ValueError("json_object expects key/value pairs")
+        pairs = ", ".join(a)
+        return f"to_json(named_struct({pairs}))"
+    if name == "json_array":
+        return f"to_json(array({', '.join(a)}))"
+    if name == "json" and n == 1:
+        # parse + minify, DuckDB's json() normalizer
+        return f"to_json(try_parse_json({a[0]}))"
     if name == "time_bucket" and n == 2:
         mm = _INTERVAL_LIT_RE.match(a[0])
         if not mm:
@@ -1998,6 +2045,15 @@ def _process_cast_calls(sql: str, parts: list[str]) -> str:
         if typ.lower() in _INT_CAST_TYPES:
             rep = _rounding_int_cast(expr, _INT_CAST_TYPES[typ.lower()], parts, kw)
             return sql[: m.start()] + rep + rest
+        if typ.lower() == "json":
+            # CAST(x AS JSON) VALIDATES but preserves the text verbatim
+            # (measured — only json() minifies); invalid input yields NULL
+            # (try semantics; DuckDB's plain CAST errors instead)
+            rep = (
+                f"CASE WHEN try_parse_json({expr}) IS NOT NULL THEN {expr} "
+                f"ELSE NULL END"
+            )
+            return sql[: m.start()] + rep + rest
         if typ.lower() in _PLAIN_TYPE_MAP:
             return (
                 sql[: m.start()]
@@ -2039,6 +2095,21 @@ def rewrite_int_casts(sql: str, _parts: list[str] | None = None) -> str:
             )
         target = _INT_CAST_TYPES[m.group(1).lower()]
         sql = sql[:lstart] + _rounding_int_cast(expr, target, _parts, "CAST") + sql[m.end() :]
+    while True:  # x::JSON — parse + minify like CAST(x AS JSON)
+        m = next(
+            (
+                mm
+                for mm in _COLONCOLON_TYPE_RE.finditer(sql)
+                if mm.group(1).lower() == "json"
+            ),
+            None,
+        )
+        if m is None:
+            break
+        lstart = _operand_start(sql, m.start())
+        expr = sql[lstart : m.start()]
+        rep = f"CASE WHEN try_parse_json({expr}) IS NOT NULL THEN {expr} ELSE NULL END"
+        sql = sql[:lstart] + rep + sql[m.end() :]
     # plain type-name mapping for the '::' spelling (no semantics change)
     sql = _COLONCOLON_TYPE_RE.sub(
         lambda mm: f"::{_PLAIN_TYPE_MAP.get(mm.group(1).lower(), mm.group(1))}", sql

@@ -961,3 +961,31 @@ def dialect_agg_gaps(spark, sf_dir):
     placement; compensated favg/fsum as DOUBLE. Same SQL is the oracle."""
     _views(spark, sf_dir, "orders")
     return sqlx.sql(spark, _AGG_GAPS_SQL)
+
+
+_JSON_FNS_SQL = """
+SELECT event_id,
+       json_valid(props) AS ok,
+       json_extract(props, '$.k') AS k_json,
+       json_extract_string(props, '$.k') AS k_text,
+       json_type(props) AS t_root,
+       json_type(props, '$.k') AS t_k,
+       json_keys(props)[1] AS first_key,
+       json(props) AS minified,
+       json_array(event_id, user_id) AS pair,
+       json_object('id', event_id) AS obj
+FROM events WHERE event_id % 97 = 0
+ORDER BY event_id
+"""
+
+
+@query("dialect_json_fns", oracle=_JSON_FNS_SQL)
+def dialect_json_fns(spark, sf_dir):
+    """Round-11 JSON function family (reference extension/json), built on
+    Spark VARIANT: json_extract returns JSON-typed text with quoting intact
+    (to_json ∘ variant_get — get_json_object would unquote), json_type maps
+    schema_of_variant to DuckDB's names (OBJECT/ARRAY/VARCHAR/UBIGINT/...),
+    json_keys → json_object_keys, json() parses + minifies, json_object /
+    json_array construct. Same SQL is the oracle."""
+    _views(spark, sf_dir, "events")
+    return sqlx.sql(spark, _JSON_FNS_SQL)

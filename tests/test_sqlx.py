@@ -1177,6 +1177,24 @@ def test_function_gap_rewrites_match_duckdb(spark):
         "first(i ORDER BY x)", "last(i ORDER BY x)",
         "first(i ORDER BY x DESC)", "last(i ORDER BY x DESC)",
     ]
+    json_doc = """'{"a": 1, "b": [1, 2, 3], "c": {"d": "x"}}'"""
+    json_cases = [
+        # JSON family on Spark VARIANT: json_extract keeps JSON quoting
+        # (to_json over variant_get), json_type maps schema_of_variant to
+        # DuckDB's names incl. the UBIGINT/BIGINT sign split, CAST AS JSON
+        # validates but preserves text verbatim
+        f"json_valid({json_doc})", "json_valid('null')", "json_valid('oops')",
+        f"json_extract({json_doc}, '$.c.d')",
+        f"json_extract({json_doc}, '$.b[1]')",
+        f"json_extract({json_doc}, '$.zz')",
+        f"json_extract_string({json_doc}, '$.c.d')",
+        f"json_keys({json_doc})[2]",
+        f"json_array_length({json_doc}, '$.b')",
+        f"json_type({json_doc})", "json_type('7')", "json_type('-7')",
+        "json_type('1.5')", "json_type('\"s\"')", "json_type('null')",
+        "json_object('k', 7)", "json_array(1, 2)",
+        f"json({json_doc})", f"CAST({json_doc} AS JSON)", f"({json_doc}::JSON)",
+    ]
     series_cases = [
         # scalar series lists (slice-guarded empties) + Euclid-fold gcd/lcm
         # + array slice/pop + prefix/suffix renames
@@ -1189,7 +1207,7 @@ def test_function_gap_rewrites_match_duckdb(spark):
         "array_pop_front([1,2,3])[1]", "array_pop_back([1,2,3])[2]",
     ]
     bad = []
-    for c in cases + agg_cases + series_cases:
+    for c in cases + agg_cases + series_cases + json_cases:
         sql = f"SELECT {c} AS r" + (f" FROM {agg_rows}" if c in agg_cases else "")
         a = sqlx.sql(spark, sql).head()[0]
         b = con.sql(sql).fetchone()[0]
