@@ -1051,7 +1051,11 @@ _FN_GAP_RE = re.compile(
     # unquotes); json_type via schema_of_variant with DuckDB's type names
     r"json_valid|json_extract|json_extract_string|json_extract_path|"
     r"json_extract_path_text|json_keys|json_type|json_object|json_array|"
-    r"json_array_length|json)"
+    r"json_array_length|json|"
+    # interval constructors + hamming (reference date_part.cpp to_* family,
+    # hamming.cpp — DuckDB requires equal lengths, ours NULLs the surplus)
+    r"to_years|to_months|to_weeks|to_days|to_hours|to_minutes|to_seconds|"
+    r"to_milliseconds|to_microseconds|hamming|mismatches)"
     r"\s*\(",
     re.IGNORECASE,
 )
@@ -1348,6 +1352,25 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
     if name == "json" and n == 1:
         # parse + minify, DuckDB's json() normalizer
         return f"to_json(try_parse_json({a[0]}))"
+    if name in (
+        "to_years", "to_months", "to_weeks", "to_days", "to_hours",
+        "to_minutes", "to_seconds", "to_milliseconds", "to_microseconds",
+    ) and n == 1:
+        slot = {
+            "to_years": 0, "to_months": 1, "to_weeks": 2, "to_days": 3,
+            "to_hours": 4, "to_minutes": 5,
+        }.get(name)
+        if slot is not None:
+            parts7 = ["0"] * (slot + 1)
+            parts7[slot] = a[0]
+            return f"make_interval({', '.join(parts7)})"
+        div = {"to_seconds": "1", "to_milliseconds": "1000", "to_microseconds": "1000000"}[name]
+        return f"make_interval(0, 0, 0, 0, 0, 0, CAST({a[0]} AS DOUBLE) / {div})"
+    if name in ("hamming", "mismatches") and n == 2:
+        return (
+            f"aggregate(zip_with(split({a[0]}, {lit('')}), split({a[1]}, {lit('')}), "
+            f"(p, q) -> CAST(coalesce(p <> q, true) AS INT)), 0, (acc, v) -> acc + v)"
+        )
     if name == "time_bucket" and n == 2:
         mm = _INTERVAL_LIT_RE.match(a[0])
         if not mm:
@@ -1463,7 +1486,7 @@ def rewrite_fn_gaps(sql: str, _parts: list[str] | None = None) -> str:
 #: names (generate_series / range) are reproduced via a projection; an
 #: alias t(i) takes precedence. Emission marks range\x02( so the pass
 #: never rematches its own output.
-_SERIES_TVF_RE = re.compile(r"\bFROM\s+(generate_series|range)\s*\(", re.IGNORECASE)
+_SERIES_TVF_RE = re.compile(r"\bFROM\s+(generate_series|range|unnest)\s*\(", re.IGNORECASE)
 _TVF_ALIAS_RE = re.compile(
     r"\s*(?:AS\s+)?(?P<tbl>[A-Za-z_]\w*)?\s*(?:\(\s*(?P<col>[A-Za-z_]\w*)\s*\))?",
     re.IGNORECASE,
@@ -1492,6 +1515,17 @@ def rewrite_series_tvf(sql: str) -> str:
             tbl, col = None, None
         a_end = am.end() if (am and tbl) else end
         col = col or fn
+        if fn == "unnest":
+            # FROM unnest(list) [t(x)] → explode subquery; DuckDB's
+            # unaliased column name is the expression text — ours is
+            # 'unnest' (name-only divergence; alias for parity)
+            rep = (
+                f"FROM (SELECT explode({', '.join(args)}) AS {col})"
+                + (f" {tbl}" if tbl else "")
+            )
+            sql = sql[: m.start()] + rep + sql[a_end:]
+            pos = m.start() + len(rep)
+            continue
         if fn == "generate_series":
             if len(args) == 2:
                 rargs = [args[0], f"({args[1]}) + 1"]
@@ -1614,7 +1648,7 @@ _STRF_FUNC = {
     "%V": "lpad(CAST(weekofyear({a}) AS STRING), 2, {zero})",
     "%u": "CAST(weekday\x02({a}) + 1 AS STRING)",
 }
-_STRFTIME_RE = re.compile(r"\b(strftime|strptime)\s*\(", re.IGNORECASE)
+_STRFTIME_RE = re.compile(r"\b(strftime|strptime|try_strptime)\s*\(", re.IGNORECASE)
 
 
 def _c_to_java_fmt(cfmt: str) -> list[tuple[str, str]]:
@@ -1698,10 +1732,15 @@ def rewrite_strftime(sql: str, _parts: list[str] | None = None) -> str:
         # the mask table stores the literal SQL-escaped ('' = one quote);
         # translate the UNESCAPED format text
         segs = _c_to_java_fmt(_parts[int(mm.group(1))][1:-1].replace("''", "'"))
-        is_strf = m.group(1).lower() == "strftime"
+        fname = m.group(1).lower()
+        is_strf = fname == "strftime"
         if all(k == "pat" for k, _ in segs):
             jfmt = "".join(s for _, s in segs)
-            fn = "date_format" if is_strf else "to_timestamp"
+            fn = (
+                "date_format"
+                if is_strf
+                else ("try_to_timestamp" if fname == "try_strptime" else "to_timestamp")
+            )
             rep = f"{fn}({a0}, {lit(jfmt)})"
         elif not is_strf:
             raise ValueError(

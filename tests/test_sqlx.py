@@ -1296,6 +1296,15 @@ def test_series_table_functions(spark):
         "SELECT * FROM range(3) ORDER BY 1",
         "SELECT * FROM range(1, 7, 2) t(v) ORDER BY v",
         "SELECT sum(g.i) AS s FROM generate_series(1, 100) g(i)",
+        "SELECT u AS v FROM unnest([4, 5]) t(u) ORDER BY v",
+        "SELECT sum(x) AS s FROM unnest([1, 2, 3]) t(x)",
+        "SELECT TIMESTAMP '2021-01-01 00:00:00' + to_hours(5) AS r",
+        "SELECT TIMESTAMP '2021-01-01 00:00:00' + to_months(2) AS r",
+        "SELECT TIMESTAMP '2021-01-01 00:00:00' + to_milliseconds(1500) AS r",
+        "SELECT mismatches('abc', 'abd') AS r",
+        "SELECT hamming('karolin', 'kathrin') AS r",
+        "SELECT try_strptime('2021-07-04', '%Y-%m-%d') AS r",
+        "SELECT try_strptime('bogus', '%Y-%m-%d') AS r",
     ]:
         a = [tuple(r) for r in sqlx.sql(spark, q).collect()]
         b = con.sql(q).fetchall()
