@@ -629,6 +629,15 @@ _FN_ALIAS_MAP = {
     "arbitrary": "any_value",
     "prefix": "startswith",
     "suffix": "endswith",
+    "apply": "transform",
+    "array_indexof": "array_position",
+    "list_reverse": "reverse",
+    "array_reverse": "reverse",
+    "list_cat": "concat",
+    "array_cat": "concat",
+    "array_concat": "concat",
+    "array_has_any": "arrays_overlap",
+    "strlen": "octet_length",  # DuckDB strlen is BYTE length
 }
 _FN_ALIAS_RE = re.compile(
     r"\b(" + "|".join(_FN_ALIAS_MAP) + r")\s*\(", re.IGNORECASE
@@ -1055,7 +1064,8 @@ _FN_GAP_RE = re.compile(
     # interval constructors + hamming (reference date_part.cpp to_* family,
     # hamming.cpp — DuckDB requires equal lengths, ours NULLs the surplus)
     r"to_years|to_months|to_weeks|to_days|to_hours|to_minutes|to_seconds|"
-    r"to_milliseconds|to_microseconds|hamming|mismatches)"
+    r"to_milliseconds|to_microseconds|hamming|mismatches|array_has_all|"
+    r"list_any_value|list_aggregate|list_aggr)"
     r"\s*\(",
     re.IGNORECASE,
 )
@@ -1407,8 +1417,32 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
         if name == "list_sum":
             return s
         return f"({s} / nullif(size({fl}), 0))"
-    if name == "list_has_all" and n == 2:
+    if name in ("list_has_all", "array_has_all") and n == 2:
         return f"(size(array_except({a[1]}, {a[0]})) = 0)"
+    if name == "list_any_value" and n == 1:
+        return f"try_element_at(array_compact({a[0]}), 1)"
+    if name in ("list_aggregate", "list_aggr") and n == 2:
+        mm = re.fullmatch(r"\x00(\d+)\x00", a[1])
+        if not mm:
+            raise ValueError("list_aggregate needs a literal function name")
+        agg = parts[int(mm.group(1))][1:-1].lower()
+        if agg == "sum":
+            return _fn_gap_emit("list_sum", [a[0]], lit, parts)
+        if agg in ("avg", "mean"):
+            return _fn_gap_emit("list_avg", [a[0]], lit, parts)
+        if agg == "min":
+            return f"array_min({a[0]})"
+        if agg == "max":
+            return f"array_max({a[0]})"
+        if agg == "count":
+            return f"size(array_compact({a[0]}))"
+        if agg in ("any_value", "arbitrary"):
+            return f"try_element_at(array_compact({a[0]}), 1)"  # NULL-skipping
+        if agg == "first":
+            return f"try_element_at({a[0]}, 1)"  # positional, nulls included
+        if agg == "last":
+            return f"try_element_at({a[0]}, greatest(size({a[0]}), 1))"
+        raise ValueError(f"list_aggregate: unsupported function {agg!r}")
     if name == "list_distinct" and n == 1:
         return f"array_distinct(array_compact({a[0]}))"
     if name == "list_unique" and n == 1:

@@ -1205,6 +1205,15 @@ def test_function_gap_rewrites_match_duckdb(spark):
         "prefix('hello', 'he')", "suffix('hello', 'lo')",
         "array_slice([1,2,3,4], 2, 3)[1]",
         "array_pop_front([1,2,3])[1]", "array_pop_back([1,2,3])[2]",
+        # list_aggregate dispatch + late aliases
+        "list_aggregate([3,1], 'max')", "list_aggr([1.5,2.5], 'avg')",
+        "list_aggregate([1,NULL,2], 'count')",
+        "list_aggregate([NULL,7], 'first')", "list_aggregate([7,NULL], 'last')",
+        "list_aggregate([NULL,7], 'any_value')",
+        "apply([1,2], y -> y + 1)[2]", "array_indexof([1,2,3], 3)",
+        "list_reverse([1,2,3])[1]", "array_has_all([1,2],[2])",
+        "list_cat([1],[2])[2]", "strlen('héllo')",
+        "list_any_value([NULL, 7])",
     ]
     bad = []
     for c in cases + agg_cases + series_cases + json_cases:
