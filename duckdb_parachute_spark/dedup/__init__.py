@@ -16,6 +16,8 @@ across engines (the SQL oracle computes the identical signature in DuckDB).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -246,6 +248,7 @@ def embedding_neardup_pairs(
     bucket_col: str | None = None,
     allow_bruteforce: bool = False,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    on_overflow: str = "warn",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs above `threshold`.
 
@@ -262,7 +265,15 @@ def embedding_neardup_pairs(
     failure mode; :func:`embedding_neardup_overflow` reports exactly what
     was dropped. The gate costs one partial-aggregated bucket count + a
     broadcast anti-join of the (tiny) over-cap bucket list — never a
-    corpus-sized shuffle."""
+    corpus-sized shuffle.
+
+    ``on_overflow`` (round 12, ADVICE r11 — the cap must not drop pairs
+    silently on the default path): ``"warn"`` eagerly counts the over-cap
+    buckets (one partial-aggregated job — the shuffle is one row per
+    bucket) and logs a warning naming the count and the side-channel;
+    ``"error"`` raises instead; ``"ignore"`` restores the fully-lazy
+    zero-extra-jobs plan for callers that run
+    :func:`embedding_neardup_overflow` themselves."""
     from duckdb_parachute_spark.functions.vector import array_cosine_similarity
 
     if bucket_col is None and not allow_bruteforce:
@@ -271,6 +282,8 @@ def embedding_neardup_pairs(
             "bucket_col (LSH bucket / IVF centroid / label) or opt in "
             "explicitly with allow_bruteforce=True on small inputs"
         )
+    if on_overflow not in ("warn", "error", "ignore"):
+        raise ValueError(f"on_overflow must be warn|error|ignore, got {on_overflow!r}")
     if bucket_col is not None and max_bucket_size is not None:
         hot = (
             df.groupBy(bucket_col)
@@ -278,6 +291,18 @@ def embedding_neardup_pairs(
             .where(F.col("__n") > max_bucket_size)
             .select(bucket_col)
         )
+        if on_overflow != "ignore":
+            n_hot = hot.count()
+            if n_hot:
+                msg = (
+                    f"embedding_neardup_pairs: {n_hot} bucket(s) exceed "
+                    f"max_bucket_size={max_bucket_size}; ALL pairs within them "
+                    f"are dropped. Run embedding_neardup_overflow() for the "
+                    f"bucket list, or pass max_bucket_size=None to disable."
+                )
+                if on_overflow == "error":
+                    raise ValueError(msg)
+                logging.getLogger(__name__).warning(msg)
         df = df.join(F.broadcast(hot), bucket_col, "left_anti")
     keys = [bucket_col] if bucket_col else []
     a = df.select(*keys, F.col(id_col).alias("id1"), F.col(vec_col).alias("__v1"))
@@ -431,6 +456,7 @@ def semantic_dup_pairs(
     threshold: float,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
     probes: int = 1,
+    on_overflow: str = "warn",
 ) -> DataFrame:
     """SemDeDup pair discovery: cluster-assign (zero-exchange argmax), then
     cosine pairs ≥ threshold WITHIN each cluster (embedding_neardup_pairs
@@ -457,4 +483,5 @@ def semantic_dup_pairs(
         threshold,
         bucket_col="centroid_id",
         max_bucket_size=max_bucket_size,
+        on_overflow=on_overflow,
     )

@@ -89,6 +89,19 @@ class CommitProtocol:
     def put_if_absent(self, content: str, final_path: str) -> None:
         raise NotImplementedError
 
+    def store_token(self) -> object:
+        """Identity of the underlying STORE, not the protocol instance
+        (round 12, VERDICT r11 #1): two protocols with equal tokens resolve
+        the same paths to the same objects, so a decision record written
+        through one is readable through the other. Default: each instance
+        is its own store — the safe assumption for real object-store
+        clients bound to one bucket. :class:`LocalCommitProtocol` overrides
+        with a shared constant (every instance addresses the one local
+        filesystem). commit_multi refuses tables whose protocols report
+        different stores, because its shared decision record would be
+        unreachable from the other tables' readers."""
+        return id(self)
+
     # -- commit-path reads: local-filesystem defaults ------------------------
 
     def get(self, path: str) -> str:
@@ -115,6 +128,9 @@ class CommitProtocol:
 
 
 class LocalCommitProtocol(CommitProtocol):
+    def store_token(self) -> object:
+        return "local-filesystem"  # every instance addresses the same store
+
     def put_if_absent(self, content: str, final_path: str) -> None:
         tmp = os.path.join(
             os.path.dirname(final_path), f".tmp-{uuid.uuid4().hex}"
@@ -387,6 +403,21 @@ def commit_multi(staged: dict[str, "VersionedTable"]) -> dict[str, "VersionedTab
         return out
     ordered = sorted(real.items(), key=lambda kv: kv[1].root)
     first = ordered[0][1]
+    # The shared decision record lives under the lexically-first table's root
+    # and is resolved THROUGH that table's CommitProtocol. If staged tables
+    # sit in different STORES (buckets), readers of the other tables could
+    # never reach the decision path — their pending manifests would stay
+    # undecided forever, silently losing cross-table atomicity. Refuse
+    # heterogeneous stores loudly (VERDICT r11 #1 / ADVICE r11).
+    stores = {h.commit_protocol.store_token() for _, h in ordered}
+    if len(stores) > 1:
+        raise NotImplementedError(
+            "commit_multi requires all staged tables to live in ONE store "
+            "(equal CommitProtocol.store_token()): the shared decision "
+            "record is written under the first table's root and must be "
+            "readable by every table's readers. Tables attached from "
+            "different stores cannot be committed atomically together."
+        )
     ddir = os.path.join(first.root, _DECISIONS)
     first.commit_protocol.ensure_dir(ddir)
     decision_path = os.path.join(ddir, f"txn-{uuid.uuid4().hex}.json")

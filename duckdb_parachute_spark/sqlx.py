@@ -667,9 +667,14 @@ def _zero_safe_index(ix: str, assume_numeric: bool = False) -> str:
     because brackets are ALSO MAP access (round 11, ADVICE r10):
     ``m[key_col]`` with a string column must stay ``try_element_at(m,
     key_col)`` — wrapping it in nullif compares string to int, which errors
-    under ANSI. The accepted residual divergence: a computed NUMERIC
-    bracket index that evaluates to 0 at runtime errors loudly
-    (INVALID_INDEX_OF_ZERO) instead of returning DuckDB's NULL."""
+    under ANSI. The accepted residual divergence (documented in SURVEY
+    §M13, ADVICE r11): a bracket index that is not provably numeric — a
+    bare column reference ``arr[idx_col]`` being the common shape — is NOT
+    wrapped, so idx_col = 0 at runtime errors loudly
+    (INVALID_INDEX_OF_ZERO) instead of returning DuckDB's NULL. Wrapping
+    bare identifiers is unsafe because the same spelling is MAP access
+    with a string key column, where nullif(key, 0) itself errors under
+    ANSI; the token layer cannot know the container type."""
     s = ix.strip()
     if re.fullmatch(r"\x00\d+\x00", s):
         return s
@@ -1382,11 +1387,21 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
             f"(p, q) -> CAST(coalesce(p <> q, true) AS INT)), 0, (acc, v) -> acc + v)"
         )
     if name == "time_bucket" and n == 2:
-        mm = _INTERVAL_LIT_RE.match(a[0])
+        # Quoted spellings arrive with the string literal masked to
+        # \x00N\x00 (INTERVAL '2' DAY / INTERVAL '2 days' / bare '2 days');
+        # resolve placeholders back through the parts table before matching.
+        w = re.sub(
+            r"\x00(\d+)\x00",
+            lambda mm: parts[int(mm.group(1))][1:-1],
+            a[0],
+        ).strip()
+        if not re.match(r"\AINTERVAL\b", w, re.IGNORECASE):
+            w = "INTERVAL " + w
+        mm = _INTERVAL_LIT_RE.match(w)
         if not mm:
             raise ValueError(
                 f"time_bucket: only INTERVAL n SECOND/MINUTE/HOUR/DAY/WEEK "
-                f"widths are supported, got {a[0]!r} (month/year buckets are "
+                f"widths are supported, got {w!r} (month/year buckets are "
                 f"variable-width)"
             )
         secs = int(mm.group(1)) * _TB_SECONDS[mm.group(2).lower()]
@@ -1444,9 +1459,9 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
             return f"try_element_at({a[0]}, greatest(size({a[0]}), 1))"
         raise ValueError(f"list_aggregate: unsupported function {agg!r}")
     if name == "list_distinct" and n == 1:
-        return f"array_distinct(array_compact({a[0]}))"
+        return f"array_distinct\x02(array_compact({a[0]}))"
     if name == "list_unique" and n == 1:
-        return f"size(array_distinct(array_compact({a[0]})))"
+        return f"size(array_distinct\x02(array_compact({a[0]})))"
     if name == "fdiv" and n == 2:
         return f"CAST(floor(({a[0]}) / ({a[1]})) AS DOUBLE)"
     if name == "fmod" and n == 2:

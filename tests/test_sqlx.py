@@ -1162,6 +1162,12 @@ def test_function_gap_rewrites_match_duckdb(spark):
         "time_bucket(INTERVAL 15 MINUTE, TIMESTAMP '2021-07-04 10:22:30')",
         "time_bucket(INTERVAL 2 DAY, TIMESTAMP '2021-07-04 10:22:30')",
         "time_bucket(INTERVAL 1 WEEK, TIMESTAMP '2021-07-08 10:22:30')",
+        # round 12 (ADVICE r11): quoted interval spellings arrive masked
+        "time_bucket(INTERVAL '2' DAY, TIMESTAMP '2021-07-04 10:22:30')",
+        "time_bucket(INTERVAL '2 days', TIMESTAMP '2021-07-04 10:22:30')",
+        "time_bucket(INTERVAL '90 minutes', TIMESTAMP '2021-07-04 10:22:30')",
+        # list_distinct ORDER is unspecified in DuckDB — compare order-free
+        "list_sum(list_distinct([1,1,NULL,3]))", "list_unique([1,1,NULL,3])",
         "list_value(1, 2)[1]", "array_value(7, 8)[2]",
     ]
     agg_rows = "(VALUES (1, 1.5), (2, -2.5), (3, 4.0), (4, 8.5), (5, NULL)) t(i, x)"
