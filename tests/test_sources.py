@@ -346,14 +346,14 @@ def test_delta_scan_partitions_and_guards(spark, tmp_path):
     ])
     rows = delta_scan(spark, root).groupBy("y").count().collect()
     assert {(r["y"], r["count"]) for r in rows} == {("2020", 3), ("2021", 3)}
-    # deletion-vector-era tables are rejected, not misread
+    # malformed v3 protocol (no readerFeatures list) stays rejected
     root2 = str(tmp_path / "dlv")
     _delta_part(spark, a, root2, "f.parquet")
     _delta_commit(root2, 0, [
         {"protocol": {"minReaderVersion": 3}},
         {"add": {"path": "f.parquet", "partitionValues": {}}},
     ])
-    with pytest.raises(NotImplementedError, match="deletion"):
+    with pytest.raises(NotImplementedError, match="not supported"):
         delta_scan(spark, root2)
 
 
@@ -467,7 +467,8 @@ def test_delta_scan_checkpoint_protocol_guard(spark, tmp_path):
     a = spark.range(3).selectExpr("id")
     _delta_part(spark, a, root, "f.parquet")
     _delta_checkpoint(spark, root, 0, [("f.parquet", {})], reader_version=3)
-    with pytest.raises(NotImplementedError, match="deletion"):
+    # v3 without a readerFeatures list is malformed: rejected via checkpoint too
+    with pytest.raises(NotImplementedError, match="not supported"):
         delta_scan(spark, root)
 
 
@@ -555,9 +556,11 @@ def test_delta_scan_v2_checkpoint_with_sidecars(spark, tmp_path):
         delta_scan(spark, root, version=0)
 
 
-def test_delta_scan_v2_checkpoint_dv_feature_rejected(spark, tmp_path):
-    """deletionVectors in readerFeatures (DVs are default-on in recent
-    writers) must stay loudly rejected, even via a v2 checkpoint."""
+def test_delta_scan_v2_checkpoint_dv_feature_accepted(spark, tmp_path):
+    """Round 12: deletionVectors in readerFeatures is now SUPPORTED —
+    accepted through a v2 checkpoint (no DV'd adds here: feature on, zero
+    vectors, the common steady state of a modern table). Unknown features
+    stay loudly rejected."""
     from duckdb_parachute_spark.sources import delta_scan
 
     root = str(tmp_path / "dlv2dv")
@@ -571,14 +574,24 @@ def test_delta_scan_v2_checkpoint_dv_feature_rejected(spark, tmp_path):
         sidecars=[],
         reader_features=("v2Checkpoint", "deletionVectors"),
     )
-    with pytest.raises(NotImplementedError, match="deletion"):
-        delta_scan(spark, root)
+    assert delta_scan(spark, root).count() == 3
+    root2 = str(tmp_path / "dlv2x")
+    _delta_part(spark, a, root2, "f.parquet")
+    _delta_v2_checkpoint(
+        spark,
+        root2,
+        0,
+        inline_adds=[("f.parquet", {})],
+        sidecars=[],
+        reader_features=("v2Checkpoint", "someFutureFeature"),
+    )
+    with pytest.raises(NotImplementedError, match="not supported"):
+        delta_scan(spark, root2)
 
 
-def test_delta_scan_add_with_deletion_vector_rejected(spark, tmp_path):
-    """A per-add deletionVector entry is data we would misread (rows in the
-    file are logically deleted): reject at the action level regardless of
-    what the protocol row claims."""
+def test_delta_scan_malformed_deletion_vector_rejected(spark, tmp_path):
+    """A DV descriptor that cannot be resolved (bogus Z85 path token) must
+    raise loudly rather than silently scan the file unfiltered."""
     from duckdb_parachute_spark.sources import delta_scan
 
     root = str(tmp_path / "dladv")
@@ -589,5 +602,219 @@ def test_delta_scan_add_with_deletion_vector_rejected(spark, tmp_path):
                  "deletionVector": {"storageType": "u", "pathOrInlineDv": "x",
                                     "offset": 1, "sizeInBytes": 40, "cardinality": 2}}},
     ])
-    with pytest.raises(NotImplementedError, match="deletion vector"):
+    with pytest.raises((ValueError, FileNotFoundError)):
         delta_scan(spark, root)
+
+
+# ---------------------------------------------------------------------------
+# round 12: Delta deletion vectors (VERDICT r11 missing #1)
+# ---------------------------------------------------------------------------
+
+
+def test_dv_codec_roundtrips():
+    """Z85 / roaring64 / blob / file framing round-trips, including the
+    >4096-per-container bitmap path and cross-bucket (>32-bit) indexes."""
+    import random
+
+    from duckdb_parachute_spark.sources import deltadv as dv
+
+    # z85: arbitrary lengths pad to 4, decode truncates back
+    for n in (0, 1, 3, 4, 5, 16, 33):
+        b = bytes(range(n % 251)) * (n // max(n % 251, 1) + 1)
+        b = b[:n]
+        assert dv.z85_decode(dv.z85_encode(b), length=n) == b
+    rng = random.Random(7)
+    cases = [
+        [],
+        [0],
+        [0, 1, 2, 3],
+        list(range(70000)),                       # forces a bitmap container
+        [2**33 + 5, 2**33 + 6, 12, 2**40],        # multiple high-32 buckets
+        sorted(rng.sample(range(10**9), 5000)),
+        [0xFFFFFFFFFFFFFFFF],
+    ]
+    for xs in cases:
+        assert dv.deserialize_roaring64(dv.serialize_roaring64(xs)) == sorted(set(xs))
+        assert dv.parse_dv_blob(dv.dv_blob(xs)) == sorted(set(xs))
+
+
+def test_dv_reader_handles_run_containers_and_bad_frames(tmp_path):
+    """The reader must accept run-format bitmaps (cookie 12347) that real
+    writers emit after runOptimize — hand-built here byte-for-byte from the
+    RoaringFormatSpec, since our writer never emits runs — and must reject
+    corrupt frames loudly (CRC, magic, size)."""
+    import struct
+
+    import pytest
+
+    from duckdb_parachute_spark.sources import deltadv as dv
+
+    # one run container: values 10..19 and 50..51 => 2 runs
+    runfmt = (
+        struct.pack("<HH", 12347, 0)      # cookie, containers-1 = 0
+        + b"\x01"                          # run flag bitset: container 0 is run
+        + struct.pack("<HH", 0, 12 - 1)    # key 0, cardinality-1
+        + struct.pack("<H", 2)             # 2 runs (< 4 containers: no offsets)
+        + struct.pack("<HH", 10, 9)        # start 10, length-1 = 9
+        + struct.pack("<HH", 50, 1)        # start 50, length-1 = 1
+    )
+    payload = struct.pack("<Q", 1) + struct.pack("<I", 0) + runfmt
+    assert dv.deserialize_roaring64(payload) == list(range(10, 20)) + [50, 51]
+
+    desc = dv.write_dv_file(str(tmp_path), [1, 5, 9], prefix="ab")
+    assert desc["storageType"] == "u" and desc["cardinality"] == 3
+    assert dv.read_dv_rows(str(tmp_path), desc) == [1, 5, 9]
+    # corrupt one data byte -> CRC must catch it
+    import glob
+
+    fp = glob.glob(str(tmp_path / "ab" / "deletion_vector_*.bin"))[0]
+    raw = bytearray(open(fp, "rb").read())
+    raw[8] ^= 0xFF
+    open(fp, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="checksum|magic"):
+        dv.read_dv_rows(str(tmp_path), desc)
+    # inline descriptor honours sizeInBytes truncation
+    inline = dv.inline_dv_descriptor([3, 4, 1 << 35])
+    assert dv.read_dv_rows(str(tmp_path), inline) == [3, 4, 1 << 35]
+    # wrong cardinality rejects
+    inline["cardinality"] = 99
+    with pytest.raises(ValueError, match="cardinality"):
+        dv.read_dv_rows(str(tmp_path), inline)
+
+
+def test_delta_scan_deletion_vectors_end_to_end(spark, tmp_path):
+    """delta_scan applies DVs (round 12): an on-disk DV with a prefix, an
+    inline DV, and a DV-on-rewrite (same file re-added with a bigger DV —
+    the real UPDATE/DELETE shape) all anti-filter by row index; time travel
+    back to the pre-DV version still sees every row; protocol v3 with
+    readerFeatures [deletionVectors] is accepted."""
+    from pyspark.sql import functions as F
+
+    from duckdb_parachute_spark.sources import delta_scan
+    from duckdb_parachute_spark.sources.deltadv import (
+        inline_dv_descriptor,
+        write_dv_file,
+    )
+
+    root = str(tmp_path / "dvt")
+    a = spark.range(0, 10).select(F.col("id"))
+    b = spark.range(100, 110).select(F.col("id"))
+    _delta_part(spark, a, root, "fa.parquet")
+    _delta_part(spark, b, root, "fb.parquet")
+    _delta_commit(root, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "t", "schemaString": "{}", "configuration": {}}},
+        {"add": {"path": "fa.parquet", "partitionValues": {}}},
+        {"add": {"path": "fb.parquet", "partitionValues": {}}},
+    ])
+    # version 1: delete rows 0,3,7 of fa via an on-disk DV (random prefix),
+    # rows 1,2 of fb via an inline DV
+    dva = write_dv_file(root, [0, 3, 7], prefix="ab")
+    dvb = inline_dv_descriptor([1, 2])
+    _delta_commit(root, 1, [
+        {"remove": {"path": "fa.parquet"}},
+        {"add": {"path": "fa.parquet", "partitionValues": {}, "deletionVector": dva}},
+        {"remove": {"path": "fb.parquet"}},
+        {"add": {"path": "fb.parquet", "partitionValues": {}, "deletionVector": dvb}},
+    ])
+    got = sorted(r["id"] for r in delta_scan(spark, root).collect())
+    assert got == [1, 2, 4, 5, 6, 8, 9] + [100, 103, 104, 105, 106, 107, 108, 109]
+    # time travel: version 0 has no DVs
+    assert len(delta_scan(spark, root, version=0).collect()) == 20
+    # version 2: widen fa's DV (delete-on-deleted rewrite, superset bitmap)
+    dva2 = write_dv_file(root, [0, 1, 3, 7])
+    _delta_commit(root, 2, [
+        {"remove": {"path": "fa.parquet"}},
+        {"add": {"path": "fa.parquet", "partitionValues": {}, "deletionVector": dva2}},
+    ])
+    got2 = sorted(r["id"] for r in delta_scan(spark, root).collect())
+    assert got2 == [2, 4, 5, 6, 8, 9] + [100, 103, 104, 105, 106, 107, 108, 109]
+
+
+def test_delta_scan_dv_partitioned_and_checkpointed(spark, tmp_path):
+    """DV descriptors survive the parquet-checkpoint fold (struct column)
+    and compose with partition grouping: only the group containing the DV'd
+    file gets the row-index anti-join."""
+    from pyspark.sql import functions as F
+
+    from duckdb_parachute_spark.sources import delta_scan
+    from duckdb_parachute_spark.sources.deltadv import write_dv_file
+
+    root = str(tmp_path / "dvcp")
+    a = spark.range(0, 6).select(F.col("id"))
+    b = spark.range(10, 16).select(F.col("id"))
+    _delta_part(spark, a, root, "y=1/fa.parquet")
+    _delta_part(spark, b, root, "y=2/fb.parquet")
+    dva = write_dv_file(root, [0, 5])
+    # checkpoint at version 1 carrying the DV struct; no JSON commits before
+    cp = spark.createDataFrame(
+        [
+            (("y=1/fa.parquet", {"y": "1"}, True,
+              (dva["storageType"], dva["pathOrInlineDv"], dva["offset"],
+               dva["sizeInBytes"], dva["cardinality"])), None),
+            (("y=2/fb.parquet", {"y": "2"}, True, None), None),
+            (None, (3, ["deletionVectors"])),
+        ],
+        "add struct<path: string, partitionValues: map<string,string>, dataChange: boolean, "
+        "deletionVector: struct<storageType: string, pathOrInlineDv: string, offset: int, "
+        "sizeInBytes: int, cardinality: bigint>>, "
+        "protocol struct<minReaderVersion: int, readerFeatures: array<string>>",
+    )
+    _delta_part(spark, cp, root, os.path.join("_delta_log", f"{1:020d}.checkpoint.parquet"))
+    df = delta_scan(spark, root)
+    got = sorted((r["id"], r["y"]) for r in df.collect())
+    assert got == [(1, "1"), (2, "1"), (3, "1"), (4, "1")] + [(i, "2") for i in range(10, 16)]
+
+
+def test_delta_scan_column_mapping_name_and_id(spark, tmp_path):
+    """Column mapping (round 12): name mode renames physical col-<uuid>
+    parquet columns to logical names (partitionValues keys are physical);
+    id mode resolves through parquet field_ids written in the footer."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from duckdb_parachute_spark.sources import delta_scan
+
+    schema_str = (
+        '{"type":"struct","fields":['
+        '{"name":"k","type":"long","nullable":true,"metadata":'
+        '{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-aaa"}},'
+        '{"name":"v","type":"string","nullable":true,"metadata":'
+        '{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-bbb"}}]}'
+    )
+    # ---- name mode
+    root = str(tmp_path / "cmname")
+    df = spark.range(0, 5).select(
+        F.col("id").alias("col-aaa"), F.concat(F.lit("x"), F.col("id")).alias("col-bbb")
+    )
+    _delta_part(spark, df, root, "f.parquet")
+    _delta_commit(root, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "t", "schemaString": schema_str,
+                      "configuration": {"delta.columnMapping.mode": "name"}}},
+        {"add": {"path": "f.parquet", "partitionValues": {}}},
+    ])
+    out = delta_scan(spark, root)
+    assert sorted(out.columns) == ["k", "v"]
+    assert sorted(r["v"] for r in out.collect()) == ["x0", "x1", "x2", "x3", "x4"]
+    # ---- id mode: physical parquet names are arbitrary, field_ids decide
+    root2 = str(tmp_path / "cmid")
+    os.makedirs(root2)
+    t = pa.table({"anything": list(range(3)), "else_": ["a", "b", "c"]})
+    t = t.cast(pa.schema([
+        pa.field("anything", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+        pa.field("else_", pa.string(), metadata={b"PARQUET:field_id": b"2"}),
+    ]))
+    pq.write_table(t, os.path.join(root2, "g.parquet"))
+    _delta_commit(root2, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "t2", "schemaString": schema_str,
+                      "configuration": {"delta.columnMapping.mode": "id"}}},
+        {"add": {"path": "g.parquet", "partitionValues": {}}},
+    ])
+    out2 = delta_scan(spark, root2)
+    assert sorted(out2.columns) == ["k", "v"]
+    assert sorted((r["k"], r["v"]) for r in out2.collect()) == [(0, "a"), (1, "b"), (2, "c")]
