@@ -36,6 +36,9 @@ def register_udfs(spark) -> None:
 
     spark.udf.register("jaro_winkler_similarity", jaro_winkler_similarity)
     spark.udf.register("damerau_levenshtein", damerau_levenshtein)
+    from duckdb_parachute_spark.functions.jsonfns import register_json_udfs
+
+    register_json_udfs(spark)
 
 
 def register_udtfs(spark) -> None:

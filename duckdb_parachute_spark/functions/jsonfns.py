@@ -1,0 +1,175 @@
+"""JSON tail functions (round 12, VERDICT r11 missing #2 — reference
+extension/json/json_functions/{json_structure,json_contains,json_pretty}.cpp).
+
+These three are recursive-over-the-document functions that Spark's built-in
+JSON surface (variant_get / from_json / schema_of_variant) cannot express:
+``json_structure`` runs DuckDB's structure-inference lattice (UBIGINT <
+BIGINT < DOUBLE; NULL unifies with anything; conflicting kinds collapse to
+"JSON"), ``json_contains`` is the recursive containment match, and
+``json_pretty`` is a fixed 4-space formatter. They are implemented as
+Arrow-batched pandas UDFs — a documented slow-path exception (pure
+row-local string work, no shuffle, no hot-path use; same posture as the
+LSH pandas_udf in similarity/__init__.py).
+
+Every behavior here is pinned against DuckDB 1.0.0 probes (see
+tests/test_sqlx.py round-12 cases), notably:
+
+* ints 0..2^64-1 → UBIGINT, negative (≥ -2^63) → BIGINT, beyond → DOUBLE
+* array unify: UBIGINT+BIGINT→BIGINT, int+DOUBLE→DOUBLE, NULL+T→T,
+  objects merge keys per-slot ({} contributes nothing), any other mix →
+  "JSON" (which then absorbs everything)
+* standalone ``{}`` renders as "JSON", ``[]`` as ["NULL"]
+* containment: object needle = recursive key-subset match, array needle =
+  every element matches SOME target element, scalars are TYPE-STRICT
+  (1 vs 1.0 vs "1" vs true all distinct), and the needle may match ANY
+  descendant of the haystack, not just the root
+* json_pretty is DuckDB ≥ 1.1 (yyjson pretty: 4-space indent); the
+  container's DuckDB oracle is 1.0.0, so json_pretty is pinned by unit
+  tests against the documented format, not oracle-graded (SURVEY M13).
+"""
+
+from __future__ import annotations
+
+import json
+
+__all__ = ["structure_of", "json_contains_py", "json_pretty_py", "register_json_udfs"]
+
+_U64 = 2**64 - 1
+_I64 = -(2**63)
+
+
+def _scalar_kind(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "BOOLEAN"
+    if isinstance(v, int):
+        if 0 <= v <= _U64:
+            return "UBIGINT"
+        if _I64 <= v < 0:
+            return "BIGINT"
+        return "DOUBLE"  # yyjson parses out-of-range ints as doubles
+    if isinstance(v, float):
+        return "DOUBLE"
+    if isinstance(v, str):
+        return "VARCHAR"
+    raise TypeError(f"unexpected JSON scalar {type(v)}")
+
+
+_NUM_RANK = {"UBIGINT": 0, "BIGINT": 1, "DOUBLE": 2}
+
+
+def _unify(a, b):
+    """DuckDB's structure lattice join. a/b are str kinds, dicts, or
+    1-element lists."""
+    if a == b:
+        return a
+    if a == "NULL":
+        return b
+    if b == "NULL":
+        return a
+    if isinstance(a, str) and isinstance(b, str) and a in _NUM_RANK and b in _NUM_RANK:
+        return max(a, b, key=_NUM_RANK.get)
+    if isinstance(a, dict) and isinstance(b, dict):
+        out = dict(a)
+        for k, v in b.items():
+            out[k] = _unify(out[k], v) if k in out else v
+        return out
+    if isinstance(a, list) and isinstance(b, list):
+        return [_unify(a[0], b[0])]
+    return "JSON"
+
+
+def _structure(v):
+    if isinstance(v, dict):
+        return {k: _structure(x) for k, x in v.items()}
+    if isinstance(v, list):
+        if not v:
+            return ["NULL"]
+        s = _structure(v[0])
+        for e in v[1:]:
+            s = _unify(s, _structure(e))
+        return [s]
+    return _scalar_kind(v)
+
+
+def _render(s) -> object:
+    """Empty objects (no keys survived) render as the "JSON" catch-all —
+    measured: json_structure('{}') = "JSON" but [{},{"a":1}] merges."""
+    if isinstance(s, dict):
+        return {k: _render(v) for k, v in s.items()} if s else "JSON"
+    if isinstance(s, list):
+        return [_render(s[0])]
+    return s
+
+
+def structure_of(doc: str | None) -> str | None:
+    if doc is None:
+        return None
+    return json.dumps(
+        _render(_structure(json.loads(doc))), separators=(",", ":"), ensure_ascii=False
+    )
+
+
+def _match(h, n) -> bool:
+    if isinstance(n, dict):
+        return isinstance(h, dict) and all(k in h and _match(h[k], v) for k, v in n.items())
+    if isinstance(n, list):
+        return isinstance(h, list) and all(any(_match(x, e) for x in h) for e in n)
+    if isinstance(n, bool) or isinstance(h, bool):
+        return isinstance(n, bool) and isinstance(h, bool) and n is h
+    if type(h) is not type(n):  # int vs float vs str vs None: strict
+        return False
+    return h == n
+
+
+def _contains(h, n) -> bool:
+    if _match(h, n):
+        return True
+    if isinstance(h, dict):
+        return any(_contains(v, n) for v in h.values())
+    if isinstance(h, list):
+        return any(_contains(x, n) for x in h)
+    return False
+
+
+def json_contains_py(haystack: str | None, needle: str | None) -> bool | None:
+    if haystack is None or needle is None:
+        return None
+    return _contains(json.loads(haystack), json.loads(needle))
+
+
+def json_pretty_py(doc: str | None) -> str | None:
+    """DuckDB (≥1.1) json_pretty: yyjson pretty writer — 4-space indent,
+    ": " after keys, raw UTF-8."""
+    if doc is None:
+        return None
+    return json.dumps(json.loads(doc), indent=4, separators=(",", ": "), ensure_ascii=False)
+
+
+def register_json_udfs(spark) -> None:
+    """Register the three as Arrow-batched pandas UDFs under their DuckDB
+    names (no Spark builtin collides); after this, sqlx.sql passes the
+    calls straight through. The wrappers are built via exec with REAL (not
+    postponed) annotations: this module uses `from __future__ import
+    annotations`, which stringifies hints and breaks pandas_udf's
+    signature inference."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _structure_batch(s):
+        return s.map(structure_of, na_action="ignore")
+
+    def _contains_batch(h, n):
+        return pd.Series([json_contains_py(a, b) for a, b in zip(h, n)], dtype="object")
+
+    def _pretty_batch(s):
+        return s.map(json_pretty_py, na_action="ignore")
+
+    _structure_batch.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _contains_batch.__annotations__ = {"h": pd.Series, "n": pd.Series, "return": pd.Series}
+    _pretty_batch.__annotations__ = {"s": pd.Series, "return": pd.Series}
+
+    spark.udf.register("json_structure", pandas_udf(_structure_batch, "string"))
+    spark.udf.register("json_contains", pandas_udf(_contains_batch, "boolean"))
+    spark.udf.register("json_pretty", pandas_udf(_pretty_batch, "string"))

@@ -1066,6 +1066,11 @@ _FN_GAP_RE = re.compile(
     r"json_valid|json_extract|json_extract_string|json_extract_path|"
     r"json_extract_path_text|json_keys|json_type|json_object|json_array|"
     r"json_array_length|json|"
+    # round-12 JSON tail: json_transform family -> from_json with the
+    # structure converted to a Spark DDL schema; DuckDB from_json IS
+    # json_transform (alias); 1-arg to_json gains ignoreNullFields=false
+    # (DuckDB keeps null fields; Spark drops them by default)
+    r"json_transform|json_transform_strict|from_json|from_json_strict|to_json|"
     # interval constructors + hamming (reference date_part.cpp to_* family,
     # hamming.cpp — DuckDB requires equal lengths, ours NULLs the surplus)
     r"to_years|to_months|to_weeks|to_days|to_hours|to_minutes|to_seconds|"
@@ -1078,6 +1083,41 @@ _FN_GAP_RE = re.compile(
 #: DuckDB time_bucket aligns to PostgreSQL's origin 2000-01-03 00:00:00
 #: (a Monday, so week-multiples align to Mondays) — measured:
 #: time_bucket(INTERVAL 2 DAY, '2021-07-04') = 2021-07-03.
+#: json_transform structure -> Spark DDL type (round 12). DuckDB logical
+#: type names map to their Spark equivalents; UBIGINT -> bigint is the one
+#: lossy row (no unsigned in Spark — diverges only beyond 2^63-1, SURVEY
+#: M13); TIMESTAMP is DuckDB's ntz timestamp.
+_JT_TYPE_MAP = {
+    "VARCHAR": "string", "TEXT": "string", "STRING": "string", "JSON": None,
+    "BIGINT": "bigint", "INT8": "bigint", "LONG": "bigint", "HUGEINT": "decimal(38,0)",
+    "UBIGINT": "bigint", "INTEGER": "int", "INT": "int", "INT4": "int",
+    "SMALLINT": "smallint", "INT2": "smallint", "TINYINT": "tinyint", "INT1": "tinyint",
+    "DOUBLE": "double", "FLOAT8": "double", "REAL": "float", "FLOAT": "float",
+    "BOOLEAN": "boolean", "BOOL": "boolean", "DATE": "date",
+    "TIMESTAMP": "timestamp_ntz", "DATETIME": "timestamp_ntz",
+}
+
+
+def _jt_ddl(spec) -> str:
+    if isinstance(spec, dict):
+        inner = ", ".join(f"`{k}`: {_jt_ddl(v)}" for k, v in spec.items())
+        return f"struct<{inner}>"
+    if isinstance(spec, list):
+        if len(spec) != 1:
+            raise ValueError(f"json_transform array structure needs 1 element, got {spec!r}")
+        return f"array<{_jt_ddl(spec[0])}>"
+    u = str(spec).strip().upper()
+    got = _JT_TYPE_MAP.get(u)
+    if got:
+        return got
+    if u.startswith("DECIMAL"):
+        return str(spec).lower()
+    raise ValueError(
+        f"json_transform: unsupported structure type {spec!r} "
+        f"(JSON-typed slots cannot keep raw text through from_json)"
+    )
+
+
 _TB_ORIGIN = "2000-01-03 00:00:00"
 _INTERVAL_LIT_RE = re.compile(
     r"\AINTERVAL\s+'?(\d+)'?\s+(SECOND|MINUTE|HOUR|DAY|WEEK)S?\Z", re.IGNORECASE
@@ -1334,7 +1374,7 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
             f"(try_parse_json({a[0]}) IS NOT NULL OR trim({a[0]}) = {lit('null')})"
         )
     if name in ("json_extract", "json_extract_path") and n == 2:
-        return f"to_json(variant_get(try_parse_json({a[0]}), {a[1]}))"
+        return f"to_json\x02(variant_get(try_parse_json({a[0]}), {a[1]}))"
     if name in ("json_extract_string", "json_extract_path_text") and n == 2:
         return f"get_json_object({a[0]}, {a[1]})"
     if name == "json_keys" and n in (1, 2):
@@ -1342,7 +1382,7 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
         return f"json_object_keys({src})"
     if name == "json_array_length" and n in (1, 2):
         src = a[0] if n == 1 else f"get_json_object({a[0]}, {a[1]})"
-        return f"size(from_json({src}, {lit('array<string>')}))"
+        return f"size(from_json\x02({src}, {lit('array<string>')}))"
     if name == "json_type" and n in (1, 2):
         src = a[0] if n == 1 else f"to_json(variant_get(try_parse_json({a[0]}), {a[1]}))"
         s = f"schema_of_variant(try_parse_json({src}))"
@@ -1361,12 +1401,54 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
         if n % 2 != 0:
             raise ValueError("json_object expects key/value pairs")
         pairs = ", ".join(a)
-        return f"to_json(named_struct({pairs}))"
+        # ignoreNullFields=false: DuckDB json_object('a', NULL) keeps the
+        # null field (measured '{"a":null}'); Spark's default drops it
+        return (
+            f"to_json\x02(named_struct({pairs}), "
+            f"map({lit('ignoreNullFields')}, {lit('false')}))"
+        )
     if name == "json_array":
-        return f"to_json(array({', '.join(a)}))"
+        return f"to_json\x02(array({', '.join(a)}))"
     if name == "json" and n == 1:
         # parse + minify, DuckDB's json() normalizer
-        return f"to_json(try_parse_json({a[0]}))"
+        return f"to_json\x02(try_parse_json({a[0]}))"
+    if name in ("json_transform", "json_transform_strict", "from_json",
+                "from_json_strict") and n == 2:
+        # DuckDB json_transform(doc, structure) — from_json IS its alias in
+        # the DuckDB dialect (docs: "from_json is an alias of
+        # json_transform"); the structure literal converts to a Spark DDL
+        # schema. Non-strict: failed casts become NULL fields (Spark
+        # PERMISSIVE — measured identical); *_strict raises (FAILFAST).
+        # UBIGINT maps to bigint (Spark has no unsigned — divergence only
+        # beyond 2^63-1, documented in SURVEY M13).
+        key = re.fullmatch(r"\x00(\d+)\x00", a[1])
+        if not key:
+            raise ValueError(f"{name} needs a literal structure, got {a[1]!r}")
+        import json as _json_mod
+
+        try:
+            spec = _json_mod.loads(parts[int(key.group(1))][1:-1])
+        except ValueError:
+            if name in ("from_json", "from_json_strict"):
+                return None  # a Spark DDL literal: already-valid from_json
+            raise ValueError(
+                f"{name}: structure argument is not valid JSON: "
+                f"{parts[int(key.group(1))]!r}"
+            ) from None
+        ddl = _jt_ddl(spec)
+        if name.endswith("_strict"):
+            return (
+                f"from_json\x02({a[0]}, {lit(ddl)}, "
+                f"map({lit('mode')}, {lit('FAILFAST')}))"
+            )
+        return f"from_json\x02({a[0]}, {lit(ddl)})"
+    if name == "to_json" and n == 1:
+        # DuckDB to_json keeps NULL struct fields; Spark drops them unless
+        # ignoreNullFields=false (measured: named_struct('a', NULL) ->
+        # '{}' vs DuckDB '{"a":null}')
+        return (
+            f"to_json\x02({a[0]}, map({lit('ignoreNullFields')}, {lit('false')}))"
+        )
     if name in (
         "to_years", "to_months", "to_weeks", "to_days", "to_hours",
         "to_minutes", "to_seconds", "to_milliseconds", "to_microseconds",

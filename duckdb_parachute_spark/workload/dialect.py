@@ -989,3 +989,48 @@ def dialect_json_fns(spark, sf_dir):
     json_array construct. Same SQL is the oracle."""
     _views(spark, sf_dir, "events")
     return sqlx.sql(spark, _JSON_FNS_SQL)
+
+
+_JSON_TAIL_SQL = """
+WITH docs(i, j) AS (
+    SELECT * FROM (VALUES
+        (1, '{"a":1,"b":[1,2],"c":{"d":"x"},"e":1.5,"f":true,"g":null}'),
+        (2, '[{"a":1},{"a":2.5}]'),
+        (3, '[1,"x"]'),
+        (4, '{"a":[{"b":1},{"c":2}]}'),
+        (5, '{"a":-1}'),
+        (6, '[[1],[2]]'),
+        (7, '"hi"'),
+        (8, '{}'),
+        (9, '[]'),
+        (10, '{"a":{"x":1,"y":2},"c":2}')
+    ) AS t(i, j)
+)
+SELECT i,
+       json_structure(j) AS struct_s,
+       json_contains(j, '{"a":1}') AS has_obj,
+       json_contains(j, '1') AS has_one,
+       json_contains(j, '[1]') AS has_arr,
+       to_json(json_transform(j, '{"a":"DOUBLE"}')) AS transformed
+FROM docs ORDER BY i
+"""
+
+
+@query("dialect_json_tail", oracle=_JSON_TAIL_SQL)
+def dialect_json_tail(spark, sf_dir):
+    """Round-12 JSON tail (VERDICT r11 missing #2; reference
+    extension/json/json_functions/{json_structure,json_contains,
+    json_transform}.cpp): json_structure runs DuckDB's inference lattice
+    (UBIGINT<BIGINT<DOUBLE, NULL unifies, conflicts collapse to "JSON",
+    standalone {} is "JSON") and json_contains the recursive type-strict
+    containment — both Arrow-batched pandas UDFs (pure row-local recursion,
+    no Spark-expressible spelling); json_transform -> from_json with the
+    structure literal converted to a Spark DDL schema, null-on-failed-cast
+    (PERMISSIVE ≡ DuckDB non-strict), wrapped in null-keeping to_json.
+    Same SQL is the oracle. json_pretty is unit-pinned instead (the
+    container's DuckDB 1.0.0 oracle predates it); json_serialize_sql is
+    documented out of scope (SURVEY M13)."""
+    from duckdb_parachute_spark.functions import register_udfs
+
+    register_udfs(spark)
+    return sqlx.sql(spark, _JSON_TAIL_SQL)

@@ -1104,7 +1104,11 @@ def test_function_gap_rewrites_match_duckdb(spark):
     the silent-wrong-answer trap (DuckDB 1-arg log() is log10, Spark's is
     ln), arg-order swaps (trim family, list_prepend), the floored-mod fmod,
     banker's round_even → bround, epoch_ms/us/ns, the T[] array-type
-    spelling, and the rename batch."""
+    spelling, and the rename batch. Round 12 adds the JSON tail
+    (json_structure/json_contains UDFs + json_transform -> from_json)."""
+    from duckdb_parachute_spark.functions import register_udfs
+
+    register_udfs(spark)
     import duckdb
 
     from duckdb_parachute_spark import sqlx
@@ -1200,6 +1204,33 @@ def test_function_gap_rewrites_match_duckdb(spark):
         "json_type('1.5')", "json_type('\"s\"')", "json_type('null')",
         "json_object('k', 7)", "json_array(1, 2)",
         f"json({json_doc})", f"CAST({json_doc} AS JSON)", f"({json_doc}::JSON)",
+        # round-12 JSON tail: structure inference lattice, recursive
+        # containment (type-strict scalars), transform -> from_json (null
+        # on cast failure; *_strict raises — tested separately), to_json
+        # keeps null struct fields like DuckDB
+        f"json_structure({json_doc})",
+        "json_structure('{\"a\":1,\"e\":1.5,\"f\":true,\"g\":null}')",
+        "json_structure('[{\"a\":1},{\"a\":2.5}]')", "json_structure('[1,\"x\"]')",
+        "json_structure('{\"a\":[{\"b\":1},{\"c\":2}]}')",
+        "json_structure('{\"a\":-1}')", "json_structure('{}')",
+        "json_structure('[]')", "json_structure('[{},{\"a\":1}]')",
+        "json_structure('{\"a\":[1,null,2]}')",
+        "json_structure('{\"a\":18446744073709551615}')",
+        "json_structure('{\"a\":18446744073709551616}')",
+        "json_contains('{\"a\":1,\"b\":2}', '{\"a\":1}')",
+        "json_contains('{\"a\":{\"b\":1},\"c\":2}', '{\"b\":1}')",
+        "json_contains('[1,2,3]', '[3,1]')", "json_contains('[1,2,3]', '[]')",
+        "json_contains('[[1,2]]', '[1]')", "json_contains('{\"a\":1}', '{\"a\":2}')",
+        "json_contains('1', '1.0')", "json_contains('{\"a\":\"1\"}', '{\"a\":1}')",
+        "json_contains('[{\"a\":1,\"b\":2}]', '{\"a\":1}')",
+        "json_contains('[true,false]', 'true')", "json_contains('{\"a\":1}', 'true')",
+        "json_contains('{\"a\":null}', '{\"a\":null}')",
+        "to_json(json_transform('{\"a\":1,\"b\":\"x\"}', '{\"a\":\"DOUBLE\",\"b\":\"VARCHAR\"}'))",
+        "to_json(json_transform('[{\"a\":1},{\"a\":2}]', '[{\"a\":\"BIGINT\"}]'))",
+        "to_json(json_transform('{\"b\":2}', '{\"a\":\"BIGINT\"}'))",
+        "to_json(json_transform('{\"a\":{\"b\":[1,2]}}', '{\"a\":{\"b\":[\"DOUBLE\"]}}'))",
+        "to_json(from_json('{\"a\":7}', '{\"a\":\"BIGINT\"}'))",
+        "json_transform('{\"a\":\"2021-01-02\"}', '{\"a\":\"DATE\"}').a",
     ]
     series_cases = [
         # scalar series lists (slice-guarded empties) + Euclid-fold gcd/lcm
@@ -1327,3 +1358,36 @@ def test_series_table_functions(spark):
     # the plan is Spark's native Range source — no exploded array scan
     plan = sqlx.sql(spark, "SELECT * FROM generate_series(1, 10)")._jdf.queryExecution().executedPlan().toString()
     assert "Range (" in plan, plan
+
+
+def test_json_transform_strict_and_pretty(spark):
+    """Round 12: json_transform_strict raises on a failed cast (DuckDB
+    Invalid Input Error -> Spark FAILFAST), non-strict NULLs the field;
+    json_pretty pins the documented DuckDB (>=1.1 — the container oracle
+    is 1.0.0, so unit-pinned) yyjson 4-space format."""
+    import pytest
+
+    from duckdb_parachute_spark import sqlx
+    from duckdb_parachute_spark.functions import register_udfs
+    from duckdb_parachute_spark.functions.jsonfns import json_pretty_py
+
+    register_udfs(spark)
+    ok = sqlx.sql(
+        spark, """SELECT json_transform('{"a":"zz"}', '{"a":"BIGINT"}').a AS r"""
+    ).head()[0]
+    assert ok is None
+    with pytest.raises(Exception, match="MALFORMED_RECORD|FAILFAST|Malformed"):
+        sqlx.sql(
+            spark,
+            """SELECT json_transform_strict('{"a":"zz"}', '{"a":"BIGINT"}').a AS r""",
+        ).collect()
+    assert json_pretty_py('{"a":[1,2],"b":"x"}') == (
+        '{\n    "a": [\n        1,\n        2\n    ],\n    "b": "x"\n}'
+    )
+    assert (
+        sqlx.sql(spark, """SELECT json_pretty('{"a":1}') AS r""").head()[0]
+        == '{\n    "a": 1\n}'
+    )
+    # unsupported structure slot raises loudly, not silently
+    with pytest.raises(ValueError, match="unsupported structure"):
+        sqlx.sql(spark, """SELECT json_transform('{"a":1}', '{"a":"JSON"}') AS r""")
