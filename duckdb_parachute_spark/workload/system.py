@@ -366,3 +366,108 @@ def collate_locale_hr_rank(spark, sf_dir):
         df, [collate.locale_collation_key(F.col("s"), "hr")], out="rnk"
     )
     return ranked.select("s", "rnk").orderBy("rnk", "s")
+
+
+@query(
+    "collate_locale_el_rank",
+    oracle="""
+    WITH b AS (SELECT p_name AS n FROM part WHERE p_partkey % 9 = 0)
+    SELECT s, CAST(rank() OVER (ORDER BY s COLLATE el) AS BIGINT) AS rnk
+    FROM (
+        SELECT translate(n, 'abegiklmnoprstuwy', 'αβεγικλμνοπρστυωυ') AS s FROM b
+        UNION ALL
+        SELECT translate(n, 'abegiklmnoprstuwy', 'άβεγίκλμνόπρστύωυ') AS s FROM b
+        UNION ALL
+        SELECT upper(translate(n, 'abegiklmnoprstu', 'αβεγικλμνοπρστυ')) AS s FROM b
+        UNION ALL
+        SELECT replace(translate(n, 'aegiou', 'αεγιου'), 's', 'ς') AS s FROM b
+        UNION ALL
+        SELECT n AS s FROM b
+    )
+    ORDER BY rnk, s
+    """,
+)
+def collate_locale_el_rank(spark, sf_dir):
+    """ICU Greek collation (round 12, VERDICT r11 missing #3 — reference
+    extension/icu/icu_extension.cpp:119): a different SCRIPT through the
+    key machinery. Branch 1 transliterates part names to Greek, branch 2
+    adds tonos vowels (SECONDARY: 'αα' < 'αά' < 'άα'), branch 3 uppercases
+    (TERTIARY lower-first: α < Α), branch 4 swaps in final sigma (ς ties σ
+    at primary+secondary, tertiary σ < Σ < ς), branch 5 keeps Latin — the
+    measured [reorder Grek] puts every Greek row before every Latin row.
+    Ranked on locale_collation_key('el') vs DuckDB's real ICU
+    ``COLLATE el``."""
+    from duckdb_parachute_spark.functions.scalar import global_rank
+
+    b = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 9 == 0)
+        .select(F.col("p_name").alias("n"))
+    )
+    df = (
+        b.select(F.translate(F.col("n"), "abegiklmnoprstuwy", "αβεγικλμνοπρστυωυ").alias("s"))
+        .unionAll(
+            b.select(F.translate(F.col("n"), "abegiklmnoprstuwy", "άβεγίκλμνόπρστύωυ").alias("s"))
+        )
+        .unionAll(
+            b.select(F.upper(F.translate(F.col("n"), "abegiklmnoprstu", "αβεγικλμνοπρστυ")).alias("s"))
+        )
+        .unionAll(
+            b.select(
+                F.replace(
+                    F.translate(F.col("n"), "aegiou", "αεγιου"), F.lit("s"), F.lit("ς")
+                ).alias("s")
+            )
+        )
+        .unionAll(b.select(F.col("n").alias("s")))
+    )
+    ranked = global_rank(
+        df, [collate.locale_collation_key(F.col("s"), "el")], out="rnk"
+    )
+    return ranked.select("s", "rnk").orderBy("rnk", "s")
+
+
+@query(
+    "collate_locale_vi_rank",
+    oracle="""
+    SELECT s, CAST(rank() OVER (ORDER BY s COLLATE vi) AS BIGINT) AS rnk
+    FROM (
+        SELECT CASE p_partkey % 6
+                 WHEN 0 THEN translate(p_name, 'aeou', 'ăêôư')
+                 WHEN 1 THEN translate(p_name, 'aeou', 'ằềồừ')
+                 WHEN 2 THEN translate(p_name, 'aeou', 'ắếốứ')
+                 WHEN 3 THEN translate(p_name, 'aeouyd', 'ạẹọụỵđ')
+                 WHEN 4 THEN upper(translate(p_name, 'ao', 'ảỗ'))
+                 ELSE translate(p_name, 'ao', 'ãơ')
+               END AS s
+        FROM part
+        WHERE p_partkey % 9 = 0
+    )
+    ORDER BY rnk, s
+    """,
+)
+def collate_locale_vi_rank(spark, sf_dir):
+    """ICU Vietnamese collation (round 12, VERDICT r11 missing #3): the
+    stacked-diacritics locale — ă â đ ê ô ơ ư are FULL letters whose five
+    toned forms stay in the letter's primary slot (ằ/ắ sort with ă, not a:
+    breve primary, tone secondary), tones order plain < grave < hỏi <
+    tilde < acute < dot-below positionally, case tertiary lower-first.
+    Branches seed plain full letters, grave-toned, acute-toned, dot-toned
+    (+đ), uppercase hỏi/ỗ forms, and tilde/horn forms. Ranked on
+    locale_collation_key('vi') vs DuckDB's real ICU ``COLLATE vi``."""
+    from duckdb_parachute_spark.functions.scalar import global_rank
+
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 9 == 0)
+    s = (
+        F.when(F.col("p_partkey") % 6 == 0, F.translate(F.col("p_name"), "aeou", "ăêôư"))
+        .when(F.col("p_partkey") % 6 == 1, F.translate(F.col("p_name"), "aeou", "ằềồừ"))
+        .when(F.col("p_partkey") % 6 == 2, F.translate(F.col("p_name"), "aeou", "ắếốứ"))
+        .when(F.col("p_partkey") % 6 == 3, F.translate(F.col("p_name"), "aeouyd", "ạẹọụỵđ"))
+        .when(F.col("p_partkey") % 6 == 4, F.upper(F.translate(F.col("p_name"), "ao", "ảỗ")))
+        .otherwise(F.translate(F.col("p_name"), "ao", "ãơ"))
+    )
+    df = p.select(s.alias("s"))
+    ranked = global_rank(
+        df, [collate.locale_collation_key(F.col("s"), "vi")], out="rnk"
+    )
+    return ranked.select("s", "rnk").orderBy("rnk", "s")

@@ -463,6 +463,12 @@ _LOCALE_ALPHABETS = {
     # like ssz/ccs arising from random draws), full-letter ö/ü with
     # secondary ő/ű, and secondary acutes
     "hu": "abcdegilnostuyzáéóöőúüűCDGSLNTYZS",
+    # round-12 additions: Greek (different script — [reorder Grek] puts it
+    # between digits and Latin; tonos/dialytika secondary; σ<Σ<ς tertiary)
+    # and Vietnamese (full letters ă â đ ê ô ơ ư whose toned forms stack:
+    # letter primary, tone secondary, case tertiary)
+    "el": "azαβηιστυωάήίΐϊσςΣΑΪ0",
+    "vi": "abdeouyàảãáạăằắâấèéêềìòóôồơớùúưứỳýđÀẠĂÂÊÔƠƯĐZ",
 }
 
 
