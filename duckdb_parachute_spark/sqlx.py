@@ -638,6 +638,13 @@ _FN_ALIAS_MAP = {
     "array_concat": "concat",
     "array_has_any": "arrays_overlap",
     "strlen": "octet_length",  # DuckDB strlen is BYTE length
+    # round-12 batch: probed-identical renames
+    "to_base64": "base64",
+    "from_base64": "unbase64",
+    "editdist3": "levenshtein",
+    "string_split_regex": "split",  # both keep trailing empties
+    "str_split_regex": "split",
+    "regexp_split_to_array": "split",
 }
 _FN_ALIAS_RE = re.compile(
     r"\b(" + "|".join(_FN_ALIAS_MAP) + r")\s*\(", re.IGNORECASE
@@ -1075,7 +1082,13 @@ _FN_GAP_RE = re.compile(
     # hamming.cpp — DuckDB requires equal lengths, ours NULLs the surplus)
     r"to_years|to_months|to_weeks|to_days|to_hours|to_minutes|to_seconds|"
     r"to_milliseconds|to_microseconds|hamming|mismatches|array_has_all|"
-    r"list_any_value|list_aggregate|list_aggr)"
+    r"list_any_value|list_aggregate|list_aggr|"
+    # round-12 batch: map-only element_at (returns a LIST like map_extract —
+    # Spark's scalar element_at would be a silent wrong answer), char-set
+    # jaccard, trunc-to-1-decimal byte formatters, path parsing family
+    r"element_at|jaccard|format_bytes|formatreadablesize|"
+    r"formatreadabledecimalsize|parse_path|parse_dirname|parse_dirpath|"
+    r"parse_filename)"
     r"\s*\(",
     re.IGNORECASE,
 )
@@ -1210,8 +1223,76 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
         )
     if name == "regexp_replace" and n in (3, 4):
         return _regexp_replace_emit(a, lit, parts)
-    if name == "map_extract" and n == 2:
+    if name in ("map_extract", "element_at") and n == 2:
+        # DuckDB element_at IS map_extract (map-only — the binder rejects
+        # lists) and returns a LIST: [] on a missing key. Spark's scalar
+        # element_at would silently unwrap — a wrong answer, not an error.
         return f"filter(array(try_element_at({a[0]}, {a[1]})), y -> y IS NOT NULL)"
+    if name == "jaccard" and n == 2:
+        # BYTE-set Jaccard, case-sensitive (measured: 'Ab' vs 'ab' = 1/3,
+        # and 'héllo' vs 'hello' = 0.5 — é contributes its TWO utf-8 bytes,
+        # so this is bytes, not codepoints). DuckDB raises on empty input;
+        # ours yields NULL — softer on the error case, equal everywhere
+        # valid.
+        def byteset(x: str) -> str:
+            return (
+                f"CASE WHEN octet_length({x}) > 0 THEN array_distinct\x02("
+                f"transform(sequence(1, octet_length({x})), "
+                f"i -> substring(encode({x}, {lit('utf-8')}), i, 1))) END"
+            )
+
+        da, db = byteset(a[0]), byteset(a[1])
+        return (
+            f"(CAST(size(array_intersect({da}, {db})) AS DOUBLE) / "
+            f"nullif(size(array_union({da}, {db})), 0))"
+        )
+    if name in ("format_bytes", "formatreadablesize",
+                "formatreadabledecimalsize") and n == 1:
+        # DuckDB/ClickHouse byte formatters: value TRUNCATED (not rounded)
+        # to 1 decimal — measured format_bytes(1048575) = '1023.9 KiB' —
+        # binary 1024 tiers capped at PiB / decimal 1000 tiers at PB;
+        # below one unit prints '<n> bytes'.
+        dec = name == "formatreadabledecimalsize"
+        k = 1000 if dec else 1024
+        units = ["kB", "MB", "GB", "TB", "PB"] if dec else ["KiB", "MiB", "GiB", "TiB", "PiB"]
+        x = f"CAST({a[0]} AS DOUBLE)"
+        sign = f"CASE WHEN {x} < 0 THEN {lit('-')} ELSE {lit('')} END"
+
+        def tier(p):
+            v = f"floor(abs({x}) / {k}.0" + f" / {k}.0" * (p - 1) + " * 10) / 10"
+            return f"concat({sign}, format_number({v}, {lit('0.0')}), {lit(' ' + units[p - 1])})"
+
+        branches = f"CASE WHEN abs({x}) < {k} THEN concat(CAST({a[0]} AS BIGINT), {lit(' bytes')}) "
+        for p in range(1, 5):
+            branches += f"WHEN abs({x}) < CAST({k} AS DOUBLE) * {k ** p} THEN {tier(p)} "
+        return branches + f"ELSE {tier(5)} END"
+    if name == "parse_path" and n == 1:
+        sep_cls = lit("[/" + chr(92) * 4 + "]")  # regex char class [/\\]
+        empty = lit("")
+        body = f"filter(split({a[0]}, {sep_cls}), s -> s <> {empty})"
+        head = f"substring({a[0]}, 1, 1)"
+        bslash = lit(chr(92))
+        return (
+            f"CASE WHEN {head} IN ({lit('/')}, {bslash}) "
+            f"THEN concat(array({head}), {body}) ELSE {body} END"
+        )
+    if name == "parse_dirname" and n == 1:
+        pp = _fn_gap_emit("parse_path", [a[0]], lit, parts)
+        return f"coalesce(CASE WHEN size({pp}) > 1 THEN try_element_at({pp}, 1) END, {lit('')})"
+    if name == "parse_dirpath" and n == 1:
+        pat = lit("[/" + chr(92) * 4 + "]?[^/" + chr(92) * 4 + "]*$")
+        return f"regexp_replace\x02({a[0]}, {pat}, {lit('')})"
+    if name == "parse_filename" and n in (1, 2):
+        fpat = lit("[^/" + chr(92) * 4 + "]*$")
+        fname = f"regexp_extract({a[0]}, {fpat}, 0)"
+        if n == 2:
+            t = a[1].strip().lower()
+            if t not in ("true", "false"):
+                raise ValueError("parse_filename: trim_extension must be a boolean literal")
+            if t == "true":
+                ext = lit(chr(92) + ".[^.]*$")
+                return f"regexp_replace\x02({fname}, {ext}, {lit('')})"
+        return fname
     if name == "struct_pack":
         fields = []
         for arg in a:
@@ -2287,7 +2368,18 @@ def rewrite_int_casts(sql: str, _parts: list[str] | None = None) -> str:
     return sql.replace("\x02(", "(")
 
 
+#: DuckDB typed literals Spark's parser rejects: BLOB 'x' / BIT '0101' —
+#: the literal arrives masked, so the rewrite is placeholder-shaped. BIT is
+#: unsupported (Spark has no bitstring type) and raises via the CAST path.
+_BLOB_LIT_RE = re.compile(r"\b(BLOB|BYTEA)\s+(\x00\d+\x00)", re.IGNORECASE)
+
+
+def rewrite_blob_literals(sql: str) -> str:
+    return _BLOB_LIT_RE.sub(lambda m: f"CAST({m.group(2)} AS BINARY)", sql)
+
+
 REWRITES = [
+    rewrite_blob_literals,
     rewrite_from_first,
     rewrite_trailing_commas,
     rewrite_qualify,

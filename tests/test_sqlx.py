@@ -1251,6 +1251,32 @@ def test_function_gap_rewrites_match_duckdb(spark):
         "list_reverse([1,2,3])[1]", "array_has_all([1,2],[2])",
         "list_cat([1],[2])[2]", "strlen('héllo')",
         "list_any_value([NULL, 7])",
+        # round-12 batch: map-only element_at (returns a LIST — Spark's
+        # scalar would silently unwrap), char-set jaccard, TRUNC-to-1-dp
+        # byte formatters (1048575 -> 1023.9 KiB, not 1024.0), path family,
+        # base64/levenshtein/split renames
+        "element_at(MAP {'a': 5}, 'a')[1]",
+        "array_length(element_at(MAP {'a': 5}, 'zz'))",
+        "map_keys(MAP {'a': 1, 'b': 2})[2]", "map_values(MAP {'a': 7})[1]",
+        "cardinality(MAP {'a': 1, 'b': 2})",
+        "round(jaccard('abc', 'abd'), 6)", "round(jaccard('Ab', 'ab'), 6)",
+        "round(jaccard('aa', 'a'), 6)", "round(jaccard('héllo', 'hello'), 6)",
+        "format_bytes(999)", "format_bytes(1024)", "format_bytes(1048575)",
+        "format_bytes(-2048)", "format_bytes(1536)", "format_bytes(0)",
+        "format_bytes(9000000000000000000)", "formatReadableSize(1536)",
+        "formatReadableDecimalSize(999999)", "formatReadableDecimalSize(1000)",
+        "formatReadableDecimalSize(-999999)",
+        "parse_path('/a/b/c.txt')[1]", "parse_path('/a/b/c.txt')[4]",
+        "parse_path('a/b/c.txt')[1]", "array_length(parse_path('//a//b'))",
+        "parse_dirname('/a/b/c.txt')", "parse_dirname('c.txt')",
+        "parse_dirpath('/a/b/c.txt')", "parse_dirpath('c.txt')",
+        "parse_dirpath('a/b/')",
+        "parse_filename('/a/b/c.txt')", "parse_filename('a/b/c.tar.gz', true)",
+        "parse_filename('noslash', true)", "parse_filename('.bashrc', true)",
+        "to_base64(BLOB 'ab')", "octet_length(from_base64('YWI='))",
+        "editdist3('kitten', 'sitting')", "levenshtein('', 'abc')",
+        "string_split_regex('a1b2c', '[0-9]')[2]",
+        "array_length(string_split_regex('ab1', '[0-9]'))",
     ]
     bad = []
     for c in cases + agg_cases + series_cases + json_cases:
