@@ -1088,7 +1088,7 @@ _FN_GAP_RE = re.compile(
     # jaccard, trunc-to-1-decimal byte formatters, path parsing family
     r"element_at|jaccard|format_bytes|formatreadablesize|"
     r"formatreadabledecimalsize|parse_path|parse_dirname|parse_dirpath|"
-    r"parse_filename)"
+    r"parse_filename|encode|decode)"
     r"\s*\(",
     re.IGNORECASE,
 )
@@ -1223,6 +1223,10 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
         )
     if name == "regexp_replace" and n in (3, 4):
         return _regexp_replace_emit(a, lit, parts)
+    if name in ("encode", "decode") and n == 1:
+        # DuckDB's 1-arg VARCHAR<->BLOB codec is always utf-8; Spark's
+        # 2-arg form with an explicit charset is the same operation
+        return f"{name}\x02({a[0]}, {lit('utf-8')})"
     if name in ("map_extract", "element_at") and n == 2:
         # DuckDB element_at IS map_extract (map-only — the binder rejects
         # lists) and returns a LIST: [] on a missing key. Spark's scalar

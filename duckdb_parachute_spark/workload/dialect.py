@@ -1034,3 +1034,37 @@ def dialect_json_tail(spark, sf_dir):
 
     register_udfs(spark)
     return sqlx.sql(spark, _JSON_TAIL_SQL)
+
+
+_FN_GAPS2_SQL = """
+SELECT p_partkey,
+       round(jaccard(p_name, p_type), 6) AS jac,
+       format_bytes(CAST(p_retailprice * 1000 AS BIGINT)) AS fb,
+       formatReadableDecimalSize(CAST(p_retailprice * 1000 AS BIGINT)) AS frd,
+       parse_path(replace(p_type, ' ', '/'))[1] AS path_head,
+       parse_dirname(replace(p_name, ' ', '/')) AS dir1,
+       parse_dirpath(replace(p_name, ' ', '/')) AS dpath,
+       parse_filename(replace(p_name, ' ', '/'), true) AS fname,
+       to_base64(encode(p_name)) AS b64,
+       editdist3(p_brand, p_type) AS ed,
+       string_split_regex(p_name, '[aeiou]+')[1] AS tok1,
+       element_at(MAP {p_brand: p_partkey}, p_brand)[1] AS me
+FROM part WHERE p_partkey % 17 = 0
+ORDER BY p_partkey
+"""
+
+
+@query("dialect_fn_gaps2", oracle=_FN_GAPS2_SQL)
+def dialect_fn_gaps2(spark, sf_dir):
+    """Round-12 function-gap batch over real part rows (probed on DuckDB
+    1.0, each pinned in the metamorphic suite): BYTE-set jaccard ('héllo'
+    vs 'hello' = 0.5 — bytes, not codepoints), format_bytes /
+    formatReadableDecimalSize with DuckDB's TRUNCATION to 1 decimal
+    (1048575 -> '1023.9 KiB', not 1024.0), the parse_path family (root
+    element kept, dirname = FIRST component, trim-one-extension filename),
+    map-only element_at (returns a LIST like map_extract — Spark's scalar
+    element_at would silently unwrap), BLOB typed literals, and the
+    to_base64/editdist3/string_split_regex renames. Same SQL is the
+    oracle."""
+    _views(spark, sf_dir, "part")
+    return sqlx.sql(spark, _FN_GAPS2_SQL)
