@@ -104,11 +104,12 @@ _VI_TONES = {
     "u": "ùủũúụ", "ư": "ừửữứự",
     "y": "ỳỷỹýỵ",
 }
-#: vi chars missing from the _X swap tables (computed with dedupe so
-#: translate() never sees a duplicated source char)
+#: vi + lv chars missing from the _X swap tables (computed with dedupe so
+#: translate() never sees a duplicated source char; lv needs the long
+#: vowels ā ē ī ō — ū is already present via lt)
 _VI_EXTRA_LOWER = "".join(
     c
-    for c in ("ơư" + "".join(_VI_TONES.values()))
+    for c in ("ơư" + "".join(_VI_TONES.values()) + "āēīō")
     if c not in _X_LOWER and c not in _LOWER
 )
 _VI_EXTRA_UPPER = _VI_EXTRA_LOWER.upper()
@@ -524,6 +525,27 @@ def _vietnamese_spec() -> _LocaleSpec:
 
 
 _LOCALES["vi"] = _vietnamese_spec()
+
+# Latvian (round 12, measured on DuckDB's ICU lv): č ģ ķ ļ ņ š ž are FULL
+# letters directly after their bases; the macron vowels ā ē ī ō ū are
+# SECONDARY ('aa' < 'āa' < 'ab', 'īa' < 'izz') — the generic accent fold +
+# accents-intact secondary reproduce them with no explicit rules; case is
+# tertiary lower-first (a < A < ā < Ā via the extended swap table).
+_LOCALES["lv"] = _LocaleSpec(
+    primary=(
+        ("č", "c{"), ("ģ", "g{"), ("ķ", "k{"), ("ļ", "l{"),
+        ("ņ", "n{"), ("š", "s{"), ("ž", "z{"),
+    ),
+)
+
+# Slovenian (round 12, measured on DuckDB's ICU sl): c < č < ć < d < đ < e,
+# s < š, z < ž — the Croatian letter set without the digraph contractions;
+# lower-first case.
+_LOCALES["sl"] = _LocaleSpec(
+    primary=(
+        ("č", "c{"), ("ć", "c|"), ("đ", "d{"), ("š", "s{"), ("ž", "z{"),
+    ),
+)
 
 # Norwegian shares the Danish tailoring in CLDR. (DuckDB's bundled ICU data
 # resolves 'nb'/'no' to the ROOT collation — observed empirically — so these

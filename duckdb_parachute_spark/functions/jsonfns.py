@@ -139,6 +139,31 @@ def json_contains_py(haystack: str | None, needle: str | None) -> bool | None:
     return _contains(json.loads(haystack), json.loads(needle))
 
 
+def _merge_patch(target, patch):
+    """RFC 7386 merge-patch (DuckDB json_merge_patch — measured: null
+    values in the patch DELETE keys, nested objects merge recursively,
+    a non-object patch replaces the target wholesale)."""
+    if not isinstance(patch, dict):
+        return patch
+    out = dict(target) if isinstance(target, dict) else {}
+    for k, v in patch.items():
+        if v is None:
+            out.pop(k, None)
+        else:
+            out[k] = _merge_patch(out.get(k), v)
+    return out
+
+
+def json_merge_patch_py(target: str | None, patch: str | None) -> str | None:
+    if target is None or patch is None:
+        return None
+    return json.dumps(
+        _merge_patch(json.loads(target), json.loads(patch)),
+        separators=(",", ":"),
+        ensure_ascii=False,
+    )
+
+
 def json_pretty_py(doc: str | None) -> str | None:
     """DuckDB (≥1.1) json_pretty: yyjson pretty writer — 4-space indent,
     ": " after keys, raw UTF-8."""
@@ -166,10 +191,17 @@ def register_json_udfs(spark) -> None:
     def _pretty_batch(s):
         return s.map(json_pretty_py, na_action="ignore")
 
+    def _merge_batch(t, p):
+        return pd.Series(
+            [json_merge_patch_py(a, b) for a, b in zip(t, p)], dtype="object"
+        )
+
     _structure_batch.__annotations__ = {"s": pd.Series, "return": pd.Series}
     _contains_batch.__annotations__ = {"h": pd.Series, "n": pd.Series, "return": pd.Series}
     _pretty_batch.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _merge_batch.__annotations__ = {"t": pd.Series, "p": pd.Series, "return": pd.Series}
 
     spark.udf.register("json_structure", pandas_udf(_structure_batch, "string"))
     spark.udf.register("json_contains", pandas_udf(_contains_batch, "boolean"))
     spark.udf.register("json_pretty", pandas_udf(_pretty_batch, "string"))
+    spark.udf.register("json_merge_patch", pandas_udf(_merge_batch, "string"))

@@ -48,6 +48,10 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # 100 TB posture: partial aggregation pushed into the scan where possible.
     "spark.sql.parquet.aggregatePushdown": "true",
+    # DuckDB map_concat / map literals keep the LAST duplicate key
+    # (measured: map_concat({'a':1},{'a':9}) = {'a':9}); Spark's default
+    # EXCEPTION would throw instead (round 12).
+    "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
 }
 
 

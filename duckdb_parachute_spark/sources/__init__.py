@@ -325,7 +325,10 @@ def detach_database(spark: SparkSession, name: str) -> None:
 
 
 def delta_scan(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp: "str | None" = None,
 ) -> DataFrame:
     """Minimal Delta Lake reader — the reference's delta extension surface
     (reference extension/delta: ``delta_scan('path')`` table function) built
@@ -399,6 +402,46 @@ def delta_scan(
     if not versions and not cp_files and not v2_files:
         raise FileNotFoundError(f"no Delta commits under {log_dir}")
     known = set(versions) | set(cp_files) | set(v2_files)
+    if timestamp is not None:
+        # Timestamp time travel (round 12; the public rule Delta readers
+        # share): pick the NEWEST version whose commit timestamp <= the
+        # target. Per-commit time = commitInfo.timestamp (epoch ms, any
+        # line of the commit) when present, else the commit file's
+        # mtime — the spec's documented fallback. Only JSON commits carry
+        # a resolvable time; versions that survive solely inside a
+        # checkpoint (vacuumed) cannot win a timestamp lookup and raise
+        # if the target predates the oldest timestamped commit.
+        if version is not None:
+            raise ValueError("pass either version or timestamp, not both")
+        import datetime as _dt
+
+        want = _dt.datetime.fromisoformat(str(timestamp))
+        if want.tzinfo is None:
+            want = want.replace(tzinfo=_dt.timezone.utc)
+
+        def commit_time(v: int) -> "_dt.datetime":
+            with open(versions[v]) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    act = _json.loads(line)
+                    if "commitInfo" in act and act["commitInfo"].get("timestamp"):
+                        return _dt.datetime.fromtimestamp(
+                            act["commitInfo"]["timestamp"] / 1000.0, _dt.timezone.utc
+                        )
+            return _dt.datetime.fromtimestamp(
+                os.path.getmtime(versions[v]), _dt.timezone.utc
+            )
+
+        eligible = [v for v in sorted(versions) if commit_time(v) <= want]
+        if not eligible:
+            oldest = min(versions, default=None)
+            raise ValueError(
+                f"no commit at or before {timestamp!r} (oldest timestamped "
+                f"commit is version {oldest}; earlier versions, if any, were "
+                f"vacuumed into a checkpoint and carry no timestamp)"
+            )
+        version = max(eligible)
     top = max(known) if version is None else version
     if top not in known:
         raise FileNotFoundError(f"version {top} not in {sorted(known)}")

@@ -471,3 +471,76 @@ def collate_locale_vi_rank(spark, sf_dir):
         df, [collate.locale_collation_key(F.col("s"), "vi")], out="rnk"
     )
     return ranked.select("s", "rnk").orderBy("rnk", "s")
+
+
+@query(
+    "collate_locale_lv_rank",
+    oracle="""
+    SELECT s, CAST(rank() OVER (ORDER BY s COLLATE lv) AS BIGINT) AS rnk
+    FROM (
+        SELECT CASE p_partkey % 4
+                 WHEN 0 THEN translate(p_name, 'cgklnsz', 'čģķļņšž')
+                 WHEN 1 THEN translate(p_name, 'aeiou', 'āēīōū')
+                 WHEN 2 THEN upper(translate(p_name, 'aciz', 'āčīž'))
+                 ELSE p_name
+               END AS s
+        FROM part WHERE p_partkey % 9 = 0
+    )
+    ORDER BY rnk, s
+    """,
+)
+def collate_locale_lv_rank(spark, sf_dir):
+    """ICU Latvian collation (round 12): č ģ ķ ļ ņ š ž FULL letters after
+    their bases while the macron vowels ā ē ī ō ū stay SECONDARY
+    ('aa' < 'āa' < 'ab' — so 'rīns' ranks next to 'rins', not after
+    'rizz'), lower-first case. Ranked on locale_collation_key('lv') vs
+    DuckDB's real ICU ``COLLATE lv``."""
+    from duckdb_parachute_spark.functions.scalar import global_rank
+
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 9 == 0)
+    s = (
+        F.when(F.col("p_partkey") % 4 == 0, F.translate(F.col("p_name"), "cgklnsz", "čģķļņšž"))
+        .when(F.col("p_partkey") % 4 == 1, F.translate(F.col("p_name"), "aeiou", "āēīōū"))
+        .when(F.col("p_partkey") % 4 == 2, F.upper(F.translate(F.col("p_name"), "aciz", "āčīž")))
+        .otherwise(F.col("p_name"))
+    )
+    df = p.select(s.alias("s"))
+    ranked = global_rank(
+        df, [collate.locale_collation_key(F.col("s"), "lv")], out="rnk"
+    )
+    return ranked.select("s", "rnk").orderBy("rnk", "s")
+
+
+@query(
+    "collate_locale_sl_rank",
+    oracle="""
+    SELECT s, CAST(rank() OVER (ORDER BY s COLLATE sl) AS BIGINT) AS rnk
+    FROM (
+        SELECT CASE p_partkey % 3
+                 WHEN 0 THEN translate(p_name, 'cdsz', 'čđšž')
+                 WHEN 1 THEN upper(translate(p_name, 'cs', 'ćš'))
+                 ELSE p_name
+               END AS s
+        FROM part WHERE p_partkey % 9 = 0
+    )
+    ORDER BY rnk, s
+    """,
+)
+def collate_locale_sl_rank(spark, sf_dir):
+    """ICU Slovenian collation (round 12): c < č < ć < d < đ < e, š after
+    s, ž after z (the Croatian letter set without digraph contractions),
+    lower-first case. Ranked on locale_collation_key('sl') vs DuckDB's
+    real ICU ``COLLATE sl``."""
+    from duckdb_parachute_spark.functions.scalar import global_rank
+
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 9 == 0)
+    s = (
+        F.when(F.col("p_partkey") % 3 == 0, F.translate(F.col("p_name"), "cdsz", "čđšž"))
+        .when(F.col("p_partkey") % 3 == 1, F.upper(F.translate(F.col("p_name"), "cs", "ćš")))
+        .otherwise(F.col("p_name"))
+    )
+    df = p.select(s.alias("s"))
+    ranked = global_rank(
+        df, [collate.locale_collation_key(F.col("s"), "sl")], out="rnk"
+    )
+    return ranked.select("s", "rnk").orderBy("rnk", "s")

@@ -469,6 +469,9 @@ _LOCALE_ALPHABETS = {
     # letter primary, tone secondary, case tertiary)
     "el": "azαβηιστυωάήίΐϊσςΣΑΪ0",
     "vi": "abdeouyàảãáạăằắâấèéêềìòóôồơớùúưứỳýđÀẠĂÂÊÔƠƯĐZ",
+    # Latvian full letters + SECONDARY macron vowels; Slovenian č/ć/đ/š/ž
+    "lv": "abcdegiklnosuzāčēģīķļņōšūžĀČĪŠŽZ",
+    "sl": "abcdestzčćđšžČĆĐŠŽZ",
 }
 
 

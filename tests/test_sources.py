@@ -818,3 +818,35 @@ def test_delta_scan_column_mapping_name_and_id(spark, tmp_path):
     out2 = delta_scan(spark, root2)
     assert sorted(out2.columns) == ["k", "v"]
     assert sorted((r["k"], r["v"]) for r in out2.collect()) == [(0, "a"), (1, "b"), (2, "c")]
+
+
+def test_delta_scan_timestamp_time_travel(spark, tmp_path):
+    """Round 12: timestamp-based time travel — newest version whose
+    commitInfo.timestamp <= target (file-mtime fallback); pre-oldest
+    targets raise; version+timestamp together rejected."""
+    from duckdb_parachute_spark.sources import delta_scan
+
+    root = str(tmp_path / "dts")
+    a = spark.range(0, 5).selectExpr("id")
+    b = spark.range(5, 9).selectExpr("id")
+    _delta_part(spark, a, root, "f0.parquet")
+    _delta_part(spark, b, root, "f1.parquet")
+    t0, t1 = 1700000000000, 1700000600000  # 10 min apart
+    _delta_commit(root, 0, [
+        {"commitInfo": {"timestamp": t0, "operation": "WRITE"}},
+        {"add": {"path": "f0.parquet", "partitionValues": {}}},
+    ])
+    _delta_commit(root, 1, [
+        {"commitInfo": {"timestamp": t1, "operation": "WRITE"}},
+        {"remove": {"path": "f0.parquet"}},
+        {"add": {"path": "f1.parquet", "partitionValues": {}}},
+    ])
+    # between the commits -> version 0; after both -> version 1
+    mid = "2023-11-14T22:18:00+00:00"
+    assert sorted(r["id"] for r in delta_scan(spark, root, timestamp=mid).collect()) == list(range(5))
+    late = "2023-11-14T22:35:00+00:00"
+    assert sorted(r["id"] for r in delta_scan(spark, root, timestamp=late).collect()) == [5, 6, 7, 8]
+    with pytest.raises(ValueError, match="no commit at or before"):
+        delta_scan(spark, root, timestamp="2020-01-01T00:00:00+00:00")
+    with pytest.raises(ValueError, match="not both"):
+        delta_scan(spark, root, version=0, timestamp=mid)

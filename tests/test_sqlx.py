@@ -1231,6 +1231,11 @@ def test_function_gap_rewrites_match_duckdb(spark):
         "to_json(json_transform('{\"a\":{\"b\":[1,2]}}', '{\"a\":{\"b\":[\"DOUBLE\"]}}'))",
         "to_json(from_json('{\"a\":7}', '{\"a\":\"BIGINT\"}'))",
         "json_transform('{\"a\":\"2021-01-02\"}', '{\"a\":\"DATE\"}').a",
+        # RFC 7386 merge patch: null deletes, nested merges, non-object replaces
+        "json_merge_patch('{\"a\":1,\"b\":2}', '{\"b\":null,\"c\":3}')",
+        "json_merge_patch('{\"a\":{\"x\":1}}', '{\"a\":{\"y\":2}}')",
+        "json_merge_patch('[1,2]', '{\"a\":1}')",
+        "json_merge_patch('{\"a\":1}', 'null')",
     ]
     series_cases = [
         # scalar series lists (slice-guarded empties) + Euclid-fold gcd/lcm
