@@ -639,6 +639,7 @@ _FN_ALIAS_MAP = {
     "array_has_any": "arrays_overlap",
     "strlen": "octet_length",  # DuckDB strlen is BYTE length
     # round-12 batch: probed-identical renames
+    "strpos": "instr",  # both haystack-first, 0 on miss
     "to_base64": "base64",
     "from_base64": "unbase64",
     "editdist3": "levenshtein",
@@ -1088,7 +1089,9 @@ _FN_GAP_RE = re.compile(
     # jaccard, trunc-to-1-decimal byte formatters, path parsing family
     r"element_at|jaccard|format_bytes|formatreadablesize|"
     r"formatreadabledecimalsize|parse_path|parse_dirname|parse_dirpath|"
-    r"parse_filename|encode|decode)"
+    r"parse_filename|encode|decode|"
+    r"like_escape|ilike_escape|not_like_escape|not_ilike_escape|"
+    r"regexp_escape)"
     r"\s*\(",
     re.IGNORECASE,
 )
@@ -1223,6 +1226,24 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
         )
     if name == "regexp_replace" and n in (3, 4):
         return _regexp_replace_emit(a, lit, parts)
+    if name in ("like_escape", "ilike_escape", "not_like_escape",
+                "not_ilike_escape") and n == 3:
+        # DuckDB's function spellings of LIKE ... ESCAPE; the i-variants
+        # lower both sides (escape chars are symbols in practice — a
+        # LETTER escape char under ilike is out of scope and would lower)
+        s, p = (a[0], a[1])
+        if "ilike" in name:
+            s, p = f"lower({s})", f"lower({p})"
+        expr = f"({s} LIKE {p} ESCAPE {a[2]})"
+        return f"(NOT {expr})" if name.startswith("not_") else expr
+    if name == "regexp_escape" and n == 1:
+        # RE2 QuoteMeta: escape every char outside [A-Za-z0-9_]. The Java
+        # replacement needs \\$1 (escaped backslash, then the group ref) —
+        # two stored backslashes survive the literal-restore doubling.
+        return (
+            f"regexp_replace\x02({a[0]}, {lit('([^A-Za-z0-9_])')}, "
+            f"{lit(chr(92) * 2 + '$1')})"
+        )
     if name in ("encode", "decode") and n == 1:
         # DuckDB's 1-arg VARCHAR<->BLOB codec is always utf-8; Spark's
         # 2-arg form with an explicit charset is the same operation

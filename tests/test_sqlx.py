@@ -1282,6 +1282,13 @@ def test_function_gap_rewrites_match_duckdb(spark):
         "editdist3('kitten', 'sitting')", "levenshtein('', 'abc')",
         "string_split_regex('a1b2c', '[0-9]')[2]",
         "array_length(string_split_regex('ab1', '[0-9]'))",
+        "strpos('hello', 'll')", "strpos('hello', 'zz')",
+        "like_escape('a%c', 'a$%c', '$')", "like_escape('abc', 'a$%c', '$')",
+        "ilike_escape('A%C', 'a$%c', '$')",
+        "not_like_escape('abc', 'a$%c', '$')",
+        "regexp_escape('a.b*')", "regexp_escape('a b(c)[d]')",
+        "regexp_matches('a.b', regexp_escape('a.b'))",
+        "octet_length(encode('hé'))", "decode(encode('hé'))",
     ]
     bad = []
     for c in cases + agg_cases + series_cases + json_cases:
