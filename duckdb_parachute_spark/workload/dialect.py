@@ -1068,3 +1068,31 @@ def dialect_fn_gaps2(spark, sf_dir):
     oracle."""
     _views(spark, sf_dir, "part")
     return sqlx.sql(spark, _FN_GAPS2_SQL)
+
+
+_JSON_MERGE_SQL = """
+WITH docs(i, t, p) AS (
+    SELECT * FROM (VALUES
+        (1, '{"a":1,"b":2}', '{"b":null,"c":3}'),
+        (2, '{"a":{"x":1,"y":2}}', '{"a":{"y":null,"z":9}}'),
+        (3, '[1,2]', '{"a":1}'),
+        (4, '{"a":1}', 'null'),
+        (5, '{"a":1}', '7'),
+        (6, '{}', '{"k":{"n":[1,2]}}')
+    ) AS v(i, t, p)
+)
+SELECT i, json_merge_patch(t, p) AS merged FROM docs ORDER BY i
+"""
+
+
+@query("dialect_json_merge", oracle=_JSON_MERGE_SQL)
+def dialect_json_merge(spark, sf_dir):
+    """json_merge_patch (round 12; reference extension/json — RFC 7386):
+    null patch values DELETE keys, nested objects merge recursively, a
+    non-object patch replaces the target wholesale. Arrow-batched pandas
+    UDF beside json_structure (row-local recursion, no Spark spelling).
+    Same SQL is the oracle."""
+    from duckdb_parachute_spark.functions import register_udfs
+
+    register_udfs(spark)
+    return sqlx.sql(spark, _JSON_MERGE_SQL)

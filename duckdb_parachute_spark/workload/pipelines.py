@@ -1195,3 +1195,63 @@ def src_delta_scan_colmap(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "src_delta_scan_ts",
+    oracle="""
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem WHERE l_orderkey < 300
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def src_delta_scan_ts(spark, sf_dir):
+    """Delta TIMESTAMP time travel (round 12; the public rule all Delta
+    readers share — newest version whose commitInfo.timestamp <= target):
+    commit 0 writes l_orderkey<300 at t0, commit 1 widens to <1000 at t1;
+    scanning AT a timestamp between the two must return commit 0's content
+    (the oracle), proving the commitInfo resolution path — not just
+    version-number travel."""
+    import json
+    import shutil
+
+    from duckdb_parachute_spark.sources import delta_scan
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    root = _tmp("rt_delta_ts_tbl")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "_delta_log"))
+
+    def part(df, rel):
+        import glob as g
+        import uuid as u
+
+        staging = os.path.join(root, ".s" + u.uuid4().hex)
+        df.coalesce(1).write.parquet(staging)
+        shutil.move(
+            g.glob(os.path.join(staging, "part-*.parquet"))[0], os.path.join(root, rel)
+        )
+        shutil.rmtree(staging)
+
+    part(li.where("l_orderkey < 300"), "f0.parquet")
+    part(li.where("l_orderkey < 1000"), "f1.parquet")
+    t0, t1 = 1700000000000, 1700000600000  # 10 minutes apart
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"commitInfo": {"timestamp": t0, "operation": "WRITE"}}) + "\n")
+        f.write(json.dumps({"add": {"path": "f0.parquet", "partitionValues": {}}}) + "\n")
+    with open(os.path.join(root, "_delta_log", f"{1:020d}.json"), "w") as f:
+        f.write(json.dumps({"commitInfo": {"timestamp": t1, "operation": "WRITE"}}) + "\n")
+        f.write(json.dumps({"remove": {"path": "f0.parquet"}}) + "\n")
+        f.write(json.dumps({"add": {"path": "f1.parquet", "partitionValues": {}}}) + "\n")
+    return (
+        delta_scan(spark, root, timestamp="2023-11-14T22:18:00+00:00")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        )
+        .orderBy("l_returnflag")
+    )
