@@ -526,6 +526,33 @@ def _vietnamese_spec() -> _LocaleSpec:
 
 _LOCALES["vi"] = _vietnamese_spec()
 
+def _russian_spec() -> _LocaleSpec:
+    """Russian (round 12 — the SECOND non-Latin script after el, measured
+    on DuckDB's ICU ru): [reorder Cyrl] puts Cyrillic between digits and
+    Latin ('0' < а..я < a..z < Greek). The 32 primary letters (а-я with й
+    a full letter; ё EXCLUDED — measured SECONDARY over е: 'еа' < 'ёа' <
+    'ежз') map onto the 32 ASCII codes 0x41-0x60 ('A'-'Z' plus [\\]^_` —
+    free in the primary space because the primary level lowercases Latin;
+    a LITERAL [\\]^_` in input ties with the tail letters, the same
+    accepted marker-collision caveat as the {|} letters markers). Case is
+    tertiary lower-first via a Cyrillic swap local to this spec."""
+    letters = "абвгдежзийклмнопрстуфхцчшщъыьэюя"
+    assert len(letters) == 32
+    e_slot = chr(ord("A") + letters.index("е"))
+    primary = [("ё", e_slot)] + [
+        (c, chr(ord("A") + i)) for i, c in enumerate(letters)
+    ]
+    upper = letters.upper()
+    return _LocaleSpec(
+        primary=tuple(primary),
+        secondary=(("ё", "е￰"),),
+        tertiary=(letters + upper + "ёЁ", upper + letters + "Ёё"),
+    )
+
+
+_LOCALES["ru"] = _russian_spec()
+
+
 # Latvian (round 12, measured on DuckDB's ICU lv): č ģ ķ ļ ņ š ž are FULL
 # letters directly after their bases; the macron vowels ā ē ī ō ū are
 # SECONDARY ('aa' < 'āa' < 'ab', 'īa' < 'izz') — the generic accent fold +

@@ -544,3 +544,48 @@ def collate_locale_sl_rank(spark, sf_dir):
         df, [collate.locale_collation_key(F.col("s"), "sl")], out="rnk"
     )
     return ranked.select("s", "rnk").orderBy("rnk", "s")
+
+
+@query(
+    "collate_locale_ru_rank",
+    oracle="""
+    WITH b AS (SELECT p_name AS n FROM part WHERE p_partkey % 9 = 0)
+    SELECT s, CAST(rank() OVER (ORDER BY s COLLATE ru) AS BIGINT) AS rnk
+    FROM (
+        SELECT translate(n, 'abvgdezhiklmnoprstufce', 'абвгдежзиклмнопрстуфце') AS s FROM b
+        UNION ALL
+        SELECT translate(n, 'abvgdezhiklmnoprstufce', 'абвгдёжзиклмнопрстуфцё') AS s FROM b
+        UNION ALL
+        SELECT upper(translate(n, 'aeiou', 'аеиоу')) AS s FROM b
+        UNION ALL
+        SELECT n AS s FROM b
+    )
+    ORDER BY rnk, s
+    """,
+)
+def collate_locale_ru_rank(spark, sf_dir):
+    """ICU Russian collation (round 12 — second non-Latin script):
+    [reorder Cyrl] puts every Cyrillic row between digits and Latin;
+    branch 1 transliterates part names to Cyrillic, branch 2 swaps е→ё
+    (SECONDARY pair: 'еа' < 'ёа' < 'ежз'), branch 3 uppercases (tertiary
+    lower-first), branch 4 keeps Latin. Ranked on
+    locale_collation_key('ru') vs DuckDB's real ICU ``COLLATE ru``."""
+    from duckdb_parachute_spark.functions.scalar import global_rank
+
+    b = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 9 == 0)
+        .select(F.col("p_name").alias("n"))
+    )
+    df = (
+        b.select(F.translate(F.col("n"), "abvgdezhiklmnoprstufce", "абвгдежзиклмнопрстуфце").alias("s"))
+        .unionAll(
+            b.select(F.translate(F.col("n"), "abvgdezhiklmnoprstufce", "абвгдёжзиклмнопрстуфцё").alias("s"))
+        )
+        .unionAll(b.select(F.upper(F.translate(F.col("n"), "aeiou", "аеиоу")).alias("s")))
+        .unionAll(b.select(F.col("n").alias("s")))
+    )
+    ranked = global_rank(
+        df, [collate.locale_collation_key(F.col("s"), "ru")], out="rnk"
+    )
+    return ranked.select("s", "rnk").orderBy("rnk", "s")

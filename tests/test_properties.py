@@ -472,6 +472,9 @@ _LOCALE_ALPHABETS = {
     # Latvian full letters + SECONDARY macron vowels; Slovenian č/ć/đ/š/ž
     "lv": "abcdegiklnosuzāčēģīķļņōšūžĀČĪŠŽZ",
     "sl": "abcdestzčćđšžČĆĐŠŽZ",
+    # Russian: second non-Latin script — full Cyrillic incl. the ё/е
+    # secondary pair, й, the signs ъ ы ь, mixed with Latin + digits
+    "ru": "азбежйклоуыьъэюяёЁАЕЁЯИЙaz09",
 }
 
 
