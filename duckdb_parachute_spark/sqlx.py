@@ -630,6 +630,7 @@ _FN_ALIAS_MAP = {
     "prefix": "startswith",
     "suffix": "endswith",
     "apply": "transform",
+    "make_timestamptz": "make_timestamp",  # identical under the UTC session
     "array_indexof": "array_position",
     "list_reverse": "reverse",
     "array_reverse": "reverse",
@@ -1091,7 +1092,7 @@ _FN_GAP_RE = re.compile(
     r"formatreadabledecimalsize|parse_path|parse_dirname|parse_dirpath|"
     r"parse_filename|encode|decode|"
     r"like_escape|ilike_escape|not_like_escape|not_ilike_escape|"
-    r"regexp_escape)"
+    r"regexp_escape|date_sub|date_add|to_centuries|to_decades|to_millennia)"
     r"\s*\(",
     re.IGNORECASE,
 )
@@ -1226,6 +1227,34 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
         )
     if name == "regexp_replace" and n in (3, 4):
         return _regexp_replace_emit(a, lit, parts)
+    if name == "date_sub" and n == 3:
+        # DuckDB 3-arg date_sub(part, a, b) counts COMPLETE units (measured:
+        # date_sub('month', jan-15, mar-14) = 1 where date_diff = 2 boundary
+        # crossings) — exactly Spark's timestampdiff. Spark's own 2-arg
+        # date_sub(date, days) passes through untouched (n == 2).
+        key = re.fullmatch(r"\x00(\d+)\x00", a[0])
+        if not key:
+            raise ValueError("date_sub needs a literal part name")
+        part = parts[int(key.group(1))][1:-1].strip().lower().rstrip("s")
+        unit = {
+            "year": "YEAR", "quarter": "QUARTER", "month": "MONTH",
+            "week": "WEEK", "day": "DAY", "hour": "HOUR",
+            "minute": "MINUTE", "second": "SECOND",
+            "millisecond": "MILLISECOND", "microsecond": "MICROSECOND",
+        }.get(part)
+        if unit is None:
+            raise ValueError(f"unsupported date_sub part {part!r}")
+        return f"timestampdiff({unit}, {a[1]}, {a[2]})"
+    if name == "date_add" and n == 2 and re.match(
+        r"\AINTERVAL\b", a[1], re.IGNORECASE
+    ):
+        # DuckDB date_add(date, INTERVAL) returns a TIMESTAMP (midnight
+        # anchor); Spark's date_add takes an int day count, and DATE +
+        # INTERVAL DAY would stay a DATE — cast first
+        return f"(CAST({a[0]} AS TIMESTAMP_NTZ) + {a[1]})"
+    if name in ("to_centuries", "to_decades", "to_millennia") and n == 1:
+        mult = {"to_decades": 10, "to_centuries": 100, "to_millennia": 1000}[name]
+        return f"make_interval(({a[0]}) * {mult})"
     if name in ("like_escape", "ilike_escape", "not_like_escape",
                 "not_ilike_escape") and n == 3:
         # DuckDB's function spellings of LIKE ... ESCAPE; the i-variants

@@ -640,3 +640,36 @@ def test_recursive_cte_final_plan_truncated(spark, sf_dir):
 
     plan = physical_plan(_q("recursive_cte_graph_reach", spark, sf_dir), mode="simple")
     assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan
+
+
+def test_delta_dv_scan_broadcast_antijoin_and_pushdown(no_aqe, spark, tmp_path):
+    """Round-12: a DV'd delta scan applies deletes as a BROADCAST anti-join
+    on _metadata.row_index (never a shuffled one), and user predicates
+    still push down to the parquet scan beneath it."""
+    import glob as g
+    import json
+    import os
+    import shutil
+
+    from duckdb_parachute_spark.plans import physical_plan
+    from duckdb_parachute_spark.sources import delta_scan
+    from duckdb_parachute_spark.sources.deltadv import write_dv_file
+
+    root = str(tmp_path / "dvplan")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    staging = os.path.join(root, ".s")
+    spark.range(1000).selectExpr("id", "id * 2 AS v").coalesce(1).write.parquet(staging)
+    shutil.move(g.glob(os.path.join(staging, "part-*.parquet"))[0],
+                os.path.join(root, "f.parquet"))
+    shutil.rmtree(staging)
+    dv = write_dv_file(root, [5, 6, 7])
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                                         "readerFeatures": ["deletionVectors"]}}) + "\n")
+        f.write(json.dumps({"add": {"path": "f.parquet", "partitionValues": {},
+                                    "deletionVector": dv}}) + "\n")
+    d = delta_scan(spark, root).where("id < 100").select("id")
+    plan = physical_plan(d, mode="simple")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "PushedFilters" in plan or "id) AND (id" in plan or "lessthan" in plan.lower()
+    assert sorted(r["id"] for r in d.collect()) == [i for i in range(100) if i not in (5, 6, 7)]

@@ -1289,6 +1289,23 @@ def test_function_gap_rewrites_match_duckdb(spark):
         "regexp_escape('a.b*')", "regexp_escape('a b(c)[d]')",
         "regexp_matches('a.b', regexp_escape('a.b'))",
         "octet_length(encode('hé'))", "decode(encode('hé'))",
+        # round-12 date batch: 3-arg date_sub counts COMPLETE units (1 where
+        # date_diff says 2); date_add with INTERVAL returns TIMESTAMP;
+        # century/decade/millennium interval constructors; tz constructor
+        "date_sub('month', DATE '2021-01-15', DATE '2021-03-14')",
+        "date_sub('day', DATE '2021-01-01', DATE '2021-03-05')",
+        "date_sub('week', TIMESTAMP '2021-01-01 06:00:00', TIMESTAMP '2021-01-15 05:00:00')",
+        "date_add(DATE '2021-01-01', INTERVAL 3 DAY)",
+        "date_add(TIMESTAMP '2021-01-01 01:00:00', INTERVAL 90 MINUTE)",
+        # CAST AS DATE both sides: DuckDB date+interval yields a midnight
+        # TIMESTAMP where Spark keeps DATE — same instant, different repr
+        "CAST(DATE '2020-01-01' + to_decades(1) AS DATE)",
+        "CAST(DATE '2020-01-01' + to_centuries(1) AS DATE)",
+        "CAST(DATE '2020-01-01' + to_millennia(1) AS DATE)",
+        # tz-aware vs naive repr: compare through epoch seconds
+        "epoch(make_timestamptz(2021, 1, 2, 3, 4, 5.5))",
+        "generate_series(TIMESTAMP '2021-01-01', TIMESTAMP '2021-01-02', INTERVAL 8 HOUR)[2]",
+        "CAST(generate_series(DATE '2021-01-01', DATE '2021-01-05', INTERVAL 2 DAY)[3] AS DATE)",
     ]
     bad = []
     for c in cases + agg_cases + series_cases + json_cases:
