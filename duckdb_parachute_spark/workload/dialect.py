@@ -1096,3 +1096,30 @@ def dialect_json_merge(spark, sf_dir):
 
     register_udfs(spark)
     return sqlx.sql(spark, _JSON_MERGE_SQL)
+
+
+_DATE_TAIL_SQL = """
+SELECT o_orderkey,
+       date_sub('month', o_orderdate, DATE '1998-08-02') AS full_months,
+       date_sub('day', o_orderdate, DATE '1998-08-02') AS full_days,
+       date_diff('month', o_orderdate, DATE '1998-08-02') AS month_bounds,
+       CAST(date_add(o_orderdate, INTERVAL 90 MINUTE) AS TIMESTAMP) AS plus90m,
+       CAST(CAST(o_orderdate + to_decades(1) AS DATE) AS VARCHAR) AS plus_decade,
+       generate_series(CAST(o_orderdate AS TIMESTAMP),
+                       CAST(o_orderdate AS TIMESTAMP) + INTERVAL 1 DAY,
+                       INTERVAL 9 HOUR)[2] AS second_step
+FROM orders WHERE o_orderkey % 101 = 0
+ORDER BY o_orderkey
+"""
+
+
+@query("dialect_date_tail", oracle=_DATE_TAIL_SQL)
+def dialect_date_tail(spark, sf_dir):
+    """Round-12 date tail over real orders rows: 3-arg date_sub counts
+    COMPLETE elapsed units (timestampdiff — measured 1 where date_diff's
+    boundary-crossing count says 2, a silent-wrong-answer trap),
+    date_add(date, INTERVAL) anchors at midnight and returns TIMESTAMP,
+    decade interval constructor, and timestamp generate_series through the
+    sequence mapping. Same SQL is the oracle."""
+    _views(spark, sf_dir, "orders")
+    return sqlx.sql(spark, _DATE_TAIL_SQL)
