@@ -1092,7 +1092,12 @@ _FN_GAP_RE = re.compile(
     r"formatreadabledecimalsize|parse_path|parse_dirname|parse_dirpath|"
     r"parse_filename|encode|decode|"
     r"like_escape|ilike_escape|not_like_escape|not_ilike_escape|"
-    r"regexp_escape|date_sub|date_add|to_centuries|to_decades|to_millennia)"
+    r"regexp_escape|date_sub|date_add|to_centuries|to_decades|to_millennia|"
+    # round-12: 2-param lambdas are 1-BASED in DuckDB, 0-based in Spark —
+    # rewritten via zip_with over a 1-based index sequence (aggregate
+    # FILTER (WHERE …) also matches 'filter(' here and passes through:
+    # no 2-param lambda inside)
+    r"transform|filter)"
     r"\s*\(",
     re.IGNORECASE,
 )
@@ -1227,6 +1232,27 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
         )
     if name == "regexp_replace" and n in (3, 4):
         return _regexp_replace_emit(a, lit, parts)
+    if name in ("transform", "filter") and n == 2:
+        # DuckDB list_transform/list_filter 2-param lambdas receive a
+        # 1-BASED element index; Spark's transform/filter pass 0-based — a
+        # silent off-by-one on every index use. Rewrite through zip_with
+        # over an explicit 1-based sequence, keeping the user lambda text
+        # intact (its params bind to (element, index) either way). 1-param
+        # lambdas and aggregate FILTER (WHERE …) pass through untouched.
+        mm = re.match(r"\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*->\s*(.+)\Z", a[1], re.DOTALL)
+        if not mm:
+            return None
+        idx = f"slice(sequence(1, greatest(size({a[0]}), 1)), 1, size({a[0]}))"
+        if name == "transform":
+            return f"zip_with({a[0]}, {idx}, {a[1]})"
+        v, i, body = mm.groups()
+        zipped = (
+            f"zip_with({a[0]}, {idx}, ({v}, {i}) -> "
+            f"named_struct({lit('v')}, {v}, {lit('k')}, ({body})))"
+        )
+        return (
+            f"transform\x02(filter\x02({zipped}, s -> s.k), s -> s.v)"
+        )
     if name == "date_sub" and n == 3:
         # DuckDB 3-arg date_sub(part, a, b) counts COMPLETE units (measured:
         # date_sub('month', jan-15, mar-14) = 1 where date_diff = 2 boundary
@@ -1483,6 +1509,17 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
                 f"slice(sequence({a[0]}, greatest(({a[1]}) - 1, {a[0]})), 1, "
                 f"greatest(({a[1]}) - ({a[0]}), 0))"
             )
+        if n == 3:
+            # end-EXCLUSIVE with step sign (range(5,1,-2) = [5,3]); pull the
+            # end one step-sign unit toward the start so Spark's inclusive
+            # sequence never emits it; direction mismatch -> typed empty
+            s0, s1, s2 = a[0], a[1], a[2]
+            return (
+                f"CASE WHEN (({s2}) > 0 AND ({s0}) >= ({s1})) "
+                f"OR (({s2}) < 0 AND ({s0}) <= ({s1})) "
+                f"THEN slice(sequence({s0}, {s0}), 1, 0) "
+                f"ELSE sequence({s0}, ({s1}) - CAST(sign({s2}) AS BIGINT), {s2}) END"
+            )
         return None
     if name in ("gcd", "greatest_common_divisor", "lcm", "least_common_multiple") and n == 2:
         # Euclid as a bounded fold: 96 iterations covers the 64-bit
@@ -1734,7 +1771,12 @@ def rewrite_fn_gaps(sql: str, _parts: list[str] | None = None) -> str:
         args = _split_top_level(sql[m.end() : end - 1])
         rep = _fn_gap_emit(m.group(1).lower(), args, lit, _parts)
         if rep is None:
-            pos = end
+            # advance past the NAME only, not the whole call: a declined
+            # match (Spark-native from_json, 1-param filter/transform, …)
+            # may still hold nested gap calls inside its arguments —
+            # skipping to the closing paren silently left them unrewritten
+            # (round 12: filter(list_slice(..)) lost its list_slice)
+            pos = m.end()
             continue
         sql = sql[: m.start()] + rep + sql[end:]
         # rescan FROM the replacement: copied argument text may contain

@@ -1306,6 +1306,17 @@ def test_function_gap_rewrites_match_duckdb(spark):
         "epoch(make_timestamptz(2021, 1, 2, 3, 4, 5.5))",
         "generate_series(TIMESTAMP '2021-01-01', TIMESTAMP '2021-01-02', INTERVAL 8 HOUR)[2]",
         "CAST(generate_series(DATE '2021-01-01', DATE '2021-01-05', INTERVAL 2 DAY)[3] AS DATE)",
+        # 3-arg range: end-EXCLUSIVE, signed step, typed empty on mismatch
+        "range(5, 1, -2)", "range(0, 10, 3)", "array_length(range(1, 5, -1))",
+        "array_length(range(1, 1, 1))",
+        # 2-param lambdas are 1-BASED in DuckDB (Spark's are 0-based — the
+        # zip_with rewrite keeps the user lambda text, shifts the index)
+        "list_transform([10,20], (x, i) -> x + i)",
+        "apply([10,20,30], (v, pos) -> v * pos)[3]",
+        "list_filter([10,20,30], (x, i) -> i > 1)",
+        "list_filter([5,6], (x, i) -> x + i > 6)",
+        "array_length(list_filter(CAST([] AS INT[]), (x, i) -> i > 0))",
+        "list_transform([7], x -> x + 1)[1]",
     ]
     bad = []
     for c in cases + agg_cases + series_cases + json_cases:
