@@ -1097,7 +1097,7 @@ _FN_GAP_RE = re.compile(
     # rewritten via zip_with over a 1-based index sequence (aggregate
     # FILTER (WHERE …) also matches 'filter(' here and passes through:
     # no 2-param lambda inside)
-    r"transform|filter)"
+    r"transform|filter|list_grade_up|array_grade_up)"
     r"\s*\(",
     re.IGNORECASE,
 )
@@ -1232,6 +1232,19 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
         )
     if name == "regexp_replace" and n in (3, 4):
         return _regexp_replace_emit(a, lit, parts)
+    if name in ("list_grade_up", "array_grade_up") and n == 1:
+        # argsort: 1-based indexes in ascending value order, NULLs last,
+        # ties stable by position (measured [30,NULL,10] -> [3,1,2])
+        idx = f"slice(sequence(1, greatest(size({a[0]}), 1)), 1, size({a[0]}))"
+        zipped = f"zip_with({a[0]}, {idx}, (v, i) -> named_struct({lit('v')}, v, {lit('i')}, i))"
+        cmp = (
+            "(l, r) -> CASE "
+            "WHEN l.v IS NULL AND r.v IS NULL THEN CASE WHEN l.i < r.i THEN -1 ELSE 1 END "
+            "WHEN l.v IS NULL THEN 1 WHEN r.v IS NULL THEN -1 "
+            "WHEN l.v < r.v THEN -1 WHEN l.v > r.v THEN 1 "
+            "ELSE CASE WHEN l.i < r.i THEN -1 ELSE 1 END END"
+        )
+        return f"transform\x02(array_sort({zipped}, {cmp}), s -> s.i)"
     if name in ("transform", "filter") and n == 2:
         # DuckDB list_transform/list_filter 2-param lambdas receive a
         # 1-BASED element index; Spark's transform/filter pass 0-based — a

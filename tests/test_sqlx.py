@@ -1317,6 +1317,11 @@ def test_function_gap_rewrites_match_duckdb(spark):
         "list_filter([5,6], (x, i) -> x + i > 6)",
         "array_length(list_filter(CAST([] AS INT[]), (x, i) -> i > 0))",
         "list_transform([7], x -> x + 1)[1]",
+        # argsort: 1-based, NULLs last, stable ties
+        "list_grade_up([30,10,20])", "list_grade_up([30,NULL,10])",
+        "list_grade_up(['b','a','c'])", "list_grade_up([5,5,1])",
+        "list_position([5,6,7], 7)", "list_pack(1, 2)[2]",
+        "list_dot_product([1.0,2.0],[3.0,4.0])",
     ]
     bad = []
     for c in cases + agg_cases + series_cases + json_cases:
