@@ -1123,3 +1123,33 @@ def dialect_date_tail(spark, sf_dir):
     sequence mapping. Same SQL is the oracle."""
     _views(spark, sf_dir, "orders")
     return sqlx.sql(spark, _DATE_TAIL_SQL)
+
+
+_LAMBDA_SERIES_SQL = """
+SELECT o_orderkey,
+       list_transform(range(1, CAST(o_orderkey % 7 AS INT) + 2),
+                      (x, i) -> x * 10 + i) AS idx_scaled,
+       list_filter(generate_series(1, CAST(o_orderkey % 9 AS INT) + 1),
+                   (x, i) -> i % 2 = 1) AS odd_positions,
+       range(CAST(o_orderkey % 5 AS INT) + 5, 0, -2) AS countdown,
+       list_grade_up(list_transform(range(1, CAST(o_orderkey % 6 AS INT) + 2),
+                                    x -> (x * 37) % 11)) AS grade
+FROM orders WHERE o_orderkey % 97 = 0
+ORDER BY o_orderkey
+"""
+
+
+@query(
+    "dialect_lambda_series",
+    oracle=_LAMBDA_SERIES_SQL,
+    join_arrays=["idx_scaled", "odd_positions", "countdown", "grade"],
+)
+def dialect_lambda_series(spark, sf_dir):
+    """Round-12 lambda/series batch over real orders rows: DuckDB 2-param
+    lambdas receive a 1-BASED index where Spark's transform/filter pass
+    0-based (a silent off-by-one — rewritten via zip_with over an explicit
+    1-based sequence, user lambda text intact), 3-arg range() is
+    end-EXCLUSIVE with signed step, and list_grade_up is the stable
+    nulls-last argsort. Same SQL is the oracle."""
+    _views(spark, sf_dir, "orders")
+    return sqlx.sql(spark, _LAMBDA_SERIES_SQL)
