@@ -31,11 +31,15 @@ def register_udfs(spark) -> None:
     after this, spark.sql / sqlx.sql can call them by name."""
     from duckdb_parachute_spark.functions.metrics import (
         damerau_levenshtein,
+        jaro_similarity,
         jaro_winkler_similarity,
+        nfc_normalize,
     )
 
     spark.udf.register("jaro_winkler_similarity", jaro_winkler_similarity)
+    spark.udf.register("jaro_similarity", jaro_similarity)
     spark.udf.register("damerau_levenshtein", damerau_levenshtein)
+    spark.udf.register("nfc_normalize", nfc_normalize)
     from duckdb_parachute_spark.functions.jsonfns import register_json_udfs
 
     register_json_udfs(spark)

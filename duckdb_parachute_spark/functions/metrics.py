@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType, LongType
+from pyspark.sql.types import DoubleType, LongType, StringType
 
 # -- Catalyst compositions ---------------------------------------------------
 
@@ -238,41 +238,56 @@ def strip_accents(s: Column) -> Column:
 # -- DP metrics as Arrow-vectorized UDFs -------------------------------------
 
 
+def _jaro(s1: str, s2: str) -> float:
+    """Plain Jaro similarity (the shared core; Winkler adds the prefix
+    boost on top)."""
+    if s1 is None or s2 is None:
+        return None
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if not l1 or not l2:
+        return 0.0
+    window = max(l1, l2) // 2 - 1
+    m1, m2 = [False] * l1, [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - window), min(l2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if not matches:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    return (matches / l1 + matches / l2 + (matches - t / 2) / matches) / 3
+
+
+@pandas_udf(DoubleType())
+def jaro_similarity(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Plain Jaro (reference jaro.cpp — round 12, found by the systematic
+    function sweep)."""
+    return pd.Series([_jaro(x, y) for x, y in zip(a, b)])
+
+
 @pandas_udf(DoubleType())
 def jaro_winkler_similarity(a: pd.Series, b: pd.Series) -> pd.Series:
     """Jaro-Winkler (standard p=0.1, prefix≤4 — matches the reference's
     jaro_winkler_similarity)."""
 
     def jw(s1: str, s2: str) -> float:
-        if s1 is None or s2 is None:
-            return None
-        if s1 == s2:
-            return 1.0
-        l1, l2 = len(s1), len(s2)
-        if not l1 or not l2:
-            return 0.0
-        window = max(l1, l2) // 2 - 1
-        m1, m2 = [False] * l1, [False] * l2
-        matches = 0
-        for i, c in enumerate(s1):
-            lo, hi = max(0, i - window), min(l2, i + window + 1)
-            for j in range(lo, hi):
-                if not m2[j] and s2[j] == c:
-                    m1[i] = m2[j] = True
-                    matches += 1
-                    break
-        if not matches:
-            return 0.0
-        t = 0
-        k = 0
-        for i in range(l1):
-            if m1[i]:
-                while not m2[k]:
-                    k += 1
-                if s1[i] != s2[k]:
-                    t += 1
-                k += 1
-        jaro = (matches / l1 + matches / l2 + (matches - t / 2) / matches) / 3
+        jaro = _jaro(s1, s2)
+        if jaro is None or jaro in (0.0, 1.0):
+            return jaro
         prefix = 0
         for c1, c2 in zip(s1[:4], s2[:4]):
             if c1 != c2:
@@ -281,6 +296,15 @@ def jaro_winkler_similarity(a: pd.Series, b: pd.Series) -> pd.Series:
         return jaro + prefix * 0.1 * (1 - jaro)
 
     return pd.Series([jw(x, y) for x, y in zip(a, b)])
+
+
+@pandas_udf(StringType())
+def nfc_normalize(s: pd.Series) -> pd.Series:
+    """Unicode NFC normalization (reference nfc_normalize — round 12): the
+    one normalization form DuckDB exposes; pure row-local unicodedata."""
+    import unicodedata
+
+    return s.map(lambda x: unicodedata.normalize("NFC", x), na_action="ignore")
 
 
 @pandas_udf(LongType())

@@ -641,6 +641,11 @@ _FN_ALIAS_MAP = {
     "strlen": "octet_length",  # DuckDB strlen is BYTE length
     # round-12 batch: probed-identical renames
     "strpos": "instr",  # both haystack-first, 0 on miss
+    # round-12 systematic sweep: env-time aliases + arithmetic spellings
+    "today": "current_date",
+    "get_current_timestamp": "now",
+    "transaction_timestamp": "now",
+    "current_localtimestamp": "localtimestamp",
     "to_base64": "base64",
     "from_base64": "unbase64",
     "editdist3": "levenshtein",
@@ -1097,7 +1102,11 @@ _FN_GAP_RE = re.compile(
     # rewritten via zip_with over a 1-based index sequence (aggregate
     # FILTER (WHERE …) also matches 'filter(' here and passes through:
     # no 2-param lambda inside)
-    r"transform|filter|list_grade_up|array_grade_up)"
+    r"transform|filter|list_grade_up|array_grade_up|"
+    # round-12 systematic sweep (every evaluable DuckDB scalar vs Spark):
+    r"sha256|greatest|least|trunc|make_timestamp|regexp_extract_all|"
+    r"regexp_full_match|to_quarters|add|subtract|multiply|"
+    r"millisecond|microsecond|chr)"
     r"\s*\(",
     re.IGNORECASE,
 )
@@ -1232,6 +1241,47 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
         )
     if name == "regexp_replace" and n in (3, 4):
         return _regexp_replace_emit(a, lit, parts)
+    if name == "sha256" and n == 1:
+        return f"sha2({a[0]}, 256)"
+    if name == "chr" and n == 1:
+        # DuckDB chr is a UNICODE codepoint; Spark's chr is ASCII-with-
+        # modulo-256 (chr(769) -> \x01, a silent wrong answer). The UTF-32BE
+        # byte spelling of the codepoint decodes to the right character for
+        # the whole range, ASCII included.
+        return f"decode(unhex(lpad(hex({a[0]}), 8, {lit('0')})), {lit('UTF-32')})"
+    if name in ("greatest", "least") and n == 1:
+        return f"({a[0]})"  # identity; Spark requires >= 2 args
+    if name == "trunc" and n == 1:
+        # numeric truncation toward zero (DuckDB trunc(-2.7) = -2);
+        # Spark's trunc is the 2-arg DATE truncation — that form passes
+        return f"(floor(abs({a[0]})) * sign({a[0]}))"
+    if name == "make_timestamp" and n == 1:
+        # 1-arg form takes MICROSECONDS since the epoch
+        return (
+            f"timestampadd(MICROSECOND, {a[0]}, "
+            f"TIMESTAMP_NTZ {lit('1970-01-01 00:00:00')})"
+        )
+    if name == "regexp_extract_all" and n == 2:
+        # DuckDB's default group is 0 (full matches); Spark's is 1 — a
+        # silent wrong answer whenever the pattern contains a group
+        return f"regexp_extract_all\x02({a[0]}, {a[1]}, 0)"
+    if name == "regexp_full_match" and n == 2:
+        key = re.fullmatch(r"\x00(\d+)\x00", a[1])
+        if not key:
+            raise ValueError("regexp_full_match needs a literal pattern")
+        pat = parts[int(key.group(1))][1:-1]
+        anchored = chr(92) + "A(?:" + pat + ")" + chr(92) + "z"
+        return f"regexp_like({a[0]}, {lit(anchored)})"
+    if name == "to_quarters" and n == 1:
+        return f"make_interval(0, ({a[0]}) * 3)"
+    if name in ("add", "subtract", "multiply") and n == 2:
+        op = {"add": "+", "subtract": "-", "multiply": "*"}[name]
+        return f"(({a[0]}) {op} ({a[1]}))"
+    if name in ("millisecond", "microsecond") and n == 1:
+        # function forms of the seconds-INCLUSIVE ms/us date parts
+        return _DATE_PART_FORMULAS[name].format(
+            x=a[0], e0=lit("1970-01-01 00:00:00")
+        )
     if name in ("list_grade_up", "array_grade_up") and n == 1:
         # argsort: 1-based indexes in ascending value order, NULLs last,
         # ties stable by position (measured [30,NULL,10] -> [3,1,2])

@@ -1322,6 +1322,23 @@ def test_function_gap_rewrites_match_duckdb(spark):
         "list_grade_up(['b','a','c'])", "list_grade_up([5,5,1])",
         "list_position([5,6,7], 7)", "list_pack(1, 2)[2]",
         "list_dot_product([1.0,2.0],[3.0,4.0])",
+        # systematic-sweep batch: sha256, identity greatest/least, numeric
+        # trunc toward zero, epoch-us make_timestamp, group-0 default for
+        # regexp_extract_all (Spark defaults to group 1!), anchored
+        # regexp_full_match, quarter intervals, arithmetic spellings,
+        # seconds-inclusive ms/us function forms
+        "sha256('abc')", "greatest(7)", "least('a')",
+        "trunc(2.7)", "trunc(-2.7)", "trunc(7)",
+        "make_timestamp(1700000000000000)",
+        "regexp_extract_all('a1b2', '([a-z])[0-9]')[1]",
+        "regexp_extract_all('a1b2', '([a-z])[0-9]', 1)[2]",
+        "regexp_full_match('abc', 'a.c')", "regexp_full_match('abcd', 'a.c')",
+        "CAST(DATE '2020-01-01' + to_quarters(3) AS DATE)",
+        "add(2, 3)", "subtract(5, 2)", "multiply(3, 4)",
+        "microsecond(TIMESTAMP '2021-07-04 10:20:30.123456')",
+        "millisecond(TIMESTAMP '2021-07-04 10:20:30.123456')",
+        # chr is a UNICODE codepoint in DuckDB; Spark's chr is ascii%256
+        "chr(65)", "chr(233)", "chr(769)", "chr(128169)", "ascii(chr(960))",
     ]
     bad = []
     for c in cases + agg_cases + series_cases + json_cases:
@@ -1462,3 +1479,28 @@ def test_json_transform_strict_and_pretty(spark):
     # unsupported structure slot raises loudly, not silently
     with pytest.raises(ValueError, match="unsupported structure"):
         sqlx.sql(spark, """SELECT json_transform('{"a":1}', '{"a":"JSON"}') AS r""")
+
+
+def test_udf_registered_metrics_match_duckdb(spark):
+    """Round 12: the registered-UDF surface (jaro_similarity /
+    jaro_winkler_similarity / damerau_levenshtein / nfc_normalize) vs the
+    real DuckDB implementations."""
+    import duckdb
+
+    from duckdb_parachute_spark import sqlx
+    from duckdb_parachute_spark.functions import register_udfs
+
+    register_udfs(spark)
+    con = duckdb.connect()
+    cases = [
+        "round(jaro_similarity('martha', 'marhta'), 10)",
+        "round(jaro_similarity('abc', 'xyz'), 10)",
+        "round(jaro_winkler_similarity('martha', 'marhta'), 10)",
+        "damerau_levenshtein('ca', 'abc')",
+        "nfc_normalize('e' || chr(769))",  # e + combining acute -> é
+        "length(nfc_normalize('e' || chr(769)))",
+    ]
+    for c in cases:
+        a = sqlx.sql(spark, f"SELECT {c} AS r").head()[0]
+        b = con.sql(f"SELECT {c} AS r").fetchone()[0]
+        assert a == b, (c, a, b)
