@@ -1153,3 +1153,40 @@ def dialect_lambda_series(spark, sf_dir):
     nulls-last argsort. Same SQL is the oracle."""
     _views(spark, sf_dir, "orders")
     return sqlx.sql(spark, _LAMBDA_SERIES_SQL)
+
+
+_SWEEP_SQL = """
+SELECT p_partkey,
+       sha256(p_name) AS sha,
+       chr(CAST(945 + p_partkey % 24 AS INT)) AS greek_chr,
+       regexp_extract_all(p_name, '([a-z]+)o') AS full_matches,
+       regexp_extract_all(p_name, '([a-z]+)o', 1) AS group_matches,
+       regexp_full_match(p_brand, 'Brand#[0-9]+') AS brand_ok,
+       trunc(p_retailprice / 100) AS price_trunc,
+       CAST(make_timestamp(CAST(p_partkey AS BIGINT) * 1000000000) AS TIMESTAMP) AS ts_us,
+       add(p_partkey, 7) AS plus7,
+       multiply(p_partkey % 13, 3) AS times3,
+       greatest(p_partkey) AS ident
+FROM part WHERE p_partkey % 23 = 0
+ORDER BY p_partkey
+"""
+
+
+@query(
+    "dialect_fn_sweep",
+    oracle=_SWEEP_SQL,
+    join_arrays=["full_matches", "group_matches"],
+    cast_double=["price_trunc"],
+)
+def dialect_fn_sweep(spark, sf_dir):
+    """Round-12 systematic sweep (every evaluable DuckDB scalar probed
+    against Spark) — the silent-wrong-answer catches on real rows: chr is
+    a UNICODE codepoint (Spark's is ascii%256 — chr(769) returned \\x01),
+    regexp_extract_all defaults to group 0 (Spark: group 1 — wrong result
+    whenever the pattern has a capture group), sha256 -> sha2(x, 256),
+    1-arg numeric trunc toward zero, 1-arg make_timestamp takes epoch
+    MICROSECONDS, anchored regexp_full_match, arithmetic function
+    spellings, and 1-arg greatest/least identity. Same SQL is the
+    oracle."""
+    _views(spark, sf_dir, "part")
+    return sqlx.sql(spark, _SWEEP_SQL)
