@@ -1106,7 +1106,7 @@ _FN_GAP_RE = re.compile(
     # round-12 systematic sweep (every evaluable DuckDB scalar vs Spark):
     r"sha256|greatest|least|trunc|make_timestamp|regexp_extract_all|"
     r"regexp_full_match|to_quarters|add|subtract|multiply|"
-    r"millisecond|microsecond|chr)"
+    r"millisecond|microsecond|chr|left|right)"
     r"\s*\(",
     re.IGNORECASE,
 )
@@ -1243,6 +1243,20 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
         return _regexp_replace_emit(a, lit, parts)
     if name == "sha256" and n == 1:
         return f"sha2({a[0]}, 256)"
+    if name in ("left", "right") and n == 2:
+        # NEGATIVE counts drop |n| characters from the OTHER end in DuckDB
+        # (left('hello', -2) = 'hel'); Spark returns '' — silent divergence
+        # for computed counts. Positive counts behave identically.
+        s, k = a[0], a[1]
+        if name == "left":
+            return (
+                f"substring({s}, 1, CASE WHEN ({k}) >= 0 THEN ({k}) "
+                f"ELSE greatest(length({s}) + ({k}), 0) END)"
+            )
+        return (
+            f"CASE WHEN ({k}) >= 0 THEN right\x02({s}, {k}) "
+            f"ELSE substring({s}, 1 - ({k})) END"
+        )
     if name == "chr" and n == 1:
         # DuckDB chr is a UNICODE codepoint; Spark's chr is ASCII-with-
         # modulo-256 (chr(769) -> \x01, a silent wrong answer). The UTF-32BE

@@ -1339,6 +1339,10 @@ def test_function_gap_rewrites_match_duckdb(spark):
         "millisecond(TIMESTAMP '2021-07-04 10:20:30.123456')",
         # chr is a UNICODE codepoint in DuckDB; Spark's chr is ascii%256
         "chr(65)", "chr(233)", "chr(769)", "chr(128169)", "ascii(chr(960))",
+        # negative counts drop from the OTHER end (Spark returns '')
+        "left('hello', -2)", "right('hello', -2)", "left('hello', 2)",
+        "right('hello', 2)", "left('ab', -5)", "right('ab', 5)",
+        "left('hello', 0)", "right('hello', 0)",
     ]
     bad = []
     for c in cases + agg_cases + series_cases + json_cases:
