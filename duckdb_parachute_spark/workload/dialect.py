@@ -1159,8 +1159,8 @@ _SWEEP_SQL = """
 SELECT p_partkey,
        sha256(p_name) AS sha,
        chr(CAST(945 + p_partkey % 24 AS INT)) AS greek_chr,
-       regexp_extract_all(p_name, '([a-z]+)o') AS full_matches,
-       regexp_extract_all(p_name, '([a-z]+)o', 1) AS group_matches,
+       regexp_extract_all(p_name, '([a-z]+) ') AS full_matches,
+       regexp_extract_all(p_name, '([a-z]+) ', 1) AS group_matches,
        regexp_full_match(p_brand, 'Brand#[0-9]+') AS brand_ok,
        trunc(p_retailprice / 100) AS price_trunc,
        CAST(make_timestamp(CAST(p_partkey AS BIGINT) * 1000000000) AS TIMESTAMP) AS ts_us,
