@@ -577,8 +577,11 @@ def rewrite_list_fns(sql: str) -> str:
 #: array_contains; regexp_matches ≡ regexp_like (both PARTIAL match);
 #: *_split_regex ≡ split (both regex separators); list_value/pack ≡ array.
 _FN_ALIAS_MAP = {
-    "arg_min": "min_by",
-    "arg_max": "max_by",
+    # arg_min/arg_max moved to rewrite_fn_gaps (round 12): DuckDB SKIPS
+    # NULL-arg rows where Spark's min_by/max_by return NULL — the alias
+    # was a silent divergence whenever the extremal key carried a NULL arg
+    "listagg": "string_agg",  # 1-arg default separator fixed in string_agg
+    "group_concat": "string_agg",
     "strpos": "instr",
     "list_contains": "array_contains",
     "array_has": "array_contains",
@@ -1106,7 +1109,9 @@ _FN_GAP_RE = re.compile(
     # round-12 systematic sweep (every evaluable DuckDB scalar vs Spark):
     r"sha256|greatest|least|trunc|make_timestamp|regexp_extract_all|"
     r"regexp_full_match|to_quarters|add|subtract|multiply|"
-    r"millisecond|microsecond|chr|left|right)"
+    r"millisecond|microsecond|chr|left|right|"
+    r"arg_max|arg_min|argmax|argmin|max_by|min_by|count_star|"
+    r"arg_max_null|arg_min_null|argmax_null|argmin_null)"
     r"\s*\(",
     re.IGNORECASE,
 )
@@ -1243,6 +1248,24 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
         return _regexp_replace_emit(a, lit, parts)
     if name == "sha256" and n == 1:
         return f"sha2({a[0]}, 256)"
+    if name in ("arg_max", "argmax", "max_by", "arg_min", "argmin",
+                "min_by") and n == 2:
+        # DuckDB's whole family SKIPS rows whose ARG is NULL (measured:
+        # arg_max(s, x) over {(NULL, 9), ('b', 1)} = 'b'); Spark's
+        # min_by/max_by return the NULL — the *_null variants are the ones
+        # that alias directly. FILTER reproduces the skip.
+        fn = "max_by" if name in ("arg_max", "argmax", "max_by") else "min_by"
+        return (
+            f"{fn}\x02({a[0]}, {a[1]}) FILTER (WHERE ({a[0]}) IS NOT NULL)"
+        )
+    if name in ("arg_max_null", "argmax_null", "arg_min_null",
+                "argmin_null") and n == 2:
+        # the _null variants keep NULL args — exactly Spark's min_by/max_by
+        # (a plain alias would re-enter the skip-null rule above)
+        fn = "max_by" if "max" in name else "min_by"
+        return f"{fn}\x02({a[0]}, {a[1]})"
+    if name == "count_star" and (n == 0 or (n == 1 and not a[0])):
+        return "count(*)"
     if name in ("left", "right") and n == 2:
         # NEGATIVE counts drop |n| characters from the OTHER end in DuckDB
         # (left('hello', -2) = 'hel'); Spark returns '' — silent divergence
@@ -1562,7 +1585,10 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
         else:
             flag = f"CAST({key} IS NULL AS INT)" if not desc else f"CAST({key} IS NOT NULL AS INT)"
         fn = "min_by" if lo else "max_by"
-        return f"{fn}({expr}, struct({flag}, {key}))"
+        # \x02: the bare min_by/max_by names now rewrite to the null-arg-
+        # skipping form (round 12) — this ordered-aggregate emission must
+        # KEEP null args participating, so it must not be rescanned
+        return f"{fn}\x02({expr}, struct({flag}, {key}))"
     if name == "generate_series":
         if n == 2:
             # DuckDB's scalar form returns [] when a > b (inclusive ends)

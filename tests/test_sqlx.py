@@ -1176,6 +1176,17 @@ def test_function_gap_rewrites_match_duckdb(spark):
     ]
     agg_rows = "(VALUES (1, 1.5), (2, -2.5), (3, 4.0), (4, 8.5), (5, NULL)) t(i, x)"
     agg_cases = [
+        # round-12 aggregate sweep: the whole arg_max family SKIPS
+        # NULL-arg rows (Spark's min_by/max_by return them); *_null
+        # variants ARE Spark's semantics; listagg/group_concat default
+        # separator is ',' (Spark listagg: ''); count_star spelling
+        "arg_max(CASE WHEN x > 3 THEN NULL ELSE i END, x)",
+        "max_by(CASE WHEN x > 3 THEN NULL ELSE i END, x)",
+        "arg_min(CASE WHEN x < 0 THEN NULL ELSE i END, x)",
+        "arg_max_null(CASE WHEN x > 3 THEN NULL ELSE i END, x)",
+        "arg_max(i, x)", "argmin(i, x)",
+        "listagg(i)", "group_concat(i)", "group_concat(i, '|')",
+        "count_star()",
         # DuckDB skewness/kurtosis are SAMPLE-corrected (Spark: population);
         # kurtosis_pop == Spark's kurtosis bit-for-bit; product is a true
         # multiplication fold; ordered first/last -> min_by/max_by with
