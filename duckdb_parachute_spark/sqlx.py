@@ -581,6 +581,11 @@ _FN_ALIAS_MAP = {
     # NULL-arg rows where Spark's min_by/max_by return NULL — the alias
     # was a silent divergence whenever the extremal key carried a NULL arg
     "listagg": "string_agg",  # 1-arg default separator fixed in string_agg
+    # approximate quantiles: engine-specific sketches on both sides (DuckDB
+    # t-digest, Spark GK) — the mapping is API parity, values approximate
+    # by definition and not cross-engine pinnable
+    "approx_quantile": "approx_percentile",
+    "reservoir_quantile": "approx_percentile",
     "group_concat": "string_agg",
     "strpos": "instr",
     "list_contains": "array_contains",
