@@ -2572,6 +2572,60 @@ def rewrite_int_casts(sql: str, _parts: list[str] | None = None) -> str:
     return sql.replace("\x02(", "(")
 
 
+#: ORDER BY default null placement (round 12, found by the window sweep):
+#: DuckDB's default_null_order is NULLS LAST in BOTH directions (measured:
+#: ASC puts the NULL row last, and rank() OVER (ORDER BY x DESC) also
+#: ranks it last); Spark defaults to NULLS FIRST on ASC / NULLS LAST on
+#: DESC. Every ORDER BY item without an explicit NULLS gets NULLS LAST
+#: appended — top-level clauses, OVER windows, and WITHIN GROUP alike
+#: (the clause ends at a frame/limit/setop keyword or an unbalanced ')').
+#: ORDER BY ALL is left for its own expansion.
+_ORDER_BY_CLAUSE_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+_OB_END_RE = re.compile(
+    r"(?:\b(?:LIMIT|OFFSET|FETCH|ROWS|RANGE|GROUPS|UNION|INTERSECT|EXCEPT|"
+    r"WINDOW|HAVING|QUALIFY)\b|;)",
+    re.IGNORECASE,
+)
+_OB_HAS_NULLS_RE = re.compile(r"\bNULLS\s+(?:FIRST|LAST)\s*\Z", re.IGNORECASE)
+
+
+def rewrite_order_by_nulls(sql: str) -> str:
+    pos = 0
+    while True:
+        m = _ORDER_BY_CLAUSE_RE.search(sql, pos)
+        if not m:
+            return sql
+        j = m.end()
+        depth, end = 0, len(sql)
+        k = j
+        while k < len(sql):
+            ch = sql[k]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    end = k
+                    break
+                depth -= 1
+            elif depth == 0:
+                mm = _OB_END_RE.match(sql, k)
+                if mm:
+                    end = k
+                    break
+            k += 1
+        items = _split_top_level(sql[j:end])
+        fixed = []
+        for it in items:
+            t = it.rstrip()
+            if not t or t.strip().upper() == "ALL" or _OB_HAS_NULLS_RE.search(t):
+                fixed.append(it)
+            else:
+                fixed.append(t + " NULLS LAST" + it[len(t):])
+        rep = ",".join(fixed)
+        sql = sql[:j] + rep + sql[end:]
+        pos = j + len(rep)
+
+
 #: DuckDB typed literals Spark's parser rejects: BLOB 'x' / BIT '0101' —
 #: the literal arrives masked, so the rewrite is placeholder-shaped. BIT is
 #: unsupported (Spark has no bitstring type) and raises via the CAST path.
@@ -2613,6 +2667,10 @@ REWRITES = [
     rewrite_factorial,
     rewrite_xor_reduce,
     rewrite_int_casts,
+    # LAST: earlier rewrites parse raw ORDER BY text (first/last,
+    # string_agg); this one appends DuckDB's NULLS LAST default to every
+    # surviving ORDER BY item, including ones those rewrites emitted
+    rewrite_order_by_nulls,
 ]
 
 

@@ -217,7 +217,7 @@ def test_list_comprehension_and_list_fns():
     assert "array_sort(l, (l, r) -> CASE" in transpile("SELECT list_reverse_sort(l) FROM t")
     # string_agg → listagg [WITHIN GROUP]
     assert transpile("SELECT string_agg(s, '|' ORDER BY s DESC) FROM t") == (
-        "SELECT listagg(s, '|') WITHIN GROUP (ORDER BY s DESC) FROM t"
+        "SELECT listagg(s, '|') WITHIN GROUP (ORDER BY s DESC NULLS LAST) FROM t"
     )
     assert transpile("SELECT string_agg(s) FROM t") == "SELECT listagg(s, ',') FROM t"
 
@@ -289,7 +289,7 @@ def test_trailing_commas_dropped():
     assert transpile("SELECT a, b, FROM t") == "SELECT a, b FROM t"
     assert (
         transpile("SELECT a, count(*) c, FROM t GROUP BY a, ORDER BY a,")
-        == "SELECT a, count(*) c FROM t GROUP BY a ORDER BY a"
+        == "SELECT a, count(*) c FROM t GROUP BY a ORDER BY a NULLS LAST"
     )
     # literals with commas are inert; f(a,) stays invalid
     assert transpile("SELECT 'a, FROM b', x, FROM t") == "SELECT 'a, FROM b', x FROM t"
@@ -965,10 +965,10 @@ def test_quantile_rewrites(spark):
         "SELECT percentile(x, 0.5) FROM t"
     )
     assert transpile("SELECT quantile_disc(x, 0.25) FROM t") == (
-        "SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY x) FROM t"
+        "SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY x NULLS LAST) FROM t"
     )
     assert transpile("SELECT quantile(x, 0.9) FROM t") == (
-        "SELECT percentile_disc(0.9) WITHIN GROUP (ORDER BY x) FROM t"
+        "SELECT percentile_disc(0.9) WITHIN GROUP (ORDER BY x NULLS LAST) FROM t"
     )
     # pinned against duckdb 1.0: disc picks the exact element at the rank
     r = sqlx.sql(
@@ -1519,3 +1519,35 @@ def test_udf_registered_metrics_match_duckdb(spark):
         a = sqlx.sql(spark, f"SELECT {c} AS r").head()[0]
         b = con.sql(f"SELECT {c} AS r").fetchone()[0]
         assert a == b, (c, a, b)
+
+
+def test_order_by_default_nulls_match_duckdb(spark):
+    """Round 12 (found by the window sweep): DuckDB's default null order is
+    NULLS LAST in BOTH directions; Spark's is NULLS FIRST on ASC. Every
+    transpiled ORDER BY item without explicit NULLS must get NULLS LAST —
+    top-level, window OVER, and the distribution functions whose VALUES
+    depend on null placement (cume_dist / percent_rank / row_number)."""
+    import duckdb
+
+    from duckdb_parachute_spark import sqlx
+
+    con = duckdb.connect()
+    tbl = "(VALUES (1, 1.5), (2, -2.5), (3, 4.0), (4, CAST(NULL AS DOUBLE))) v(i, x)"
+    queries = [
+        f"SELECT i FROM {tbl} ORDER BY x",
+        f"SELECT i FROM {tbl} ORDER BY x DESC",
+        f"SELECT i, rank() OVER (ORDER BY x) AS rnk FROM {tbl} ORDER BY i",
+        f"SELECT i, rank() OVER (ORDER BY x DESC) AS rnk FROM {tbl} ORDER BY i",
+        f"SELECT i, round(cume_dist() OVER (ORDER BY x), 6) AS cd FROM {tbl} ORDER BY i",
+        f"SELECT i, round(percent_rank() OVER (ORDER BY x), 6) AS pr FROM {tbl} ORDER BY i",
+        f"SELECT i, row_number() OVER (ORDER BY x) AS rn FROM {tbl} ORDER BY i",
+        f"SELECT i, lead(i) OVER (ORDER BY x) AS nxt FROM {tbl} ORDER BY i",
+        f"SELECT i, sum(i) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING "
+        f"AND CURRENT ROW) AS cum FROM {tbl} ORDER BY i",
+        # explicit NULLS FIRST must survive untouched
+        f"SELECT i FROM {tbl} ORDER BY x NULLS FIRST",
+    ]
+    for q in queries:
+        a = [tuple(r) for r in sqlx.sql(spark, q).collect()]
+        b = [tuple(r) for r in con.sql(q).fetchall()]
+        assert a == b, (q, a, b)
