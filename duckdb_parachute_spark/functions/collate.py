@@ -392,7 +392,11 @@ def _welsh_spec() -> _LocaleSpec:
         # longest-uppercase first reproduces leftmost-greedy matching on
         # self-overlaps ('LLl' = LL|l, 'lll' = ll|l)
         tokenize += [(upper, toks[2]), (title, toks[1]), (lower, toks[0])]
-        slot = dg[0] + "{"
+        # each digraph is a full letter after its FIRST letter — except ng,
+        # which sorts after G ('gzz' < 'nga' < 'ha'). Round 12: the slot
+        # said 'n{' here, contradicting the measurement above — caught by
+        # this round's 200-example deep pass drawing ['H', 'NG'].
+        slot = ("g" if dg == "ng" else dg[0]) + "{"
         primary += [(t, slot) for t in toks]
         secondary += [(t, lower) for t in toks]
         t_src += "".join(toks)
