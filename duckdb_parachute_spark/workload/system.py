@@ -589,3 +589,45 @@ def collate_locale_ru_rank(spark, sf_dir):
         df, [collate.locale_collation_key(F.col("s"), "ru")], out="rnk"
     )
     return ranked.select("s", "rnk").orderBy("rnk", "s")
+
+
+@query(
+    "collate_locale_cy_rank",
+    oracle="""
+    SELECT s, CAST(rank() OVER (ORDER BY s COLLATE cy) AS BIGINT) AS rnk
+    FROM (
+        SELECT CASE p_partkey % 5
+                 WHEN 0 THEN replace(p_name, 'n', 'ng')
+                 WHEN 1 THEN replace(p_name, 'ho', 'NGo')
+                 WHEN 2 THEN replace(p_name, 'l', 'll')
+                 WHEN 3 THEN translate(p_name, 'aeo', 'âêô')
+                 ELSE replace(p_name, 'r', 'rh')
+               END AS s
+        FROM part WHERE p_partkey % 9 = 0
+    )
+    ORDER BY rnk, s
+    """,
+)
+def collate_locale_cy_rank(spark, sf_dir):
+    """ICU Welsh collation (round 12 — graded after the deep-pass catch):
+    eight digraph letters, including the famous ng AFTER G ('gzz' < 'nga'
+    < 'ha' — the r11 slot table said after N; branch 2 seeds NG at h-ish
+    positions so the g-group placement is load-bearing), ll/rh
+    contractions with lower < title < upper case forms, circumflex vowels
+    secondary. Ranked on locale_collation_key('cy') vs DuckDB's real ICU
+    ``COLLATE cy``."""
+    from duckdb_parachute_spark.functions.scalar import global_rank
+
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 9 == 0)
+    s = (
+        F.when(F.col("p_partkey") % 5 == 0, F.replace("p_name", F.lit("n"), F.lit("ng")))
+        .when(F.col("p_partkey") % 5 == 1, F.replace("p_name", F.lit("ho"), F.lit("NGo")))
+        .when(F.col("p_partkey") % 5 == 2, F.replace("p_name", F.lit("l"), F.lit("ll")))
+        .when(F.col("p_partkey") % 5 == 3, F.translate(F.col("p_name"), "aeo", "âêô"))
+        .otherwise(F.replace("p_name", F.lit("r"), F.lit("rh")))
+    )
+    df = p.select(s.alias("s"))
+    ranked = global_rank(
+        df, [collate.locale_collation_key(F.col("s"), "cy")], out="rnk"
+    )
+    return ranked.select("s", "rnk").orderBy("rnk", "s")
