@@ -496,23 +496,25 @@ def test_locale_collation_total_order_matches_icu(spark, oracle, locale, data):
             unique=True,
         )
     )
+    # ICU compares some distinct strings EQUAL at every strength (ro's
+    # cedilla ş/ţ ≡ comma ș/ț), and DuckDB's sort is NOT reliably stable
+    # (round 12: the r11 input-index tie-break broke at ~30-row draws —
+    # larger sorts take an unstable path), so BOTH sides tie-break
+    # ICU-equal keys by BINARY codepoint order: the oracle adds a plain
+    # `s` sort key, ours sorts (key, s). Detection power is unchanged — a
+    # key that wrongly equates what ICU orders (or splits what ICU ties)
+    # still diverges unless binary order happens to coincide.
     icu = [
         r[0]
         for r in oracle.execute(
-            f'SELECT s FROM (SELECT unnest(?) s) ORDER BY s COLLATE "{locale}"',
+            f'SELECT s FROM (SELECT unnest(?) s) ORDER BY s COLLATE "{locale}", s',
             [words],
         ).fetchall()
     ]
-    # ICU compares some distinct strings EQUAL at every strength (ro's
-    # cedilla ş/ţ ≡ comma ș/ț) and DuckDB's sort is stable, so equal keys
-    # come back in input order — tie-break our side by input index to
-    # mirror that. A key that wrongly EQUATES what ICU orders still fails
-    # (input order ≠ ICU order on half the draws), so the property keeps
-    # its teeth.
-    df = spark.createDataFrame(list(enumerate(words)), "i long, s string")
+    df = spark.createDataFrame([(w,) for w in words], "s string")
     ours = [
         r["s"]
-        for r in df.orderBy(locale_collation_key(F.col("s"), locale), F.col("i")).collect()
+        for r in df.orderBy(locale_collation_key(F.col("s"), locale), F.col("s")).collect()
     ]
     assert ours == icu
 
