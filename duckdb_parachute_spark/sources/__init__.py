@@ -407,10 +407,20 @@ def delta_scan(
         # share): pick the NEWEST version whose commit timestamp <= the
         # target. Per-commit time = commitInfo.timestamp (epoch ms, any
         # line of the commit) when present, else the commit file's
-        # mtime — the spec's documented fallback. Only JSON commits carry
-        # a resolvable time; versions that survive solely inside a
-        # checkpoint (vacuumed) cannot win a timestamp lookup and raise
-        # if the target predates the oldest timestamped commit.
+        # mtime. DOCUMENTED DIVERGENCE (round 13): the reference Spark
+        # reader uses commit-file modification time by default and reads
+        # in-commit timestamps only when the inCommitTimestamp table
+        # feature is enabled — commitInfo-first is kept here because a
+        # copied/rsynced log (mtime = copy time) resolves deterministically
+        # from the log content, at the cost of differing from a Spark
+        # reader on logs whose commitInfo was written skewed. Round 13
+        # adds the reference's non-monotonic clamp (commit N+1 earlier
+        # than commit N reads as commit N's time + 1 ms), so an
+        # out-of-order writer clock cannot make a LATER version win an
+        # EARLIER target. Only JSON commits carry a resolvable time;
+        # versions that survive solely inside a checkpoint (vacuumed)
+        # cannot win a timestamp lookup and raise if the target predates
+        # the oldest timestamped commit.
         if version is not None:
             raise ValueError("pass either version or timestamp, not both")
         import datetime as _dt
@@ -433,7 +443,15 @@ def delta_scan(
                 os.path.getmtime(versions[v]), _dt.timezone.utc
             )
 
-        eligible = [v for v in sorted(versions) if commit_time(v) <= want]
+        clamped: dict[int, "_dt.datetime"] = {}
+        prev = None
+        for v in sorted(versions):
+            t = commit_time(v)
+            if prev is not None and t <= prev:
+                t = prev + _dt.timedelta(milliseconds=1)
+            clamped[v] = t
+            prev = t
+        eligible = [v for v in sorted(versions) if clamped[v] <= want]
         if not eligible:
             oldest = min(versions, default=None)
             raise ValueError(

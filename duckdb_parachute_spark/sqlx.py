@@ -648,7 +648,6 @@ _FN_ALIAS_MAP = {
     "array_has_any": "arrays_overlap",
     "strlen": "octet_length",  # DuckDB strlen is BYTE length
     # round-12 batch: probed-identical renames
-    "strpos": "instr",  # both haystack-first, 0 on miss
     # round-12 systematic sweep: env-time aliases + arithmetic spellings
     "today": "current_date",
     "get_current_timestamp": "now",
@@ -1256,12 +1255,17 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
     if name in ("arg_max", "argmax", "max_by", "arg_min", "argmin",
                 "min_by") and n == 2:
         # DuckDB's whole family SKIPS rows whose ARG is NULL (measured:
-        # arg_max(s, x) over {(NULL, 9), ('b', 1)} = 'b'); Spark's
-        # min_by/max_by return the NULL — the *_null variants are the ones
-        # that alias directly. FILTER reproduces the skip.
+        # arg_max(s, x) over {(NULL, 9), ('b', 1)} = 'b'; same skip in
+        # window form arg_max(v,k) OVER (...)); Spark's min_by/max_by
+        # return the NULL — the *_null variants are the ones that alias
+        # directly. Nulling the KEY reproduces the skip (max/min ignore
+        # NULL keys, measured both contexts) and — unlike the r12 FILTER
+        # spelling — is legal under OVER, where Spark rejects
+        # 'Window aggregate function with filter predicate'.
         fn = "max_by" if name in ("arg_max", "argmax", "max_by") else "min_by"
         return (
-            f"{fn}\x02({a[0]}, {a[1]}) FILTER (WHERE ({a[0]}) IS NOT NULL)"
+            f"{fn}\x02({a[0]}, CASE WHEN ({a[0]}) IS NOT NULL "
+            f"THEN ({a[1]}) END)"
         )
     if name in ("arg_max_null", "argmax_null", "arg_min_null",
                 "argmin_null") and n == 2:
@@ -2627,13 +2631,55 @@ def rewrite_order_by_nulls(sql: str) -> str:
 
 
 #: DuckDB typed literals Spark's parser rejects: BLOB 'x' / BIT '0101' —
-#: the literal arrives masked, so the rewrite is placeholder-shaped. BIT is
-#: unsupported (Spark has no bitstring type) and raises via the CAST path.
-_BLOB_LIT_RE = re.compile(r"\b(BLOB|BYTEA)\s+(\x00\d+\x00)", re.IGNORECASE)
+#: the literal arrives masked, so the rewrite reads the mask table. DuckDB
+#: blob literals (measured): only \xNN hex escapes are legal, a bare
+#: backslash must itself be \x5C, non-ASCII bytes are rejected — so the
+#: decode below mirrors DuckDB exactly and raises on what DuckDB rejects.
+#: Emitting unhex('<hex>') (not CAST(text AS BINARY)) is what keeps the
+#: escapes real: Spark's cast would preserve the literal backslash text
+#: (61625C784141 for 'ab\xAA' where DuckDB stores 6162AA).
+_BLOB_LIT_RE = re.compile(r"\b(BLOB|BYTEA)\s+\x00(\d+)\x00", re.IGNORECASE)
+_BLOB_ESC_RE = re.compile(r"\\x([0-9A-Fa-f]{2})|\\")
 
 
-def rewrite_blob_literals(sql: str) -> str:
-    return _BLOB_LIT_RE.sub(lambda m: f"CAST({m.group(2)} AS BINARY)", sql)
+def _decode_blob_literal(text: str) -> str:
+    """DuckDB blob-literal body -> hex string (reference
+    src/common/types/blob.cpp ToBlob): \\xNN escapes decode to one byte,
+    any other backslash or non-ASCII char is a conversion error."""
+    out = bytearray()
+    pos = 0
+    for m in _BLOB_ESC_RE.finditer(text):
+        chunk = text[pos : m.start()]
+        if any(ord(c) > 127 for c in chunk):
+            raise ValueError(
+                f"BLOB literal: non-ASCII character must be hex-escaped: {chunk!r}"
+            )
+        out.extend(chunk.encode("ascii"))
+        if m.group(1) is None:
+            raise ValueError(
+                f"BLOB literal: invalid escape (only \\xNN is legal): {text!r}"
+            )
+        out.append(int(m.group(1), 16))
+        pos = m.end()
+    tail = text[pos:]
+    if any(ord(c) > 127 for c in tail):
+        raise ValueError(
+            f"BLOB literal: non-ASCII character must be hex-escaped: {tail!r}"
+        )
+    out.extend(tail.encode("ascii"))
+    return out.hex().upper()
+
+
+def rewrite_blob_literals(sql: str, _parts: list[str] | None = None) -> str:
+    if _parts is None:
+        return sql
+
+    def emit(m: re.Match) -> str:
+        raw = _parts[int(m.group(2))]
+        body = raw[1:-1].replace("''", "'")  # strip quotes, unfold ''
+        return f"unhex('{_decode_blob_literal(body)}')"
+
+    return _BLOB_LIT_RE.sub(emit, sql)
 
 
 REWRITES = [
@@ -2726,7 +2772,7 @@ def transpile(sql: str) -> str:
         # expansion just introduced so the rewrites stay literal-blind
         masked = _TOKEN_RE.sub(stash, _expand_macros(masked))
     for rw in REWRITES:
-        if rw in (rewrite_json_arrows, rewrite_regex_ops, rewrite_string_split, rewrite_strftime, rewrite_int_casts, rewrite_date_diff, rewrite_date_part, rewrite_list_sort, rewrite_string_agg, rewrite_fn_gaps):
+        if rw in (rewrite_blob_literals, rewrite_json_arrows, rewrite_regex_ops, rewrite_string_split, rewrite_strftime, rewrite_int_casts, rewrite_date_diff, rewrite_date_part, rewrite_list_sort, rewrite_string_agg, rewrite_fn_gaps):
             masked = rw(masked, _parts=parts)
         else:
             masked = rw(masked)

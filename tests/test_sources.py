@@ -850,3 +850,31 @@ def test_delta_scan_timestamp_time_travel(spark, tmp_path):
         delta_scan(spark, root, timestamp="2020-01-01T00:00:00+00:00")
     with pytest.raises(ValueError, match="not both"):
         delta_scan(spark, root, version=0, timestamp=mid)
+
+
+def test_delta_scan_timestamp_nonmonotonic_clamp(spark, tmp_path):
+    """Round 13 (ADVICE): a skewed writer clock can stamp commit 1 EARLIER
+    than commit 0 — the reference reader clamps it to commit0 + 1ms so a
+    later version can never win an earlier target. Without the clamp,
+    targeting just above commit 1's raw (earlier) time would resolve to
+    version 1, i.e. newer data at an older timestamp."""
+    from duckdb_parachute_spark.sources import delta_scan
+
+    root = str(tmp_path / "dtnm")
+    _delta_part(spark, spark.range(0, 5).selectExpr("id"), root, "f0.parquet")
+    _delta_part(spark, spark.range(5, 9).selectExpr("id"), root, "f1.parquet")
+    t0 = 1700000000000
+    _delta_commit(root, 0, [
+        {"commitInfo": {"timestamp": t0, "operation": "WRITE"}},
+        {"add": {"path": "f0.parquet", "partitionValues": {}}},
+    ])
+    _delta_commit(root, 1, [
+        {"commitInfo": {"timestamp": t0 - 600000, "operation": "WRITE"}},  # 10 min BEFORE commit 0
+        {"remove": {"path": "f0.parquet"}},
+        {"add": {"path": "f1.parquet", "partitionValues": {}}},
+    ])
+    # exactly commit 0's time -> version 0 (commit 1 clamps to t0+1ms)
+    at_t0 = "2023-11-14T22:13:20+00:00"
+    assert sorted(r["id"] for r in delta_scan(spark, root, timestamp=at_t0).collect()) == list(range(5))
+    # 1 second later -> version 1 (the clamped t0+1ms is now eligible)
+    assert sorted(r["id"] for r in delta_scan(spark, root, timestamp="2023-11-14T22:13:21+00:00").collect()) == [5, 6, 7, 8]

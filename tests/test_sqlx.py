@@ -934,6 +934,62 @@ def test_fn_aliases_and_zero_safe_subscripts(spark):
     assert (r2["lo"], r2["hi"]) == (2, 3)
 
 
+def test_arg_max_window_null_skip(spark):
+    """Round 13 (ADVICE): arg_max under OVER — the r12 FILTER spelling is
+    rejected by Spark for window aggregates, so the rewrite nulls the KEY
+    instead (max/min skip NULL keys). Pinned against DuckDB: window
+    arg_max(v,k) over {(NULL,9),('b',1)} partition = 'b' on every row."""
+    from duckdb_parachute_spark import sqlx
+
+    spark.createDataFrame(
+        [("a", None, 9), ("a", "b", 1), ("b", None, 5)],
+        "p string, v string, k int",
+    ).createOrReplaceTempView("amw_t")
+    rows = sqlx.sql(
+        spark,
+        "SELECT p, arg_max(v, k) OVER (PARTITION BY p) AS am, "
+        "arg_min(v, k) OVER (PARTITION BY p) AS an FROM amw_t ORDER BY p",
+    ).collect()
+    assert [(r["p"], r["am"], r["an"]) for r in rows] == [
+        ("a", "b", "b"), ("a", "b", "b"), ("b", None, None),
+    ]
+    # duckdb agrees (measured in-round):
+    import duckdb
+
+    ref = duckdb.sql(
+        "SELECT p, arg_max(v, k) OVER (PARTITION BY p) AS am, "
+        "arg_min(v, k) OVER (PARTITION BY p) AS an "
+        "FROM (VALUES ('a', NULL, 9), ('a', 'b', 1), ('b', NULL, 5)) "
+        "t(p, v, k) ORDER BY p"
+    ).fetchall()
+    assert [tuple(r) for r in ref] == [(r["p"], r["am"], r["an"]) for r in rows]
+
+
+def test_blob_literal_escapes(spark):
+    """Round 13 (ADVICE): BLOB 'ab\\xAA' must decode the \\xNN escapes to
+    bytes (DuckDB stores 6162AA); the r12 CAST(text AS BINARY) kept the
+    backslash text. Only \\xNN is a legal escape; anything else raises,
+    mirroring DuckDB's conversion error."""
+    from duckdb_parachute_spark import sqlx
+
+    r = sqlx.sql(
+        spark,
+        r"SELECT hex(BLOB 'ab\xAA') AS h1, hex(BYTEA 'a\x5Cb') AS h2, "
+        r"octet_length(BLOB '\x00\xFF') AS n",
+    ).collect()[0]
+    import duckdb
+
+    ref = duckdb.sql(
+        r"SELECT hex(BLOB 'ab\xAA') AS h1, hex(BYTEA 'a\x5Cb') AS h2, "
+        r"octet_length(BLOB '\x00\xFF') AS n"
+    ).fetchone()
+    assert (r["h1"], r["h2"], r["n"]) == tuple(ref) == ("6162AA", "615C62", 2)
+    with pytest.raises(ValueError, match="only .xNN is legal"):
+        sqlx.transpile(r"SELECT BLOB 'a\nb'")
+    with pytest.raises(ValueError, match="non-ASCII"):
+        sqlx.transpile("SELECT BLOB 'café'")
+
+
 def test_date_diff_boundary_semantics(spark):
     """date_diff counts PART BOUNDARIES CROSSED (duckdb 1.0:
     date_diff('month', Jan 31, Feb 1) = 1), not complete units
