@@ -1115,7 +1115,9 @@ _FN_GAP_RE = re.compile(
     r"regexp_full_match|to_quarters|add|subtract|multiply|"
     r"millisecond|microsecond|chr|left|right|"
     r"arg_max|arg_min|argmax|argmin|max_by|min_by|count_star|"
-    r"arg_max_null|arg_min_null|argmax_null|argmin_null)"
+    r"arg_max_null|arg_min_null|argmax_null|argmin_null|"
+    # round-13: timezone() conversion pair + 1-arg 'timezone' date part
+    r"timezone)"
     r"\s*\(",
     re.IGNORECASE,
 )
@@ -1275,6 +1277,26 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
         return f"{fn}\x02({a[0]}, {a[1]})"
     if name == "count_star" and (n == 0 or (n == 1 and not a[0])):
         return "count(*)"
+    if name == "timezone":
+        # round 13 (reference extension/icu/icu_extension.cpp:213,383):
+        # function form of AT TIME ZONE with the args swapped — see
+        # rewrite_at_time_zone for the measured semantics and the
+        # session-independent Spark spellings. 1-arg = 'timezone' date
+        # part: 0 for naive, session offset seconds for instants (typeof
+        # dispatch — both branches are BIGINT, so the CASE unifies).
+        if n == 2:
+            return _tz_apply(a[0], a[1])[0]
+        if n == 1:
+            x = a[0]
+            wall = f"CAST({x} AS TIMESTAMP_NTZ)"
+            return (
+                f"CASE WHEN typeof({x}) = {lit('timestamp_ntz')} "
+                f"THEN CAST(0 AS BIGINT) "
+                f"ELSE CAST(timestampdiff(SECOND, "
+                f"convert_timezone\x02(current_timezone(), {lit('UTC')}, "
+                f"{wall}), {wall}) AS BIGINT) END"
+            )
+        return None
     if name in ("left", "right") and n == 2:
         # NEGATIVE counts drop |n| characters from the OTHER end in DuckDB
         # (left('hello', -2) = 'hel'); Spark returns '' — silent divergence
@@ -1895,6 +1917,176 @@ def rewrite_fn_gaps(sql: str, _parts: list[str] | None = None) -> str:
         # nested gap calls (list_sum(list_slice(...))); self-matching
         # emissions are \x02-marked, so no loop
         pos = m.start()
+
+
+#: AT TIME ZONE + timezone() (round 13; reference extension/icu/
+#: icu_extension.cpp:213,383 icu-timezone — the Postgres-model pair of
+#: conversions, MEASURED on duckdb 1.0):
+#:   naive TIMESTAMP AT TIME ZONE tz  -> TIMESTAMPTZ: the wall time is
+#:     interpreted IN tz and becomes an instant ('2021-06-01 12:00' AT
+#:     'Asia/Tokyo' = 03:00 UTC);
+#:   TIMESTAMPTZ AT TIME ZONE tz      -> naive TIMESTAMP: the instant is
+#:     rendered as wall time in tz (12:00+00 AT 'Asia/Tokyo' = 21:00).
+#: timezone(tz, x) is the same operator in function form (args swapped);
+#: timezone(x) 1-arg is the 'timezone' date part: 0 for naive timestamps,
+#: the SESSION offset in seconds at that instant for TIMESTAMPTZ.
+#: Spark mapping (session-tz-INDEPENDENT — the driver runs a vanilla
+#: session, ours pins UTC; both spellings were measured identical under
+#: UTC and America/Los_Angeles sessions):
+#:   ntz -> instant: CAST(convert_timezone(tz, current_timezone(), ntz)
+#:     AS TIMESTAMP) — the wall is moved to the session zone first, so the
+#:     NTZ->LTZ cast (which always reads the session zone) lands on the
+#:     right instant under ANY session;
+#:   ltz -> wall:    convert_timezone(current_timezone(), tz,
+#:     CAST(ltz AS TIMESTAMP_NTZ)) — the LTZ->NTZ cast renders the session
+#:     wall, then the wall is moved from the session zone to tz.
+#: The operand's KIND (naive vs instant) is decided STATICALLY: every
+#: catalog table column is TIMESTAMP_NTZ (naive, matching DuckDB's naive
+#: parquet reads), so an instant can only enter via an explicit
+#: TIMESTAMPTZ spelling, now()/current_timestamp, or a previous AT TIME
+#: ZONE application (tracked through the chain by recognizing this pass's
+#: own emission). An operand whose kind is unknowable at the token layer
+#: (a bare timezone(...) call result) raises loudly.
+_ATZ_RE = re.compile(
+    r"\s+AT\s+TIME\s+ZONE\s+(\x00\d+\x00|[A-Za-z_][\w.]*(?:\s*\([^()]*\))?)",
+    re.IGNORECASE,
+)
+_LTZ_KIND_RE = re.compile(
+    r"\bTIMESTAMPTZ\b|\bTIMESTAMP\s+WITH\s+TIME\s+ZONE\b|\bnow\s*\(|"
+    r"\bcurrent_timestamp\b|\btransaction_timestamp\b|\bget_current_timestamp\b",
+    re.IGNORECASE,
+)
+_TZFN_AMBIG_RE = re.compile(r"\btimezone\s*[\x02]?\(", re.IGNORECASE)
+
+
+_TZ_CALL_RE = re.compile(r"^\s*timezone\s*\(", re.IGNORECASE)
+
+
+def _tz_operand_is_ltz(expr: str) -> bool:
+    e = expr.strip()
+    if e.startswith("(") and e.endswith(")"):
+        e = e[1:-1].strip()
+    if e.startswith("CAST(convert_timezone\x02(") and e.endswith("AS TIMESTAMP)"):
+        return True  # this pass's own ntz->instant emission (chained ATZ)
+    if e.startswith("convert_timezone\x02(current_timezone(),"):
+        return False  # this pass's own instant->wall emission
+    if _TZFN_AMBIG_RE.search(e):
+        raise NotImplementedError(
+            "AT TIME ZONE / timezone() over an expression CONTAINING a "
+            "timezone(...) call: the operand's naive-vs-instant kind is "
+            "not statically known at the token layer: " + expr
+        )
+    return bool(_LTZ_KIND_RE.search(e))
+
+
+def _tz_operand_resolve(x: str) -> tuple[str, str]:
+    """(rewritten text, 'ltz'|'ntz') for a conversion operand. A DIRECT
+    nested timezone(tz, y) call is rewritten recursively (its result kind
+    is the flip of y's); anything else keeps its text and is classified
+    statically — timezone() buried deeper inside still raises loudly."""
+    x = x.strip()
+    m = _TZ_CALL_RE.match(x)
+    if m and _balanced_span(x, m.end() - 1) == len(x):
+        args = _split_top_level(x[m.end() : -1])
+        if len(args) == 2:
+            return _tz_apply(args[0].strip(), args[1].strip())
+    return x, ("ltz" if _tz_operand_is_ltz(x) else "ntz")
+
+
+def _tz_apply(tz: str, x: str) -> tuple[str, str]:
+    """Apply one tz conversion (AT TIME ZONE / 2-arg timezone()) to x,
+    returning (emission, result kind)."""
+    text, kind = _tz_operand_resolve(x)
+    if kind == "ltz":
+        return _tz_instant_to_wall(tz, text), "ntz"
+    if re.match(r"TIMESTAMP\s*\x00", text, re.IGNORECASE):
+        # a naive typed literal would parse as LTZ in Spark; the NTZ
+        # spelling keeps the conversion session-independent
+        text = "TIMESTAMP_NTZ " + text.split(None, 1)[1]
+    return _tz_ntz_to_instant(tz, text), "ltz"
+
+
+def _tz_ntz_to_instant(tz: str, x: str) -> str:
+    return (
+        f"CAST(convert_timezone\x02({tz}, current_timezone(), {x}) "
+        f"AS TIMESTAMP)"
+    )
+
+
+def _tz_instant_to_wall(tz: str, x: str) -> str:
+    return (
+        f"convert_timezone\x02(current_timezone(), {tz}, "
+        f"CAST({x} AS TIMESTAMP_NTZ))"
+    )
+
+
+def _primary_start(sql: str, i: int) -> int:
+    """Start index of the primary expression ending just before sql[i]:
+    a balanced (...) group with an optional function name, or a token run
+    (identifier / placeholder / :: chain), with a typed-literal keyword
+    (TIMESTAMP / TIMESTAMPTZ / DATE / TIME) glued on when present."""
+    j = i
+    while j > 0 and sql[j - 1].isspace():
+        j -= 1
+    if j > 0 and sql[j - 1] == ")":
+        depth = 0
+        while j > 0:
+            j -= 1
+            c = sql[j]
+            if c == ")":
+                depth += 1
+            elif c == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+        k = j
+        while k > 0 and (sql[k - 1].isalnum() or sql[k - 1] in "_\x02"):
+            k -= 1
+        return k
+    k = j
+    while k > 0:
+        c = sql[k - 1]
+        if c.isalnum() or c in "_.$\x00":
+            k -= 1
+        elif c == ":" and k > 1 and sql[k - 2] == ":":
+            k -= 2
+        else:
+            break
+    if sql[k : k + 1] == "\x00":
+        m = re.search(
+            r"\b(TIMESTAMPTZ|TIMESTAMP|DATE|TIME)\s*$", sql[:k], re.IGNORECASE
+        )
+        if m:
+            return m.start(1)
+    return k
+
+
+def rewrite_at_time_zone(sql: str) -> str:
+    while True:
+        m = _ATZ_RE.search(sql)
+        if not m:
+            return sql
+        tz = m.group(1).strip()
+        start = _primary_start(sql, m.start())
+        x = sql[start : m.start()].strip()
+        if not x:
+            raise NotImplementedError(f"AT TIME ZONE without an operand: {sql!r}")
+        rep = _tz_apply(tz, x)[0]
+        sql = sql[:start] + rep + sql[m.end() :]
+
+
+#: TIMESTAMPTZ / TIMESTAMP WITH TIME ZONE type spellings -> Spark's
+#: TIMESTAMP (the LTZ type). Runs AFTER rewrite_at_time_zone and
+#: rewrite_fn_gaps so their naive-vs-instant kind detection still sees the
+#: original spelling. Spark parses the +00 offset in a TIMESTAMP literal,
+#: so TIMESTAMPTZ '2021-06-01 12:00:00+00' lands on the right instant.
+_TSTZ_TYPE_RE = re.compile(
+    r"\bTIMESTAMPTZ\b|\bTIMESTAMP\s+WITH\s+TIME\s+ZONE\b", re.IGNORECASE
+)
+
+
+def rewrite_timestamptz_types(sql: str) -> str:
+    return _TSTZ_TYPE_RE.sub("TIMESTAMP", sql)
 
 
 #: FROM generate_series(a, b[, s]) / FROM range(a, b[, s]) table functions
@@ -2702,8 +2894,10 @@ REWRITES = [
     rewrite_strftime,
     rewrite_regexp_extract,
     rewrite_series_tvf,
+    rewrite_at_time_zone,
     rewrite_fn_aliases,
     rewrite_fn_gaps,
+    rewrite_timestamptz_types,
     rewrite_quantiles,
     rewrite_list_sort,
     rewrite_string_agg,

@@ -1190,3 +1190,34 @@ def dialect_fn_sweep(spark, sf_dir):
     oracle."""
     _views(spark, sf_dir, "part")
     return sqlx.sql(spark, _SWEEP_SQL)
+
+
+_TIMEZONE_SQL = """
+SELECT event_id,
+       ts AT TIME ZONE 'UTC' AT TIME ZONE 'Asia/Tokyo' AS tokyo_wall,
+       timezone('America/New_York', timezone('UTC', ts)) AS ny_wall,
+       (TIMESTAMPTZ '2021-06-01 05:00:00-07' AT TIME ZONE 'Europe/Berlin') AS berlin_lit,
+       (TIMESTAMP '2021-01-15 08:00:00' AT TIME ZONE 'Australia/Sydney') AT TIME ZONE 'UTC' AS syd_utc,
+       CAST(timezone(ts) AS BIGINT) AS naive_part,
+       CAST(timezone(ts AT TIME ZONE 'UTC') AS BIGINT) AS instant_part
+FROM events
+WHERE event_id % 97 = 0
+ORDER BY event_id
+"""
+
+
+@query("dialect_timezone", oracle=_TIMEZONE_SQL)
+def dialect_timezone(spark, sf_dir):
+    """timezone() / AT TIME ZONE (round 13; reference extension/icu/
+    icu_extension.cpp:213,383): the Postgres-model conversion pair —
+    naive wall AT tz -> instant, instant AT tz -> naive wall — mapped to
+    session-tz-independent convert_timezone spellings (the ntz/ltz
+    divergence VERDICT r12 named as the most-hit documented absence).
+    Exercises: chained AT TIME ZONE over an NTZ column, nested 2-arg
+    timezone() calls (kind tracked through the recursion), a TIMESTAMPTZ
+    literal rendered to a wall, a naive literal roundtripped through a
+    zone with DST, and the 1-arg 'timezone' date part (0 for naive,
+    session offset for instants). Outputs are all naive walls/BIGINTs so
+    the value hash is session-independent. Same SQL is the oracle."""
+    _views(spark, sf_dir, "events")
+    return sqlx.sql(spark, _TIMEZONE_SQL)

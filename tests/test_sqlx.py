@@ -1607,3 +1607,57 @@ def test_order_by_default_nulls_match_duckdb(spark):
         a = [tuple(r) for r in sqlx.sql(spark, q).collect()]
         b = [tuple(r) for r in con.sql(q).fetchall()]
         assert a == b, (q, a, b)
+
+
+def test_at_time_zone_conversions(spark):
+    """Round 13: AT TIME ZONE / timezone() (reference extension/icu/
+    icu_extension.cpp:213,383) — naive wall AT tz -> instant; instant AT
+    tz -> naive wall; 1-arg timezone = offset part. All spellings pinned
+    against DuckDB on the same values."""
+    from duckdb_parachute_spark import sqlx
+    import duckdb
+
+    q = (
+        "SELECT (TIMESTAMP '2021-06-01 12:00:00' AT TIME ZONE 'Asia/Tokyo')"
+        " AT TIME ZONE 'UTC' AS rt,"
+        " TIMESTAMPTZ '2021-06-01 05:00:00-07' AT TIME ZONE 'Europe/Berlin' AS berlin,"
+        " timezone('America/New_York', timezone('UTC', TIMESTAMP '2021-11-07 05:30:00')) AS dst_edge,"
+        " CAST(timezone(TIMESTAMP '2021-06-01 12:00:00') AS BIGINT) AS naive_off"
+    )
+    a = tuple(sqlx.sql(spark, q).collect()[0])
+    b = duckdb.sql(q).fetchone()
+    assert a == tuple(b)
+    # instant kind tracked through a chain: roundtrip restores the wall
+    assert str(a[0]) == "2021-06-01 03:00:00"
+
+
+def test_at_time_zone_session_independent(spark):
+    """The emitted convert_timezone spellings read current_timezone() —
+    the same instant/wall comes back under ANY session timezone (the
+    driver runs a vanilla session; ours pins UTC)."""
+    from duckdb_parachute_spark import sqlx
+
+    q = (
+        "SELECT unix_timestamp(TIMESTAMP '2021-06-01 12:00:00' AT TIME ZONE 'Asia/Tokyo') AS e,"
+        " TIMESTAMPTZ '2021-06-01 12:00:00+00' AT TIME ZONE 'Asia/Tokyo' AS w"
+    )
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        got = []
+        for tz in ("UTC", "America/Los_Angeles", "Asia/Kolkata"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            r = sqlx.sql(spark, q).collect()[0]
+            got.append((r["e"], str(r["w"])))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    assert got == [(1622516400, "2021-06-01 21:00:00")] * 3
+
+
+def test_at_time_zone_ambiguous_raises():
+    """timezone() buried inside a non-timezone expression: the operand's
+    naive-vs-instant kind is unknowable at the token layer -> loud."""
+    from duckdb_parachute_spark import sqlx
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="naive-vs-instant"):
+        sqlx.transpile("SELECT coalesce(timezone('UTC', ts), x) AT TIME ZONE 'UTC' FROM t")
