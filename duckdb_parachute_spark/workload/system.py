@@ -631,3 +631,49 @@ def collate_locale_cy_rank(spark, sf_dir):
         df, [collate.locale_collation_key(F.col("s"), "cy")], out="rnk"
     )
     return ranked.select("s", "rnk").orderBy("rnk", "s")
+
+
+@query(
+    "collate_locale_root_rank",
+    oracle="""
+    SELECT s, CAST(rank() OVER (ORDER BY s COLLATE pt) AS BIGINT) AS rnk
+    FROM (
+        SELECT CASE p_partkey % 6
+                 WHEN 0 THEN translate(p_name, 'aeiocu', 'áéíóçú')
+                 WHEN 1 THEN translate(p_name, 'aeiou', 'àèìòù')
+                 WHEN 2 THEN upper(translate(p_name, 'aeo', 'âãô'))
+                 WHEN 3 THEN translate(p_name, 'aeodl', 'æøœđł')
+                 WHEN 4 THEN replace(replace(p_name, 's', 'ß'), 't', 'þ')
+                 ELSE p_name
+               END AS s
+        FROM part WHERE p_partkey % 9 = 0
+    )
+    ORDER BY rnk, s
+    """,
+)
+def collate_locale_root_rank(spark, sf_dir):
+    """ICU ROOT collation (round 13, VERDICT r12 missing #3): untailored
+    locales (pt nl id en it ms sw in DuckDB's bundle) resolve to root —
+    accents SECONDARY in the measured DUCET mark order (acute < grave <
+    circumflex < tilde < cedilla-group < macron ...), ligatures ß/æ/œ
+    expanding to ss/ae/oe with a raw-byte tertiary, ø/đ/ł secondary
+    stroke marks, þ a FULL letter after z, case tertiary lower-first.
+    Branches seed acute+cedilla, grave, uppercase circumflex/tilde,
+    ligature/stroke, and ß/þ material. Ranked on
+    locale_collation_key('pt') vs DuckDB's real ICU ``COLLATE pt``."""
+    from duckdb_parachute_spark.functions.scalar import global_rank
+
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 9 == 0)
+    s = (
+        F.when(F.col("p_partkey") % 6 == 0, F.translate(F.col("p_name"), "aeiocu", "áéíóçú"))
+        .when(F.col("p_partkey") % 6 == 1, F.translate(F.col("p_name"), "aeiou", "àèìòù"))
+        .when(F.col("p_partkey") % 6 == 2, F.upper(F.translate(F.col("p_name"), "aeo", "âãô")))
+        .when(F.col("p_partkey") % 6 == 3, F.translate(F.col("p_name"), "aeodl", "æøœđł"))
+        .when(F.col("p_partkey") % 6 == 4, F.replace(F.replace("p_name", F.lit("s"), F.lit("ß")), F.lit("t"), F.lit("þ")))
+        .otherwise(F.col("p_name"))
+    )
+    df = p.select(s.alias("s"))
+    ranked = global_rank(
+        df, [collate.locale_collation_key(F.col("s"), "pt")], out="rnk"
+    )
+    return ranked.select("s", "rnk").orderBy("rnk", "s")

@@ -475,6 +475,12 @@ _LOCALE_ALPHABETS = {
     # Russian: second non-Latin script — full Cyrillic incl. the ё/е
     # secondary pair, й, the signs ъ ы ь, mixed with Latin + digits
     "ru": "азбежйклоуыьъэюяёЁАЕЁЯИЙaz09",
+    # round-13 ROOT spec (untailored locales resolve to root in DuckDB's
+    # bundle): pt carries the accent secondary order + ligature/stroke/
+    # full-letter specials, nl the trema/umlaut material, id plain Latin
+    "pt": "aenostzáâãàçéêíóôõúßæøđðłþÁÃÇÉÆØZ",
+    "nl": "abeginorstuzëïéöüÉËZ09",
+    "id": "abcdeghiklmnorstuzéZ",
 }
 
 

