@@ -659,9 +659,14 @@ def _root_spec() -> _LocaleSpec:
 
 
 _ROOT_SPEC = _root_spec()
-#: locales DuckDB's bundled ICU resolves to ROOT (each verified available
-#: and property-tested / spot-measured against the bundle)
-for _root_loc in ("en", "pt", "nl", "id", "it", "ms", "sw"):
+#: locales served by the root spec: each is BOTH untailored in full CLDR
+#: (so the mapping is right against any ICU) AND verified root-equal in
+#: DuckDB's bundle on distinguishing material (accents, ligatures, ç/ch).
+#: Locales the bundle strips to root but CLDR tailors (sq, ig, yo, ha,
+#: zu — measured root-equal here) are NOT aliased, the same
+#: CLDR-over-bundle stance as nb/no below; they still raise.
+for _root_loc in ("en", "pt", "nl", "id", "it", "ms", "sw", "fr", "gl",
+                  "af", "fil", "ga"):
     _LOCALES[_root_loc] = _ROOT_SPEC
 
 # root-case swap additions: accented pairs the tailored tables don't carry

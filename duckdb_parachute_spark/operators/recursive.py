@@ -90,6 +90,7 @@ def recursive_cte(
     checkpoint_every: int = 4,
     reliable: bool = False,
     max_unroll: int = 2,
+    eager_deltas: bool = False,
 ) -> DataFrame:
     """Evaluate WITH RECURSIVE: base UNION [ALL] step(working) to fixpoint.
 
@@ -125,8 +126,20 @@ def recursive_cte(
     (and 1× five-fold); at depth 2 the one-level re-execution is exactly
     the r9/r11 design that measured faster than the rolled loop. Raising
     max_unroll is only sane when step() contains no broadcast of the
-    delta, or with eager checkpoints (which reintroduce the per-step job
-    floor the unroll exists to amortize).
+    delta, or with ``eager_deltas=True``.
+
+    ``eager_deltas=True`` (round 13, the VERDICT r12 perf-weak #1
+    experiment) materializes each batch delta's checkpoint EAGERLY at
+    creation: the O(k²) nested broadcast re-execution that killed depth 4
+    disappears (each step's broadcast reads materialized blocks), at the
+    cost of one checkpoint job per step — the per-step scheduling floor
+    the lazy unroll exists to amortize. Measured on the 100× recursion
+    scale query (BASELINE.md §round-13, interleaved ×2): eager depth 8
+    lands at 4.7 s where LAZY depth 4 regressed to 5.7 s — the blowup is
+    gone — but lazy depth 2 still wins (4.3–4.4 s) because the per-step
+    checkpoint job replaces the amortization. The trade does not pay; the
+    default stays lazy/depth-2 and the knob remains for step functions
+    whose per-step work is heavy enough to bury the job floor.
     """
     spark = base.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -161,7 +174,7 @@ def recursive_cte(
         for i in range(min(unroll, max_iterations - steps_done)):
             nxt = step(prev)
             d = nxt if union_all else _dedup(nxt, prev, hist)
-            d = _truncate(d, reliable)
+            d = _truncate(d, reliable, eager=eager_deltas)
             batch.append(d)
             if not union_all and i >= 1:
                 # prev graduates from "previous delta" to history; at i=0

@@ -1119,7 +1119,8 @@ _FN_GAP_RE = re.compile(
     # round-13: timezone() conversion pair + 1-arg 'timezone' date part;
     # bitstring family over the digit-string BIT representation
     r"timezone|get_bit|set_bit|bit_position|bitstring|bitstring_agg|"
-    r"bit_count|age)"
+    r"bit_count|age|signbit|length_grapheme|substring_grapheme|"
+    r"md5_number_lower|md5_number_upper|md5_number)"
     r"\s*\(",
     re.IGNORECASE,
 )
@@ -1341,6 +1342,47 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
                 f"ELSE CAST(bit_count\x02(CAST({x} AS BIGINT)) AS BIGINT) END"
             )
         return None
+    if name == "signbit" and n == 1:
+        # round 13 (reference extension/core_functions/scalar/math):
+        # measured on DuckDB 1.0 — true for negatives and -inf, false for
+        # +0, nan, AND every -0.0 spelling (literal and computed), so the
+        # plain comparison is the exact mapping against this oracle.
+        return f"(({a[0]}) < 0)"
+    if name in ("length_grapheme", "substring_grapheme") and n in (1, 2, 3):
+        # round 13 (reference extension/core_functions/scalar/string/
+        # grapheme.cpp, utf8proc grapheme breaks): Java regex \X matches
+        # extended grapheme clusters (flags, ZWJ emoji sequences measured
+        # identical to DuckDB's segmentation), so the cluster array is
+        # regexp_extract_all(s, '\X') and both functions are array ops.
+        arr = f"regexp_extract_all({a[0]}, {lit(chr(92) + 'X')}, 0)"
+        if name == "length_grapheme" and n == 1:
+            return f"CAST(size({arr}) AS BIGINT)"
+        if name == "substring_grapheme" and n == 3:
+            return f"array_join(slice({arr}, {a[1]}, {a[2]}), {lit('')})"
+        if name == "substring_grapheme" and n == 2:
+            return (
+                f"array_join(slice({arr}, {a[1]}, "
+                f"greatest(size({arr}) - ({a[1]}) + 1, 0)), {lit('')})"
+            )
+        return None
+    if name in ("md5_number_lower", "md5_number_upper") and n == 1:
+        # round 13 (reference extension/core_functions/scalar/string/md5.cpp):
+        # each half is the LITTLE-ENDIAN uint64 of 8 digest bytes — lower =
+        # bytes 8..15, upper = bytes 0..7 (measured: md5('abc') hex
+        # 900150983cd24fb0|d6963f7d28e17f72, lower 8250560606382298838 =
+        # LE of the second half). Byte pairs reverse in the hex string,
+        # conv() parses the unsigned value, DECIMAL(20,0) holds 2^64-1.
+        base = 17 if name == "md5_number_lower" else 1
+        pairs = ", ".join(
+            f"substring(md5({a[0]}), {base + off}, 2)"
+            for off in range(14, -1, -2)
+        )
+        return f"CAST(conv(concat({pairs}), 16, 10) AS DECIMAL(20,0))"
+    if name == "md5_number" and n == 1:
+        raise NotImplementedError(
+            "md5_number returns a 128-bit HUGEINT (exceeds DECIMAL(38,0)); "
+            "use md5_number_lower/md5_number_upper, which map exactly"
+        )
     if name == "age" and n in (1, 2):
         # round 13 (VERDICT r12 missing #4; reference
         # extension/core_functions/scalar/date/age.cpp — the Postgres

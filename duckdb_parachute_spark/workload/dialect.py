@@ -1283,3 +1283,33 @@ def dialect_age(spark, sf_dir):
     oracle."""
     _views(spark, sf_dir, "lineitem", "orders")
     return sqlx.sql(spark, _AGE_SQL)
+
+
+_FN_GAPS3_SQL = """
+SELECT p_partkey,
+       signbit(p_retailprice - 1200.0) AS sb,
+       length_grapheme(translate(p_name, 'aeo', 'ạ̇éô')) AS lg,
+       substring_grapheme(translate(p_name, 'aeo', 'ạ̇éô'), 3, 6) AS sg,
+       substring_grapheme(p_name, 8) AS sg_tail,
+       CAST(md5_number_lower(p_name) AS VARCHAR) AS ml,
+       CAST(md5_number_upper(p_name) AS VARCHAR) AS mu
+FROM part
+WHERE p_partkey % 37 = 0
+ORDER BY p_partkey
+"""
+
+
+@query("dialect_fn_gaps3", oracle=_FN_GAPS3_SQL)
+def dialect_fn_gaps3(spark, sf_dir):
+    """Round-13 gap batch closing three more documented absences:
+    signbit (measured exactly x < 0 against this oracle — every -0.0
+    spelling is false in DuckDB 1.0), the grapheme family (Java regex \\X
+    matches extended grapheme clusters — flags and ZWJ emoji measured
+    identical to utf8proc's segmentation, so length_grapheme /
+    substring_grapheme are array ops over regexp_extract_all), and
+    md5_number_lower/upper (little-endian uint64 of digest bytes 8..15 /
+    0..7 via byte-pair-reversed conv, DECIMAL(20,0) holds the unsigned
+    range; 128-bit md5_number itself raises — it exceeds DECIMAL(38,0)).
+    Same SQL is the oracle."""
+    _views(spark, sf_dir, "part")
+    return sqlx.sql(spark, _FN_GAPS3_SQL)

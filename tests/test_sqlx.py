@@ -1717,7 +1717,7 @@ def test_root_collation_locales(spark):
         f"SELECT w FROM (VALUES {vals}) t(w) ORDER BY w COLLATE pt, hex(w)"
     ).fetchall()]
     df = spark.createDataFrame([(w,) for w in words], "w string")
-    for loc in ("pt", "nl", "id", "en"):
+    for loc in ("pt", "nl", "id", "en", "fr", "gl", "af", "fil", "ga"):
         got = [r[0] for r in df.orderBy(
             locale_collation_key("w", loc), F.encode("w", "utf-8")
         ).collect()]
@@ -1759,3 +1759,27 @@ def test_age_calendar_interval(spark):
     r = sqlx.sql(spark, rt_q).collect()[0][0]
     assert r == duckdb.sql(rt_q).fetchone()[0]
     assert str(r) == "2001-04-09 12:30:15"
+
+
+def test_fn_gaps3_signbit_grapheme_md5number(spark):
+    """Round 13: signbit (= x < 0 vs this oracle, incl. -inf/nan/-0.0),
+    grapheme family via Java regex \\X (clusters match utf8proc), and
+    md5_number_lower/upper (LE uint64 digest halves) — value-pinned
+    against DuckDB; 128-bit md5_number raises loudly."""
+    from duckdb_parachute_spark import sqlx
+    import duckdb
+
+    q = (
+        "SELECT signbit(-1.5) AS s1, signbit(0.0) AS s2,"
+        " signbit('-inf'::DOUBLE) AS s3, signbit('nan'::DOUBLE) AS s4,"
+        " length_grapheme('ạ̇xé🇩🇪') AS lg,"
+        " substring_grapheme('🤦🏼‍♂️test', 2, 3) AS sg3,"
+        " substring_grapheme('🤦🏼‍♂️test', 2) AS sg2,"
+        " CAST(md5_number_lower('abc') AS VARCHAR) AS ml,"
+        " CAST(md5_number_upper('abc') AS VARCHAR) AS mu"
+    )
+    a = tuple(sqlx.sql(spark, q).collect()[0])
+    assert a == tuple(duckdb.sql(q).fetchone())
+    assert (a[4], a[7]) == (4, "8250560606382298838")
+    with pytest.raises(NotImplementedError, match="128-bit"):
+        sqlx.transpile("SELECT md5_number('abc')")
