@@ -2109,6 +2109,8 @@ def _tz_operand_is_ltz(expr: str) -> bool:
         e = e[1:-1].strip()
     if e.startswith("CAST(convert_timezone\x02(") and e.endswith("AS TIMESTAMP)"):
         return True  # this pass's own ntz->instant emission (chained ATZ)
+    if e.startswith("CASE WHEN (CAST(convert_timezone\x02("):
+        return True  # ditto, the ambiguous-wall (ICU-last) form
     if e.startswith("convert_timezone\x02(current_timezone(),"):
         return False  # this pass's own instant->wall emission
     if _TZFN_AMBIG_RE.search(e):
@@ -2148,10 +2150,24 @@ def _tz_apply(tz: str, x: str) -> tuple[str, str]:
 
 
 def _tz_ntz_to_instant(tz: str, x: str) -> str:
-    return (
-        f"CAST(convert_timezone\x02({tz}, current_timezone(), {x}) "
-        f"AS TIMESTAMP)"
+    # AMBIGUOUS walls (fall-back repeats an hour): Spark resolves to the
+    # EARLIER instant, ICU (DuckDB, measured NY/Sydney/Berlin/Chatham) to
+    # the LATER. The later candidate is recovered session-independently by
+    # interpreting the wall 24 h ahead (outside the ambiguity window, so
+    # the POST-transition offset applies) and subtracting a fixed 24 h of
+    # instant time; it is used only when it differs from Spark's pick AND
+    # round-trips back to the same wall — for unambiguous and NONEXISTENT
+    # walls (where both engines already agree) that guard fails and
+    # Spark's instant stands.
+    w = f"CAST({x} AS TIMESTAMP_NTZ)"
+    i = f"CAST(convert_timezone\x02({tz}, current_timezone(), {w}) AS TIMESTAMP)"
+    k = (
+        f"(CAST(convert_timezone\x02({tz}, current_timezone(), "
+        f"{w} + make_interval(0, 0, 0, 1, 0, 0, 0)) AS TIMESTAMP) "
+        f"- make_interval(0, 0, 0, 0, 24, 0, 0))"
     )
+    back = f"convert_timezone\x02(current_timezone(), {tz}, CAST({k} AS TIMESTAMP_NTZ))"
+    return f"(CASE WHEN {k} > {i} AND {back} = {w} THEN {k} ELSE {i} END)"
 
 
 def _tz_instant_to_wall(tz: str, x: str) -> str:

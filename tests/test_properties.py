@@ -655,3 +655,52 @@ def test_pii_scrub_matches_duckdb_on_random_text(spark, texts):
             ).fetchone()
             counts.append(n)
         assert got[i] == (cur, *counts), f"text {t!r}: spark={got[i]} duckdb={(cur, *counts)}"
+
+
+_TZ_ZONES = [
+    "UTC", "Asia/Tokyo", "America/New_York", "America/Los_Angeles",
+    "Europe/Berlin", "Asia/Kolkata", "Australia/Sydney", "Pacific/Chatham",
+    "America/Sao_Paulo", "Africa/Cairo",
+]
+
+
+@settings(max_examples=_ex(12), deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_at_time_zone_property_matches_duckdb(spark, data):
+    """Round 13: AT TIME ZONE / timezone() over random timestamps × zones
+    (incl. fractional-offset Kolkata/Chatham and DST-transition dates) —
+    the chained naive→instant→naive conversion and both 2-arg timezone()
+    directions must match DuckDB exactly. Outputs are naive walls, so the
+    comparison is session-tz-independent (both harness sessions are UTC;
+    the emissions read current_timezone() and were pinned under three
+    session zones in test_sqlx)."""
+    from duckdb_parachute_spark import sqlx
+
+    # epoch seconds spanning 1971..2037, plus micros; DST edges arise from
+    # the density of draws around any date
+    secs = data.draw(st.lists(
+        st.integers(min_value=31_536_000, max_value=2_115_000_000),
+        min_size=1, max_size=8, unique=True))
+    micros = data.draw(st.integers(min_value=0, max_value=999_999))
+    z1 = data.draw(st.sampled_from(_TZ_ZONES))
+    z2 = data.draw(st.sampled_from(_TZ_ZONES))
+    import datetime as dt
+
+    lits = ", ".join(
+        "(TIMESTAMP '"
+        + (dt.datetime(1970, 1, 1) + dt.timedelta(seconds=s, microseconds=micros)
+           ).strftime("%Y-%m-%d %H:%M:%S.%f")
+        + "')"
+        for s in secs
+    )
+    q = f"""
+    SELECT ts AT TIME ZONE '{z1}' AT TIME ZONE '{z2}' AS w1,
+           timezone('{z2}', timezone('{z1}', ts)) AS w2,
+           CAST(timezone(ts AT TIME ZONE '{z1}') AS BIGINT) AS off
+    FROM (VALUES {lits}) t(ts) ORDER BY ts
+    """
+    got = [tuple(r) for r in sqlx.sql(spark, q).collect()]
+    con = duckdb.connect()
+    want = con.sql(q).fetchall()
+    assert got == want

@@ -1783,3 +1783,26 @@ def test_fn_gaps3_signbit_grapheme_md5number(spark):
     assert (a[4], a[7]) == (4, "8250560606382298838")
     with pytest.raises(NotImplementedError, match="128-bit"):
         sqlx.transpile("SELECT md5_number('abc')")
+
+
+def test_at_time_zone_dst_edges(spark):
+    """Round 13 follow-up (caught by the new timezone property test's
+    probe): AMBIGUOUS fall-back walls resolve to the EARLIER instant in
+    Spark but the LATER in ICU/DuckDB (measured NY, Sydney, Berlin,
+    Chatham) — the emission recovers ICU's pick via the wall-24h-ahead
+    candidate, guarded to leave unambiguous and NONEXISTENT (spring-gap)
+    walls on Spark's already-matching instant."""
+    from duckdb_parachute_spark import sqlx
+    import duckdb
+
+    q = (
+        "SELECT (TIMESTAMP '2021-03-14 02:30:00' AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC' AS spring,"
+        " (TIMESTAMP '2021-11-07 01:30:00' AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC' AS fall,"
+        " (TIMESTAMP '2021-04-04 02:30:00' AT TIME ZONE 'Australia/Sydney') AT TIME ZONE 'UTC' AS syd,"
+        " (TIMESTAMP '2021-04-04 03:15:00' AT TIME ZONE 'Pacific/Chatham') AT TIME ZONE 'UTC' AS cha,"
+        " (TIMESTAMP '2021-10-31 02:30:00' AT TIME ZONE 'Europe/Berlin') AT TIME ZONE 'UTC' AS ber,"
+        " timezone('UTC', timezone('America/New_York', TIMESTAMP '2021-11-07 01:30:00')) AS fn_fall"
+    )
+    a = tuple(sqlx.sql(spark, q).collect()[0])
+    assert a == tuple(duckdb.sql(q).fetchone())
+    assert str(a[1]) == "2021-11-07 06:30:00"  # LATER occurrence (EST), not Spark's 05:30
