@@ -31,15 +31,25 @@ def register_udfs(spark) -> None:
     after this, spark.sql / sqlx.sql can call them by name."""
     from duckdb_parachute_spark.functions.metrics import (
         damerau_levenshtein,
+        duckdb_typeof_name,
+        gamma_fn,
         jaro_similarity,
         jaro_winkler_similarity,
+        lgamma_fn,
+        nextafter,
         nfc_normalize,
+        strip_accents_udf,
     )
 
     spark.udf.register("jaro_winkler_similarity", jaro_winkler_similarity)
     spark.udf.register("jaro_similarity", jaro_similarity)
     spark.udf.register("damerau_levenshtein", damerau_levenshtein)
     spark.udf.register("nfc_normalize", nfc_normalize)
+    spark.udf.register("strip_accents", strip_accents_udf)
+    spark.udf.register("nextafter", nextafter)
+    spark.udf.register("gamma", gamma_fn)
+    spark.udf.register("lgamma", lgamma_fn)
+    spark.udf.register("duckdb_typeof_name", duckdb_typeof_name)
     from duckdb_parachute_spark.functions.jsonfns import register_json_udfs
 
     register_json_udfs(spark)

@@ -346,3 +346,142 @@ def damerau_levenshtein(a: pd.Series, b: pd.Series) -> pd.Series:
         return d[l1 + 1][l2 + 1]
 
     return pd.Series([dl(x, y) for x, y in zip(a, b)], dtype="int64")
+
+
+_STRIP_ACCENTS_TABLE: dict | None = None
+
+
+@pandas_udf(StringType())
+def strip_accents_udf(s: pd.Series) -> pd.Series:
+    """SQL-callable strip_accents — the same utf8proc-parity tables that
+    drive the Column-function strip_accents() above (derived empirically
+    against DuckDB, full-plane property-tested), applied as one
+    str.translate map. Registered by register_udfs so sqlx.sql resolves
+    the name; DataFrame-API users should prefer the JVM-side Column
+    function."""
+    global _STRIP_ACCENTS_TABLE
+    if _STRIP_ACCENTS_TABLE is None:
+        acc_src, acc_dst, astral_pairs = _lazy_accent_tables()
+        table: dict[int, str | None] = {}
+        for i, c in enumerate(acc_src):
+            # Spark translate semantics: position-mapped, surplus src
+            # chars (no dst at that index) are DELETED
+            table[ord(c)] = acc_dst[i] if i < len(acc_dst) else None
+        for c, repl in astral_pairs:
+            table[ord(c)] = repl or None
+        _STRIP_ACCENTS_TABLE = table
+    return s.map(lambda x: x.translate(_STRIP_ACCENTS_TABLE), na_action="ignore")
+
+
+@pandas_udf(DoubleType())
+def nextafter(a: pd.Series, b: pd.Series) -> pd.Series:
+    """IEEE-754 nextafter (reference core_functions/scalar/math —
+    std::nextafter); Python's math.nextafter is the same libm call."""
+    import math
+
+    return pd.Series(
+        [None if x is None or y is None else math.nextafter(x, y)
+         for x, y in zip(a, b)]
+    )
+
+
+@pandas_udf(DoubleType())
+def gamma_fn(x: pd.Series) -> pd.Series:
+    """Gamma function (reference core_functions/scalar/math gamma.cpp —
+    std::tgamma; DuckDB's gamma(x) is Γ(x), measured gamma(7) = 720 = 6!)."""
+    import math
+
+    def g(v):
+        if v is None:
+            return None
+        try:
+            return math.gamma(v)
+        except ValueError:
+            return None  # poles (non-positive integers): DuckDB errors; softer
+
+    return x.map(g)
+
+
+@pandas_udf(DoubleType())
+def lgamma_fn(x: pd.Series) -> pd.Series:
+    """log-gamma (std::lgamma, same libm call as DuckDB's)."""
+    import math
+
+    def g(v):
+        if v is None:
+            return None
+        try:
+            return math.lgamma(v)
+        except ValueError:
+            return None
+
+    return x.map(g)
+
+
+def _duckdb_type_name(ddl: str) -> str:
+    """Spark DDL type string -> the DuckDB spelling typeof() would print.
+
+    Recursive over array<>/map<>/struct<> (measured on DuckDB 1.0:
+    typeof([1,2]) = 'INTEGER[]', typeof({'a':1}) = 'STRUCT(a INTEGER)',
+    typeof(map(...)) = 'MAP(VARCHAR, INTEGER)'); decimal(p,s) keeps its
+    parameters. Unknown names pass through uppercased."""
+    s = ddl.strip()
+    low = s.lower()
+    flat = {
+        "string": "VARCHAR", "int": "INTEGER", "integer": "INTEGER",
+        "bigint": "BIGINT", "smallint": "SMALLINT", "tinyint": "TINYINT",
+        "double": "DOUBLE", "float": "FLOAT", "boolean": "BOOLEAN",
+        "date": "DATE", "binary": "BLOB", "void": '"NULL"',
+        "timestamp_ntz": "TIMESTAMP", "timestamp": "TIMESTAMP WITH TIME ZONE",
+        "variant": "JSON", "interval": "INTERVAL",
+    }
+    if low in flat:
+        return flat[low]
+    import re as _re
+
+    dm = _re.fullmatch(r"decimal\((\d+),(\d+)\)", low)
+    if dm:
+        return f"DECIMAL({dm.group(1)},{dm.group(2)})"
+    if low.startswith("array<") and s.endswith(">"):
+        return _duckdb_type_name(s[6:-1]) + "[]"
+    if low.startswith("map<") and s.endswith(">"):
+        k, v = _split_angle(s[4:-1])
+        return f"MAP({_duckdb_type_name(k)}, {_duckdb_type_name(v)})"
+    if low.startswith("struct<") and s.endswith(">"):
+        fields = []
+        for part in _split_angle_list(s[7:-1]):
+            name, _, typ = part.partition(":")
+            fields.append(f"{name.strip()} {_duckdb_type_name(typ)}")
+        return "STRUCT(" + ", ".join(fields) + ")"
+    return s.upper()
+
+
+def _split_angle(s: str) -> tuple[str, str]:
+    parts = _split_angle_list(s)
+    return parts[0], parts[1]
+
+
+def _split_angle_list(s: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+@pandas_udf(StringType())
+def duckdb_typeof_name(s: pd.Series) -> pd.Series:
+    """Wraps Spark's typeof() output with DuckDB's type spellings, so
+    typeof(x) prints what the reference engine prints (src/common/types.cpp
+    LogicalType::ToString). typeof(1.5): both engines type the literal
+    DECIMAL(2,1) — spellings align after the name map."""
+    return s.map(_duckdb_type_name, na_action="ignore")

@@ -1118,9 +1118,18 @@ _FN_GAP_RE = re.compile(
     r"arg_max_null|arg_min_null|argmax_null|argmin_null|"
     # round-13: timezone() conversion pair + 1-arg 'timezone' date part;
     # bitstring family over the digit-string BIT representation
+    r"timezone_hour|timezone_minute|"
     r"timezone|get_bit|set_bit|bit_position|bitstring|bitstring_agg|"
     r"bit_count|age|signbit|length_grapheme|substring_grapheme|"
-    r"md5_number_lower|md5_number_upper|md5_number)"
+    r"md5_number_lower|md5_number_upper|md5_number|"
+    # round-13 extended sweep (list/map/temporal arg shapes): arithmetic
+    # spellings incl. //-semantics divide, per-byte bin, grapheme pair,
+    # polymorphic len/length over syntactically-list operands, typeof with
+    # DuckDB type spellings, interval-literal date parts, system surface
+    r"divide|right_grapheme|left_grapheme|grade_up|array_select|"
+    r"array_where|constant_or_null|current_query|current_schemas|"
+    r"unpivot_list|typeof|length|len|bin|to_binary|repeat|"
+    r"year|month|day|hour|minute|second)"
     r"\s*\(",
     re.IGNORECASE,
 )
@@ -1241,10 +1250,217 @@ def _regexp_replace_emit(a: list[str], lit, parts: list[str]) -> str:
     )
 
 
+import contextvars as _contextvars
+
+#: statement text of the sqlx.sql() call currently being transpiled —
+#: current_query() parity (DuckDB returns the verbatim statement). A
+#: contextvar so nested / concurrent sql() calls don't cross-talk.
+_CURRENT_QUERY: _contextvars.ContextVar | None = _contextvars.ContextVar(
+    "dps_current_query", default=None
+)
+
+_DATEY_RE = re.compile(
+    r"\A(?:DATE\s*\x00\d+\x00\s*|to_date\s*\(.*|make_date\s*\(.*|"
+    r"CAST\s*\(.*\s+AS\s+DATE\s*\)|.*::\s*DATE\s*)\Z",
+    re.IGNORECASE | re.DOTALL,
+)
+_BLOBBY_RE = re.compile(
+    r"\A(?:unhex\s*\(.*|encode\s*\(.*|CAST\s*\(.*\s+AS\s+(?:BINARY|BLOB)\s*\)|"
+    r".*::\s*(?:BLOB|BINARY)\s*)\Z",
+    re.IGNORECASE | re.DOTALL,
+)
+#: heads that definitely produce an ARRAY (bracket literals are already
+#: rewritten to array(...) by the time the gap pass runs)
+_LISTY_RE = re.compile(
+    r"\A(?:array|sequence|split|collect_list|collect_set|array_agg|"
+    r"transform|filter|zip_with|flatten|slice|array_sort|sort_array|"
+    r"array_distinct|array_union|array_intersect|array_except|array_remove|"
+    r"array_compact|array_repeat|arrays_zip|map_keys|map_values|"
+    r"regexp_extract_all|json_object_keys|list_grade_up|array_grade_up|"
+    r"string_split|str_split|string_to_array|shuffle|reverse|concat)"
+    r"\s*[\x02]?\(", re.IGNORECASE,
+)
+
+
+def _datey(e: str) -> bool:
+    return bool(_DATEY_RE.match(e.strip()))
+
+
+def _blobby(e: str) -> bool:
+    return bool(_BLOBBY_RE.match(e.strip()))
+
+
+def _looks_listy(e: str) -> bool:
+    return bool(_LISTY_RE.match(e.strip()))
+
+
+#: interval literal text -> (months, days, micros); None when not a
+#: recognizable INTERVAL literal. Covers both spellings: INTERVAL '1 month
+#: 2 days 3 hours' and INTERVAL '2' DAY / INTERVAL 2 DAY.
+_IVL_UNITS = {
+    "year": ("months", 12), "years": ("months", 12),
+    "month": ("months", 1), "months": ("months", 1), "mon": ("months", 1),
+    "week": ("days", 7), "weeks": ("days", 7),
+    "day": ("days", 1), "days": ("days", 1),
+    "hour": ("micros", 3_600_000_000), "hours": ("micros", 3_600_000_000),
+    "minute": ("micros", 60_000_000), "minutes": ("micros", 60_000_000),
+    "second": ("micros", 1_000_000), "seconds": ("micros", 1_000_000),
+    "millisecond": ("micros", 1_000), "milliseconds": ("micros", 1_000),
+    "microsecond": ("micros", 1), "microseconds": ("micros", 1),
+}
+
+
+def _parse_interval_literal(e: str, parts: list[str]):
+    m = re.fullmatch(
+        r"INTERVAL\s+(?:\x00(\d+)\x00|(-?\d+))\s*([A-Za-z]*)\s*",
+        e.strip(), re.IGNORECASE,
+    )
+    if not m:
+        return None
+    acc = {"months": 0, "days": 0, "micros": 0}
+    if m.group(1) is not None:
+        body = parts[int(m.group(1))][1:-1].strip()
+        unit_after = m.group(3).strip().lower()
+        if unit_after:
+            # INTERVAL '2' DAY
+            toks = [body, unit_after]
+        else:
+            toks = body.split()
+        if len(toks) % 2 != 0:
+            return None
+        pairs = list(zip(toks[::2], toks[1::2]))
+    else:
+        if not m.group(3):
+            return None
+        pairs = [(m.group(2), m.group(3).lower())]
+    for num, unit in pairs:
+        u = _IVL_UNITS.get(unit.lower())
+        if u is None:
+            return None
+        try:
+            v = int(num)
+        except ValueError:
+            try:
+                v = float(num)
+            except ValueError:
+                return None
+        field, mult = u
+        acc[field] += int(v * mult) if field == "micros" else int(v) * mult
+    return acc["months"], acc["days"], acc["micros"]
+
+
+_JSON_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+def _json_path_text(raw: str, dq: bool) -> str:
+    """One DuckDB json path string -> a Spark-compatible JSONPath.
+
+    DuckDB (extension/json json_common.cpp) accepts three spellings:
+    '$'-rooted JSONPath (passes through), '/'-rooted JSON Pointer
+    (converted segment-wise), and a BARE KEY — even one with spaces
+    (measured: json_extract('{"my key":5}', 'my key') = 5). Bare keys and
+    non-identifier segments land in a bracket form — $["k"] for
+    variant_get (dq=True), $['k'] with SQL-doubled quotes for
+    get_json_object, which rejects double-quoted segments (measured)."""
+
+    def seg(k: str) -> str:
+        if k.isdigit():
+            return f"[{k}]"
+        if _JSON_IDENT_RE.match(k):
+            return f".{k}"
+        if dq:
+            return '["' + k + '"]'  # variant_get accepts "..." segments
+        return "[''" + k + "'']"  # get_json_object needs '...'; '' = SQL quote
+
+    if raw.startswith("$"):
+        return raw
+    if raw.startswith("/"):
+        return "$" + "".join(seg(k) for k in raw.split("/")[1:] if k != "")
+    return "$" + seg(raw)
+
+
+def _json_path(arg: str, lit, parts: list[str], dq: bool = True) -> str:
+    """Normalize one json path ARGUMENT (masked literal, integer literal,
+    or computed expression) for Spark's path-taking json functions.
+    Integers are array indexes (measured json_extract('[10,20,30]', 1) =
+    20 — 0-based in both engines); computed expressions pass through."""
+    arg = arg.strip()
+    if re.fullmatch(r"-?\d+", arg):
+        return lit(f"$[{arg}]")
+    m = re.fullmatch(r"\x00(\d+)\x00", arg)
+    if not m:
+        return arg
+    raw = parts[int(m.group(1))][1:-1].replace("''", "'")
+    return lit(_json_path_text(raw, dq))
+
+
+def _json_path_list(arg: str, lit, parts: list[str], dq: bool = True) -> list[str] | None:
+    """A LIST-of-paths argument (DuckDB returns a LIST of extracts —
+    measured json_extract(doc, ['a', '$.a.b']) = two results). Matches the
+    already-bracket-rewritten array(...) form with literal-only elements;
+    returns the normalized per-element paths, or None when not a list."""
+    arg = arg.strip()
+    mm = re.fullmatch(r"array\s*\((.*)\)", arg, re.IGNORECASE | re.DOTALL)
+    if not mm:
+        return None
+    els = [e.strip() for e in _split_top_level(mm.group(1))]
+    out = []
+    for e in els:
+        if not re.fullmatch(r"\x00\d+\x00|-?\d+", e):
+            return None
+        out.append(_json_path(e, lit, parts, dq))
+    return out
+
+
 def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | None:
     """Replacement text for one gap call, or None to pass through."""
     a = [s.strip() for s in args]
     n = len(a)
+    if name in (
+        "year", "month", "day", "hour", "minute", "second", "millisecond",
+        "microsecond", "epoch", "epoch_ms", "epoch_us", "epoch_ns",
+        "decade", "century", "millennium",
+    ) and n == 1:
+        ivl = _parse_interval_literal(a[0], parts)
+        if ivl is not None:
+            # date-part functions over INTERVAL arguments (reference
+            # extension/core_functions/scalar/date/date_part.cpp interval
+            # branch — all measured): year = months/12 truncating, month =
+            # months%12, day = raw days (400 stays 400), sub-day fields
+            # come out of the micros total; epoch uses 30-day months
+            # (epoch(INTERVAL '1 month 2 days 3 hours') = 2775600.0, a
+            # DOUBLE). Spark cannot extract fields from a CalendarInterval,
+            # so literal intervals fold to constants at transpile time;
+            # interval COLUMNS don't exist in the parquet model.
+            months, days, micros = ivl
+            total = months * 2_592_000_000_000 + days * 86_400_000_000 + micros
+            vals = {
+                "year": int(months / 12), "month": int(months % 12) if months >= 0
+                else -((-months) % 12), "day": days,
+                "hour": int(micros / 3_600_000_000),
+                "minute": int(micros / 60_000_000) % 60,
+                "second": int(micros / 1_000_000) % 60,
+                "millisecond": int(micros / 1_000) % 60_000,
+                "microsecond": micros % 60_000_000,
+                "decade": int(months / 120), "century": int(months / 1200),
+                "millennium": int(months / 12000),
+            }
+            if name == "epoch":
+                return f"CAST({total / 1_000_000!r} AS DOUBLE)"
+            if name in ("epoch_ms", "epoch_us", "epoch_ns"):
+                div = {"epoch_ms": 1000, "epoch_us": 1, "epoch_ns": 1}[name]
+                v = total // div if name != "epoch_ns" else total * 1000
+                return f"CAST({v} AS BIGINT)"
+            return f"CAST({vals[name]} AS BIGINT)"
+        if name == "epoch_ms" and re.fullmatch(r"-?\d+", a[0]):
+            # the BIGINT overload is the INVERSE direction: millis ->
+            # TIMESTAMPTZ (measured epoch_ms(7) = 1970-01-01
+            # 00:00:00.007+00). Integer LITERALS dispatch here; columns
+            # keep the timestamp->millis reading (the dominant use) —
+            # documented residual.
+            return f"timestamp_millis({a[0]})"
+        if name in ("year", "month", "day", "hour", "minute", "second"):
+            return None  # Spark-native for dates/timestamps
     if name in (
         "dayofweek", "weekday", "isodow", "isoyear", "epoch", "decade",
         "century", "millennium", "era", "yearweek",
@@ -1330,13 +1546,13 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
             x = a[0]
             s = f"CAST({x} AS STRING)"
             ints = " ".join(
-                f"WHEN typeof({x}) = {lit(t)} THEN "
+                f"WHEN typeof\x02({x}) = {lit(t)} THEN "
                 f"CAST(bit_count\x02(CAST({x} AS BIGINT) & {m}) AS BIGINT)"
                 for t, m in (("tinyint", 255), ("smallint", 65535),
                              ("int", 4294967295))
             )
             return (
-                f"CASE WHEN typeof({x}) = {lit('string')} THEN "
+                f"CASE WHEN typeof\x02({x}) = {lit('string')} THEN "
                 f"CAST(length({s}) - length(replace({s}, {lit('1')}, {lit('')})) AS BIGINT) "
                 f"{ints} "
                 f"ELSE CAST(bit_count\x02(CAST({x} AS BIGINT)) AS BIGINT) END"
@@ -1431,7 +1647,7 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
             x = a[0]
             wall = f"CAST({x} AS TIMESTAMP_NTZ)"
             return (
-                f"CASE WHEN typeof({x}) = {lit('timestamp_ntz')} "
+                f"CASE WHEN typeof\x02({x}) = {lit('timestamp_ntz')} "
                 f"THEN CAST(0 AS BIGINT) "
                 f"ELSE CAST(timestampdiff(SECOND, "
                 f"convert_timezone\x02(current_timezone(), {lit('UTC')}, "
@@ -1484,6 +1700,13 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
     if name == "to_quarters" and n == 1:
         return f"make_interval(0, ({a[0]}) * 3)"
     if name in ("add", "subtract", "multiply") and n == 2:
+        if name == "subtract" and _datey(a[0]) and _datey(a[1]):
+            # DATE - DATE is an integer day count in DuckDB (measured: 2
+            # for 03-16 minus 03-14); Spark's date subtraction yields an
+            # INTERVAL. Syntactic gate: both operands recognizably date-
+            # typed (literal / ::DATE / to_date / make_date); date COLUMNS
+            # keep the operator form — documented residual.
+            return f"CAST(datediff({a[0]}, {a[1]}) AS BIGINT)"
         op = {"add": "+", "subtract": "-", "multiply": "*"}[name]
         return f"(({a[0]}) {op} ({a[1]}))"
     if name in ("millisecond", "microsecond") and n == 1:
@@ -1564,11 +1787,15 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
         expr = f"({s} LIKE {p} ESCAPE {a[2]})"
         return f"(NOT {expr})" if name.startswith("not_") else expr
     if name == "regexp_escape" and n == 1:
-        # RE2 QuoteMeta: escape every char outside [A-Za-z0-9_]. The Java
-        # replacement needs \\$1 (escaped backslash, then the group ref) —
-        # two stored backslashes survive the literal-restore doubling.
+        # RE2 QuoteMeta: escape every ASCII char outside [A-Za-z0-9_] but
+        # leave bytes >= 0x80 alone (measured: regexp_escape('héLlo (W)')
+        # escapes the space and parens, NOT the é — the r12 [^A-Za-z0-9_]
+        # class wrongly escaped all non-ASCII). The Java replacement needs
+        # \\$1 (escaped backslash, then the group ref) — two stored
+        # backslashes survive the literal-restore doubling.
+        cls = "([\\x00-\\x2f\\x3a-\\x40\\x5b-\\x5e\\x60\\x7b-\\x7f])"
         return (
-            f"regexp_replace\x02({a[0]}, {lit('([^A-Za-z0-9_])')}, "
+            f"regexp_replace\x02({a[0]}, {lit(cls)}, "
             f"{lit(chr(92) * 2 + '$1')})"
         )
     if name in ("encode", "decode") and n == 1:
@@ -1669,13 +1896,21 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
             f"slice(transform(sequence(1, greatest({a[1]}, 1)), "
             f"i -> try_element_at({a[0]}, i)), 1, greatest({a[1]}, 0))"
         )
-    if name == "list_where" and n == 2:
+    if name in ("list_where", "array_where") and n == 2:
         return (
             f"flatten(zip_with({a[0]}, {a[1]}, "
             f"(v, m) -> CASE WHEN m THEN array(v) ELSE array() END))"
         )
-    if name == "list_select" and n == 2:
-        return f"transform({a[1]}, i -> try_element_at({a[0]}, i))"
+    if name in ("list_select", "array_select") and n == 2:
+        # index 0 yields NULL in DuckDB (1-based indexing, measured
+        # array_select([10,20,30],[0]) = [NULL]) — Spark's try_element_at
+        # RAISES on 0, so guard it; negative indexes count from the back
+        # in both engines. A NULL index errors in DuckDB; ours yields NULL
+        # (softer on the error case, equal everywhere valid).
+        return (
+            f"transform({a[1]}, __i -> CASE WHEN __i IS NULL OR __i = 0 "
+            f"THEN NULL ELSE try_element_at({a[0]}, __i) END)"
+        )
     if name == "julian" and n == 1:
         e = (
             f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ {lit('1970-01-01 00:00:00')}, "
@@ -1762,6 +1997,10 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
         # KEEP null args participating, so it must not be rescanned
         return f"{fn}\x02({expr}, struct({flag}, {key}))"
     if name == "generate_series":
+        if n == 1:
+            # 1-arg scalar form: [0 .. x] inclusive (measured
+            # generate_series(4) = [0,1,2,3,4]); negative x gives []
+            return _fn_gap_emit("generate_series", ["0", a[0]], lit, parts)
         if n == 2:
             # DuckDB's scalar form returns [] when a > b (inclusive ends)
             return (
@@ -1785,6 +2024,16 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
                 f"greatest(({a[1]}) - ({a[0]}), 0))"
             )
         if n == 3:
+            if re.match(r"\AINTERVAL\b", a[2], re.IGNORECASE):
+                # timestamp/date series with an INTERVAL step: Spark's
+                # sequence handles temporal bounds natively (inclusive);
+                # range excludes the end bound, and `!= end` is
+                # direction-agnostic (measured: range(ts1, ts4, 1 day)
+                # stops at ts3, generate_series includes ts4)
+                return (
+                    f"filter(sequence({a[0]}, {a[1]}, {a[2]}), "
+                    f"__t -> __t != ({a[1]}))"
+                )
             # end-EXCLUSIVE with step sign (range(5,1,-2) = [5,3]); pull the
             # end one step-sign unit toward the start so Spark's inclusive
             # sequence never emits it; direction mismatch -> typed empty
@@ -1821,17 +2070,36 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
             f"(try_parse_json({a[0]}) IS NOT NULL OR trim({a[0]}) = {lit('null')})"
         )
     if name in ("json_extract", "json_extract_path") and n == 2:
-        return f"to_json\x02(variant_get(try_parse_json({a[0]}), {a[1]}))"
+        many = _json_path_list(a[1], lit, parts)
+        if many is not None:
+            els = ", ".join(
+                f"to_json\x02(variant_get(try_parse_json({a[0]}), {p}))"
+                for p in many
+            )
+            return f"array({els})"
+        return f"to_json\x02(variant_get(try_parse_json({a[0]}), {_json_path(a[1], lit, parts)}))"
     if name in ("json_extract_string", "json_extract_path_text") and n == 2:
-        return f"get_json_object({a[0]}, {a[1]})"
+        many = _json_path_list(a[1], lit, parts, dq=False)
+        if many is not None:
+            els = ", ".join(f"get_json_object({a[0]}, {p})" for p in many)
+            return f"array({els})"
+        return f"get_json_object({a[0]}, {_json_path(a[1], lit, parts, dq=False)})"
     if name == "json_keys" and n in (1, 2):
-        src = a[0] if n == 1 else f"get_json_object({a[0]}, {a[1]})"
+        src = a[0] if n == 1 else f"get_json_object({a[0]}, {_json_path(a[1], lit, parts, dq=False)})"
         return f"json_object_keys({src})"
     if name == "json_array_length" and n in (1, 2):
-        src = a[0] if n == 1 else f"get_json_object({a[0]}, {a[1]})"
-        return f"size(from_json\x02({src}, {lit('array<string>')}))"
+        # DuckDB returns 0 for any non-array JSON value (measured:
+        # json_array_length('{"a":1}') = 0, ('3') = 0) and NULL only for
+        # NULL input; Spark's from_json yields NULL on non-arrays, so
+        # coalesce the 0 in behind a NULL-input guard. Malformed JSON
+        # raises in DuckDB; ours lands on 0 (softer on the error case).
+        src = a[0] if n == 1 else f"get_json_object({a[0]}, {_json_path(a[1], lit, parts, dq=False)})"
+        return (
+            f"CASE WHEN ({a[0]}) IS NULL THEN NULL ELSE "
+            f"coalesce(size(from_json\x02({src}, {lit('array<string>')})), 0) END"
+        )
     if name == "json_type" and n in (1, 2):
-        src = a[0] if n == 1 else f"to_json(variant_get(try_parse_json({a[0]}), {a[1]}))"
+        src = a[0] if n == 1 else f"to_json(variant_get(try_parse_json({a[0]}), {_json_path(a[1], lit, parts)}))"
         s = f"schema_of_variant(try_parse_json({src}))"
         return (
             f"CASE WHEN {s} LIKE {lit('OBJECT%')} OR {s} LIKE {lit('STRUCT%')} THEN {lit('OBJECT')} "
@@ -1845,6 +2113,8 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
             f"ELSE NULL END"
         )
     if name == "json_object":
+        if n == 1 and not a[0]:
+            return lit("{}")  # zero-arg form (measured: json_object() = '{}')
         if n % 2 != 0:
             raise ValueError("json_object expects key/value pairs")
         pairs = ", ".join(a)
@@ -2002,8 +2272,23 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
     if name == "isfinite" and n == 1:
         d = f"CAST({a[0]} AS DOUBLE)"
         return f"(NOT isnan({d}) AND abs({d}) <> CAST({lit('Infinity')} AS DOUBLE))"
-    if name == "to_base" and n == 2:
-        return f"conv({a[0]}, 10, {a[1]})"
+    if name == "to_base" and n in (2, 3):
+        # conv() is Spark's radix conversion (uppercase digits, same as
+        # DuckDB's to_base — measured to_base(255,16) = 'FF'); DuckDB
+        # raises on negative input where conv would emit two's complement,
+        # and the 3-arg min_length PADS but never truncates (measured
+        # to_base(255,16,1) = 'FF', to_base(7,7,7) = '0000010').
+        base = (
+            f"CASE WHEN ({a[0]}) < 0 THEN raise_error("
+            f"{lit('to_base number must be greater than or equal to 0')}) "
+            f"ELSE conv({a[0]}, 10, {a[1]}) END"
+        )
+        if n == 2:
+            return base
+        return (
+            f"CASE WHEN length({base}) >= ({a[2]}) THEN {base} "
+            f"ELSE lpad({base}, {a[2]}, {lit('0')}) END"
+        )
     if name == "dayname" and n == 1:
         return f"date_format({a[0]}, {lit('EEEE')})"
     if name == "monthname" and n == 1:
@@ -2026,6 +2311,106 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
             )
         converted = fmt.replace("%", "%%").replace("{}", "%s")
         return f"format_string({lit(converted)}, {', '.join(a[1:])})" if n > 1 else f"format_string({lit(converted)})"
+    # ---- round-13 extended-sweep batch (list/map/struct/temporal arg
+    # shapes the r12 sweep skipped; every rule below was measured on
+    # DuckDB 1.0 — see the dialect_fn_gaps4 / dialect_json_paths graded
+    # queries) -------------------------------------------------------------
+    if name in ("add", "subtract") and n == 1:
+        # 1-arg arithmetic spellings: add(x) = x, subtract(x) = -x
+        return f"({a[0]})" if name == "add" else f"(-({a[0]}))"
+    if name == "divide" and n == 2:
+        # divide() is DuckDB's `//`: integer division for integral args
+        # (divide(7,2) = 3, divide(-7,2) = -3 — truncating), PLAIN division
+        # for anything fractional (divide(7.0,2) = 3.5, and 7.5//2 = 3.75).
+        # typeof-dispatch keeps both behaviors; the CASE's common type is
+        # DOUBLE (DuckDB types the int case INTEGER — value-equal,
+        # documented type divergence).
+        ints = "({})".format(", ".join(
+            lit(t) for t in ("tinyint", "smallint", "int", "bigint")))
+        return (
+            f"CASE WHEN typeof\x02({a[0]}) IN {ints} AND typeof\x02({a[1]}) IN {ints} "
+            f"THEN CAST(CAST({a[0]} AS BIGINT) div CAST({a[1]} AS BIGINT) AS DOUBLE) "
+            f"ELSE CAST(({a[0]}) / ({a[1]}) AS DOUBLE) END"
+        )
+    if name in ("bin", "to_binary") and n == 1:
+        # DuckDB bin/to_binary: per-BYTE bit string for VARCHAR (measured
+        # bin('abc') = '011000010110001001100011'), 64-bit two's complement
+        # for EVERY integer width (bin(-7::TINYINT) = 64 ones-prefixed —
+        # the only overload is BIGINT, unlike bit_count's per-width rule).
+        # Spark's to_binary is hex-DECODE — a silent wrong answer — so
+        # both names route here.
+        x = a[0]
+        return (
+            f"CASE WHEN typeof\x02({x}) = {lit('string')} THEN "
+            f"array_join(transform(regexp_extract_all(hex({x}), {lit('.')}, 0), "
+            f"__d -> lpad(bin\x02(conv(__d, 16, 10)), 4, {lit('0')})), {lit('')}) "
+            f"ELSE bin\x02(CAST({x} AS BIGINT)) END"
+        )
+    if name == "grade_up" and n == 1:
+        return _fn_gap_emit("list_grade_up", args, lit, parts)
+    if name in ("right_grapheme", "left_grapheme") and n == 2:
+        # grapheme-cluster complement pair to r13's substring_grapheme:
+        # Java regex \X = extended grapheme cluster, measured identical to
+        # utf8proc's segmentation (flags, ZWJ emoji)
+        g = f"regexp_extract_all({a[0]}, {lit(chr(92) + 'X')}, 0)"
+        k = a[1]
+        if name == "left_grapheme":
+            return (
+                f"CASE WHEN ({k}) <= 0 THEN {lit('')} ELSE "
+                f"array_join(slice({g}, 1, {k}), {lit('')}) END"
+            )
+        return (
+            f"CASE WHEN ({k}) <= 0 THEN {lit('')} "
+            f"WHEN ({k}) >= size({g}) THEN {a[0]} "
+            f"ELSE array_join(slice({g}, -({k}), {k}), {lit('')}) END"
+        )
+    if name in ("timezone_hour", "timezone_minute") and n == 1:
+        # tz-offset fields of the 1-arg 'timezone' part (0 for naive
+        # timestamps; session offset for instants — both 0 under the UTC
+        # sessions both engines run). Sign-preserving truncation: -5:30 ->
+        # hour -5, minute -30.
+        off = _fn_gap_emit("timezone", [a[0]], lit, parts)
+        if name == "timezone_hour":
+            return f"CAST(({off}) div 3600 AS BIGINT)"
+        return f"CAST((({off}) div 60) % 60 AS BIGINT)"
+    if name == "constant_or_null" and n >= 2:
+        # constant_or_null(v, g1, g2, ...): NULL if any guard is NULL
+        guards = " OR ".join(f"({g}) IS NULL" for g in a[1:])
+        return f"CASE WHEN {guards} THEN NULL ELSE ({a[0]}) END"
+    if name == "current_query" and n in (0, 1) and (n == 0 or not a[0]):
+        q = _CURRENT_QUERY.get() if _CURRENT_QUERY is not None else None
+        if q is None:
+            raise NotImplementedError(
+                "current_query() outside sqlx.sql() — no statement text"
+            )
+        return lit(q.replace("'", "''"))
+    if name == "current_schemas" and n == 1:
+        # measured: true -> ['main','main','main','pg_catalog'], false -> []
+        if re.fullmatch(r"true", a[0], re.IGNORECASE):
+            return (
+                f"array({lit('main')}, {lit('main')}, {lit('main')}, "
+                f"{lit('pg_catalog')})"
+            )
+        if re.fullmatch(r"false", a[0], re.IGNORECASE):
+            return "array()"
+        return None
+    if name == "unpivot_list":
+        return f"array({', '.join(a)})"
+    if name == "typeof" and n == 1:
+        # Spark's typeof prints Spark names ('string'); wrap with the
+        # DuckDB-spelling mapper UDF (functions/metrics.py). \x02 keeps the
+        # inner call from re-entering this branch.
+        return f"duckdb_typeof_name(typeof\x02({a[0]}))"
+    if name in ("len", "length") and n == 1 and _looks_listy(a[0]):
+        # DuckDB len/length are polymorphic over VARCHAR and LIST; Spark's
+        # length is string-only. Syntactic gate on clearly-list-producing
+        # operands; list-typed COLUMNS keep length() (use array_length /
+        # list_length there), documented residual.
+        return f"CAST(size({a[0]}) AS BIGINT)"
+    if name == "repeat" and n == 2 and _blobby(a[0]):
+        # repeat over a BLOB stays a BLOB in DuckDB; Spark's repeat is
+        # string-typed — round-trip through hex to keep the bytes
+        return f"unhex(repeat(hex({a[0]}), {a[1]}))"
     return None
 
 
@@ -2245,18 +2630,18 @@ _BIT_CAST_CALL_RE = re.compile(r"\b(?:TRY_)?CAST\s*\(", re.IGNORECASE)
 
 def _bit_cast_emit(x: str, lit) -> str:
     widths = " ".join(
-        f"WHEN typeof({x}) = {lit(t)} THEN right(lpad(bin({x}), 64, {lit('0')}), {w})"
+        f"WHEN typeof\x02({x}) = {lit(t)} THEN right(lpad(bin({x}), 64, {lit('0')}), {w})"
         for t, w in (("tinyint", 8), ("smallint", 16), ("int", 32), ("bigint", 64))
     )
     return (
         # CAST(... AS STRING) on the pass-through branch: without it the
         # operand's STATIC type (int for a literal) wins the CASE's common
         # type and the digit strings would coerce to numbers
-        f"CASE WHEN typeof({x}) = {lit('string')} THEN "
+        f"CASE WHEN typeof\x02({x}) = {lit('string')} THEN "
         f"CASE WHEN ({x}) RLIKE {lit('^[01]+$')} THEN CAST({x} AS STRING) "
         f"ELSE raise_error(concat({lit('cannot cast to BIT (only 0/1 digits): ')}, {x})) END "
         f"{widths} "
-        f"ELSE raise_error(concat({lit('cannot cast to BIT from type ')}, typeof({x}))) END"
+        f"ELSE raise_error(concat({lit('cannot cast to BIT from type ')}, typeof\x02({x}))) END"
     )
 
 
@@ -2268,12 +2653,18 @@ def rewrite_bit_casts(sql: str, _parts: list[str] | None = None) -> str:
         _parts.append(f"'{s}'")
         return f"\x00{len(_parts) - 1}\x00"
 
-    # x::BIT — operand extends backwards like the AT TIME ZONE operand
+    # x::BIT — operand extends backwards like the AT TIME ZONE operand;
+    # chained casts ((5)::INTEGER::BIT) walk back through each :: link
     while True:
         m = _BIT_CAST_RE.search(sql)
         if not m:
             break
         start = _primary_start(sql, m.start())
+        while sql[start : m.start()].lstrip().startswith("::"):
+            prev = start
+            start = _primary_start(sql, start)
+            if start == prev:
+                break
         x = sql[start : m.start()].strip()
         if not x:
             raise NotImplementedError(f"::BIT without an operand: {sql!r}")
@@ -2534,6 +2925,29 @@ def _c_to_java_fmt(cfmt: str) -> list[tuple[str, str]]:
     return out
 
 
+#: C-format year directives: when a strptime format carries NONE of these,
+#: DuckDB defaults the year to 1900 (strptime('03-14','%m-%d') =
+#: 1900-03-14, measured — the C-library default) while Spark's
+#: to_timestamp defaults to 1970; month/day/time defaults (01/01/00:00)
+#: agree, so shifting the missing-year case back 70 years aligns them.
+_YEAR_DIRECTIVE_RE = re.compile(r"%-?[YyGg]")
+
+
+def _strptime_one(a0: str, cfmt: str, lit, try_: bool) -> str:
+    segs = _c_to_java_fmt(cfmt)
+    if not all(k == "pat" for k, _ in segs):
+        raise ValueError(
+            f"strptime cannot parse with format-only specifiers "
+            f"(%G/%V/%u): {cfmt!r}"
+        )
+    jfmt = "".join(s for _, s in segs)
+    fn = "try_to_timestamp" if try_ else "to_timestamp"
+    expr = f"{fn}({a0}, {lit(jfmt)})"
+    if not _YEAR_DIRECTIVE_RE.search(cfmt):
+        expr = f"({expr} - make_interval(70))"
+    return expr
+
+
 def rewrite_strftime(sql: str, _parts: list[str] | None = None) -> str:
     if _parts is None:
         return sql
@@ -2556,7 +2970,39 @@ def rewrite_strftime(sql: str, _parts: list[str] | None = None) -> str:
         if len(args) != 2:
             raise ValueError(f"{m.group(1)} expects 2 arguments: {sql[m.start():end]!r}")
         a0, a1 = args[0].strip(), args[1].strip()
+        fname_early = m.group(1).lower()
+        if fname_early in ("strptime", "try_strptime"):
+            # list-of-formats overload (measured: try_strptime('2021x03',
+            # ['%Y-%m','%Yx%m']) tries each in order) — brackets are
+            # already array(...) by this point. DuckDB types the result
+            # TIMESTAMPTZ; the wall value is the matched parse either way.
+            # strptime raises when nothing matches; ours yields NULL
+            # (softer on the error case, documented).
+            lm = re.fullmatch(r"array\s*\((.*)\)", a1, re.IGNORECASE | re.DOTALL)
+            if lm:
+                fmts = [e.strip() for e in _split_top_level(lm.group(1))]
+                pieces = []
+                for e in fmts:
+                    em = re.fullmatch(r"\x00(\d+)\x00", e)
+                    if not em:
+                        raise ValueError(
+                            f"{fname_early} format list must be literal: {e!r}"
+                        )
+                    cfmt = _parts[int(em.group(1))][1:-1].replace("''", "'")
+                    pieces.append(_strptime_one(a0, cfmt, lit, try_=True))
+                rep = f"coalesce({', '.join(pieces)})" if len(pieces) > 1 else pieces[0]
+                sql = sql[: m.start()] + rep + sql[end:]
+                pos = m.start()
+                continue
         mm = re.fullmatch(r"\x00(\d+)\x00", a1)
+        if not mm and fname_early == "strftime":
+            # DuckDB registers BOTH argument orders for strftime
+            # (strftime('%Y-%m', d) == strftime(d, '%Y-%m'), measured) —
+            # when the FIRST arg is the literal holding the % directives,
+            # swap into the canonical (data, format) order.
+            mm0 = re.fullmatch(r"\x00(\d+)\x00", a0)
+            if mm0 and "%" in _parts[int(mm0.group(1))]:
+                a0, a1, mm = a1, a0, mm0
         if not mm:
             pos = end  # computed format: leave the DuckDB name, fail loudly
             continue
@@ -2566,13 +3012,12 @@ def rewrite_strftime(sql: str, _parts: list[str] | None = None) -> str:
         fname = m.group(1).lower()
         is_strf = fname == "strftime"
         if all(k == "pat" for k, _ in segs):
-            jfmt = "".join(s for _, s in segs)
-            fn = (
-                "date_format"
-                if is_strf
-                else ("try_to_timestamp" if fname == "try_strptime" else "to_timestamp")
-            )
-            rep = f"{fn}({a0}, {lit(jfmt)})"
+            if not is_strf:
+                cfmt = _parts[int(mm.group(1))][1:-1].replace("''", "'")
+                rep = _strptime_one(a0, cfmt, lit, try_=(fname == "try_strptime"))
+            else:
+                jfmt = "".join(s for _, s in segs)
+                rep = f"date_format({a0}, {lit(jfmt)})"
         elif not is_strf:
             raise ValueError(
                 f"strptime cannot parse with format-only specifiers "
@@ -2879,9 +3324,9 @@ def _rounding_int_cast(expr: str, target: str, parts: list[str], kw: str) -> str
     c = f"{kw}\x02("
     d = f"{c}{expr} AS DOUBLE)"
     return (
-        f"CASE WHEN typeof({expr}) IN ({lit('double')}, {lit('float')}) "
+        f"CASE WHEN typeof\x02({expr}) IN ({lit('double')}, {lit('float')}) "
         f"THEN {c}rint({d}) AS {target}) "
-        f"WHEN typeof({expr}) = {lit('string')} OR typeof({expr}) LIKE {lit('decimal%')} "
+        f"WHEN typeof\x02({expr}) = {lit('string')} OR typeof\x02({expr}) LIKE {lit('decimal%')} "
         f"THEN {c}{c}{expr} AS DECIMAL(38,0)) AS {target}) "
         f"ELSE {c}{expr} AS {target}) END"
     )
@@ -3089,6 +3534,209 @@ def _decode_blob_literal(text: str) -> str:
 _BIT_LIT_RE = re.compile(r"\bBIT\s+(\x00\d+\x00)", re.IGNORECASE)
 
 
+#: bitwise operators over BIT operands (round 13; reference
+#: src/common/types/bit.cpp Bit::BitwiseXor/And/Or/Not — all measured on
+#: DuckDB 1.0): the engine's BIT is the '0'/'1' digit string here, so the
+#: ops are per-character; mismatched lengths RAISE ('Cannot XOR bit strings
+#: of different sizes'), ~ flips digits. Runs BEFORE rewrite_blob_literals
+#: so the BIT 'digits' spelling is still visible; operands are gated
+#: syntactically (BIT literal / ::BIT / CAST AS BIT / set_bit / bitstring
+#: / bitstring_agg) — integer bitwise ops pass through untouched. Also
+#: handles bit_length/octet_length over the same operands (bit_length(BIT)
+#: counts DIGITS, octet_length(BIT) = ceil(digits/8)) and the @ abs
+#: prefix operator.
+_BITTY_RE = re.compile(
+    r"\A(?:BIT\s*\x00\d+\x00|(?:set_bit|bitstring|bitstring_agg)\s*\(.*\)|"
+    r"CAST\s*\(.*\s+AS\s+BIT\s*\)|.*::\s*BIT)\Z",
+    re.IGNORECASE | re.DOTALL,
+)
+_BIT_BINOP_RE = re.compile(r"(?<![&|^<>=!])([&|])(?![&|^<>=])")
+_BIT_NOT_RE = re.compile(r"~\s*")
+_BIT_XORFN_RE = re.compile(r"\bxor\s*\(", re.IGNORECASE)
+_BIT_LEN_RE = re.compile(r"\b(bit_length|octet_length)\s*\(", re.IGNORECASE)
+_ABS_AT_RE = re.compile(r"(?<![\w)\x00])@\s*")
+
+
+def _bitty(e: str) -> bool:
+    return bool(_BITTY_RE.match(e.strip()))
+
+
+def _bit_operand_back(sql: str, k: int) -> int | None:
+    """Start index of a bitty primary ENDING just before k, or None
+    (a `BIT \x00n\x00` literal is keyword + placeholder — two tokens the
+    generic _operand_start scan doesn't treat as one primary)."""
+    seg = sql[:k].rstrip()
+    m = re.search(r"(?:BIT\s*)?\x00\d+\x00\Z", seg, re.IGNORECASE)
+    if m and _bitty(seg[m.start():]):
+        return m.start()
+    m = re.search(
+        r"(\((?:[^()]|\([^()]*\))*\)|\x00\d+\x00|[\w.]+)(\s*::\s*\w+)+\Z", seg
+    )
+    if m and _bitty(seg[m.start():]):
+        return m.start()
+    if seg.endswith(")"):
+        # balanced back-scan to the matching open paren, then take any
+        # leading call name
+        depth = 0
+        for i in range(len(seg) - 1, -1, -1):
+            if seg[i] == ")":
+                depth += 1
+            elif seg[i] == "(":
+                depth -= 1
+                if depth == 0:
+                    mm = re.search(r"[A-Za-z_][\w]*\s*\Z", seg[:i])
+                    start = mm.start() if mm else i
+                    return start if _bitty(seg[start:]) else None
+        return None
+    return None
+
+
+def _bit_operand_fwd(sql: str, i: int) -> int | None:
+    """End index of a bitty primary starting at i, or None."""
+    if i < len(sql) and sql[i] == "(":
+        end = _balanced_span(sql, i)
+        tail = re.match(r"(\s*::\s*\w+)+", sql[end:])
+        if tail and _bitty(sql[i : end + tail.end()]):
+            return end + tail.end()
+        return end if _bitty(sql[i + 1 : end - 1]) else None
+    m = re.match(r"BIT\s*\x00\d+\x00", sql[i:], re.IGNORECASE)
+    if m:
+        return i + m.end()
+    m = re.match(r"(\x00\d+\x00|[\w.]+)(\s*::\s*\w+)+", sql[i:])
+    if m and _bitty(sql[i : i + m.end()]):
+        return i + m.end()
+    m = re.match(r"(?:set_bit|bitstring_agg|bitstring|CAST)\s*\(", sql[i:], re.IGNORECASE)
+    if m:
+        end = _balanced_span(sql, i + m.end() - 1)
+        # a CAST must target BIT; calls pass — optionally followed by ::BIT
+        tail = re.match(r"\s*::\s*BIT\b", sql[end:], re.IGNORECASE)
+        span = end + (tail.end() if tail else 0)
+        if _bitty(sql[i:span]):
+            return span
+        return None
+    return None
+
+
+def _bit_binary_emit(a: str, b: str, op: str, lit) -> str:
+    opname = {"^": "XOR", "&": "AND", "|": "OR"}[op]
+    one, zero = lit("1"), lit("0")
+    cond = {
+        "^": f"substring({a}, __i, 1) <> substring({b}, __i, 1)",
+        "&": f"substring({a}, __i, 1) = {one} AND substring({b}, __i, 1) = {one}",
+        "|": f"substring({a}, __i, 1) = {one} OR substring({b}, __i, 1) = {one}",
+    }[op]
+    err = lit(f"Cannot {opname} bit strings of different sizes")
+    return (
+        f"(CASE WHEN length({a}) != length({b}) THEN raise_error({err}) "
+        f"ELSE array_join(transform(sequence(1, length({a})), "
+        f"__i -> CASE WHEN {cond} THEN {one} ELSE {zero} END), {lit('')}) END)"
+    )
+
+
+def rewrite_bit_ops(sql: str, _parts: list[str] | None = None) -> str:
+    if _parts is None:
+        return sql
+
+    def lit(s: str) -> str:
+        _parts.append(f"'{s}'")
+        return f"\x00{len(_parts) - 1}\x00"
+
+    # xor(a, b) with a bitty side -> char-wise; numeric xor passes through
+    pos = 0
+    while True:
+        m = _BIT_XORFN_RE.search(sql, pos)
+        if not m:
+            break
+        end = _balanced_span(sql, m.end() - 1)
+        args = _split_top_level(sql[m.end() : end - 1])
+        if len(args) == 2 and (_bitty(args[0]) or _bitty(args[1])):
+            rep = _bit_binary_emit(args[0].strip(), args[1].strip(), "^", lit)
+            sql = sql[: m.start()] + rep + sql[end:]
+            pos = m.start() + len(rep)
+        else:
+            pos = end
+    # infix & / | with a bitty right operand (the left is extracted
+    # backwards like the factorial operand)
+    pos = 0
+    while True:
+        m = _BIT_BINOP_RE.search(sql, pos)
+        if not m:
+            break
+        j = m.end()
+        while j < len(sql) and sql[j] == " ":
+            j += 1
+        rend = _bit_operand_fwd(sql, j)
+        if rend is None:
+            # the RIGHT operand must be bitty-shaped for the rewrite (a
+            # bitty-left/plain-right mix — set_bit(..) & int_col — is
+            # invalid in DuckDB too: BIT ops require BIT on both sides)
+            pos = m.end()
+            continue
+        lstart = _bit_operand_back(sql, m.start())
+        if lstart is None:
+            lstart = _operand_start(sql, m.start())
+        left = sql[lstart : m.start()].strip()
+        right = sql[j:rend].strip()
+        if not (_bitty(left) or _bitty(right)):
+            pos = m.end()
+            continue
+        rep = _bit_binary_emit(left, right, m.group(1), lit)
+        sql = sql[:lstart] + rep + sql[rend:]
+        pos = lstart + len(rep)
+    # ~ prefix over a bitty operand -> digit flip
+    pos = 0
+    while True:
+        m = _BIT_NOT_RE.search(sql, pos)
+        if not m:
+            break
+        rend = _bit_operand_fwd(sql, m.end())
+        if rend is None:
+            pos = m.end()
+            continue
+        x = sql[m.end() : rend]
+        rep = f"translate({x}, {lit('01')}, {lit('10')})"
+        sql = sql[: m.start()] + rep + sql[rend:]
+        pos = m.start() + len(rep)
+    # bit_length / octet_length over bitty operands (digit counts);
+    # string/blob operands keep Spark's native bit/byte semantics
+    pos = 0
+    while True:
+        m = _BIT_LEN_RE.search(sql, pos)
+        if not m:
+            break
+        end = _balanced_span(sql, m.end() - 1)
+        inner = sql[m.end() : end - 1].strip()
+        if not _bitty(inner):
+            pos = end
+            continue
+        if m.group(1).lower() == "bit_length":
+            rep = f"CAST(length({inner}) AS BIGINT)"
+        else:
+            rep = f"CAST(ceil(length({inner}) / 8.0) AS BIGINT)"
+        sql = sql[: m.start()] + rep + sql[end:]
+        pos = m.start() + len(rep)
+    # @x prefix abs (DuckDB operator alias; also accepts the call form)
+    pos = 0
+    while True:
+        m = _ABS_AT_RE.search(sql, pos)
+        if not m:
+            break
+        j = m.end()
+        mm = re.match(r"\((?#paren)", sql[j:])
+        if mm:
+            end = _balanced_span(sql, j)
+            sql = sql[: m.start()] + f"abs{sql[j:end]}" + sql[end:]
+            pos = m.start() + 3
+            continue
+        mm = re.match(r"-?(?:\x00\d+\x00|[\w.]+(?:\s*\([^()]*\))?)", sql[j:])
+        if not mm:
+            pos = m.end()
+            continue
+        sql = sql[: m.start()] + f"abs({sql[j : j + mm.end()]})" + sql[j + mm.end() :]
+        pos = m.start() + 4
+    return sql
+
+
 def rewrite_blob_literals(sql: str, _parts: list[str] | None = None) -> str:
     if _parts is None:
         return sql
@@ -3113,6 +3761,7 @@ def rewrite_blob_literals(sql: str, _parts: list[str] | None = None) -> str:
 
 
 REWRITES = [
+    rewrite_bit_ops,  # FIRST: needs the BIT 'digits' spelling blob_literals consumes
     rewrite_blob_literals,
     rewrite_from_first,
     rewrite_trailing_commas,
@@ -3205,7 +3854,7 @@ def transpile(sql: str) -> str:
         # expansion just introduced so the rewrites stay literal-blind
         masked = _TOKEN_RE.sub(stash, _expand_macros(masked))
     for rw in REWRITES:
-        if rw in (rewrite_blob_literals, rewrite_json_arrows, rewrite_regex_ops, rewrite_string_split, rewrite_strftime, rewrite_int_casts, rewrite_date_diff, rewrite_date_part, rewrite_list_sort, rewrite_string_agg, rewrite_fn_gaps, rewrite_bit_casts):
+        if rw in (rewrite_bit_ops, rewrite_blob_literals, rewrite_json_arrows, rewrite_regex_ops, rewrite_string_split, rewrite_strftime, rewrite_int_casts, rewrite_date_diff, rewrite_date_part, rewrite_list_sort, rewrite_string_agg, rewrite_fn_gaps, rewrite_bit_casts):
             masked = rw(masked, _parts=parts)
         else:
             masked = rw(masked)
@@ -4187,6 +4836,22 @@ def _align_by_name(rows, table_df, name: str):
     )
 
 
+def _ensure_udfs(spark: SparkSession) -> None:
+    """Register the Python-backed gap functions once per session, so plain
+    sqlx.sql() resolves damerau_levenshtein / strip_accents / gamma /
+    json_structure / duckdb_typeof_name / … without a manual
+    register_udfs() call (the round-13 sweep found the UDF-backed names
+    UNRESOLVED through the public entry point). Guarded by a session tag —
+    registration is cheap but not free (py4j round-trips)."""
+    tag = "_dps_udfs_registered"
+    if getattr(spark, tag, False):
+        return
+    from duckdb_parachute_spark.functions import register_udfs
+
+    register_udfs(spark)
+    setattr(spark, tag, True)
+
+
 def sql(spark: SparkSession, text: str) -> DataFrame:
     """Run DuckDB-flavored SQL on Spark (the M2 dialect entry point).
 
@@ -4199,6 +4864,8 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
     delta_scan() binds FIRST, before statement dispatch: the calls become
     plain view names, so they work inside INSERT bodies, PIVOT sources,
     COPY subqueries, and SUMMARIZE alike — not just bare SELECTs."""
+    _ensure_udfs(spark)
+    _CURRENT_QUERY.set(text)
     text = _bind_time_travel(spark, _bind_delta_scans(spark, text))
     m = _COPY_RE.match(text)
     if m:

@@ -1313,3 +1313,161 @@ def dialect_fn_gaps3(spark, sf_dir):
     Same SQL is the oracle."""
     _views(spark, sf_dir, "part")
     return sqlx.sql(spark, _FN_GAPS3_SQL)
+
+
+_FN_GAPS4_SQL = """
+SELECT p_partkey,
+       CAST(divide(p_partkey, 7) AS DOUBLE) AS int_div,
+       CAST(divide(p_retailprice, 7) AS DOUBLE) AS dec_div,
+       bin(p_brand) AS brand_bits,
+       to_binary(p_partkey % 19) AS small_bits,
+       to_base(p_partkey % 500, 7, 7) AS base7,
+       strip_accents(translate(p_name, 'aeo', 'àéô')) AS stripped,
+       CAST(damerau_levenshtein(p_brand, p_type) AS BIGINT) AS dl,
+       round(gamma(1.0 + (p_partkey % 5)), 6) AS g,
+       round(lgamma(2.5 + (p_partkey % 3)), 6) AS lg,
+       CAST((nextafter(CAST(p_partkey AS DOUBLE), 1e18) - CAST(p_partkey AS DOUBLE)) * 1e12 AS DOUBLE) AS na_ulp,
+       right_grapheme(p_name, 4) AS rg,
+       left_grapheme(p_name, 4) AS lgr,
+       grade_up([p_retailprice, 1.0, p_retailprice - 500]) AS gu,
+       array_select([p_partkey, p_partkey + 1], [2, 1, 0]) AS sel,
+       array_where([p_partkey, p_partkey + 1, p_partkey + 2],
+                   [true, p_partkey % 2 = 0, false]) AS aw,
+       constant_or_null(42, nullif(p_partkey % 3, 0)) AS con,
+       typeof(p_retailprice) AS ty,
+       CAST(@(500 - p_partkey) AS BIGINT) AS ab,
+       CAST(add(p_partkey) AS BIGINT) AS a1,
+       CAST(subtract(p_partkey) AS BIGINT) AS s1,
+       CAST(len([p_partkey, p_partkey]) AS BIGINT) AS list_len
+FROM part WHERE p_partkey % 41 = 0
+ORDER BY p_partkey
+"""
+
+
+@query(
+    "dialect_fn_gaps4",
+    oracle=_FN_GAPS4_SQL,
+    cast_double=["int_div", "dec_div", "g", "lg", "na_ulp"],
+    join_arrays=["gu", "sel", "aw"],
+)
+def dialect_fn_gaps4(spark, sf_dir):
+    """Round-13 extended-sweep batch 1 (richer arg shapes probed over the
+    whole duckdb_functions() registry): divide() is `//` — integer
+    division for integral args, PLAIN division for fractional (typeof
+    dispatch, both measured); bin/to_binary are per-BYTE bit strings for
+    VARCHAR and 64-bit two's complement for every int width (Spark's
+    to_binary is hex-decode — silent wrong answer); 3-arg to_base pads but
+    never truncates; strip_accents (NFD mark removal, æß survive);
+    unrestricted Damerau-Levenshtein; gamma/lgamma/nextafter (libm UDFs);
+    the right_grapheme/left_grapheme pair; grade_up alias; array_select
+    with out-of-range/0 indexes -> NULL; array_where zip semantics;
+    constant_or_null; typeof with DuckDB type spellings; the @ abs prefix
+    operator; 1-arg add/subtract; polymorphic len over a syntactic list.
+    Same SQL is the oracle."""
+    _views(spark, sf_dir, "part")
+    return sqlx.sql(spark, _FN_GAPS4_SQL)
+
+
+_STRPTIME_TZ_SQL = """
+SELECT o_orderkey,
+       strftime('%Y/%m', o_orderdate) AS rev_fmt,
+       CAST(strptime(strftime(o_orderdate, '%m-%d'), '%m-%d') AS TIMESTAMP) AS noyear,
+       CAST(try_strptime(strftime(o_orderdate, '%Y|%m'), ['%Y-%m', '%Y|%m']) AS TIMESTAMP) AS multi_fmt,
+       CAST(try_strptime('nope', ['%Y-%m']) AS TIMESTAMP) AS nomatch,
+       CAST(timezone_hour(o_orderdate::TIMESTAMP) AS BIGINT) AS tzh,
+       CAST(timezone_minute(o_orderdate::TIMESTAMP) AS BIGINT) AS tzm,
+       CAST(epoch(INTERVAL '1 month 2 days 3 hours') AS DOUBLE) AS ivl_epoch,
+       CAST(year(INTERVAL '26 months') AS BIGINT) AS ivl_y,
+       CAST(month(INTERVAL '26 months') AS BIGINT) AS ivl_m,
+       CAST(day(INTERVAL '400 days') AS BIGINT) AS ivl_d,
+       CAST(epoch_ms(INTERVAL '90 minutes') AS BIGINT) AS ivl_ms,
+       list_transform(range(o_orderdate::TIMESTAMP, o_orderdate::TIMESTAMP + INTERVAL '3 days', INTERVAL '1 day'),
+                      t -> CAST(epoch(t) AS BIGINT)) AS ts_range,
+       list_transform(generate_series(o_orderdate::TIMESTAMP, o_orderdate::TIMESTAMP + INTERVAL '2 days', INTERVAL '1 day'),
+                      t -> CAST(epoch(t) AS BIGINT)) AS ts_series
+FROM orders WHERE o_orderkey % 193 = 0
+ORDER BY o_orderkey
+"""
+
+
+@query(
+    "dialect_strptime_tz",
+    oracle=_STRPTIME_TZ_SQL,
+    join_arrays=["ts_range", "ts_series"],
+)
+def dialect_strptime_tz(spark, sf_dir):
+    """Round-13 extended-sweep batch 2 — temporal tail: strftime accepts
+    BOTH argument orders (format-first measured identical); strptime with
+    no year directive defaults to 1900 (C-library default) where Spark's
+    to_timestamp uses 1970 — the missing-year case shifts back 70 years;
+    try_strptime with a LIST of formats tries each in order (DuckDB types
+    that overload TIMESTAMPTZ — the wall value is what's graded);
+    timezone_hour/timezone_minute offset fields; date-part extraction and
+    epoch over INTERVAL literals (30-day months) folded to constants at
+    transpile time; timestamp-stepped scalar range (end-exclusive) /
+    generate_series (end-inclusive) via Spark's native temporal sequence.
+    Same SQL is the oracle."""
+    _views(spark, sf_dir, "orders")
+    return sqlx.sql(spark, _STRPTIME_TZ_SQL)
+
+
+_JSON_PATHS_SQL = """
+SELECT p_partkey,
+       json_extract(json_object('k 1', p_partkey, 'n', p_name), 'k 1') AS key_space,
+       json_extract_string(json_object('k 1', p_partkey), 'k 1') AS key_space_str,
+       json_extract(json_array(p_name, p_brand, p_type), 1) AS int_path,
+       json_extract(json_object('a', p_partkey, 'b', p_name), ['a', '$.b']) AS multi,
+       json_extract(json_array(p_brand, p_type), '/1') AS pointer,
+       CAST(json_array_length(json_object('a', p_partkey)) AS BIGINT) AS len_obj,
+       CAST(json_array_length(json_array(p_name, p_brand)) AS BIGINT) AS len_arr,
+       json_object() AS empty_obj
+FROM part WHERE p_partkey % 43 = 0
+ORDER BY p_partkey
+"""
+
+
+@query(
+    "dialect_json_paths",
+    oracle=_JSON_PATHS_SQL,
+    join_arrays=["multi"],
+)
+def dialect_json_paths(spark, sf_dir):
+    """Round-13 extended-sweep batch 3 — JSON path forms (reference
+    extension/json json_common.cpp): bare keys are valid paths even with
+    spaces (bracket-quoted per target: $[\"k\"] for variant_get, $['k']
+    for get_json_object, which rejects double quotes — both measured);
+    INTEGER paths are 0-based array indexes; a LIST of paths returns a
+    LIST of extracts; '/'-rooted JSON Pointers convert segment-wise;
+    json_array_length is 0 for any non-array JSON value; zero-arg
+    json_object() is '{}'. Same SQL is the oracle."""
+    _views(spark, sf_dir, "part")
+    return sqlx.sql(spark, _JSON_PATHS_SQL)
+
+
+_BITOPS_SQL = """
+SELECT o_orderpriority,
+       max(((o_orderkey % 13)::INTEGER::BIT & (o_orderkey % 7)::INTEGER::BIT)::VARCHAR) AS anded,
+       max(((o_orderkey % 13)::INTEGER::BIT | (o_orderkey % 5)::INTEGER::BIT)::VARCHAR) AS ored,
+       max(xor((o_orderkey % 13)::INTEGER::BIT, (o_orderkey % 11)::INTEGER::BIT)::VARCHAR) AS xored,
+       max((~((o_orderkey % 13)::INTEGER::BIT))::VARCHAR) AS notted,
+       CAST(max(bit_length((o_orderkey % 13)::INTEGER::BIT)) AS BIGINT) AS bl,
+       CAST(max(octet_length((o_orderkey % 9)::INTEGER::BIT)) AS BIGINT) AS ol
+FROM orders WHERE o_orderkey < 3000
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("dialect_bitops", oracle=_BITOPS_SQL)
+def dialect_bitops(spark, sf_dir):
+    """Round-13 bitwise operators over BIT (reference src/common/types/
+    bit.cpp Bit::BitwiseAnd/Or/Xor/Not): per-digit ops over the
+    digit-string representation, mismatched lengths raise ('Cannot XOR
+    bit strings of different sizes'), ~ flips digits; bit_length counts
+    DIGITS and octet_length is ceil(digits/8) for BIT operands (their
+    VARCHAR/BLOB meanings stay Spark-native — gated syntactically on
+    BIT-shaped operands: literals, ::BIT cast chains, set_bit/bitstring
+    calls). Composes with the r13 int::BIT two's-complement rendering
+    under aggregation. Same SQL is the oracle."""
+    _views(spark, sf_dir, "orders")
+    return sqlx.sql(spark, _BITOPS_SQL)
