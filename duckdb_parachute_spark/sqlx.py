@@ -601,10 +601,10 @@ _FN_ALIAS_MAP = {
     # array_to_string(list, sep) ≡ array_join: both skip NULL elements and
     # share the 3-arg null-replacement form
     "array_to_string": "array_join",
-    # aggregates: list/array_agg ≡ collect_list (both NULL-skipping,
-    # order-nondeterministic without an ORDER BY in both engines)
-    "list": "collect_list",
-    "array_agg": "collect_list",
+    # list/array_agg moved to _fn_gap_emit in round 13: DuckDB's list()
+    # KEEPS NULL elements (measured [1.5, -2.5, 4.0, NULL, 8.5]) where
+    # collect_list silently drops them — the struct-wrap emit preserves
+    # them
     # round 11 (probed identical on duckdb 1.0 before inclusion):
     "starts_with": "startswith",
     "ends_with": "endswith",
@@ -759,8 +759,104 @@ def rewrite_fn_aliases(sql: str) -> str:
 _QUANTILE_DISC_RE = re.compile(r"\b(?:quantile_disc|quantile)\s*\(", re.IGNORECASE)
 
 
+
+
+#: list() / array_agg() (round 13; reference aggregate list.cpp —
+#: measured): DuckDB KEEPS NULL elements where collect_list silently
+#: drops them, so the value rides inside a struct; an ORDER BY in the
+#: argument sorts with DuckDB's NULLS-LAST-both-directions default; a
+#: trailing OVER window attaches to the inner collect_list (the unwrap
+#: transform stays outside the window), and a trailing FILTER folds into
+#: the collected expression via the CASE-null trick.
+_LIST_AGG_RE = re.compile(r"\b(?:list|array_agg)\s*\(", re.IGNORECASE)
+
+
+def rewrite_list_agg(sql: str, _parts: list[str] | None = None) -> str:
+    if _parts is None:
+        return sql
+
+    def lit(s2: str) -> str:
+        _parts.append(f"'{s2}'")
+        return f"\x00{len(_parts) - 1}\x00"
+
+    pos = 0
+    while True:
+        m = _LIST_AGG_RE.search(sql, pos)
+        if not m:
+            return sql
+        end = _balanced_span(sql, m.end() - 1)
+        arg = sql[m.end() : end - 1]
+        if not arg.strip():
+            pos = end
+            continue
+        fm = re.match(r"\s*FILTER\s*\(\s*WHERE\b", sql[end:], re.IGNORECASE)
+        filt = None
+        if fm:
+            fend = _balanced_span(sql, end + sql[end:].index("("))
+            filt = sql[end + fm.end() : fend - 1].strip()
+            end = fend
+        om_ = re.match(r"\s*OVER\s*", sql[end:], re.IGNORECASE)
+        over = ""
+        if om_:
+            j = end + om_.end()
+            if j < len(sql) and sql[j] == "(":
+                wend = _balanced_span(sql, j)
+            else:
+                mw = re.match(r"\w+", sql[j:])
+                wend = j + (mw.end() if mw else 0)
+            over = " OVER " + sql[j:wend]
+            end = wend
+        om = _ORDER_BY_IN_ARG_RE.search(arg)
+        if om is not None:
+            expr = arg[: om.start()].strip()
+            keys = []
+            for item in _split_top_level(arg[om.end():]):
+                desc = bool(re.search(r"\bDESC\b\s*$", item, re.IGNORECASE))
+                key = re.sub(
+                    r"\s+(DESC|ASC)\s*$", "", item, flags=re.IGNORECASE
+                ).strip()
+                keys.append((key, desc))
+            fields = ", ".join(
+                f"{lit(f'k{j}')}, {k}" for j, (k, _) in enumerate(keys)
+            )
+            # lexicographic comparator, per-key direction, DuckDB's
+            # NULLS-LAST-both-directions default (r12 window-sweep rule)
+            body = "0"
+            for j in range(len(keys) - 1, -1, -1):
+                lt, gt = ("-1", "1") if not keys[j][1] else ("1", "-1")
+                body = (
+                    f"CASE WHEN l.k{j} IS NULL AND r.k{j} IS NULL THEN {body} "
+                    f"WHEN l.k{j} IS NULL THEN 1 WHEN r.k{j} IS NULL THEN -1 "
+                    f"WHEN l.k{j} < r.k{j} THEN {lt} WHEN l.k{j} > r.k{j} THEN {gt} "
+                    f"ELSE {body} END"
+                )
+            cmp = f"(l, r) -> {body}"
+            st = f"named_struct({fields}, {lit('v')}, {expr})"
+            if filt is not None:
+                # drop the whole struct — a null STRUCT is excluded by
+                # collect_list; nulling only the value would KEEP the row
+                st = f"CASE WHEN ({filt}) THEN {st} END"
+            inner = f"array_sort\x02(collect_list({st}){over}, {cmp})"
+            rep = f"transform\x02({inner}, __s -> __s.v)"
+        else:
+            expr = arg.strip()
+            st = f"named_struct({lit('v')}, {expr})"
+            if filt is not None:
+                st = f"CASE WHEN ({filt}) THEN {st} END"
+            rep = (
+                f"transform\x02(collect_list({st})"
+                f"{over}, __s -> __s.v)"
+            )
+        sql = sql[: m.start()] + rep + sql[end:]
+        pos = m.start() + len(rep)
+
+
 def rewrite_quantiles(sql: str) -> str:
-    sql = re.sub(r"\bquantile_cont\s*\(", "percentile(", sql, flags=re.IGNORECASE)
+    # quantile_cont moved to _fn_gap_emit in round 13 (decimal scale
+    # truncation needs the typeof dispatch); quantile_disc/quantile emit
+    # the sorted-array element here — round 13 replaced the former
+    # percentile_disc spelling, which was numeric-only, with an emit that
+    # keeps the input type and covers VARCHAR/DATE/DECIMAL groups too.
     while True:
         m = _QUANTILE_DISC_RE.search(sql)
         if not m:
@@ -771,7 +867,21 @@ def rewrite_quantiles(sql: str) -> str:
             raise ValueError(f"quantile_disc expects 1-2 arguments: {sql[m.start():end]!r}")
         x = args[0].strip()
         q = args[1].strip() if len(args) == 2 else "0.5"
-        rep = f"percentile_disc({q}) WITHIN GROUP (ORDER BY {x})"
+        # a trailing FILTER (WHERE p) folds into the collect itself:
+        # collect_list drops NULLs, so CASE WHEN p THEN x END filters
+        # exactly (the emitted compound expression can't carry Spark's
+        # FILTER clause — it is no longer a single aggregate call)
+        fm = re.match(r"\s*FILTER\s*\(\s*WHERE\b", sql[end:], re.IGNORECASE)
+        if fm:
+            fend = _balanced_span(sql, end + sql[end:].index("("))
+            pred = sql[end + fm.end() : fend - 1].strip()
+            x = f"CASE WHEN ({pred}) THEN ({x}) END"
+            end = fend
+        if re.match(r"\Aarray\s*\(", q, re.IGNORECASE):
+            # list-of-quantiles form returns a LIST of elements
+            rep = f"transform\x02({q}, __q -> {_sorted_disc_emit(x, '__q')})"
+        else:
+            rep = _sorted_disc_emit(x, q)
         sql = sql[: m.start()] + rep + sql[end:]
 
 
@@ -1129,7 +1239,13 @@ _FN_GAP_RE = re.compile(
     r"divide|right_grapheme|left_grapheme|grade_up|array_select|"
     r"array_where|constant_or_null|current_query|current_schemas|"
     r"unpivot_list|typeof|length|len|bin|to_binary|repeat|"
-    r"year|month|day|hour|minute|second)"
+    r"year|month|day|hour|minute|second|"
+    # round-13 holistic-aggregate batch (sweep over the aggregate registry
+    # with typed/list args): null-KEEPING list/array_agg, sorted-array
+    # quantile_disc semantics for every orderable type, entropy/histogram/
+    # mad, decimal-aware median/quantile_cont, zero-variance guards
+    r"entropy|histogram|mad|median|quantile_cont|"
+    r"corr|regr_slope|regr_intercept|regr_r2|count)"
     r"\s*\(",
     re.IGNORECASE,
 )
@@ -1347,6 +1463,82 @@ def _parse_interval_literal(e: str, parts: list[str]):
         field, mult = u
         acc[field] += int(v * mult) if field == "micros" else int(v) * mult
     return acc["months"], acc["days"], acc["micros"]
+
+
+_LET_SEQ = [0]
+
+
+def _let(val: str, body) -> str:
+    """Single-use let-binding in SQL: evaluate ``val`` once, reference it
+    many times in ``body`` through a one-element higher-order transform.
+    Without this the holistic-aggregate emissions repeat their
+    collect_list subtree combinatorially (a mad() over a cast column
+    reached 300 KB of SQL text and minutes of analysis time)."""
+    _LET_SEQ[0] += 1
+    v = f"__b{_LET_SEQ[0]}"
+    return f"try_element_at(transform\x02(array({val}), {v} -> {body(v)}), 1)"
+
+
+def _sorted_disc_emit(x: str, q: str) -> str:
+    """DuckDB quantile_disc / quantile over one aggregated expression:
+    element at 1-based index ceil(q·n), clamped to >= 1, of the null-free
+    sorted group (measured: [1,2,4,8] at 0.6 -> 4 — ceil(2.4) = 3 — which
+    rules out the floor(q·(n-1))+1 spelling that agrees on the quartile
+    points; NULL on an empty group). Works for every orderable type and
+    keeps the input's type — percentile_disc is numeric-only."""
+    ll = f"array_sort\x02(collect_list({x}))"
+    return _let(
+        ll,
+        lambda v: (
+            f"CASE WHEN size({v}) = 0 THEN try_element_at({v}, 1) "
+            f"ELSE try_element_at({v}, greatest(CAST(ceil(({q}) * size({v})) AS INT), 1)) END"
+        ),
+    )
+
+
+def _array_cont_emit(sorted_arr: str) -> str:
+    """Interpolating median over an already-sorted DOUBLE array text:
+    lower + frac·(upper - lower) at position 0.5·(n-1)."""
+
+    def body(s: str) -> str:
+        flo = f"CAST(floor(0.5D * (size({s}) - 1)) AS INT)"
+        lo = f"try_element_at({s}, {flo} + 1)"
+        hi = f"try_element_at({s}, greatest(least({flo} + 2, size({s})), 1))"
+        frac = f"(0.5D * (size({s}) - 1) - floor(0.5D * (size({s}) - 1)))"
+        return (
+            f"(CASE WHEN size({s}) = 0 THEN CAST(NULL AS DOUBLE) "
+            f"ELSE {lo} + {frac} * ({hi} - {lo}) END)"
+        )
+
+    return _let(sorted_arr, body)
+
+
+def _dec_trunc_emit(p1: str, t: str, lit) -> str:
+    """DECIMAL-scale truncation of one interpolated quantile value
+    (measured: quantile_cont over DECIMAL truncates to the source scale,
+    toward zero — 2.75 -> 2.7, -2.75 -> -2.7); non-decimal inputs pass
+    through as DOUBLE. ``t`` is the typeof text of the aggregated column;
+    the scale is parsed from it at runtime."""
+    pat = lit(",(" + chr(92) + "d+)" + chr(92) + ")")
+
+    def body(tv: str) -> str:
+        # the scale extraction lives INSIDE the decimal branch: CASE
+        # branches evaluate lazily, so the empty regexp_extract on a
+        # non-decimal typeof never reaches the ANSI int cast
+        pw = f"power(10, CAST(regexp_extract({tv}, {pat}, 1) AS INT))"
+        trunc = _let(
+            pw,
+            lambda w: (
+                f"CAST(CAST(sign({p1}) AS DOUBLE) * "
+                f"floor(abs({p1}) * {w}) / {w} AS DOUBLE)"
+            ),
+        )
+        return (
+            f"CASE WHEN {tv} LIKE {lit('decimal%')} THEN {trunc} "
+            f"ELSE CAST({p1} AS DOUBLE) END"
+        )
+
+    return _let(t, body)
 
 
 _JSON_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
@@ -2411,6 +2603,109 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
         # repeat over a BLOB stays a BLOB in DuckDB; Spark's repeat is
         # string-typed — round-trip through hex to keep the bytes
         return f"unhex(repeat(hex({a[0]}), {a[1]}))"
+    # ---- round-13 holistic-aggregate batch (all semantics measured on
+    # DuckDB 1.0; the collect_list-based emits hold one group in memory —
+    # the same posture as DuckDB's own holistic aggregates, which
+    # materialize their group before finalizing) --------------------------
+    if name == "count" and n == 1 and not a[0]:
+        return "count(*)"  # zero-arg count() ≡ count(*) (measured)
+    if name == "corr" and n == 2:
+        # a zero-variance or single-row side is NULL in DuckDB; Spark's
+        # ANSI corr raises DIVIDE_BY_ZERO there (legitimate data shape —
+        # constant column in a group). A CASE cannot guard it — Spark
+        # computes every aggregate in the expression before the CASE
+        # selects — so corr is respelled from the PAIR-FILTERED co-moments
+        # (regr_sxy/sxx/syy skip rows where either side is NULL, exactly
+        # DuckDB's rule) with try_divide absorbing the zero.
+        y, x = a[0], a[1]
+        return (
+            f"try_divide(regr_sxy({y}, {x}), "
+            f"sqrt(regr_sxx({y}, {x}) * regr_syy({y}, {x})))"
+        )
+    if name in ("regr_slope", "regr_intercept", "regr_r2") and n == 2:
+        # same zero-variance rule: NULL, not an ANSI division error
+        y, x = a[0], a[1]
+        slope = f"try_divide(regr_sxy({y}, {x}), regr_sxx({y}, {x}))"
+        if name == "regr_slope":
+            return slope
+        if name == "regr_intercept":
+            return f"(regr_avgy({y}, {x}) - {slope} * regr_avgx({y}, {x}))"
+        # regr_r2 (PostgreSQL rule DuckDB follows): NULL when sxx = 0,
+        # 1.0 when syy = 0 with sxx > 0, else sxy²/(sxx·syy)
+        return (
+            f"CASE WHEN regr_sxx({y}, {x}) = 0 THEN CAST(NULL AS DOUBLE) "
+            f"WHEN regr_syy({y}, {x}) = 0 THEN CAST(1.0 AS DOUBLE) "
+            f"ELSE try_divide(regr_sxy({y}, {x}) * regr_sxy({y}, {x}), "
+            f"regr_sxx({y}, {x}) * regr_syy({y}, {x})) END"
+        )
+    if name == "entropy" and n == 1:
+        # Shannon entropy, log2, NULLs excluded, empty/single group = 0.0
+        # (all measured): log2(n) - (1/n)·Σ c·log2(c) over value counts
+        def ent(v: str) -> str:
+            counts = (
+                f"transform\x02(array_distinct\x02({v}), "
+                f"__v -> size(filter\x02({v}, __e -> __e <=> __v)))"
+            )
+            return (
+                f"CASE WHEN size({v}) <= 1 THEN CAST(0.0 AS DOUBLE) "
+                f"ELSE log2(size({v})) - aggregate({counts}, CAST(0.0 AS DOUBLE), "
+                f"(__acc, __c) -> __acc + __c * log2(__c)) / size({v}) END"
+            )
+
+        return _let(f"collect_list({a[0]})", ent)
+    if name == "histogram" and n == 1:
+        # MAP(value -> BIGINT count), keys sorted, NULLs excluded (measured)
+        def hist(v: str) -> str:
+            ks = f"array_sort\x02(array_distinct\x02({v}))"
+            return _let(
+                ks,
+                lambda k: (
+                    f"map_from_arrays({k}, transform\x02({k}, "
+                    f"__v -> CAST(size(filter\x02({v}, __e -> __e <=> __v)) AS BIGINT)))"
+                ),
+            )
+
+        return _let(f"collect_list({a[0]})", hist)
+    if name == "median" and n == 1:
+        # DuckDB median over DECIMAL is the DISCRETE lower-middle element
+        # (measured 1.5 over [-2.5, 1.5, 4.0, 8.5] at EVERY width), while
+        # DOUBLE/int interpolate — Spark's median always interpolates. The
+        # typeof dispatch keeps both; the CASE's common type is DOUBLE
+        # (values exact either way).
+        disc = _sorted_disc_emit(a[0], "0.5D")
+        return (
+            f"CASE WHEN typeof\x02(any_value({a[0]})) LIKE {lit('decimal%')} "
+            f"THEN CAST({disc} AS DOUBLE) ELSE CAST(median\x02({a[0]}) AS DOUBLE) END"
+        )
+    if name == "quantile_cont" and n == 2:
+        # interpolating quantile; DECIMAL inputs TRUNCATE the interpolated
+        # value to the source scale, toward zero (measured 2.75 -> 2.7 at
+        # scale 1, -2.75 -> -2.7). Scale is read from typeof at runtime.
+        t = f"typeof\x02(any_value({a[0]}))"
+        is_list = bool(re.match(r"\Aarray\s*\(", a[1], re.IGNORECASE))
+        p = f"percentile\x02({a[0]}, {a[1]})"
+        if is_list:
+            return f"transform\x02({p}, __p -> {_dec_trunc_emit('__p', t, lit)})"
+        return _let(p, lambda p1: _dec_trunc_emit(p1, t, lit))
+    if name == "mad" and n == 1:
+        # median absolute deviation = interpolating median of |x - median|
+        # (probed consistent with either inner-median convention; the
+        # interpolating one is used). DECIMAL results truncate to the
+        # source scale like quantile_cont; temporal mad (INTERVAL result)
+        # is unsupported and fails loudly at analysis.
+        t = f"typeof\x02(any_value({a[0]}))"
+
+        def mad(v: str) -> str:
+            med = _array_cont_emit(v)
+            dev = _let(
+                med,
+                lambda m: f"array_sort\x02(transform\x02({v}, __d -> abs(__d - {m})))",
+            )
+            raw = _array_cont_emit(dev)
+            return _let(raw, lambda r: _dec_trunc_emit(r, t, lit))
+
+        ll = f"array_sort\x02(transform\x02(collect_list({a[0]}), __e -> CAST(__e AS DOUBLE)))"
+        return _let(ll, mad)
     return None
 
 
@@ -3783,6 +4078,7 @@ REWRITES = [
     rewrite_series_tvf,
     rewrite_at_time_zone,
     rewrite_fn_aliases,
+    rewrite_list_agg,
     rewrite_fn_gaps,
     rewrite_timestamptz_types,
     rewrite_bit_casts,  # before int_casts: BIT is not one of its targets
@@ -3854,7 +4150,7 @@ def transpile(sql: str) -> str:
         # expansion just introduced so the rewrites stay literal-blind
         masked = _TOKEN_RE.sub(stash, _expand_macros(masked))
     for rw in REWRITES:
-        if rw in (rewrite_bit_ops, rewrite_blob_literals, rewrite_json_arrows, rewrite_regex_ops, rewrite_string_split, rewrite_strftime, rewrite_int_casts, rewrite_date_diff, rewrite_date_part, rewrite_list_sort, rewrite_string_agg, rewrite_fn_gaps, rewrite_bit_casts):
+        if rw in (rewrite_bit_ops, rewrite_blob_literals, rewrite_list_agg, rewrite_json_arrows, rewrite_regex_ops, rewrite_string_split, rewrite_strftime, rewrite_int_casts, rewrite_date_diff, rewrite_date_part, rewrite_list_sort, rewrite_string_agg, rewrite_fn_gaps, rewrite_bit_casts):
             masked = rw(masked, _parts=parts)
         else:
             masked = rw(masked)

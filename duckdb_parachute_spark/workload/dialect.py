@@ -1471,3 +1471,47 @@ def dialect_bitops(spark, sf_dir):
     under aggregation. Same SQL is the oracle."""
     _views(spark, sf_dir, "orders")
     return sqlx.sql(spark, _BITOPS_SQL)
+
+
+_HOLISTIC2_SQL = """
+SELECT l_linestatus,
+       round(entropy(l_returnflag), 8) AS ent_flag,
+       round(entropy(l_quantity), 8) AS ent_qty,
+       CAST(mad(CAST(l_extendedprice AS DOUBLE)) AS DOUBLE) AS mad_price,
+       CAST(median(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS med_dec,
+       CAST(quantile_cont(CAST(l_extendedprice AS DECIMAL(12,2)), 0.25) AS DOUBLE) AS p25_dec,
+       quantile_disc(l_returnflag, 0.5) AS med_mode,
+       quantile_disc(l_shipdate, 0.4) AS d40,
+       CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.6) FILTER (WHERE l_quantity > 10) AS BIGINT) AS q60_f,
+       round(coalesce(corr(CAST(l_quantity AS DOUBLE), CAST(l_linenumber AS DOUBLE)), -99), 8) AS corr_ql,
+       corr(CAST(l_quantity AS DOUBLE), CAST(l_quantity AS DOUBLE) * 0 + 1.0) AS corr_const,
+       round(regr_slope(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 4) AS slope,
+       round(regr_intercept(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 4) AS icept,
+       round(regr_r2(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 8) AS r2,
+       array_to_string(map_keys(histogram(l_returnflag)), ',') AS hist_keys,
+       array_to_string(list_transform(map_values(histogram(l_returnflag)), c -> CAST(c AS VARCHAR)), ',') AS hist_counts,
+       array_to_string(list_transform(list(nullif(l_linenumber, 3) ORDER BY l_orderkey, l_linenumber),
+                                      e -> coalesce(CAST(e AS VARCHAR), 'N')), ',') AS lines_with_nulls
+FROM lineitem
+WHERE l_orderkey < 1200
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+@query("dialect_holistic_agg", oracle=_HOLISTIC2_SQL)
+def dialect_holistic_agg(spark, sf_dir):
+    """Round-13 aggregate-registry sweep batch (reference aggregate/
+    holistic + nested + algebraic families, all semantics measured):
+    entropy (log2 over value counts), mad (interpolating median of
+    absolute deviations), DECIMAL median = DISCRETE lower-middle (every
+    width) vs interpolating DOUBLE, DECIMAL quantile_cont truncated to
+    source scale, type-preserving quantile_disc (VARCHAR and DATE groups
+    — the old percentile_disc spelling was numeric-only) with ceil(q*n)
+    ranks and FILTER folding, zero-variance corr/regr_* returning NULL
+    instead of Spark's ANSI division error (pair-filtered regr_s*
+    co-moments), histogram as a sorted-key MAP, and NULL-KEEPING ordered
+    list() (collect_list drops nulls; struct-wrap preserves them). Same
+    SQL is the oracle."""
+    _views(spark, sf_dir, "lineitem")
+    return sqlx.sql(spark, _HOLISTIC2_SQL)

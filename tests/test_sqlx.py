@@ -1017,15 +1017,15 @@ def test_date_diff_boundary_semantics(spark):
 def test_quantile_rewrites(spark):
     from duckdb_parachute_spark import sqlx
 
-    assert transpile("SELECT quantile_cont(x, 0.5) FROM t") == (
-        "SELECT percentile(x, 0.5) FROM t"
-    )
-    assert transpile("SELECT quantile_disc(x, 0.25) FROM t") == (
-        "SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY x NULLS LAST) FROM t"
-    )
-    assert transpile("SELECT quantile(x, 0.9) FROM t") == (
-        "SELECT percentile_disc(0.9) WITHIN GROUP (ORDER BY x NULLS LAST) FROM t"
-    )
+    # round 13: quantile_cont carries the decimal-scale truncation dispatch
+    # (typeof CASE over percentile); quantile_disc/quantile emit the
+    # sorted-array element — type-preserving, so VARCHAR/DATE/DECIMAL
+    # groups work where percentile_disc was numeric-only
+    assert "percentile(x, 0.5)" in transpile("SELECT quantile_cont(x, 0.5) FROM t")
+    assert "decimal%" in transpile("SELECT quantile_cont(x, 0.5) FROM t")
+    disc = transpile("SELECT quantile_disc(x, 0.25) FROM t")
+    assert "array_sort(collect_list(x))" in disc and "ceil((0.25)" in disc
+    assert "ceil((0.9)" in transpile("SELECT quantile(x, 0.9) FROM t")
     # pinned against duckdb 1.0: disc picks the exact element at the rank
     r = sqlx.sql(
         spark,
@@ -1910,3 +1910,77 @@ def test_fn_gaps4_round13_extended_sweep(spark):
     # error fidelity: mismatched BIT lengths raise in both engines
     with pytest.raises(Exception, match="different sizes"):
         sqlx.sql(spark, "SELECT xor(BIT '0110', BIT '01011') AS r").collect()
+
+
+def test_holistic_aggregates_round13(spark):
+    """Round 13 aggregate-registry sweep catches: DuckDB's list()/
+    array_agg() KEEP NULL elements (collect_list drops them — struct-wrap
+    emit); median over DECIMAL is the DISCRETE lower-middle element at
+    every width while DOUBLE/int interpolate; quantile_cont truncates
+    DECIMAL results to the source scale toward zero; quantile_disc works
+    for every orderable type (the old percentile_disc spelling was
+    numeric-only) and supports FILTER and the list-of-quantiles form;
+    entropy (log2, 0.0 on empty), histogram (sorted-key MAP), mad
+    (interpolating median of absolute deviations) are implemented;
+    corr/regr_slope/regr_intercept/regr_r2 return NULL on zero-variance
+    groups instead of Spark's ANSI DIVIDE_BY_ZERO, pair-filtered like
+    DuckDB via the regr_s* co-moments."""
+    import duckdb
+
+    from duckdb_parachute_spark import sqlx
+
+    con = duckdb.connect()
+    rows = (
+        "(VALUES (1, 1.5, 'a', DATE '2021-01-02'), (2, -2.5, 'bb', DATE '2021-03-04'), "
+        "(3, 4.0, 'a', DATE '2021-01-02'), (4, NULL, NULL, NULL), "
+        "(5, 8.5, 'cc', DATE '2022-05-06')) t(i, x, s, d)"
+    )
+    cases = [
+        "array_to_string(list_transform(list(x), e -> coalesce(CAST(e AS VARCHAR), 'N')), ',')",
+        "array_to_string(list_transform(array_agg(s), e -> coalesce(e, 'N')), ',')",
+        "array_to_string(list(x ORDER BY x DESC), ',')",
+        "array_to_string(list(i ORDER BY s), ',')",
+        "array_to_string(list(x) FILTER (WHERE i != 3), ',')",
+        "array_to_string(list(i ORDER BY x DESC) FILTER (WHERE i < 4), ',')",
+        "CAST(count() AS BIGINT)",
+        "corr(x, x * 0 + 1.0)",
+        "round(corr(x::DOUBLE, (x*2)::DOUBLE), 8)",
+        "round(corr(i::DOUBLE, coalesce(x, 0)::DOUBLE), 8)",
+        "regr_slope(x::DOUBLE, x*0+1.0)",
+        "round(regr_slope((x*2)::DOUBLE, x::DOUBLE), 8)",
+        "regr_r2(x::DOUBLE, x*0+1.0)", "regr_r2(x*0+1.0, x::DOUBLE)",
+        "round(regr_r2((x*2+1)::DOUBLE, x::DOUBLE), 8)",
+        "round(regr_intercept((x*2+1)::DOUBLE, x::DOUBLE), 8)",
+        "round(entropy(s), 8)", "round(entropy(i), 8)", "round(entropy(x), 8)",
+        "CAST(mad(x) AS DOUBLE)", "CAST(mad(x::DOUBLE) AS DOUBLE)",
+        "CAST(mad(i) AS DOUBLE)",
+        "CAST(median(x) AS DOUBLE)", "CAST(median(x::DOUBLE) AS DOUBLE)",
+        "CAST(median(i) AS DOUBLE)",
+        "CAST(quantile_cont(x, 0.5) AS DOUBLE)",
+        "CAST(quantile_cont(x::DOUBLE, 0.5) AS DOUBLE)",
+        "CAST(quantile_disc(x, 0.25) AS DOUBLE)",
+        "quantile_disc(s, 0.5)", "quantile_disc(d, 0.5)",
+        "CAST(quantile(x, 0.5) AS DOUBLE)",
+        "array_to_string(list_transform(quantile_disc(x, [0.25, 0.5, 0.75]), e -> e::VARCHAR), ',')",
+        "CAST(quantile_disc(x, 0.5) FILTER (WHERE x > 0) AS DOUBLE)",
+        "CAST(quantile(i, 0.25) FILTER (WHERE i != 2) AS DOUBLE)",
+        "map_keys(histogram(s))[1]",
+        "CAST(map_values(histogram(i))[1] AS BIGINT)",
+        "CAST(cardinality(histogram(s)) AS BIGINT)",
+    ]
+    from decimal import Decimal
+
+    bad = []
+    for c in cases:
+        sql = f"SELECT {c} AS r FROM {rows}"
+        a = sqlx.sql(spark, sql).head()[0]
+        b = con.sql(sql).fetchone()[0]
+        num = (int, float, Decimal)
+        same = a == b or (
+            isinstance(a, num) and isinstance(b, num)
+            and not isinstance(a, bool) and not isinstance(b, bool)
+            and float(a) == float(b)
+        )
+        if not same:
+            bad.append((c, a, b))
+    assert not bad, bad
