@@ -1608,6 +1608,27 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
     """Replacement text for one gap call, or None to pass through."""
     a = [s.strip() for s in args]
     n = len(a)
+    if n == 1 and a and a[0].startswith(_TIME_MARK) and name in (
+        "hour", "minute", "second", "millisecond", "microsecond",
+        "epoch", "epoch_ms", "epoch_us", "epoch_ns",
+    ):
+        # date parts over a TIME value (micros-since-midnight marker; all
+        # measured: second truncates, millisecond/microsecond INCLUDE the
+        # seconds, epoch is a DOUBLE second count)
+        e = a[0][len(_TIME_MARK):-1]
+        if name == "epoch":
+            return f"(CAST({e} AS DOUBLE) / 1000000.0)"
+        fml = {
+            "hour": f"({e}) div 3600000000",
+            "minute": f"(({e}) div 60000000) % 60",
+            "second": f"(({e}) div 1000000) % 60",
+            "millisecond": f"(({e}) div 1000) % 60000",
+            "microsecond": f"({e}) % 60000000",
+            "epoch_ms": f"({e}) div 1000",
+            "epoch_us": f"({e})",
+            "epoch_ns": f"({e}) * 1000",
+        }[name]
+        return f"CAST({fml} AS BIGINT)"
     if name in (
         "year", "month", "day", "hour", "minute", "second", "millisecond",
         "microsecond", "epoch", "epoch_ms", "epoch_us", "epoch_ns",
@@ -2591,7 +2612,10 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
     if name == "typeof" and n == 1:
         # Spark's typeof prints Spark names ('string'); wrap with the
         # DuckDB-spelling mapper UDF (functions/metrics.py). \x02 keeps the
-        # inner call from re-entering this branch.
+        # inner call from re-entering this branch. A TIME marker IS the
+        # TIME type (its BIGINT carrier is an implementation detail).
+        if a[0].startswith(_TIME_MARK):
+            return lit("TIME")
         return f"duckdb_typeof_name(typeof\x02({a[0]}))"
     if name in ("len", "length") and n == 1 and _looks_listy(a[0]):
         # DuckDB len/length are polymorphic over VARCHAR and LIST; Spark's
@@ -2978,6 +3002,248 @@ def rewrite_bit_casts(sql: str, _parts: list[str] | None = None) -> str:
             continue
         sql = sql[: m.start()] + _bit_cast_emit(inner[: mm.start()].strip(), lit) + sql[end:]
         pos = m.start()
+
+
+#: TIME type (round 13; SURVEY §1.2: no Spark native — BIGINT
+#: MICROS-SINCE-MIDNIGHT, the reference's own storage, src/common/types/
+#: time.cpp; Spark 4.1 parses TIME literals into a TimeType it then
+#: rejects with UNSUPPORTED_TIME_TYPE, so the dialect surface is mapped
+#: here). All semantics measured on DuckDB 1.0:
+#:   TIME '11:22:33.123456' literals -> the micros constant;
+#:   make_time(h, m, s) with DECIMAL seconds;
+#:   x::TIME extracts time-of-day from timestamps, parses strings;
+#:   t ± INTERVAL wraps modulo 24 h (TIME '23:00' + 2h = 01:00; calendar
+#:     components are dropped — '+1 day' is a no-op);
+#:   d + t / t + d -> TIMESTAMP;
+#:   t::VARCHAR renders 'HH:MM:SS[.ffffff]' with trailing fraction zeros
+#:     TRIMMED ('11:22:33.1', never '.100000');
+#:   hour/minute/second/millisecond/microsecond/epoch/epoch_ms... via the
+#:     gap pass's marker branch; ordering/comparison ride the BIGINT.
+#: Kind is tracked through the __time_us(...) marker (stripped at the end
+#: of transpile); a ::VARCHAR whose operand merely CONTAINS a time (e.g.
+#: greatest(t1, t2)) raises — one-level kind tracking, same posture as
+#: AT TIME ZONE's. TIMETZ is out of scope (documented).
+_TIME_LIT_RE = re.compile(r"\bTIME\s+(\x00\d+\x00)", re.IGNORECASE)
+_TIME_CAST_RE = re.compile(r"::\s*TIME\b", re.IGNORECASE)
+_TIME_CAST_CALL_RE = re.compile(r"\bCAST\s*\(", re.IGNORECASE)
+_MAKE_TIME_RE = re.compile(r"\bmake_time\s*\(", re.IGNORECASE)
+_TIME_MARK = "__time_us("
+_TIME_IVL_RE = re.compile(
+    r"\s*([+-])\s*(INTERVAL\s+(?:\x00\d+\x00|-?\d+)"
+    r"(?:\s+(?:YEAR|MONTH|WEEK|DAY|HOUR|MINUTE|SECOND|MILLISECOND|"
+    r"MICROSECOND)S?\b)?)",
+    re.IGNORECASE,
+)
+_US_DAY = 86_400_000_000
+
+
+def _time_lit_us(body: str) -> int:
+    m = re.fullmatch(r"(\d{1,2}):(\d{2})(?::(\d{2})(?:\.(\d{1,6}))?)?", body.strip())
+    if not m:
+        raise ValueError(f"cannot parse TIME literal: {body!r}")
+    h, mi = int(m.group(1)), int(m.group(2))
+    s = int(m.group(3) or 0)
+    frac = (m.group(4) or "").ljust(6, "0")
+    return ((h * 60 + mi) * 60 + s) * 1_000_000 + int(frac)
+
+
+def _time_render_emit(e: str, lit) -> str:
+    def body(v: str) -> str:
+        two = (
+            f"lpad(CAST(({v}) div 3600000000 AS STRING), 2, {lit('0')}), {lit(':')}, "
+            f"lpad(CAST((({v}) div 60000000) % 60 AS STRING), 2, {lit('0')}), {lit(':')}, "
+            f"lpad(CAST((({v}) div 1000000) % 60 AS STRING), 2, {lit('0')})"
+        )
+        frac = (
+            f"CASE WHEN ({v}) % 1000000 = 0 THEN {lit('')} ELSE "
+            f"concat({lit('.')}, regexp_replace\x02(lpad(CAST(({v}) % 1000000 AS STRING), 6, {lit('0')}), "
+            f"{lit('0+$')}, {lit('')})) END"
+        )
+        return f"concat({two}, {frac})"
+
+    return _let(f"({e})", body)
+
+
+def _time_consumers(sql: str, _parts: list[str], lit) -> str:
+    """One pass of TIME-marker consumers: ± INTERVAL (mod-24h wrap),
+    ::VARCHAR rendering, and date + time -> TIMESTAMP in either order."""
+    pos = 0
+    while True:
+        i = sql.find(_TIME_MARK, pos)
+        if i < 0:
+            return sql
+        end = _balanced_span(sql, i + len(_TIME_MARK) - 1)
+        marked = sql[i:end]
+        inner = marked[len(_TIME_MARK):-1]
+        # t ± INTERVAL literal: wrap modulo 24 h; calendar components drop
+        m = _TIME_IVL_RE.match(sql[end:])
+        if m:
+            ivl = _parse_interval_literal(m.group(2), _parts)
+            if ivl is None:
+                raise NotImplementedError(
+                    f"TIME arithmetic needs a literal INTERVAL: {m.group(2)!r}"
+                )
+            us = (ivl[2] % _US_DAY) * (1 if m.group(1) == "+" else -1)
+            rep = f"{_TIME_MARK}pmod(({inner}) + {us}, {_US_DAY}))"
+            sql = sql[:i] + rep + sql[end + m.end():]
+            pos = i + 1
+            continue
+        # t::VARCHAR — HH:MM:SS[.ffffff], trailing fraction zeros trimmed
+        m = re.match(r"\s*::\s*VARCHAR\b", sql[end:], re.IGNORECASE)
+        if m:
+            rep = _time_render_emit(inner, lit)
+            sql = sql[:i] + rep + sql[end + m.end():]
+            pos = i
+            continue
+        dt = f"make_dt_interval(0, 0, 0, CAST({inner} AS DOUBLE) / 1000000.0)"
+        # t + date -> TIMESTAMP
+        m = re.match(r"\s*\+\s*", sql[end:])
+        if m:
+            j = end + m.end()
+            mm = re.match(
+                r"(?:(?:DATE|TIMESTAMP(?:_NTZ)?)\s*)?(?:\x00\d+\x00|[\w.]+|\([^()]*\))",
+                sql[j:], re.IGNORECASE,
+            )
+            if mm:
+                other = sql[j : j + mm.end()]
+                rep = f"(CAST({other} AS TIMESTAMP_NTZ) + {dt})"
+                sql = sql[:i] + rep + sql[j + mm.end():]
+                pos = i
+                continue
+        # date + t -> TIMESTAMP (marker on the right)
+        head = sql[:i].rstrip()
+        if head.endswith("+"):
+            k = len(head) - 1
+            while k > 0 and sql[k - 1] == " ":
+                k -= 1
+            lstart = _operand_start(sql, k)
+            # include a typed-literal keyword the primary walk stops short of
+            km = re.search(r"(?:DATE|TIMESTAMP(?:_NTZ)?)\s*\Z", sql[:lstart], re.IGNORECASE)
+            if km:
+                lstart = km.start()
+            other = sql[lstart:k].strip()
+            if other and not other.startswith(_TIME_MARK):
+                rep = f"(CAST({other} AS TIMESTAMP_NTZ) + {dt})"
+                sql = sql[:lstart] + rep + sql[end:]
+                pos = lstart
+                continue
+        pos = end
+
+
+def rewrite_time_type(sql: str, _parts: list[str] | None = None) -> str:
+    if _parts is None:
+        return sql
+
+    def lit(s2: str) -> str:
+        _parts.append(f"'{s2}'")
+        return f"\x00{len(_parts) - 1}\x00"
+
+    # 1. TIME literals -> micros constants
+    def lit_emit(m: re.Match) -> str:
+        body = _parts[int(m.group(1)[1:-1])][1:-1]
+        return f"{_TIME_MARK}{_time_lit_us(body)})"
+
+    sql = _TIME_LIT_RE.sub(lit_emit, sql)
+    # 2. make_time(h, m, s) — DECIMAL seconds (measured 9.5 -> 09.5)
+    pos = 0
+    while True:
+        m = _MAKE_TIME_RE.search(sql, pos)
+        if not m:
+            break
+        end = _balanced_span(sql, m.end() - 1)
+        args = _split_top_level(sql[m.end() : end - 1])
+        if len(args) != 3:
+            raise ValueError("make_time expects (hour, minute, seconds)")
+        h, mi, s = (x.strip() for x in args)
+        rep = (
+            f"{_TIME_MARK}CAST(CAST({h} AS BIGINT) * 3600000000 + "
+            f"CAST({mi} AS BIGINT) * 60000000 + "
+            f"CAST(({s}) * 1000000 AS BIGINT) AS BIGINT))"
+        )
+        sql = sql[: m.start()] + rep + sql[end:]
+        pos = m.start() + len(rep)
+    # 3. x::TIME / CAST(x AS TIME) — timestamps take time-of-day, strings
+    # parse ('1970-01-01 ' prefix rides Spark's full timestamp parser)
+    def conv(x: str) -> str:
+        ts = f"CAST({x} AS TIMESTAMP_NTZ)"
+        kinds = ", ".join(lit(k) for k in ("timestamp_ntz", "timestamp", "date"))
+        return (
+            f"{_TIME_MARK}CASE WHEN typeof\x02({x}) IN ({kinds}) THEN "
+            f"timestampdiff(MICROSECOND, date_trunc({lit('DAY')}, {ts}), {ts}) "
+            f"ELSE timestampdiff(MICROSECOND, "
+            f"CAST(concat(CAST({lit('1970-01-01')} AS STRING), {lit(' 00:00:00')}) AS TIMESTAMP_NTZ), "
+            f"CAST(concat({lit('1970-01-01 ')}, CAST({x} AS STRING)) AS TIMESTAMP_NTZ)) END)"
+        )
+
+    while True:
+        m = _TIME_CAST_RE.search(sql)
+        if not m:
+            break
+        start = _primary_start(sql, m.start())
+        while sql[start : m.start()].lstrip().startswith("::"):
+            prev = start
+            start = _primary_start(sql, start)
+            if start == prev:
+                break
+        x = sql[start : m.start()].strip()
+        if not x:
+            raise NotImplementedError(f"::TIME without an operand: {sql!r}")
+        if x.startswith(_TIME_MARK):
+            sql = sql[:start] + x + sql[m.end():]  # t::TIME is a no-op
+            continue
+        sql = sql[:start] + conv(x) + sql[m.end():]
+    pos = 0
+    while True:
+        m = _TIME_CAST_CALL_RE.search(sql, pos)
+        if not m:
+            break
+        end = _balanced_span(sql, m.end() - 1)
+        inner = sql[m.end() : end - 1]
+        mm = re.search(r"\s+AS\s+TIME\s*$", inner, re.IGNORECASE)
+        if not mm:
+            pos = m.end()
+            continue
+        sql = sql[: m.start()] + conv(inner[: mm.start()].strip()) + sql[end:]
+        pos = m.start()
+    # 4. consumers over marked operands. A user-parenthesized time —
+    # (TIME '11:22') — collapses to the bare marker first (the marker call
+    # is already a parenthesized unit), so ::VARCHAR / ± INTERVAL match;
+    # collapse + consume iterate to a fixpoint because a consumer's own
+    # output can sit inside another user paren.
+    for _ in range(16):
+        changed = False
+        cpos = 0
+        while True:
+            m = re.search(r"(?<![\w\x00])\(\s*(?=__time_us\()", sql[cpos:])
+            if not m:
+                break
+            ms = cpos + m.end()
+            mend = _balanced_span(sql, ms + len(_TIME_MARK) - 1)
+            tail = re.match(r"\s*\)", sql[mend:])
+            if tail is None:
+                cpos = ms
+                continue
+            sql = sql[: cpos + m.start()] + sql[ms:mend] + sql[mend + tail.end():]
+            changed = True
+        sql2 = _time_consumers(sql, _parts, lit)
+        if sql2 != sql:
+            changed = True
+            sql = sql2
+        if not changed:
+            break
+    # kind tracking is one level deep: a cast-to-text of an expression
+    # that merely CONTAINS a time (greatest(t1, t2)::VARCHAR) would render
+    # the raw micros — raise instead of answering wrong
+    for m in re.finditer(r"::\s*VARCHAR\b", sql, re.IGNORECASE):
+        start = _primary_start(sql, m.start())
+        op = sql[start : m.start()]
+        if _TIME_MARK in op and not op.strip().startswith(_TIME_MARK):
+            raise NotImplementedError(
+                "cast-to-VARCHAR of an expression containing a TIME value "
+                "(kind tracking is one level deep) — cast the TIME operand "
+                "directly or compare/extract instead"
+            )
+    return sql
 
 
 #: TIMESTAMPTZ / TIMESTAMP WITH TIME ZONE type spellings -> Spark's
@@ -3617,14 +3883,21 @@ def _rounding_int_cast(expr: str, target: str, parts: list[str], kw: str) -> str
         return f"\x00{len(parts) - 1}\x00"
 
     c = f"{kw}\x02("
-    d = f"{c}{expr} AS DOUBLE)"
-    return (
-        f"CASE WHEN typeof\x02({expr}) IN ({lit('double')}, {lit('float')}) "
-        f"THEN {c}rint({d}) AS {target}) "
-        f"WHEN typeof\x02({expr}) = {lit('string')} OR typeof\x02({expr}) LIKE {lit('decimal%')} "
-        f"THEN {c}{c}{expr} AS DECIMAL(38,0)) AS {target}) "
-        f"ELSE {c}{expr} AS {target}) END"
-    )
+
+    def body(v: str) -> str:
+        d = f"{c}{v} AS DOUBLE)"
+        return (
+            f"CASE WHEN typeof\x02({v}) IN ({lit('double')}, {lit('float')}) "
+            f"THEN {c}rint({d}) AS {target}) "
+            f"WHEN typeof\x02({v}) = {lit('string')} OR typeof\x02({v}) LIKE {lit('decimal%')} "
+            f"THEN {c}{c}{v} AS DECIMAL(38,0)) AS {target}) "
+            f"ELSE {c}{v} AS {target}) END"
+        )
+
+    # round 13: bind expr ONCE — the former 6-way duplication compounded
+    # 6^k on nested casts (a three-deep chain reached 1.4 MB of SQL and an
+    # ANTLR parser OOM in the vanilla-session driver)
+    return _let(expr, body)
 
 
 def _process_cast_calls(sql: str, parts: list[str]) -> str:
@@ -4077,6 +4350,7 @@ REWRITES = [
     rewrite_regexp_extract,
     rewrite_series_tvf,
     rewrite_at_time_zone,
+    rewrite_time_type,  # after AT TIME ZONE (shares the word TIME), before fn passes
     rewrite_fn_aliases,
     rewrite_list_agg,
     rewrite_fn_gaps,
@@ -4150,7 +4424,7 @@ def transpile(sql: str) -> str:
         # expansion just introduced so the rewrites stay literal-blind
         masked = _TOKEN_RE.sub(stash, _expand_macros(masked))
     for rw in REWRITES:
-        if rw in (rewrite_bit_ops, rewrite_blob_literals, rewrite_list_agg, rewrite_json_arrows, rewrite_regex_ops, rewrite_string_split, rewrite_strftime, rewrite_int_casts, rewrite_date_diff, rewrite_date_part, rewrite_list_sort, rewrite_string_agg, rewrite_fn_gaps, rewrite_bit_casts):
+        if rw in (rewrite_bit_ops, rewrite_blob_literals, rewrite_list_agg, rewrite_time_type, rewrite_json_arrows, rewrite_regex_ops, rewrite_string_split, rewrite_strftime, rewrite_int_casts, rewrite_date_diff, rewrite_date_part, rewrite_list_sort, rewrite_string_agg, rewrite_fn_gaps, rewrite_bit_casts):
             masked = rw(masked, _parts=parts)
         else:
             masked = rw(masked)
@@ -4167,7 +4441,9 @@ def transpile(sql: str) -> str:
             s = s.replace("\\", "\\\\")
         return s
 
-    return _PH_RE.sub(restore, masked)
+    # the TIME-kind marker has served its purpose (it gated the micros
+    # consumers); strip it so the engine sees plain BIGINT expressions
+    return _PH_RE.sub(restore, masked).replace("__time_us(", "(")
 
 
 _COLUMNS_RE = re.compile(r"\bCOLUMNS\s*\(", re.IGNORECASE)

@@ -1515,3 +1515,34 @@ def dialect_holistic_agg(spark, sf_dir):
     SQL is the oracle."""
     _views(spark, sf_dir, "lineitem")
     return sqlx.sql(spark, _HOLISTIC2_SQL)
+
+
+_TIME_FAMILY_SQL = """
+SELECT o_orderkey,
+       make_time(CAST(o_orderkey % 24 AS INT), CAST(o_orderkey % 60 AS INT),
+                 CAST(o_orderkey % 60 AS INT) + 0.25)::VARCHAR AS t_render,
+       (make_time(CAST(o_orderkey % 24 AS INT), 30, 0) + INTERVAL '45 minutes')::VARCHAR AS t_plus,
+       (make_time(CAST(o_orderkey % 24 AS INT), 10, 0) - INTERVAL '3 hours')::VARCHAR AS t_wrap,
+       CAST(hour(make_time(CAST(o_orderkey % 24 AS INT), 0, 0)) AS BIGINT) AS t_hour,
+       CAST(epoch_ms(make_time(0, CAST(o_orderkey % 60 AS INT), 30.5)) AS BIGINT) AS t_ms,
+       CAST(epoch((o_orderdate::TIMESTAMP + INTERVAL '5 hours')::TIME) AS DOUBLE) AS tod_epoch,
+       CAST(o_orderdate::DATE + make_time(6, 30, 0) AS VARCHAR) AS dt_combined,
+       make_time(CAST(o_orderkey % 24 AS INT), 0, 0) < TIME '12:00:00' AS is_am
+FROM orders WHERE o_orderkey % 211 = 0
+ORDER BY o_orderkey
+"""
+
+
+@query("dialect_time_family", oracle=_TIME_FAMILY_SQL)
+def dialect_time_family(spark, sf_dir):
+    """Round-13 TIME type family (SURVEY §1.2 mapping: BIGINT
+    micros-since-midnight, the reference's own storage — src/common/types/
+    time.cpp; Spark 4.1 rejects its parsed TimeType, so the dialect layer
+    carries the semantics): TIME literals and make_time (DECIMAL
+    seconds), ± INTERVAL with the measured modulo-24h wrap, HH:MM:SS[.f]
+    rendering with trailing fraction zeros trimmed, time-of-day
+    extraction from timestamps via ::TIME, date-part/epoch functions over
+    times, DATE + TIME -> TIMESTAMP, and BIGINT-riding comparisons. Same
+    SQL is the oracle."""
+    _views(spark, sf_dir, "orders")
+    return sqlx.sql(spark, _TIME_FAMILY_SQL)
