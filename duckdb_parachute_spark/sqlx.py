@@ -851,6 +851,60 @@ def rewrite_list_agg(sql: str, _parts: list[str] | None = None) -> str:
         pos = m.start() + len(rep)
 
 
+def _trailing_over(sql: str, end: int) -> tuple[str, int]:
+    """Consume a trailing OVER (...) / OVER name after position ``end``;
+    returns (" OVER <spec>", new_end) or ("", end)."""
+    m = re.match(r"\s*OVER\s*", sql[end:], re.IGNORECASE)
+    if not m:
+        return "", end
+    j = end + m.end()
+    if j < len(sql) and sql[j] == "(":
+        wend = _balanced_span(sql, j)
+    else:
+        mw = re.match(r"\w+", sql[j:])
+        if not mw:
+            return "", end
+        wend = j + mw.end()
+    return " OVER " + sql[j:wend], wend
+
+
+#: holistic aggregates in WINDOW position (DuckDB admits every aggregate
+#: under OVER): the compound emissions can't carry Spark's OVER clause
+#: themselves, so a pre-pass attaches the window to their inner
+#: collect_list/percentile calls. Runs BEFORE rewrite_fn_gaps, which
+#: handles the plain aggregate position with the same emit functions.
+_HOLISTIC_OVER_RE = re.compile(
+    r"\b(median|quantile_cont|entropy|histogram|mad)\s*\(", re.IGNORECASE
+)
+
+
+def rewrite_holistic_over(sql: str, _parts: list[str] | None = None) -> str:
+    if _parts is None:
+        return sql
+
+    def lit(s2: str) -> str:
+        _parts.append(f"'{s2}'")
+        return f"\x00{len(_parts) - 1}\x00"
+
+    pos = 0
+    while True:
+        m = _HOLISTIC_OVER_RE.search(sql, pos)
+        if not m:
+            return sql
+        end = _balanced_span(sql, m.end() - 1)
+        over, oend = _trailing_over(sql, end)
+        if not over:
+            pos = end
+            continue
+        args = [x.strip() for x in _split_top_level(sql[m.end() : end - 1])]
+        rep = _holistic_emit(m.group(1).lower(), args, lit, over)
+        if rep is None:
+            pos = end
+            continue
+        sql = sql[: m.start()] + rep + sql[oend:]
+        pos = m.start() + len(rep)
+
+
 def rewrite_quantiles(sql: str) -> str:
     # quantile_cont moved to _fn_gap_emit in round 13 (decimal scale
     # truncation needs the typeof dispatch); quantile_disc/quantile emit
@@ -877,11 +931,12 @@ def rewrite_quantiles(sql: str) -> str:
             pred = sql[end + fm.end() : fend - 1].strip()
             x = f"CASE WHEN ({pred}) THEN ({x}) END"
             end = fend
+        over, end = _trailing_over(sql, end)
         if re.match(r"\Aarray\s*\(", q, re.IGNORECASE):
             # list-of-quantiles form returns a LIST of elements
-            rep = f"transform\x02({q}, __q -> {_sorted_disc_emit(x, '__q')})"
+            rep = f"transform\x02({q}, __q -> {_sorted_disc_emit(x, '__q', over)})"
         else:
-            rep = _sorted_disc_emit(x, q)
+            rep = _sorted_disc_emit(x, q, over)
         sql = sql[: m.start()] + rep + sql[end:]
 
 
@@ -1479,14 +1534,14 @@ def _let(val: str, body) -> str:
     return f"try_element_at(transform\x02(array({val}), {v} -> {body(v)}), 1)"
 
 
-def _sorted_disc_emit(x: str, q: str) -> str:
+def _sorted_disc_emit(x: str, q: str, over: str = "") -> str:
     """DuckDB quantile_disc / quantile over one aggregated expression:
     element at 1-based index ceil(q·n), clamped to >= 1, of the null-free
     sorted group (measured: [1,2,4,8] at 0.6 -> 4 — ceil(2.4) = 3 — which
     rules out the floor(q·(n-1))+1 spelling that agrees on the quartile
     points; NULL on an empty group). Works for every orderable type and
     keeps the input's type — percentile_disc is numeric-only."""
-    ll = f"array_sort\x02(collect_list({x}))"
+    ll = f"array_sort\x02(collect_list({x}){over})"
     return _let(
         ll,
         lambda v: (
@@ -2662,6 +2717,18 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
             f"ELSE try_divide(regr_sxy({y}, {x}) * regr_sxy({y}, {x}), "
             f"regr_sxx({y}, {x}) * regr_syy({y}, {x})) END"
         )
+    if name in ("entropy", "histogram", "median", "quantile_cont", "mad"):
+        return _holistic_emit(name, a, lit, "")
+    return None
+
+
+def _holistic_emit(name: str, a: list[str], lit, over: str) -> str | None:
+    """The collect-based holistic aggregates (round 13, all measured on
+    DuckDB 1.0). ``over`` carries a trailing window clause text (" OVER w")
+    — DuckDB admits every aggregate in window position, and here it
+    attaches to the inner collect_list/percentile/any_value calls while
+    the array post-processing stays outside the frame."""
+    n = len(a)
     if name == "entropy" and n == 1:
         # Shannon entropy, log2, NULLs excluded, empty/single group = 0.0
         # (all measured): log2(n) - (1/n)·Σ c·log2(c) over value counts
@@ -2676,7 +2743,7 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
                 f"(__acc, __c) -> __acc + __c * log2(__c)) / size({v}) END"
             )
 
-        return _let(f"collect_list({a[0]})", ent)
+        return _let(f"collect_list({a[0]}){over}", ent)
     if name == "histogram" and n == 1:
         # MAP(value -> BIGINT count), keys sorted, NULLs excluded (measured)
         def hist(v: str) -> str:
@@ -2689,25 +2756,25 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
                 ),
             )
 
-        return _let(f"collect_list({a[0]})", hist)
+        return _let(f"collect_list({a[0]}){over}", hist)
     if name == "median" and n == 1:
         # DuckDB median over DECIMAL is the DISCRETE lower-middle element
         # (measured 1.5 over [-2.5, 1.5, 4.0, 8.5] at EVERY width), while
         # DOUBLE/int interpolate — Spark's median always interpolates. The
         # typeof dispatch keeps both; the CASE's common type is DOUBLE
         # (values exact either way).
-        disc = _sorted_disc_emit(a[0], "0.5D")
+        disc = _sorted_disc_emit(a[0], "0.5D", over)
         return (
-            f"CASE WHEN typeof\x02(any_value({a[0]})) LIKE {lit('decimal%')} "
-            f"THEN CAST({disc} AS DOUBLE) ELSE CAST(median\x02({a[0]}) AS DOUBLE) END"
+            f"CASE WHEN typeof\x02(any_value({a[0]}){over}) LIKE {lit('decimal%')} "
+            f"THEN CAST({disc} AS DOUBLE) ELSE CAST(median\x02({a[0]}){over} AS DOUBLE) END"
         )
     if name == "quantile_cont" and n == 2:
         # interpolating quantile; DECIMAL inputs TRUNCATE the interpolated
         # value to the source scale, toward zero (measured 2.75 -> 2.7 at
         # scale 1, -2.75 -> -2.7). Scale is read from typeof at runtime.
-        t = f"typeof\x02(any_value({a[0]}))"
+        t = f"typeof\x02(any_value({a[0]}){over})"
         is_list = bool(re.match(r"\Aarray\s*\(", a[1], re.IGNORECASE))
-        p = f"percentile\x02({a[0]}, {a[1]})"
+        p = f"percentile\x02({a[0]}, {a[1]}){over}"
         if is_list:
             return f"transform\x02({p}, __p -> {_dec_trunc_emit('__p', t, lit)})"
         return _let(p, lambda p1: _dec_trunc_emit(p1, t, lit))
@@ -2717,7 +2784,7 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
         # interpolating one is used). DECIMAL results truncate to the
         # source scale like quantile_cont; temporal mad (INTERVAL result)
         # is unsupported and fails loudly at analysis.
-        t = f"typeof\x02(any_value({a[0]}))"
+        t = f"typeof\x02(any_value({a[0]}){over})"
 
         def mad(v: str) -> str:
             med = _array_cont_emit(v)
@@ -2728,7 +2795,7 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
             raw = _array_cont_emit(dev)
             return _let(raw, lambda r: _dec_trunc_emit(r, t, lit))
 
-        ll = f"array_sort\x02(transform\x02(collect_list({a[0]}), __e -> CAST(__e AS DOUBLE)))"
+        ll = f"array_sort\x02(transform\x02(collect_list({a[0]}){over}, __e -> CAST(__e AS DOUBLE)))"
         return _let(ll, mad)
     return None
 
@@ -4353,6 +4420,7 @@ REWRITES = [
     rewrite_time_type,  # after AT TIME ZONE (shares the word TIME), before fn passes
     rewrite_fn_aliases,
     rewrite_list_agg,
+    rewrite_holistic_over,
     rewrite_fn_gaps,
     rewrite_timestamptz_types,
     rewrite_bit_casts,  # before int_casts: BIT is not one of its targets
@@ -4424,7 +4492,7 @@ def transpile(sql: str) -> str:
         # expansion just introduced so the rewrites stay literal-blind
         masked = _TOKEN_RE.sub(stash, _expand_macros(masked))
     for rw in REWRITES:
-        if rw in (rewrite_bit_ops, rewrite_blob_literals, rewrite_list_agg, rewrite_time_type, rewrite_json_arrows, rewrite_regex_ops, rewrite_string_split, rewrite_strftime, rewrite_int_casts, rewrite_date_diff, rewrite_date_part, rewrite_list_sort, rewrite_string_agg, rewrite_fn_gaps, rewrite_bit_casts):
+        if rw in (rewrite_bit_ops, rewrite_blob_literals, rewrite_list_agg, rewrite_holistic_over, rewrite_time_type, rewrite_json_arrows, rewrite_regex_ops, rewrite_string_split, rewrite_strftime, rewrite_int_casts, rewrite_date_diff, rewrite_date_part, rewrite_list_sort, rewrite_string_agg, rewrite_fn_gaps, rewrite_bit_casts):
             masked = rw(masked, _parts=parts)
         else:
             masked = rw(masked)

@@ -1970,21 +1970,41 @@ def test_holistic_aggregates_round13(spark):
         "CAST(map_values(histogram(i))[1] AS BIGINT)",
         "CAST(cardinality(histogram(s)) AS BIGINT)",
     ]
+    # WINDOW position (round 13: DuckDB admits every aggregate under OVER
+    # — the compound emissions attach the window to their inner
+    # collect_list/percentile/any_value calls)
+    window_cases = [
+        "CAST(median(x::DOUBLE) OVER (PARTITION BY i % 2) AS DOUBLE)",
+        "CAST(quantile_disc(x, 0.5) OVER (PARTITION BY i % 2) AS DOUBLE)",
+        "round(entropy(s) OVER (PARTITION BY i % 2), 8)",
+        "CAST(mad(x::DOUBLE) OVER (PARTITION BY i % 2) AS DOUBLE)",
+        "CAST(quantile_cont(x, 0.25) OVER (PARTITION BY i % 2) AS DOUBLE)",
+        "CAST(cardinality(histogram(s) OVER (PARTITION BY i % 2)) AS BIGINT)",
+    ]
     from decimal import Decimal
+
+    num = (int, float, Decimal)
+
+    def same(a, b):
+        return a == b or (
+            isinstance(a, num) and isinstance(b, num)
+            and not isinstance(a, bool) and not isinstance(b, bool)
+            and float(a) == float(b)
+        )
 
     bad = []
     for c in cases:
         sql = f"SELECT {c} AS r FROM {rows}"
         a = sqlx.sql(spark, sql).head()[0]
         b = con.sql(sql).fetchone()[0]
-        num = (int, float, Decimal)
-        same = a == b or (
-            isinstance(a, num) and isinstance(b, num)
-            and not isinstance(a, bool) and not isinstance(b, bool)
-            and float(a) == float(b)
-        )
-        if not same:
+        if not same(a, b):
             bad.append((c, a, b))
+    for c in window_cases:
+        sql = f"SELECT {c} AS r FROM {rows} ORDER BY coalesce(r, -1e18), i"
+        av = [r[0] for r in sqlx.sql(spark, sql).collect()]
+        bv = [r[0] for r in con.sql(sql).fetchall()]
+        if len(av) != len(bv) or not all(same(x, y) for x, y in zip(av, bv)):
+            bad.append((c, av, bv))
     assert not bad, bad
 
 
