@@ -868,6 +868,64 @@ def _trailing_over(sql: str, end: int) -> tuple[str, int]:
     return " OVER " + sql[j:wend], wend
 
 
+#: aggregate FILTER (WHERE p) in WINDOW position (round 13): DuckDB
+#: admits the clause under OVER; Spark rejects it ('Window aggregate
+#: function with filter predicate is not supported' — the r12 arg_max
+#: lesson, now generalized). Filtered rows fold into the arguments as
+#: CASE WHEN p THEN arg END — aggregates skip NULL inputs, and for
+#: multi-argument aggregates NULLing every argument excludes the pair
+#: exactly like DuckDB's row filter; count(*) counts a CASE-guarded 1.
+#: Frame membership is untouched (excluded rows still emit output rows —
+#: measured: sum(x) FILTER (WHERE i%2=0) OVER (ORDER BY i) yields
+#: NULL,2,2,6). list/array_agg fold their own FILTER in
+#: rewrite_list_agg, which runs first and leaves no match here.
+_FILTER_OVER_RE = re.compile(r"FILTER\s*\(\s*WHERE\b", re.IGNORECASE)
+
+
+def rewrite_filter_over(sql: str) -> str:
+    pos = 0
+    while True:
+        m = _FILTER_OVER_RE.search(sql, pos)
+        if not m:
+            return sql
+        fstart = m.start()
+        fopen = sql.index("(", m.start())
+        fend = _balanced_span(sql, fopen)
+        if not re.match(r"\s*OVER\b", sql[fend:], re.IGNORECASE):
+            pos = fend
+            continue
+        pred = sql[sql.index("WHERE", fopen) + 5 : fend - 1].strip()
+        head = sql[:fstart].rstrip()
+        if not head.endswith(")"):
+            pos = fend
+            continue
+        # balanced back-scan to the aggregate call's open paren + name
+        depth = 0
+        k = len(head) - 1
+        while k >= 0:
+            if head[k] == ")":
+                depth += 1
+            elif head[k] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            k -= 1
+        nm = re.search(r"[A-Za-z_][\w]*[\x02]?\s*\Z", head[:k])
+        if nm is None:
+            pos = fend
+            continue
+        args = _split_top_level(head[k + 1 : len(head) - 1])
+        if len(args) == 1 and args[0].strip() == "*":
+            folded = f"CASE WHEN ({pred}) THEN 1 END"
+        else:
+            folded = ", ".join(
+                f"CASE WHEN ({pred}) THEN ({x.strip()}) END" for x in args
+            )
+        rep = head[: k + 1] + folded + ")"
+        sql = rep + sql[fend:]
+        pos = nm.start()
+
+
 #: holistic aggregates in WINDOW position (DuckDB admits every aggregate
 #: under OVER): the compound emissions can't carry Spark's OVER clause
 #: themselves, so a pre-pass attaches the window to their inner
@@ -1293,7 +1351,7 @@ _FN_GAP_RE = re.compile(
     # DuckDB type spellings, interval-literal date parts, system surface
     r"divide|right_grapheme|left_grapheme|grade_up|array_select|"
     r"array_where|constant_or_null|current_query|current_schemas|"
-    r"unpivot_list|typeof|length|len|bin|to_binary|repeat|"
+    r"unpivot_list|typeof|length|len|bin|to_binary|repeat|struct_insert|"
     r"year|month|day|hour|minute|second|"
     # round-13 holistic-aggregate batch (sweep over the aggregate registry
     # with typed/list args): null-KEEPING list/array_agg, sorted-array
@@ -2719,6 +2777,26 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
         )
     if name in ("entropy", "histogram", "median", "quantile_cont", "mad"):
         return _holistic_emit(name, a, lit, "")
+    if name == "struct_insert" and n >= 2:
+        # struct_insert(s, k := v, ...) appends fields (measured). Spark
+        # SQL has no struct-update expression (withField is DataFrame-API
+        # only), so the literal-struct case merges at transpile time and
+        # a struct COLUMN raises loudly instead of answering wrong.
+        mm = re.fullmatch(
+            r"named_struct[\x02]?\((.*)\)", a[0], re.IGNORECASE | re.DOTALL
+        )
+        if not mm:
+            raise NotImplementedError(
+                "struct_insert over a non-literal struct needs DataFrame "
+                "Column.withField — only struct literals fold in SQL"
+            )
+        pairs = [mm.group(1)] if mm.group(1).strip() else []
+        for extra in a[1:]:
+            em = re.match(r"(\w+)\s*:=\s*(.+)\Z", extra, re.DOTALL)
+            if not em:
+                raise ValueError(f"struct_insert needs k := v arguments: {extra!r}")
+            pairs.append(f"{lit(em.group(1))}, {em.group(2).strip()}")
+        return f"named_struct\x02({', '.join(pairs)})"
     return None
 
 
@@ -4420,6 +4498,7 @@ REWRITES = [
     rewrite_time_type,  # after AT TIME ZONE (shares the word TIME), before fn passes
     rewrite_fn_aliases,
     rewrite_list_agg,
+    rewrite_filter_over,
     rewrite_holistic_over,
     rewrite_fn_gaps,
     rewrite_timestamptz_types,

@@ -2064,3 +2064,47 @@ def test_time_type_round13(spark):
     # CONTAINS a time raises instead of printing the raw micros
     with pytest.raises(NotImplementedError, match="one level"):
         sqlx.transpile("SELECT greatest(TIME '11:00:00', TIME '12:00:00')::VARCHAR")
+
+
+def test_filter_over_fold_round13(spark):
+    """Round 13: aggregate FILTER (WHERE p) under OVER — DuckDB admits
+    the clause; Spark rejects it ('Window aggregate function with filter
+    predicate is not supported'). Filtered rows fold into the arguments
+    as CASE-null (aggregates skip NULL inputs; every argument NULLed
+    excludes multi-arg pairs exactly like the row filter); frame
+    membership is untouched — excluded rows still produce output rows.
+    Composes with the arg_max null-skip rewrite and the holistic window
+    emissions. Also: struct_insert(s, k := v) literal-struct folding."""
+    import duckdb
+
+    from duckdb_parachute_spark import sqlx
+
+    con = duckdb.connect()
+    rows = "(VALUES (1,1.0),(2,2.0),(3,3.0),(4,4.0),(5,NULL)) t(i,x)"
+    cases = [
+        "CAST(sum(x) FILTER (WHERE i % 2 = 0) OVER (ORDER BY i) AS DOUBLE)",
+        "CAST(count(*) FILTER (WHERE i > 1) OVER (PARTITION BY i % 2) AS BIGINT)",
+        "CAST(avg(x) FILTER (WHERE x > 1.5) OVER (ORDER BY i ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE)",
+        "arg_max(i, x) FILTER (WHERE i < 4) OVER (PARTITION BY i % 2)",
+        "CAST(median(x::DOUBLE) FILTER (WHERE i != 2) OVER (PARTITION BY i % 2) AS DOUBLE)",
+    ]
+    from decimal import Decimal
+
+    num = (int, float, Decimal)
+    bad = []
+    for c in cases:
+        sql = f"SELECT {c} AS r FROM {rows} ORDER BY i"
+        av = [r[0] for r in sqlx.sql(spark, sql).collect()]
+        bv = [r[0] for r in con.sql(sql).fetchall()]
+        ok = len(av) == len(bv) and all(
+            a == b or (isinstance(a, num) and isinstance(b, num)
+                       and not isinstance(a, bool) and float(a) == float(b))
+            for a, b in zip(av, bv)
+        )
+        if not ok:
+            bad.append((c, av, bv))
+    assert not bad, bad
+    q = "SELECT struct_insert({'a': 1}, b := 2, c := 'y') AS v"
+    assert sqlx.sql(spark, q).head()[0].asDict() == {"a": 1, "b": 2, "c": "y"}
+    with pytest.raises(NotImplementedError, match="withField"):
+        sqlx.transpile("SELECT struct_insert(s, b := 2) FROM t")
