@@ -2809,19 +2809,33 @@ def _holistic_emit(name: str, a: list[str], lit, over: str) -> str | None:
     n = len(a)
     if name == "entropy" and n == 1:
         # Shannon entropy, log2, NULLs excluded, empty/single group = 0.0
-        # (all measured): log2(n) - (1/n)·Σ c·log2(c) over value counts
+        # (all measured): log2(n) - (1/n)·Σ c·log2(c) over value counts.
+        # Counts come from a run-length fold over the SORTED group — one
+        # O(n) lambda pass; the first cut's per-distinct filter() was
+        # O(d·n) of interpreted higher-order calls and dominated the wall
+        # at scale (BASELINE round-13 session 2).
         def ent(v: str) -> str:
-            counts = (
-                f"transform\x02(array_distinct\x02({v}), "
-                f"__v -> size(filter\x02({v}, __e -> __e <=> __v)))"
+            p, r, c = lit("prev"), lit("run"), lit("acc")
+            fin = "__st -> __st.acc + __st.run * log2(__st.run)"
+            merge = (
+                f"(__st, __e) -> CASE WHEN __e <=> __st.prev "
+                f"THEN named_struct({p}, __st.prev, {r}, __st.run + CAST(1 AS BIGINT), {c}, __st.acc) "
+                f"ELSE named_struct({p}, __e, {r}, CAST(1 AS BIGINT), "
+                f"{c}, __st.acc + __st.run * log2(__st.run)) END"
+            )
+            init = (
+                f"named_struct({p}, try_element_at({v}, 1), "
+                f"{r}, CAST(1 AS BIGINT), {c}, CAST(0.0 AS DOUBLE))"
+            )
+            bits = (
+                f"aggregate(slice({v}, 2, size({v}) - 1), {init}, {merge}, {fin})"
             )
             return (
                 f"CASE WHEN size({v}) <= 1 THEN CAST(0.0 AS DOUBLE) "
-                f"ELSE log2(size({v})) - aggregate({counts}, CAST(0.0 AS DOUBLE), "
-                f"(__acc, __c) -> __acc + __c * log2(__c)) / size({v}) END"
+                f"ELSE log2(size({v})) - ({bits}) / size({v}) END"
             )
 
-        return _let(f"collect_list({a[0]}){over}", ent)
+        return _let(f"array_sort\x02(collect_list({a[0]}){over})", ent)
     if name == "histogram" and n == 1:
         # MAP(value -> BIGINT count), keys sorted, NULLs excluded (measured)
         def hist(v: str) -> str:
@@ -2838,14 +2852,28 @@ def _holistic_emit(name: str, a: list[str], lit, over: str) -> str | None:
     if name == "median" and n == 1:
         # DuckDB median over DECIMAL is the DISCRETE lower-middle element
         # (measured 1.5 over [-2.5, 1.5, 4.0, 8.5] at EVERY width), while
-        # DOUBLE/int interpolate — Spark's median always interpolates. The
-        # typeof dispatch keeps both; the CASE's common type is DOUBLE
-        # (values exact either way).
-        disc = _sorted_disc_emit(a[0], "0.5D", over)
-        return (
-            f"CASE WHEN typeof\x02(any_value({a[0]}){over}) LIKE {lit('decimal%')} "
-            f"THEN CAST({disc} AS DOUBLE) ELSE CAST(median\x02({a[0]}){over} AS DOUBLE) END"
+        # DOUBLE/int interpolate — Spark's median always interpolates.
+        # ONE collect+sort serves both branches as scalar post-processing
+        # (a CASE over two aggregate branches computes BOTH — the first
+        # cut paid a native median AND a sorted collect on every group).
+        # Values exact as DOUBLE either way.
+        t = f"typeof\x02(any_value({a[0]}){over})"
+
+        def med(v: str) -> str:
+            disc = (
+                f"CASE WHEN size({v}) = 0 THEN CAST(NULL AS DOUBLE) ELSE "
+                f"try_element_at({v}, greatest(CAST(ceil(0.5D * size({v})) AS INT), 1)) END"
+            )
+            return (
+                f"CASE WHEN {t} LIKE {lit('decimal%')} THEN {disc} "
+                f"ELSE {_array_cont_emit(v)} END"
+            )
+
+        ll = (
+            f"array_sort\x02(transform\x02(collect_list({a[0]}){over}, "
+            f"__e -> CAST(__e AS DOUBLE)))"
         )
+        return _let(ll, med)
     if name == "quantile_cont" and n == 2:
         # interpolating quantile; DECIMAL inputs TRUNCATE the interpolated
         # value to the source scale, toward zero (measured 2.75 -> 2.7 at

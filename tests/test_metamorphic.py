@@ -306,6 +306,48 @@ def _gen_dialect_exprs(seed: int, n: int) -> list[str]:
         "unicode(coalesce(nullif(s, ''), 'q'))",
         "list_min([i, j, 9])",
         "array_length([i, j])",
+        # round-13 extended-sweep batch (rotating fuzz coverage for the
+        # deterministic pins in test_sqlx::test_fn_gaps4_round13_*)
+        "CAST(divide(coalesce(i, 1), 3) AS DOUBLE)",
+        "CAST(divide(coalesce(x, 1.5), 2) AS DOUBLE)",
+        "bin(coalesce(s, 'ab'))",
+        "to_binary(coalesce(j, 5))",
+        "to_base(abs(coalesce(j, 3)) + 1, 2, 9)",
+        "strip_accents(concat(coalesce(s, ''), 'é à ñ'))",
+        "CAST(damerau_levenshtein(coalesce(s, ''), 'alpha') AS BIGINT)",
+        "(nextafter(coalesce(x, 1.5), 1e9) > coalesce(x, 1.5))",
+        "round(gamma(abs(coalesce(j, 2)) + 0.5), 6)",
+        "round(lgamma(abs(coalesce(i, 3)) + 2.0), 6)",
+        "right_grapheme(coalesce(s, 'héllo'), 3)",
+        "left_grapheme(coalesce(s, 'héllo'), 2)",
+        "strftime('%Y-%m', DATE '2021-03-14' + (coalesce(i, 0) % 50))",
+        "CAST(strptime(concat('0', CAST(abs(coalesce(j, 1)) % 9 + 1 AS VARCHAR), '-14'), '%m-%d') AS VARCHAR)",
+        "CAST(CAST(try_strptime('2021|07', ['%Y-%m', '%Y|%m']) AS TIMESTAMP) AS VARCHAR)",
+        "CAST(timezone_hour(TIMESTAMP '2021-03-14 05:06:07') AS BIGINT)",
+        "typeof('a')", "typeof(DATE '2021-01-01')", "typeof([1, 2])",
+        "CAST(len([i, j]) AS BIGINT)",
+        "array_to_string(grade_up([j, i, 7]), ',')",
+        "array_to_string(array_select([10, 20, 30], [3, 1, 5]), ',')",
+        "array_to_string(array_where([10, 20, 30], [true, i IS NOT NULL, false]), ',')",
+        "constant_or_null(42, nullif(coalesce(j, 0), 5))",
+        "CAST(@(coalesce(i, -3)) AS BIGINT)",
+        "CAST(add(coalesce(i, 1)) AS BIGINT)",
+        "CAST(subtract(coalesce(j, 1)) AS BIGINT)",
+        "subtract(DATE '2021-03-16', DATE '2021-03-14')",
+        "CAST(epoch(INTERVAL '3 days 4 hours') AS DOUBLE)",
+        "CAST(month(INTERVAL '26 months') AS BIGINT)",
+        "array_to_string(generate_series(abs(coalesce(j, 2)) % 5), ',')",
+        "xor((abs(coalesce(i, 1)) % 13)::INTEGER::BIT, (abs(coalesce(j, 2)) % 7)::INTEGER::BIT)::VARCHAR",
+        "(~((abs(coalesce(i, 1)) % 13)::INTEGER::BIT))::VARCHAR",
+        "CAST(bit_length(('0110010')::BIT) AS BIGINT)",
+        "json_extract('{\"a b\":{\"c\":7}}', 'a b')",
+        "json_extract_string('{\"k 2\":5}', 'k 2')",
+        "CAST(json_array_length('{\"a\":1}') AS BIGINT)",
+        "json_object()",
+        "regexp_escape(concat(coalesce(s, ''), ' (x)é'))",
+        "(TIME '11:22:33' + INTERVAL '20 hours')::VARCHAR",
+        "hour(make_time(CAST(abs(coalesce(i, 1)) % 24 AS INT), 5, 6))",
+        "(make_time(CAST(abs(coalesce(j, 1)) % 24 AS INT), 30, 1.5))::VARCHAR",
     ]
     date_parts = [
         "dow", "isodow", "isoyear", "decade", "century", "millennium",
