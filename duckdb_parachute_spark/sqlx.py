@@ -441,6 +441,49 @@ def rewrite_array_types(sql: str) -> str:
         pos = m.start()  # rescan: INT[][] nests outward
 
 
+#: string-shaped slice operands: a masked literal or a clearly
+#: string-returning call head — DuckDB's [a:b] slices both LISTs and
+#: VARCHARs; Spark's slice() is array-only, so strings go through
+#: substring. A string COLUMN keeps the array path and fails loudly
+#: (documented residual; use array/str functions to disambiguate).
+_STRINGY_SLICE_RE = re.compile(
+    r"\A(?:\x00\d+\x00|(?:concat|substring|substr|lower|upper|trim|ltrim|"
+    r"rtrim|repeat|reverse|translate|lpad|rpad)\s*\()",
+    re.IGNORECASE,
+)
+
+
+def _slice_emit(operand: str, a: str, b: str) -> str:
+    """DuckDB [a:b] slicing (1-based, both ends INCLUSIVE, negative
+    indexes count from the back, either end optional — all measured:
+    [1,2,3,4,5][2:4] = [2,3,4], [-2:] = [4,5], [:3] = [1,2,3],
+    'abcdef'[2:4] = 'bcd')."""
+    probe = operand.strip()
+    while probe.startswith("(") and probe.endswith(")"):
+        if _balanced_span(probe, 0) != len(probe):
+            break
+        probe = probe[1:-1].strip()
+    stringy = bool(_STRINGY_SLICE_RE.match(probe))
+    size = "length" if stringy else "size"
+
+    def body(v: str) -> str:
+        apos = (
+            f"CASE WHEN ({a}) < 0 THEN {size}({v}) + ({a}) + 1 ELSE ({a}) END"
+            if a else "1"
+        )
+        bpos = (
+            f"CASE WHEN ({b}) < 0 THEN {size}({v}) + ({b}) + 1 ELSE ({b}) END"
+            if b else f"{size}({v})"
+        )
+        if stringy:
+            return f"substring({v}, {apos}, greatest(({bpos}) - ({apos}) + 1, 0))"
+        return f"slice({v}, {apos}, greatest(({bpos}) - ({apos}) + 1, 0))"
+
+    if not a and not b:
+        return operand
+    return _let(operand, body)
+
+
 def rewrite_brackets(sql: str) -> str:
     """DuckDB bracket syntax → Spark builtins:
     - [e1, e2]  literal at expression position → array(e1, e2)
@@ -494,9 +537,8 @@ def rewrite_brackets(sql: str) -> str:
         elif is_subscript:
             head = prev[: len(prev) - len(operand)]
             parts = _split_top_level(inner, ":")
-            if len(parts) == 2 and all(p.strip() for p in parts):
-                a, b = (p.strip() for p in parts)
-                repl = f"slice({operand}, {a}, ({b}) - ({a}) + 1)"
+            if len(parts) == 2:
+                repl = _slice_emit(operand, parts[0].strip(), parts[1].strip())
             else:
                 repl = f"try_element_at({operand}, {_zero_safe_index(inner)})"
             out = [head, repl]
@@ -598,6 +640,9 @@ _FN_ALIAS_MAP = {
     "regexp_split_to_array": "split",
     "list_value": "array",
     "list_pack": "array",
+    # list_zip pads the shorter side with NULL like arrays_zip (measured
+    # [1,2]x[10,20,30] -> (NULL,30)); struct FIELD NAMES differ (documented)
+    "list_zip": "arrays_zip",
     # array_to_string(list, sep) ≡ array_join: both skip NULL elements and
     # share the 3-arg null-replacement form
     "array_to_string": "array_join",
@@ -866,6 +911,36 @@ def _trailing_over(sql: str, end: int) -> tuple[str, int]:
             return "", end
         wend = j + mw.end()
     return " OVER " + sql[j:wend], wend
+
+
+#: IGNORE/RESPECT NULLS placement (round 13): DuckDB puts the modifier
+#: INSIDE the call — lag(x IGNORE NULLS) OVER — where Spark wants it
+#: between the call and OVER: lag(x) IGNORE NULLS OVER. Values match
+#: once relocated (measured over null-gapped lag/lead/first_value/
+#: last_value windows).
+_IGNORE_NULLS_RE = re.compile(
+    r"\b(lead|lag|first_value|last_value|nth_value|any_value|first|last)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def rewrite_ignore_nulls(sql: str) -> str:
+    pos = 0
+    while True:
+        m = _IGNORE_NULLS_RE.search(sql, pos)
+        if not m:
+            return sql
+        end = _balanced_span(sql, m.end() - 1)
+        inner = sql[m.end() : end - 1]
+        im = re.search(r"\s+(IGNORE|RESPECT)\s+NULLS\s*$", inner, re.IGNORECASE)
+        if not im:
+            pos = end
+            continue
+        sql = (
+            sql[: m.end()] + inner[: im.start()] + ") "
+            + im.group(1).upper() + " NULLS" + sql[end:]
+        )
+        pos = end
 
 
 #: aggregate FILTER (WHERE p) in WINDOW position (round 13): DuckDB
@@ -4527,6 +4602,7 @@ REWRITES = [
     rewrite_fn_aliases,
     rewrite_list_agg,
     rewrite_filter_over,
+    rewrite_ignore_nulls,
     rewrite_holistic_over,
     rewrite_fn_gaps,
     rewrite_timestamptz_types,

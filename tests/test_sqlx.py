@@ -89,10 +89,12 @@ def test_bracket_list_literal_vs_subscript():
 def test_bracket_slice_inclusive():
     from duckdb_parachute_spark.sqlx import rewrite_brackets
 
-    assert (
-        rewrite_brackets("SELECT xs[2:3] FROM t")
-        == "SELECT slice(xs, 2, (3) - (2) + 1) FROM t"
-    )
+    # round 13: the slice emit handles open ends and negative indexes via
+    # a let-bound size probe; pin the shape, behavior pinned cross-engine
+    # in test_slices_ignore_nulls_round13
+    out = rewrite_brackets("SELECT xs[2:3] FROM t").replace("\x02", "")
+    assert out.startswith("SELECT try_element_at(transform(array(xs)")
+    assert "slice(" in out and "FROM t" in out
 
 
 def test_grouping_sets_passthrough():
@@ -2108,3 +2110,50 @@ def test_filter_over_fold_round13(spark):
     assert sqlx.sql(spark, q).head()[0].asDict() == {"a": 1, "b": 2, "c": "y"}
     with pytest.raises(NotImplementedError, match="withField"):
         sqlx.transpile("SELECT struct_insert(s, b := 2) FROM t")
+
+
+def test_slices_ignore_nulls_round13(spark):
+    """Round 13: open-ended / negative [a:b] slicing (1-based, both ends
+    inclusive, negatives from the back — measured on lists AND strings;
+    Spark's slice() is array-only so string-shaped operands take
+    substring), IGNORE/RESPECT NULLS relocation (DuckDB puts the modifier
+    inside the call, Spark between call and OVER), and list_zip ≡
+    arrays_zip (NULL-padded to the longer side; struct field names
+    differ — documented)."""
+    import duckdb
+
+    from duckdb_parachute_spark import sqlx
+
+    con = duckdb.connect()
+    scalar_cases = [
+        "([1,2,3,4,5])[2:4]", "([1,2,3,4,5])[-2:]", "([1,2,3,4,5])[:3]",
+        "([1,2,3,4,5])[2:]", "([1,2,3,4,5])[2:-2]", "([1,2,3,4,5])[-4:-2]",
+        "('abcdef')[2:4]", "('abcdef')[-3:]", "('abcdef')[:2]",
+        "(concat('ab', 'cdef'))[2:4]",
+        "array_length(list_zip([1,2],[10,20,30]))",
+        "array_length(list_zip([1,2],[10,20]))",
+    ]
+    bad = []
+    for c in scalar_cases:
+        sql = f"SELECT {c} AS r"
+        a = sqlx.sql(spark, sql).head()[0]
+        b = con.sql(sql).fetchone()[0]
+        if isinstance(a, list) and isinstance(b, list):
+            a, b = list(a), list(b)
+        if a != b:
+            bad.append((c, a, b))
+    rows = "(VALUES (1, 10), (2, NULL), (3, 30), (4, NULL), (5, 50)) t(i, x)"
+    win_cases = [
+        "lag(x IGNORE NULLS) OVER (ORDER BY i)",
+        "lead(x IGNORE NULLS) OVER (ORDER BY i)",
+        "last_value(x IGNORE NULLS) OVER (ORDER BY i)",
+        "first_value(x IGNORE NULLS) OVER (ORDER BY i ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)",
+        "lag(x RESPECT NULLS) OVER (ORDER BY i)",
+    ]
+    for c in win_cases:
+        sql = f"SELECT {c} AS r FROM {rows} ORDER BY i"
+        av = [r[0] for r in sqlx.sql(spark, sql).collect()]
+        bv = [r[0] for r in con.sql(sql).fetchall()]
+        if av != bv:
+            bad.append((c, av, bv))
+    assert not bad, bad
