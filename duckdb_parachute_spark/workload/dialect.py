@@ -1546,3 +1546,34 @@ def dialect_time_family(spark, sf_dir):
     SQL is the oracle."""
     _views(spark, sf_dir, "orders")
     return sqlx.sql(spark, _TIME_FAMILY_SQL)
+
+
+_SLICES_SQL = """
+SELECT p_partkey,
+       (concat(p_name, ''))[3:8] AS mid,
+       (concat(p_name, ''))[-5:] AS tail5,
+       (concat(p_name, ''))[:4] AS head4,
+       (concat(p_name, ''))[2:-2] AS trimmed,
+       (string_split(p_name, ' '))[2:] AS words_tail,
+       (string_split(p_name, ' '))[:2] AS words_head,
+       CAST(array_length(list_zip(string_split(p_name, ' '), string_split(p_type, ' '))) AS BIGINT) AS zipped_n
+FROM part WHERE p_partkey % 47 = 0
+ORDER BY p_partkey
+"""
+
+
+@query(
+    "dialect_slices",
+    oracle=_SLICES_SQL,
+    join_arrays=["words_tail", "words_head"],
+)
+def dialect_slices(spark, sf_dir):
+    """Round-13 slicing surface (reference src/function/scalar/list/
+    array_slice.cpp — 1-based, both ends INCLUSIVE, negative indexes from
+    the back, optional ends; VARCHAR takes the same syntax): string
+    slices ride substring (Spark's slice() is array-only — the operand's
+    string-ness is decided syntactically), list slices ride a let-bound
+    size probe so negative/open ends resolve per row, and list_zip pads
+    to the longer side like arrays_zip. Same SQL is the oracle."""
+    _views(spark, sf_dir, "part")
+    return sqlx.sql(spark, _SLICES_SQL)
