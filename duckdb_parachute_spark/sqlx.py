@@ -453,17 +453,21 @@ _STRINGY_SLICE_RE = re.compile(
 )
 
 
-def _slice_emit(operand: str, a: str, b: str) -> str:
-    """DuckDB [a:b] slicing (1-based, both ends INCLUSIVE, negative
-    indexes count from the back, either end optional — all measured:
-    [1,2,3,4,5][2:4] = [2,3,4], [-2:] = [4,5], [:3] = [1,2,3],
-    'abcdef'[2:4] = 'bcd')."""
+def _stringy_operand(operand: str) -> bool:
     probe = operand.strip()
     while probe.startswith("(") and probe.endswith(")"):
         if _balanced_span(probe, 0) != len(probe):
             break
         probe = probe[1:-1].strip()
-    stringy = bool(_STRINGY_SLICE_RE.match(probe))
+    return bool(_STRINGY_SLICE_RE.match(probe))
+
+
+def _slice_emit(operand: str, a: str, b: str) -> str:
+    """DuckDB [a:b] slicing (1-based, both ends INCLUSIVE, negative
+    indexes count from the back, either end optional — all measured:
+    [1,2,3,4,5][2:4] = [2,3,4], [-2:] = [4,5], [:3] = [1,2,3],
+    'abcdef'[2:4] = 'bcd')."""
+    stringy = _stringy_operand(operand)
     size = "length" if stringy else "size"
 
     def body(v: str) -> str:
@@ -539,6 +543,11 @@ def rewrite_brackets(sql: str) -> str:
             parts = _split_top_level(inner, ":")
             if len(parts) == 2:
                 repl = _slice_emit(operand, parts[0].strip(), parts[1].strip())
+            elif _stringy_operand(operand):
+                # VARCHAR subscript is a one-CHARACTER extract (measured:
+                # 'héLlo'[2] = 'é', [-1] = 'o' — codepoints, negatives
+                # from the back; substring matches both)
+                repl = f"substring({operand}, {inner}, 1)"
             else:
                 repl = f"try_element_at({operand}, {_zero_safe_index(inner)})"
             out = [head, repl]
@@ -789,7 +798,12 @@ def rewrite_fn_aliases(sql: str) -> str:
         args = _split_top_level(sql[m.end() : end - 1])
         if len(args) != 2:
             raise ValueError(f"list_extract expects 2 arguments: {sql[m.start():end]!r}")
-        rep = f"try_element_at({args[0].strip()}, {_zero_safe_index(args[1], assume_numeric=True)})"
+        if _stringy_operand(args[0].strip()):
+            # VARCHAR overload extracts one CHARACTER (measured:
+            # array_extract('héLlo', 2) = 'é', -1 = 'o')
+            rep = f"substring({args[0].strip()}, {args[1].strip()}, 1)"
+        else:
+            rep = f"try_element_at({args[0].strip()}, {_zero_safe_index(args[1], assume_numeric=True)})"
         sql = sql[: m.start()] + rep + sql[end:]
 
 

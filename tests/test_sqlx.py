@@ -2130,6 +2130,8 @@ def test_slices_ignore_nulls_round13(spark):
         "([1,2,3,4,5])[2:]", "([1,2,3,4,5])[2:-2]", "([1,2,3,4,5])[-4:-2]",
         "('abcdef')[2:4]", "('abcdef')[-3:]", "('abcdef')[:2]",
         "(concat('ab', 'cdef'))[2:4]",
+        "('héLlo')[2]", "('héLlo')[-1]", "array_extract('héLlo', 2)",
+        "list_extract('héLlo', -1)", "list_extract([10,20], 2)",
         "array_length(list_zip([1,2],[10,20,30]))",
         "array_length(list_zip([1,2],[10,20]))",
     ]
