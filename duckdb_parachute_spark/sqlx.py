@@ -1440,7 +1440,7 @@ _FN_GAP_RE = re.compile(
     # DuckDB type spellings, interval-literal date parts, system surface
     r"divide|right_grapheme|left_grapheme|grade_up|array_select|"
     r"array_where|constant_or_null|current_query|current_schemas|"
-    r"unpivot_list|typeof|length|len|bin|to_binary|repeat|struct_insert|"
+    r"unpivot_list|typeof|length|len|bin|to_binary|repeat|struct_insert|current_setting|"
     r"year|month|day|hour|minute|second|"
     # round-13 holistic-aggregate batch (sweep over the aggregate registry
     # with typed/list args): null-KEEPING list/array_agg, sorted-array
@@ -1575,6 +1575,11 @@ import contextvars as _contextvars
 #: contextvar so nested / concurrent sql() calls don't cross-talk.
 _CURRENT_QUERY: _contextvars.ContextVar | None = _contextvars.ContextVar(
     "dps_current_query", default=None
+)
+#: the session RuntimeConfig of the sqlx.sql() call being transpiled —
+#: current_setting() reads values remembered by the SET/PRAGMA surface.
+_CURRENT_CONF: _contextvars.ContextVar = _contextvars.ContextVar(
+    "dps_current_conf", default=None
 )
 
 _DATEY_RE = re.compile(
@@ -2799,6 +2804,27 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
                 "current_query() outside sqlx.sql() — no statement text"
             )
         return lit(q.replace("'", "''"))
+    if name == "current_setting" and n == 1:
+        # reads values the SET/PRAGMA surface remembered; 'threads' maps
+        # back from the shuffle-partition knob. An unset key has only an
+        # ENGINE default (memory_limit = machine-specific text) — raise
+        # loudly rather than invent one.
+        km = re.fullmatch(r"\x00(\d+)\x00", a[0])
+        conf = _CURRENT_CONF.get() if _CURRENT_CONF is not None else None
+        if not km or conf is None:
+            raise NotImplementedError(
+                "current_setting needs a literal key inside sqlx.sql()"
+            )
+        key = parts[int(km.group(1))][1:-1].lower()
+        if key == "threads":
+            return lit(conf.get("spark.sql.shuffle.partitions"))
+        val = conf.get(f"spark.duckdb_parachute.setting.{key}", None)
+        if val is None:
+            raise NotImplementedError(
+                f"current_setting({key!r}): not SET in this session and the "
+                "engine default is DuckDB-machine-specific"
+            )
+        return lit(val.replace("'", "''"))
     if name == "current_schemas" and n == 1:
         # measured: true -> ['main','main','main','pg_catalog'], false -> []
         if re.fullmatch(r"true", a[0], re.IGNORECASE):
@@ -5703,6 +5729,7 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
     COPY subqueries, and SUMMARIZE alike — not just bare SELECTs."""
     _ensure_udfs(spark)
     _CURRENT_QUERY.set(text)
+    _CURRENT_CONF.set(spark.conf)
     text = _bind_time_travel(spark, _bind_delta_scans(spark, text))
     m = _COPY_RE.match(text)
     if m:
@@ -5747,7 +5774,10 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
         elif key.startswith("spark."):
             spark.conf.set(m["key"], val)
         # other DuckDB settings (memory_limit etc.) have no session-settable
-        # Spark analogue: accepted and ignored, like a no-op PRAGMA
+        # Spark analogue: accepted as no-ops — but REMEMBERED, so
+        # current_setting() can read them back (reference
+        # src/main/settings/: GetSetting)
+        spark.conf.set(f"spark.duckdb_parachute.setting.{key}", val)
         return spark.createDataFrame([(key, val)], "setting string, value string")
     m = _SUMMARIZE_RE.match(text)
     if m:

@@ -2159,3 +2159,18 @@ def test_slices_ignore_nulls_round13(spark):
         if av != bv:
             bad.append((c, av, bv))
     assert not bad, bad
+
+
+def test_current_setting_roundtrip(spark):
+    """Round 13: current_setting() reads back values the SET/PRAGMA
+    surface remembered (reference src/main/settings GetSetting);
+    'threads' maps back from the shuffle-partition knob; an unset key
+    raises loudly (its only value would be a DuckDB-machine default)."""
+    from duckdb_parachute_spark import sqlx
+
+    sqlx.sql(spark, "SET some_knob TO 'forty-two'")
+    assert sqlx.sql(spark, "SELECT current_setting('some_knob') AS v").head()[0] == "forty-two"
+    thr = sqlx.sql(spark, "SELECT current_setting('threads') AS v").head()[0]
+    assert thr == spark.conf.get("spark.sql.shuffle.partitions")
+    with pytest.raises(NotImplementedError, match="machine-specific"):
+        sqlx.sql(spark, "SELECT current_setting('memory_limit') AS v").collect()
