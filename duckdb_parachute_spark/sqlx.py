@@ -5414,6 +5414,60 @@ _DELTA_SCAN_RE = re.compile(
 )
 
 
+#: FROM-position file table functions (round 13; reference
+#: extension/parquet + json + src/function/table/read_csv.cpp): DuckDB's
+#: most common scan spelling — SELECT ... FROM read_parquet('path') — now
+#: binds like delta_scan(): the call becomes a temp view over the Python
+#: reader, so it works inside joins, subqueries, COPY sources, and
+#: SUMMARIZE alike. Literal single-path (or glob) argument; extra
+#: arguments raise loudly rather than being silently ignored.
+_FILE_SCAN_RE = re.compile(
+    r"\b(?P<fn>read_parquet|parquet_scan|read_csv_auto|read_csv|"
+    r"read_json_auto|read_json|read_ndjson_auto|read_ndjson|"
+    r"parquet_schema|parquet_metadata|parquet_file_metadata|"
+    r"parquet_kv_metadata)\s*\(\s*'(?P<path>[^']+)'\s*(?P<rest>[^)]*)\)",
+    re.IGNORECASE,
+)
+
+
+def _bind_file_scans(spark: SparkSession, text: str) -> str:
+    if not _FILE_SCAN_RE.search(text):
+        return text
+
+    def repl(m: re.Match) -> str:
+        if text[: m.start()].count("'") % 2 == 1:
+            return m.group(0)  # inside a string literal
+        fn = m["fn"].lower()
+        rest = (m["rest"] or "").strip()
+        if rest and rest != ",":
+            raise NotImplementedError(
+                f"{fn}: only a single literal path is supported here, "
+                f"got extra arguments {rest!r} — use the Python reader "
+                "API for option-bearing scans"
+            )
+        import hashlib
+
+        from duckdb_parachute_spark import sources
+        from duckdb_parachute_spark.sources import parquet_meta
+
+        path = m["path"]
+        if fn in ("read_parquet", "parquet_scan"):
+            df = spark.read.parquet(path)
+        elif fn in ("read_csv", "read_csv_auto"):
+            df = sources.read_csv_auto(spark, path).drop("_rejected_record")
+        elif fn in ("read_json", "read_json_auto", "read_ndjson",
+                    "read_ndjson_auto"):
+            # ndjson IS Spark's native line-delimited JSON source
+            df = sources.read_json_auto(spark, path)
+        else:
+            df = getattr(parquet_meta, fn)(spark, path)
+        name = f"__{fn}_" + hashlib.md5(path.encode()).hexdigest()[:10]
+        df.createOrReplaceTempView(name)
+        return name
+
+    return _FILE_SCAN_RE.sub(repl, text)
+
+
 def _bind_delta_scans(spark: SparkSession, text: str) -> str:
     if not _DELTA_SCAN_RE.search(text):
         return text
@@ -5730,7 +5784,7 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
     _ensure_udfs(spark)
     _CURRENT_QUERY.set(text)
     _CURRENT_CONF.set(spark.conf)
-    text = _bind_time_travel(spark, _bind_delta_scans(spark, text))
+    text = _bind_time_travel(spark, _bind_delta_scans(spark, _bind_file_scans(spark, text)))
     m = _COPY_RE.match(text)
     if m:
         from duckdb_parachute_spark.sources import copy_to

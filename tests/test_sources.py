@@ -971,3 +971,33 @@ def test_delta_scan_dv_distributed_equivalence(spark, tmp_path):
     assert want == [1, 2, 4, 5, 6, 8, 9] + [100, 103, 104, 105, 106, 107, 108, 109]
     got = sorted(r["id"] for r in delta_scan(spark, root, dv_driver_limit=0).collect())
     assert got == want
+
+
+def test_parquet_meta_tvfs_match_duckdb(spark):
+    """Round 13: parquet_schema / parquet_metadata / parquet_file_metadata
+    column-for-column against DuckDB over every fixture table — including
+    the nested-LIST embeddings schema (group rows reconstructed from leaf
+    paths), FLOAT stats at float32 precision, converted_type back-filled
+    from logical types the way DuckDB's reader does, and read_parquet()
+    binding in FROM position."""
+    import duckdb
+
+    from duckdb_parachute_spark import sqlx
+
+    con = duckdb.connect()
+    base = "/root/testdata/sf0.001"
+    bad = []
+    for t in ["orders", "lineitem", "events", "documents", "embeddings"]:
+        f = f"{base}/{t}.parquet"
+        for q in [
+            f"SELECT name, type, repetition_type, converted_type, logical_type, num_children FROM parquet_schema('{f}') ORDER BY name NULLS FIRST, type NULLS FIRST",
+            f"SELECT path_in_schema, type, stats_min_value, stats_max_value, stats_null_count, compression, encodings, num_values, total_compressed_size FROM parquet_metadata('{f}') ORDER BY column_id",
+            f"SELECT num_rows, num_row_groups, format_version FROM parquet_file_metadata('{f}')",
+        ]:
+            dv = [tuple(r) for r in con.execute(q).fetchall()]
+            sv = [tuple(r) for r in sqlx.sql(spark, q).collect()]
+            if sv != dv:
+                bad.append((t, q[:60], dv, sv))
+    assert not bad, bad[:1]
+    n = sqlx.sql(spark, f"SELECT count(*) AS n FROM read_parquet('{base}/region.parquet')").head()[0]
+    assert n == 5

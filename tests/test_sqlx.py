@@ -2173,4 +2173,4 @@ def test_current_setting_roundtrip(spark):
     thr = sqlx.sql(spark, "SELECT current_setting('threads') AS v").head()[0]
     assert thr == spark.conf.get("spark.sql.shuffle.partitions")
     with pytest.raises(NotImplementedError, match="machine-specific"):
-        sqlx.sql(spark, "SELECT current_setting('memory_limit') AS v").collect()
+        sqlx.sql(spark, "SELECT current_setting('never_set_key_xyz') AS v").collect()
