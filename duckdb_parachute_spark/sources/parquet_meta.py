@@ -217,3 +217,39 @@ def parquet_kv_metadata(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "file_name string, key binary, value binary"
     )
+
+
+def glob_table(spark: SparkSession, pattern: str) -> DataFrame:
+    """glob() TVF (reference src/function/table/glob.cpp): one 'file' row
+    per match — driver-side listing, bounded by directory size."""
+    return spark.createDataFrame(
+        [(p,) for p in sorted(_glob.glob(pattern))], "file string"
+    )
+
+
+def _files_with_meta(spark: SparkSession, path: str, as_text: bool):
+    """DuckDB read_text/read_blob shape (reference read_file.cpp):
+    filename, content, size, last_modified — whole files. Spark's
+    binaryFile source supplies the metadata; text content decodes as
+    UTF-8. The scheme prefix binaryFile adds is stripped so filenames
+    hash identically to DuckDB's plain paths."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.format("binaryFile").load(path)
+    content = (
+        F.decode(F.col("content"), "UTF-8") if as_text else F.col("content")
+    )
+    return df.select(
+        F.regexp_replace(F.col("path"), "^file:", "").alias("filename"),
+        content.alias("content"),
+        F.col("length").alias("size"),
+        F.col("modificationTime").alias("last_modified"),
+    )
+
+
+def read_text_table(spark: SparkSession, path: str) -> DataFrame:
+    return _files_with_meta(spark, path, as_text=True)
+
+
+def read_blob_table(spark: SparkSession, path: str) -> DataFrame:
+    return _files_with_meta(spark, path, as_text=False)

@@ -5425,7 +5425,7 @@ _FILE_SCAN_RE = re.compile(
     r"\b(?P<fn>read_parquet|parquet_scan|read_csv_auto|read_csv|"
     r"read_json_auto|read_json|read_ndjson_auto|read_ndjson|"
     r"parquet_schema|parquet_metadata|parquet_file_metadata|"
-    r"parquet_kv_metadata)\s*\(\s*'(?P<path>[^']+)'\s*(?P<rest>[^)]*)\)",
+    r"parquet_kv_metadata|glob|read_text|read_blob)\s*\(\s*'(?P<path>[^']+)'\s*(?P<rest>[^)]*)\)",
     re.IGNORECASE,
 )
 
@@ -5459,6 +5459,12 @@ def _bind_file_scans(spark: SparkSession, text: str) -> str:
                     "read_ndjson_auto"):
             # ndjson IS Spark's native line-delimited JSON source
             df = sources.read_json_auto(spark, path)
+        elif fn == "glob":
+            df = parquet_meta.glob_table(spark, path)
+        elif fn == "read_text":
+            df = parquet_meta.read_text_table(spark, path)
+        elif fn == "read_blob":
+            df = parquet_meta.read_blob_table(spark, path)
         else:
             df = getattr(parquet_meta, fn)(spark, path)
         name = f"__{fn}_" + hashlib.md5(path.encode()).hexdigest()[:10]

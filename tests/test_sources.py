@@ -1001,3 +1001,14 @@ def test_parquet_meta_tvfs_match_duckdb(spark):
     assert not bad, bad[:1]
     n = sqlx.sql(spark, f"SELECT count(*) AS n FROM read_parquet('{base}/region.parquet')").head()[0]
     assert n == 5
+    # glob / read_text / read_blob FROM-position shapes (filename, content,
+    # size, last_modified — whole files, scheme-free paths)
+    for q in [
+        f"SELECT count(*) AS n FROM glob('{base}/*.parquet')",
+        f"SELECT file FROM glob('{base}/n*.parquet') ORDER BY file",
+        "SELECT filename, size FROM read_text('/root/repo/README.md')",
+        "SELECT filename, size, octet_length(content) AS blen FROM read_blob('/root/repo/README.md')",
+    ]:
+        dv = [tuple(r) for r in con.execute(q).fetchall()]
+        sv = [tuple(r) for r in sqlx.sql(spark, q).collect()]
+        assert sv == dv, (q, dv, sv)
