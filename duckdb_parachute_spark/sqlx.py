@@ -1446,7 +1446,7 @@ _FN_GAP_RE = re.compile(
     # with typed/list args): null-KEEPING list/array_agg, sorted-array
     # quantile_disc semantics for every orderable type, entropy/histogram/
     # mad, decimal-aware median/quantile_cont, zero-variance guards
-    r"entropy|histogram|mad|median|quantile_cont|"
+    r"entropy|histogram|mad|median|quantile_cont|avg|mean|"
     r"corr|regr_slope|regr_intercept|regr_r2|count)"
     r"\s*\(",
     re.IGNORECASE,
@@ -2890,6 +2890,18 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
             f"ELSE try_divide(regr_sxy({y}, {x}) * regr_sxy({y}, {x}), "
             f"regr_sxx({y}, {x}) * regr_syy({y}, {x})) END"
         )
+    if name in ("avg", "mean") and n == 1:
+        # DuckDB avg ALWAYS returns DOUBLE (typeof(avg(DECIMAL)) = DOUBLE,
+        # measured); Spark's avg over DECIMAL returns DECIMAL(p+4, s+4) —
+        # a silent precision divergence in the 7th+ digit (caught by the
+        # r13 window fuzz matrix at seed 202). Casting the operand keeps
+        # every engine pair full-double. DISTINCT forms pass through with
+        # the cast inside.
+        arg = a[0]
+        dm = re.match(r"\ADISTINCT\s+(.+)\Z", arg, re.IGNORECASE | re.DOTALL)
+        inner = dm.group(1) if dm else arg
+        prefix = "DISTINCT " if dm else ""
+        return f"avg\x02({prefix}CAST({inner} AS DOUBLE))"
     if name in ("entropy", "histogram", "median", "quantile_cont", "mad"):
         return _holistic_emit(name, a, lit, "")
     if name == "struct_insert" and n >= 2:

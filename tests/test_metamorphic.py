@@ -416,3 +416,77 @@ def test_dialect_operator_matrix_cross_engine(spark, seed):
                 pdf[c] = pdf[c].map(lambda v: float(v) if isinstance(v, Decimal) else v)
     res = compare_frames(f"dialect-ops-seed{seed}", spark_pdf, oracle_pdf)
     assert res.ok, str(res)
+
+
+def _gen_window_exprs(seed: int, n: int) -> list[str]:
+    """Round 13: randomized WINDOW-position matrix — rank family, offset
+    functions (with IGNORE NULLS relocation), framed aggregates, the
+    holistic window emissions, FILTER-under-OVER folding, and list()
+    windows. Every ORDER BY carries the unique key i as the final
+    tiebreaker so both engines' results are deterministic."""
+    rng = random.Random(seed)
+    parts = ["", "PARTITION BY abs(coalesce(i, 0)) % 2 ", "PARTITION BY coalesce(s, '') "]
+    orders = [
+        "ORDER BY coalesce(x, -99), i", "ORDER BY coalesce(x, -99) DESC, i",
+        "ORDER BY coalesce(j, -9), i", "ORDER BY i",
+    ]
+    frames = [
+        "", " ROWS BETWEEN 1 PRECEDING AND CURRENT ROW",
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        " ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING",
+    ]
+    out = []
+    for k in range(n):
+        w = f"({rng.choice(parts)}{rng.choice(orders)}{rng.choice(frames)})"
+        wnf = f"({rng.choice(parts)}{rng.choice(orders)})"  # frameless
+        kind = k % 10
+        if kind == 0:
+            out.append(f"{rng.choice(['rank()', 'dense_rank()', 'row_number()', 'ntile(3)'])} OVER {wnf}")
+        elif kind == 1:
+            out.append(f"round({rng.choice(['percent_rank()', 'cume_dist()'])} OVER {wnf}, 8)")
+        elif kind == 2:
+            fn = rng.choice(["lead", "lag"])
+            out.append(f"{fn}(x {rng.choice(['', 'IGNORE NULLS'])}) OVER {wnf}")
+        elif kind == 3:
+            out.append(f"{rng.choice(['first_value', 'last_value'])}(x IGNORE NULLS) OVER {w}")
+        elif kind == 4:
+            agg = rng.choice(["sum(coalesce(x, 0))", "min(x)", "max(x)", "count(x)", "avg(coalesce(x, 0))"])
+            out.append(f"round(CAST({agg} OVER {w} AS DOUBLE), 8)")
+        elif kind == 5:
+            out.append(f"CAST(median(coalesce(x, 0)::DOUBLE) OVER {wnf} AS DOUBLE)")
+        elif kind == 6:
+            out.append(f"CAST(quantile_disc(coalesce(j, 0), 0.5) OVER {wnf} AS BIGINT)")
+        elif kind == 7:
+            out.append(f"round(entropy(coalesce(s, '')) OVER {wnf}, 8)")
+        elif kind == 8:
+            out.append(f"CAST(sum(coalesce(j, 0)) FILTER (WHERE coalesce(i, 0) >= 0) OVER {wnf} AS BIGINT)")
+        else:
+            # running list: frame order makes the accumulation
+            # deterministic on both engines (DuckDB 1.0 has no ORDER BY
+            # inside window-position aggregates)
+            out.append(
+                f"array_to_string(list_transform(list(coalesce(j, -1)) "
+                f"OVER ({rng.choice(parts)}ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+                f"e -> CAST(e AS VARCHAR)), ',')"
+            )
+    return out
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_window_matrix_cross_engine(spark, seed):
+    from duckdb_parachute_spark import sqlx
+
+    exprs = _gen_window_exprs(seed, 30)
+    select = ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    sql = f"SELECT i, {select} FROM {_values_sql()} ORDER BY i NULLS LAST"
+    spark_pdf = sqlx.sql(spark, sql).toPandas()
+    con = duckdb.connect()
+    oracle_pdf = con.sql(sql).df()
+    from decimal import Decimal
+
+    for pdf in (spark_pdf, oracle_pdf):
+        for c in pdf.columns:
+            if pdf[c].map(lambda v: isinstance(v, Decimal)).any():
+                pdf[c] = pdf[c].map(lambda v: float(v) if isinstance(v, Decimal) else v)
+    res = compare_frames(f"window-matrix-seed{seed}", spark_pdf, oracle_pdf)
+    assert res.ok, str(res)
