@@ -286,7 +286,7 @@ def _gen_dialect_exprs(seed: int, n: int) -> list[str]:
         "list_reduce([coalesce(i, 0), coalesce(j, 0), 7], (a, b) -> a + b)",
         "reduce([1, 2, 3, coalesce(j, 4)], (a, b) -> a * b)",
         "len(coalesce(s, ''))",
-        "last_day(DATE '2021-02-04' + (coalesce(i, 0) % 300))",
+        "CAST(last_day(DATE '2021-02-04' + (coalesce(i, 0) % 300)) AS VARCHAR)",  # VARCHAR: pandas renders duck dates as datetime64 (T00:00:00) — repr artifact, not semantics
         # round-11 function-gap batch (rewrite_fn_gaps + alias additions)
         "round(log(abs(coalesce(i, 2)) + 1.5), 6)",
         "ltrim(coalesce(s, 'aax'), 'a')",
