@@ -17,6 +17,7 @@ format_version as the thrift MAJOR int (pyarrow reports '2.6')."""
 from __future__ import annotations
 
 import glob as _glob
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -58,8 +59,16 @@ def _logical_repr(col) -> str | None:
     return lt
 
 
-def _none_if_neg(v):
-    return None if v in (-1, 0) else v
+def _none_if_neg(v, keep_zero=False):
+    """Thrift's unset sentinel is -1; pyarrow also reports 0 for fields
+    the footer never set. A DECIMAL(p, 0) column's scale really IS 0
+    though (DuckDB prints it), so callers that know the field is set
+    pass keep_zero=True."""
+    if v == -1 or v is None:
+        return None
+    if v == 0 and not keep_zero:
+        return None
+    return v
 
 
 def parquet_schema(spark: SparkSession, path: str) -> DataFrame:
@@ -69,8 +78,15 @@ def parquet_schema(spark: SparkSession, path: str) -> DataFrame:
     for f in _paths(path):
         pf = pq.ParquetFile(f)
         sch = pf.metadata.schema
+        # root group name and child count come from the thrift tree;
+        # pyarrow has no accessor, but its repr's first line is the root
+        # element ("required group field_id=-1 <name> {"), and the root's
+        # num_children counts TOP-LEVEL fields, not leaves
+        rm = re.search(r"required group field_id=[^ ]+ (\S+)", repr(sch))
+        root = rm.group(1) if rm else "schema"
+        top_level = len({c.split(".")[0] for c in (sch.column(i).path for i in range(len(sch.names)))})
         rows.append(
-            (f, "schema", None, None, "REQUIRED", len(sch.names), None,
+            (f, root, None, None, "REQUIRED", top_level, None,
              None, None, None, None)
         )
         arrow_fields = {fld.name: fld for fld in pf.schema_arrow}
@@ -117,10 +133,14 @@ def parquet_schema(spark: SparkSession, path: str) -> DataFrame:
             if fld is not None and fld.metadata:
                 raw = fld.metadata.get(b"PARQUET:field_id")
                 fid = int(raw) if raw else None
+            is_dec = conv == "DECIMAL"
+            is_flba = str(c.physical_type) == "FIXED_LEN_BYTE_ARRAY"
             rows.append(
-                (f, c.path.split(".")[-1], str(c.physical_type), _none_if_neg(c.length),
-                 rep, None, conv, _none_if_neg(c.scale),
-                 _none_if_neg(c.precision), fid, _logical_repr(c))
+                (f, c.path.split(".")[-1], str(c.physical_type),
+                 _none_if_neg(c.length, keep_zero=is_flba),
+                 rep, None, conv, _none_if_neg(c.scale, keep_zero=is_dec),
+                 _none_if_neg(c.precision, keep_zero=is_dec), fid,
+                 _logical_repr(c))
             )
     return spark.createDataFrame(
         rows,

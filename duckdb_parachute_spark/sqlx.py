@@ -672,7 +672,7 @@ _FN_ALIAS_MAP = {
     "list_min": "array_min",
     "list_max": "array_max",
     "array_length": "size",
-    "list_concat": "concat",  # duplicate-keeping concatenation in both
+    "list_concat": "concat\x02",  # duplicate-keeping concatenation in both
     "list_has_any": "arrays_overlap",
     # order of the result list is UNSPECIFIED in DuckDB (hash order); Spark
     # returns first-operand order — set-equal, sequence may differ
@@ -694,11 +694,11 @@ _FN_ALIAS_MAP = {
     "apply": "transform",
     "make_timestamptz": "make_timestamp",  # identical under the UTC session
     "array_indexof": "array_position",
-    "list_reverse": "reverse",
-    "array_reverse": "reverse",
-    "list_cat": "concat",
-    "array_cat": "concat",
-    "array_concat": "concat",
+    "list_reverse": "reverse\x02",
+    "array_reverse": "reverse\x02",
+    "list_cat": "concat\x02",
+    "array_cat": "concat\x02",
+    "array_concat": "concat\x02",
     "array_has_any": "arrays_overlap",
     "strlen": "octet_length",  # DuckDB strlen is BYTE length
     # round-12 batch: probed-identical renames
@@ -848,6 +848,13 @@ def rewrite_list_agg(sql: str, _parts: list[str] | None = None) -> str:
         if not arg.strip():
             pos = end
             continue
+        # list(DISTINCT x): dedup happens on the wrapped struct, so NULL
+        # elements are still kept (one NULL survives, matching DuckDB)
+        dm = re.match(r"\s*DISTINCT\b", arg, re.IGNORECASE)
+        distinct = ""
+        if dm:
+            distinct = "DISTINCT "
+            arg = arg[dm.end() :]
         fm = re.match(r"\s*FILTER\s*\(\s*WHERE\b", sql[end:], re.IGNORECASE)
         filt = None
         if fm:
@@ -895,7 +902,7 @@ def rewrite_list_agg(sql: str, _parts: list[str] | None = None) -> str:
                 # drop the whole struct — a null STRUCT is excluded by
                 # collect_list; nulling only the value would KEEP the row
                 st = f"CASE WHEN ({filt}) THEN {st} END"
-            inner = f"array_sort\x02(collect_list({st}){over}, {cmp})"
+            inner = f"array_sort\x02(collect_list({distinct}{st}){over}, {cmp})"
             rep = f"transform\x02({inner}, __s -> __s.v)"
         else:
             expr = arg.strip()
@@ -903,7 +910,7 @@ def rewrite_list_agg(sql: str, _parts: list[str] | None = None) -> str:
             if filt is not None:
                 st = f"CASE WHEN ({filt}) THEN {st} END"
             rep = (
-                f"transform\x02(collect_list({st})"
+                f"transform\x02(collect_list({distinct}{st})"
                 f"{over}, __s -> __s.v)"
             )
         sql = sql[: m.start()] + rep + sql[end:]
@@ -983,7 +990,8 @@ def rewrite_filter_over(sql: str) -> str:
         if not re.match(r"\s*OVER\b", sql[fend:], re.IGNORECASE):
             pos = fend
             continue
-        pred = sql[sql.index("WHERE", fopen) + 5 : fend - 1].strip()
+        # slice from the match span — the WHERE may be any case
+        pred = sql[m.end() : fend - 1].strip()
         head = sql[:fstart].rstrip()
         if not head.endswith(")"):
             pos = fend
@@ -1593,16 +1601,23 @@ _BLOBBY_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 #: heads that definitely produce an ARRAY (bracket literals are already
-#: rewritten to array(...) by the time the gap pass runs)
+#: rewritten to array(...) by the time the gap pass runs). Plain concat/
+#: reverse are NOT here — in DuckDB they are ALWAYS string-valued
+#: (concat varchar-casts list arguments; reverse(LIST) is a binder
+#: error, both probed) and r13's inclusion regressed length(concat(a, b))
+#: into an analysis-failing size() call. The list-spelled originals
+#: (list_concat, list_reverse, ...) survive aliasing as concat\x02( /
+#: reverse\x02( so their list-ness stays visible here.
 _LISTY_RE = re.compile(
-    r"\A(?:array|sequence|split|collect_list|collect_set|array_agg|"
+    r"\A(?:(?:array|sequence|split|collect_list|collect_set|array_agg|"
     r"transform|filter|zip_with|flatten|slice|array_sort|sort_array|"
     r"array_distinct|array_union|array_intersect|array_except|array_remove|"
     r"array_compact|array_repeat|arrays_zip|map_keys|map_values|"
     r"regexp_extract_all|json_object_keys|list_grade_up|array_grade_up|"
-    r"string_split|str_split|string_to_array|shuffle|reverse|concat)"
-    r"\s*[\x02]?\(", re.IGNORECASE,
+    r"string_split|str_split|string_to_array|shuffle)"
+    r"\s*[\x02]?\(|(?:concat|reverse)\x02\()", re.IGNORECASE,
 )
+
 
 
 def _datey(e: str) -> bool:
@@ -5421,7 +5436,7 @@ _SUMMARIZE_RE = re.compile(
 #: each call site binds a temp view over sources.delta_scan and the token is
 #: replaced by the view name — the scan itself stays a pruned parquet read.
 _DELTA_SCAN_RE = re.compile(
-    r"\bdelta_scan\s*\(\s*'(?P<path>[^']+)'\s*(?:,\s*(?P<ver>\d+)\s*)?\)",
+    r"\bdelta_scan\s*\(\s*\x00(?P<pi>\d+)\x00\s*(?:,\s*(?P<ver>\d+)\s*)?\)",
     re.IGNORECASE,
 )
 
@@ -5433,22 +5448,27 @@ _DELTA_SCAN_RE = re.compile(
 #: reader, so it works inside joins, subqueries, COPY sources, and
 #: SUMMARIZE alike. Literal single-path (or glob) argument; extra
 #: arguments raise loudly rather than being silently ignored.
+#: Matched on MASKED text (r14): the path literal is a \x00N\x00
+#: placeholder, so an occurrence inside a '--' comment or a string
+#: literal is inert by construction, and the FROM/JOIN/comma anchor
+#: keeps expression-position mentions untouched.
 _FILE_SCAN_RE = re.compile(
-    r"\b(?P<fn>read_parquet|parquet_scan|read_csv_auto|read_csv|"
+    r"(?P<pre>\b(?:FROM|JOIN)\s+|,\s*)"
+    r"(?P<fn>read_parquet|parquet_scan|read_csv_auto|read_csv|"
     r"read_json_auto|read_json|read_ndjson_auto|read_ndjson|"
     r"parquet_schema|parquet_metadata|parquet_file_metadata|"
-    r"parquet_kv_metadata|glob|read_text|read_blob)\s*\(\s*'(?P<path>[^']+)'\s*(?P<rest>[^)]*)\)",
+    r"parquet_kv_metadata|glob|read_text|read_blob)"
+    r"\s*\(\s*\x00(?P<pi>\d+)\x00\s*(?P<rest>[^)]*)\)",
     re.IGNORECASE,
 )
 
 
 def _bind_file_scans(spark: SparkSession, text: str) -> str:
-    if not _FILE_SCAN_RE.search(text):
+    masked, parts = _mask_literals(text)
+    if not _FILE_SCAN_RE.search(masked):
         return text
 
     def repl(m: re.Match) -> str:
-        if text[: m.start()].count("'") % 2 == 1:
-            return m.group(0)  # inside a string literal
         fn = m["fn"].lower()
         rest = (m["rest"] or "").strip()
         if rest and rest != ",":
@@ -5462,7 +5482,10 @@ def _bind_file_scans(spark: SparkSession, text: str) -> str:
         from duckdb_parachute_spark import sources
         from duckdb_parachute_spark.sources import parquet_meta
 
-        path = m["path"]
+        tok = parts[int(m["pi"])]
+        if not (tok.startswith("'") and tok.endswith("'")):
+            return m.group(0)  # a masked comment, not a path literal
+        path = tok[1:-1].replace("''", "'")
         if fn in ("read_parquet", "parquet_scan"):
             df = spark.read.parquet(path)
         elif fn in ("read_csv", "read_csv_auto"):
@@ -5481,33 +5504,36 @@ def _bind_file_scans(spark: SparkSession, text: str) -> str:
             df = getattr(parquet_meta, fn)(spark, path)
         name = f"__{fn}_" + hashlib.md5(path.encode()).hexdigest()[:10]
         df.createOrReplaceTempView(name)
-        return name
+        return m["pre"] + name
 
-    return _FILE_SCAN_RE.sub(repl, text)
+    return _unmask(_FILE_SCAN_RE.sub(repl, masked), parts)
 
 
 def _bind_delta_scans(spark: SparkSession, text: str) -> str:
-    if not _DELTA_SCAN_RE.search(text):
+    # masked like _bind_file_scans: a delta_scan spelled inside a string
+    # literal or a comment is a placeholder, never a match
+    masked, parts = _mask_literals(text)
+    if not _DELTA_SCAN_RE.search(masked):
         return text
 
     def repl(m: re.Match) -> str:
-        # a call spelled INSIDE a string literal (odd quote count before it)
-        # is text, not a table function
-        if text[: m.start()].count("'") % 2 == 1:
-            return m.group(0)
         from duckdb_parachute_spark.sources import delta_scan
 
         import hashlib
 
+        tok = parts[int(m["pi"])]
+        if not (tok.startswith("'") and tok.endswith("'")):
+            return m.group(0)
+        path = tok[1:-1].replace("''", "'")
         ver = int(m["ver"]) if m["ver"] else None
         # md5, not hash(): Python's hash is salted per process, which would
         # mint a fresh view name for the same table every session
-        key = f"{m['path']}@{ver}"
+        key = f"{path}@{ver}"
         name = "__delta_" + hashlib.md5(key.encode()).hexdigest()[:10]
-        delta_scan(spark, m["path"], version=ver).createOrReplaceTempView(name)
+        delta_scan(spark, path, version=ver).createOrReplaceTempView(name)
         return name
 
-    return _DELTA_SCAN_RE.sub(repl, text)
+    return _unmask(_DELTA_SCAN_RE.sub(repl, masked), parts)
 
 
 #: ASOF [LEFT] JOIN (reference transform_join.cpp JOIN_ASOF → the planner's

@@ -2174,3 +2174,86 @@ def test_current_setting_roundtrip(spark):
     assert thr == spark.conf.get("spark.sql.shuffle.partitions")
     with pytest.raises(NotImplementedError, match="machine-specific"):
         sqlx.sql(spark, "SELECT current_setting('never_set_key_xyz') AS v").collect()
+
+
+def test_advice_round14_regressions(spark, tmp_path):
+    """Round 14 ADVICE batch, each pinned against DuckDB:
+    1. length()/len() over polymorphic concat/reverse — string operands
+       keep length(); list-spelled originals (list_concat/list_reverse)
+       keep size() through the \\x02 alias marker.
+    2. FILTER (WHERE ...) under OVER in lowercase (the case-sensitive
+       str.index regression).
+    3. list(DISTINCT x) / array_agg(DISTINCT x) — dedup on the wrapped
+       struct, NULL elements kept.
+    4. _bind_file_scans on masked text: file-TVF spellings inside
+       comments or string literals stay text."""
+    import duckdb
+
+    from duckdb_parachute_spark import sqlx
+
+    con = duckdb.connect()
+    rows = ("(VALUES (1,'ab','cd',[1,2],[3]),(2,'x','yz',[4],[5,6])) "
+            "t(i,a,b,la,lb)")
+    cases = [
+        "length(concat(a, b))",
+        "len(concat(a, b))",
+        "length(reverse(a))",
+        "CAST(len(list_concat(la, lb)) AS BIGINT)",
+        "CAST(len(list_reverse(la)) AS BIGINT)",
+        # (bare concat over LIST args is varchar-cast by DuckDB —
+        # concat([9,9],[1,2]) = '[9, 9][1, 2]', probed — while Spark's
+        # concat stays an array; documented residual, use list_concat)
+    ]
+    for c in cases:
+        sql = f"SELECT {c} AS r FROM {rows} ORDER BY i"
+        av = [r[0] for r in sqlx.sql(spark, sql).collect()]
+        bv = [r[0] for r in con.sql(sql).fetchall()]
+        assert av == bv, (c, av, bv)
+    # lowercase filter-over (previously ValueError: substring not found)
+    q = f"select sum(i) filter (where i > 1) over () as s from {rows}"
+    assert [r[0] for r in sqlx.sql(spark, q).collect()] == [2, 2]
+    # list(DISTINCT ...) with and without ORDER BY; NULLs kept once
+    nrows = "(VALUES (1,NULL),(1,'x'),(1,'x'),(1,NULL)) t(g,v)"
+    for q in (
+        f"SELECT list(DISTINCT v ORDER BY v) AS l FROM {nrows}",
+        f"SELECT CAST(len(array_agg(DISTINCT v)) AS BIGINT) AS n FROM {nrows}",
+    ):
+        av = [r[0] for r in sqlx.sql(spark, q).collect()]
+        bv = [r[0] for r in con.sql(q).fetchall()]
+        assert av == bv, (q, av, bv)
+    # masked file-TVF binding: comment + literal mentions are inert
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "five.parquet")
+    pq.write_table(pa.table({"x": list(range(5))}), p)
+    q = (f"-- comment mentions read_parquet('/nope/absent.parquet')\n"
+         f"SELECT count(*) AS n FROM read_parquet('{p}')")
+    assert sqlx.sql(spark, q).head()[0] == 5
+    lit_q = "SELECT 'read_parquet(''/nope.parquet'')' AS s"
+    assert sqlx.sql(spark, lit_q).head()[0] == "read_parquet('/nope.parquet')"
+
+
+def test_parquet_schema_decimal_zero_scale(spark, tmp_path):
+    """ADVICE r14 low: DECIMAL(p, 0) must report scale 0 (not NULL) in
+    parquet_schema; the root row carries the writer's real root-group
+    name and top-level child count — column-for-column vs DuckDB."""
+    import duckdb
+
+    from duckdb_parachute_spark.sources.parquet_meta import parquet_schema
+
+    p = str(tmp_path / "dec0.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT CAST(7 AS DECIMAL(9,0)) AS d0, "
+        f"CAST(1.5 AS DECIMAL(9,2)) AS d2, 'x' AS s) TO '{p}' (FORMAT PARQUET)"
+    )
+    duck = sorted(con.execute(
+        f"SELECT name, type, type_length, scale, precision, num_children "
+        f"FROM parquet_schema('{p}') ORDER BY name"
+    ).fetchall())
+    ours = sorted(
+        (r.name, r.type, r.type_length, r.scale, r.precision, r.num_children)
+        for r in parquet_schema(spark, p).collect()
+    )
+    assert ours == duck
