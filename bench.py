@@ -248,15 +248,8 @@ def main() -> None:
             out["ratio_floor_normalized_excl_top1"] = round(
                 total1 * floor_scale / max(basis1, 1e-9), 3
             )
-        # One more round on BOTH bases (VERDICT r12 ask 8): the r12 basis
-        # refresh kept the old per-query numbers in queries_prev — quote
-        # the old-basis ratio alongside so round-over-round comparisons
-        # name their basis. Retire with queries_prev next round.
-        prev_q = baseline.get("queries_prev", {})
-        if prev_q and all(n in prev_q for n in timings):
-            basis_prev = round(sum(prev_q[n] for n in timings), 3)
-            out["baseline_duckdb_sec_prev"] = basis_prev
-            out["ratio_raw_prev"] = round(total / basis_prev, 3)
+        # queries_prev retired round 14 as promised (dual-basis reporting
+        # ran rounds 12-13; the r12 basis is the only one quoted now)
     print(json.dumps(out))
     spark.stop()
 
