@@ -1609,3 +1609,48 @@ def src_parquet_metadata(spark, sf_dir):
     tree); tests/test_sources pins the other fixtures and the nested-LIST
     schema walk. Same SQL is the oracle."""
     return sqlx.sql(spark, _PQ_META_SQL)
+
+
+_HOLISTIC_APPROX_ORACLE_SQL = """
+SELECT l_returnflag,
+       abs(approx_quantile(l_extendedprice, 0.5) - quantile_cont(l_extendedprice, 0.5))
+           <= 0.02 * quantile_cont(l_extendedprice, 0.5) AS med_ok,
+       abs(approx_quantile(l_extendedprice, 0.25) - quantile_cont(l_extendedprice, 0.25))
+           <= 0.02 * quantile_cont(l_extendedprice, 0.25) AS q25_ok,
+       abs(approx_quantile(l_quantity, 0.9) - quantile_cont(l_quantity, 0.9)) <= 2.0 AS q90_ok
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+_HOLISTIC_APPROX_SPARK_SQL = """
+SELECT l_returnflag,
+       abs(median(l_extendedprice) - percentile(l_extendedprice, 0.5))
+           <= 0.02 * percentile(l_extendedprice, 0.5) AS med_ok,
+       abs(quantile_cont(l_extendedprice, 0.25) - percentile(l_extendedprice, 0.25))
+           <= 0.02 * percentile(l_extendedprice, 0.25) AS q25_ok,
+       abs(quantile_disc(l_quantity, 0.9) - percentile(l_quantity, 0.9)) <= 2.0 AS q90_ok
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@query("dialect_holistic_approx", oracle=_HOLISTIC_APPROX_ORACLE_SQL)
+def dialect_holistic_approx(spark, sf_dir):
+    """The percentile-family scale path (round 14, VERDICT r13 missing #1):
+    SET holistic_exact = false routes median/quantile_cont/quantile_disc
+    onto approx_percentile — a fixed-size sketch that partial-aggregates
+    map-side instead of collecting every group (the analogue of DuckDB's
+    t-digest approx_quantile, reference extension/core_functions/
+    aggregate/holistic/functions.json). Sketch values are engine-specific,
+    so — like agg_approx_sketches — EACH engine bands its own sketch
+    against its own exact percentile and the boolean verdicts compare:
+    a broken routing (or a broken sketch) flips a boolean on one side.
+    The Spark text exercises the ROUTED spellings (median/quantile_cont/
+    quantile_disc under the session knob); the oracle spells DuckDB's own
+    approx_quantile against exact quantile_cont."""
+    _views(spark, sf_dir, "lineitem")
+    sqlx.sql(spark, "SET holistic_exact = false")
+    try:
+        # transpile happens eagerly inside sqlx.sql, so the routing
+        # decision is baked into the returned (lazy) DataFrame
+        return sqlx.sql(spark, _HOLISTIC_APPROX_SPARK_SQL)
+    finally:
+        sqlx.sql(spark, "SET holistic_exact = true")

@@ -1,0 +1,158 @@
+"""Holistic-aggregate scale paths, measured (round 14, VERDICT r13 next #2).
+
+Re-runs the round-13 uncapped-group measurement (lineitem replicated x25
+with shifted keys, GROUP BY l_linestatus) across the three spellings that
+now exist:
+
+  exact / unshared : the round-13 posture — every select item re-sorts the
+                     collected group (pass disabled for the measurement)
+  exact / shared   : rewrite_shared_holistics hoists the identical
+                     sorted-collect span into one lateral column alias
+  approx           : SET holistic_exact = false routes the percentile
+                     family onto approx_percentile (fixed-size sketch,
+                     map-side partial aggregation)
+
+DuckDB bases: the same exact aggregates, and approx_quantile for the
+approx row. Best-of-3 per cell. Prints a markdown table for BASELINE.md.
+
+Usage: python scripts/holistic_scale_measure.py [FACTOR]   (default 25)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 25
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = f"/tmp/parachute_holistic/x{FACTOR}"
+RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+
+# same-column percentile family: median+mad share one sorted-double span
+# (hoisted), the two quantile_disc items share a second (raw) span
+EXACT_SQL = """
+SELECT l_linestatus,
+       median(l_extendedprice) AS med,
+       mad(l_extendedprice) AS mdev,
+       quantile_disc(l_extendedprice, 0.25) AS q25,
+       quantile_disc(l_extendedprice, 0.75) AS q75
+FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+APPROX_SQL = """
+SELECT l_linestatus,
+       median(l_extendedprice) AS med,
+       quantile_cont(l_extendedprice, 0.9) AS q90,
+       quantile_disc(l_extendedprice, 0.25) AS q25
+FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+DUCK_APPROX_SQL = """
+SELECT l_linestatus,
+       approx_quantile(l_extendedprice, 0.5) AS med,
+       approx_quantile(l_extendedprice, 0.9) AS q90,
+       approx_quantile(l_extendedprice, 0.25) AS q25
+FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def replicate(spark) -> None:
+    import shutil
+
+    if os.path.isdir(os.path.join(OUT, "lineitem.parquet")):
+        return
+    shutil.rmtree(OUT, ignore_errors=True)
+    os.makedirs(OUT)
+    from pyspark.sql import functions as F
+
+    from duckdb_parachute_spark.catalog import load_table
+
+    li = load_table(spark, SRC, "lineitem")
+    copies = spark.range(FACTOR).withColumnRenamed("id", "__copy")
+    big = li.crossJoin(copies).withColumn(
+        "l_orderkey", F.col("l_orderkey") + F.col("__copy") * F.lit(10_000_000)
+    ).drop("__copy")
+    big.write.parquet(os.path.join(OUT, "lineitem.parquet"))
+
+
+def best_of(f, runs=RUNS):
+    f()
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        f()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def time_spark(spark, sf_dir: str) -> dict[str, float]:
+    from duckdb_parachute_spark import sqlx
+    from duckdb_parachute_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    out = {}
+    # unshared: disable the hoist pass for the A/B
+    idx = sqlx.REWRITES.index(sqlx.rewrite_shared_holistics)
+    sqlx.REWRITES[idx] = lambda s: s
+    try:
+        out["exact_unshared"] = best_of(lambda: sqlx.sql(spark, EXACT_SQL).collect())
+    finally:
+        sqlx.REWRITES[idx] = sqlx.rewrite_shared_holistics
+    out["exact_shared"] = best_of(lambda: sqlx.sql(spark, EXACT_SQL).collect())
+    sqlx.sql(spark, "SET holistic_exact = false")
+    try:
+        assert "approx_percentile" in sqlx.transpile(APPROX_SQL)
+        out["approx"] = best_of(lambda: sqlx.sql(spark, APPROX_SQL).collect())
+    finally:
+        sqlx.sql(spark, "SET holistic_exact = true")
+    return out
+
+
+def time_duckdb(sf_dir: str) -> dict[str, float]:
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count()}")
+    p = os.path.join(sf_dir, "lineitem.parquet")
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{src}')")
+    return {
+        "exact": best_of(lambda: con.execute(EXACT_SQL).fetchall()),
+        "approx": best_of(lambda: con.execute(DUCK_APPROX_SQL).fetchall()),
+    }
+
+
+def main() -> None:
+    from duckdb_parachute_spark import get_session
+    from duckdb_parachute_spark.session import scaled_shuffle_partitions
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    spark = get_session(app_name="parachute-holistic", master=f"local[{cpus}]")
+    replicate(spark)
+    spark.stop()
+
+    rows = {}
+    for tag, sf_dir in [("1x", SRC), (f"{FACTOR}x", OUT)]:
+        spark = get_session(
+            app_name=f"parachute-holistic-{tag}", master=f"local[{cpus}]",
+            shuffle_partitions=scaled_shuffle_partitions(sf_dir),
+        )
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        s = time_spark(spark, sf_dir)
+        spark.stop()
+        d = time_duckdb(sf_dir)
+        rows[tag] = (s, d)
+        print(f"{tag}: spark={s} duckdb={d}", file=sys.stderr)
+
+    print("\n| scale | Spark exact unshared | Spark exact shared | Spark approx "
+          "| DuckDB exact | DuckDB approx_quantile |")
+    print("|---|---|---|---|---|---|")
+    for tag in ("1x", f"{FACTOR}x"):
+        s, d = rows[tag]
+        print(f"| {tag} | {s['exact_unshared']:.2f}s | {s['exact_shared']:.2f}s "
+              f"| {s['approx']:.2f}s | {d['exact']:.2f}s | {d['approx']:.2f}s |")
+
+
+if __name__ == "__main__":
+    main()

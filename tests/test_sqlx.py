@@ -2257,3 +2257,57 @@ def test_parquet_schema_decimal_zero_scale(spark, tmp_path):
         for r in parquet_schema(spark, p).collect()
     )
     assert ours == duck
+
+
+def test_holistic_scale_paths_round14(spark):
+    """Round 14 (VERDICT r13 next #2): (a) rewrite_shared_holistics hoists
+    a sorted-collect span shared by >=2 select items into a lateral
+    column alias (one sort per group) and is bit-identical to the
+    unshared spelling; (b) SET holistic_exact = false routes median/
+    quantile_cont/quantile_disc onto approx_percentile with MAP-SIDE
+    partial aggregation; (c) the gates leave HAVING/unaliased/ordinal
+    shapes untouched."""
+    import duckdb
+
+    from duckdb_parachute_spark import sqlx
+
+    con = duckdb.connect()
+    spark.range(0, 20000).selectExpr(
+        "id % 7 AS g", "CAST((id * 37) % 1009 AS DOUBLE) AS x"
+    ).createOrReplaceTempView("hq")
+    con.execute(
+        "CREATE TABLE hq AS SELECT i % 7 AS g, CAST((i*37) % 1009 AS DOUBLE) AS x "
+        "FROM range(20000) r(i)"
+    )
+    q = ("SELECT g, median(x) AS m, mad(x) AS d, quantile_disc(x, 0.25) AS a, "
+         "quantile_disc(x, 0.75) AS b FROM hq GROUP BY g ORDER BY g")
+    tp = sqlx.transpile(q)
+    assert "__hs" in tp and tp.strip().startswith("SELECT g, m, d, a, b FROM (")
+    av = [tuple(r) for r in sqlx.sql(spark, q).collect()]
+    bv = con.execute(q).fetchall()
+    assert av == bv, (av[:2], bv[:2])
+    # gates: HAVING blocks the hoist; single occurrence never hoists
+    assert "__hs" not in sqlx.transpile(
+        "SELECT g, quantile_disc(x, 0.2) AS a, quantile_disc(x, 0.8) AS b "
+        "FROM hq GROUP BY g HAVING count(*) > 0"
+    )
+    assert "__hs" not in sqlx.transpile(
+        "SELECT g, quantile_disc(x, 0.5) AS a FROM hq GROUP BY g"
+    )
+    # approx routing: transpile carries approx_percentile only under the knob
+    try:
+        sqlx.sql(spark, "SET holistic_exact = false")
+        tp2 = sqlx.transpile("SELECT median(x) AS m, quantile_cont(x, 0.9) AS q, "
+                             "quantile_disc(x, 0.25) AS d FROM hq")
+        assert tp2.count("approx_percentile") == 3
+        df = sqlx.sql(spark, "SELECT g, median(x) AS m FROM hq GROUP BY g")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "partial_approx_percentile" in plan  # map-side sketch
+        exact = {r["g"]: r["m"] for r in spark.sql(
+            "SELECT g, percentile(x, 0.5) AS m FROM hq GROUP BY g").collect()}
+        for r in df.collect():
+            assert abs(r["m"] - exact[r["g"]]) <= 0.02 * exact[r["g"]]
+    finally:
+        sqlx.sql(spark, "SET holistic_exact = true")
+    assert "approx_percentile" not in sqlx.transpile(
+        "SELECT median(x) AS m FROM hq")
