@@ -167,6 +167,11 @@ class _LocaleSpec:
     #: replaces (round 13, root spec): one translate carries the ~190-char
     #: accent→weight table that would otherwise be 190 chained replaces.
     secondary_translate: tuple[str, str] = field(default=("", ""))
+    #: primary per-char TRANSLATE (src, dst) applied AFTER the primary
+    #: replaces (round 14, he): carries a SCRIPT REORDER — CLDR 'he'
+    #: declares Hebrew-before-Latin, so Hebrew letters map to weight chars
+    #: below 'a' (the primary level is post-lower(), so A-Z are free).
+    primary_translate: tuple[str, str] = field(default=("", ""))
 
 
 _LOCALES: dict[str, _LocaleSpec] = {
@@ -690,6 +695,76 @@ _LOCALES["no"] = _LOCALES["da"]
 _LOCALES["fi"] = _LOCALES["sv"]
 
 
+def _hebrew_spec() -> _LocaleSpec:
+    """Hebrew (round 14, VERDICT r13 next #5 — the first NON-LATIN script
+    here): CLDR 'he' carries NO letter tailoring, but it DOES declare a
+    script REORDER (Hebrew before Latin) on top of the DUCET fallback —
+    exactly the class the root spec could not serve. Everything measured
+    on DuckDB's ICU:
+
+    * Letters sort in alphabet order (block codepoint order minus
+      finals); a SCRIPT REORDER puts every Hebrew letter before every
+      Latin one and after digits ('1' < 'א' < 'a') — letters translate to
+      the free A-V range at the post-lower() primary level.
+    * FINAL forms are a SECONDARY-after variant of their letter, BELOW
+      every mark ('כא' < 'ךא' < 'כָא' measured): fold at primary, fold +
+      low weight \\ue8fe at secondary.
+    * Niqqud are SECONDARY marks in the measured order sheva <
+      hataf-segol < hataf-patah < hataf-qamats < hiriq < tsere < segol <
+      patah < qamats < holam < qubuts < sin-dot < shin-dot < dagesh <
+      rafe ('ב' < 'בָ' < 'בא' < 'באָ' < 'בָא'); strip_accents drops them
+      at primary (category Mn). Probed EQUALITY ties (aliased at every
+      level, like ro's ş ≡ ș): meteg is completely IGNORABLE
+      ('בֽ' = 'ב'), qamats-qatan ≡ qamats, holam-haser ≡ holam.
+      Input is assumed canonically ordered (NFC) — ICU normalizes mark
+      runs by combining class before collating; non-canonical sequences
+      compare in raw mark order (same residual class as the Latin
+      specs' precomposed assumption).
+    * Yiddish ligatures expand: װ ≡ וו, ױ ≡ וי, ײ ≡ יי at primary AND
+      secondary, tertiary raw bytes give the measured pair-first order
+      ('וו' < 'װא').
+    * Hebrew punctuation (geresh ׳ gershayim ״ maqaf ־ paseq ׀ sof-pasuq
+      ׃ nun-hafukha ׆) sorts between '.' and digits in that order
+      (measured) — mapped to '/1'…'/6'. Residuals: ASCII punctuation
+      order vs these is bytewise (the standing caveat), and the rare
+      upper/lower dots U+05C4/05C5 stay raw-byte."""
+    finals = {"ך": "כ", "ם": "מ", "ן": "נ", "ף": "פ", "ץ": "צ"}
+    ligs = {"װ": "וו", "ױ": "וי", "ײ": "יי"}
+    punct = {"׳": "/1", "״": "/2", "־": "/3", "׀": "/4", "׃": "/5", "׆": "/6"}
+    letters = "".join(
+        chr(c) for c in [*range(0x05D0, 0x05DA), 0x05DB, 0x05DC, 0x05DE,
+                         0x05E0, 0x05E1, 0x05E2, 0x05E4, *range(0x05E6, 0x05EB)]
+    )
+    # (mark, weight): shared weights carry the probed ties; meteg sits
+    # past the end of the dst string, so the translate DELETES it
+    mark_weights = [
+        (0x05B0, 0), (0x05B1, 1), (0x05B2, 2), (0x05B3, 3), (0x05B4, 4),
+        (0x05B5, 5), (0x05B6, 6), (0x05B7, 7), (0x05B8, 8), (0x05C7, 8),
+        (0x05B9, 9), (0x05BA, 9), (0x05BB, 10), (0x05C2, 11), (0x05C1, 12),
+        (0x05BC, 13), (0x05BF, 14),
+    ]
+    sec_src = "".join(chr(c) for c, _ in mark_weights) + "ֽ"
+    sec_dst = "".join(chr(0xE901 + w) for _, w in mark_weights)
+    return _LocaleSpec(
+        primary=tuple(finals.items()) + tuple(ligs.items()) + tuple(punct.items()),
+        primary_translate=(letters, "ABCDEFGHIJKLMNOPQRSTUV"),
+        secondary=tuple(finals.items())
+        + tuple(ligs.items()),
+        secondary_translate=(sec_src, sec_dst),
+        # tertiary: finals swap with their regulars (regular < final,
+        # measured single-letter order), and the full-strength ties alias
+        # here too: qamats-qatan -> qamats, holam-haser -> holam, meteg
+        # deleted (dst two short)
+        tertiary=("ךכםמןנףפץצ"
+                  "ׇֺֽ",
+                  "כךמםנןפףצץ"
+                  "ָֹ"),
+    )
+
+
+_LOCALES["he"] = _hebrew_spec()
+
+
 def locale_collation_key(col: Column | str, locale: str) -> Column:
     """Three-level sort key reproducing DuckDB's ``COLLATE <locale>`` order
     (ICU, extension/icu/icu_extension.cpp) on the documented subset.
@@ -716,6 +791,8 @@ def locale_collation_key(col: Column | str, locale: str) -> Column:
     prim = F.lower(tok)
     for pat, rep in spec.primary:
         prim = F.replace(prim, F.lit(pat), F.lit(rep))
+    if spec.primary_translate[0]:
+        prim = F.translate(prim, *spec.primary_translate)
     prim = strip_accents(prim)
     sec = F.lower(tok)
     for pat, rep in spec.secondary:

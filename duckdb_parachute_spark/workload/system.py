@@ -677,3 +677,54 @@ def collate_locale_root_rank(spark, sf_dir):
         df, [collate.locale_collation_key(F.col("s"), "pt")], out="rnk"
     )
     return ranked.select("s", "rnk").orderBy("rnk", "s")
+
+
+@query(
+    "collate_locale_he_rank",
+    oracle="""
+    SELECT s, CAST(rank() OVER (ORDER BY s COLLATE he) AS BIGINT) AS rnk
+    FROM (
+        SELECT CASE p_partkey % 6
+                 WHEN 0 THEN translate(p_name, 'abcdefghij', 'אבגדהוזחטי')
+                 WHEN 1 THEN replace(replace(translate(p_name, 'abcdefghij', 'אבגדהוזחטי'), 'א', 'אָ'), 'ב', 'בְּ')
+                 WHEN 2 THEN translate(p_name, 'kmnpcabdei', 'ךםןףץאבגדה')
+                 WHEN 3 THEN replace(replace(translate(p_name, 'abcdei', 'אבגדהו'), 'w', 'װ'), 'l', '־')
+                 WHEN 4 THEN translate(p_name, 'aeiou', 'אהיוע')
+                 ELSE p_name
+               END AS s
+        FROM part WHERE p_partkey % 9 = 0
+    )
+    ORDER BY rnk, s
+    """,
+)
+def collate_locale_he_rank(spark, sf_dir):
+    """ICU Hebrew collation (round 14, VERDICT r13 next #5 — the first
+    NON-LATIN script): CLDR 'he' is untailored but declares a script
+    REORDER (Hebrew before Latin, after digits) over the DUCET fallback.
+    Branches seed plain Hebrew, niqqud (qamats + sheva/dagesh runs in
+    canonical order), FINAL forms (tertiary-after their regulars),
+    Yiddish ligatures + maqaf, and mixed Hebrew/Latin words. Ranked on
+    locale_collation_key('he') vs DuckDB's real ICU ``COLLATE he``."""
+    from duckdb_parachute_spark.functions.scalar import global_rank
+
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 9 == 0)
+    heb = F.translate(F.col("p_name"), "abcdefghij", "אבגדהוזחטי")
+    s = (
+        F.when(F.col("p_partkey") % 6 == 0, heb)
+        .when(F.col("p_partkey") % 6 == 1,
+              F.replace(F.replace(heb, F.lit("א"), F.lit("אָ")),
+                        F.lit("ב"), F.lit("בְּ")))
+        .when(F.col("p_partkey") % 6 == 2,
+              F.translate(F.col("p_name"), "kmnpcabdei", "ךםןףץאבגדה"))
+        .when(F.col("p_partkey") % 6 == 3,
+              F.replace(F.replace(F.translate(F.col("p_name"), "abcdei", "אבגדהו"),
+                                  F.lit("w"), F.lit("װ")),
+                        F.lit("l"), F.lit("־")))
+        .when(F.col("p_partkey") % 6 == 4, F.translate(F.col("p_name"), "aeiou", "אהיוע"))
+        .otherwise(F.col("p_name"))
+    )
+    df = p.select(s.alias("s"))
+    ranked = global_rank(
+        df, [collate.locale_collation_key(F.col("s"), "he")], out="rnk"
+    )
+    return ranked.select("s", "rnk").orderBy("rnk", "s")

@@ -481,6 +481,13 @@ _LOCALE_ALPHABETS = {
     "pt": "aenostzáâãàçéêíóôõúßæøđðłþÁÃÇÉÆØZ",
     "nl": "abeginorstuzëïéöüÉËZ09",
     "id": "abcdeghiklmnorstuzéZ",
+    # round-14: Hebrew — the first NON-LATIN script ('he' is untailored
+    # but declares a script REORDER: digits < Hebrew < Latin). Letters
+    # with finals, the Yiddish ligatures, Hebrew punctuation, Latin,
+    # digits. Loose niqqud are EXCLUDED here (random draws produce
+    # non-canonical mark orders ICU normalizes away — the dedicated
+    # canonical-syllable test below carries the mark material).
+    "he": "אבגדהוזחטיכךלמםנןסעפףצץקרשתװױײ׳״־אבabZ09",
 }
 
 
@@ -704,3 +711,63 @@ def test_at_time_zone_property_matches_duckdb(spark, data):
     con = duckdb.connect()
     want = con.sql(q).fetchall()
     assert got == want
+
+
+_HE_LETTERS = [chr(c) for c in range(0x05D0, 0x05EB)]
+_HE_MARKS = [chr(c) for c in list(range(0x05B0, 0x05BE)) + [0x05BF, 0x05C1, 0x05C2, 0x05C7]]
+
+
+@st.composite
+def _he_canonical_words(draw):
+    """Hebrew words with niqqud in CANONICAL (combining-class) order — the
+    form real NFC text has and the scope the he spec serves; ICU
+    normalizes mark runs by ccc before collating, so random mark orders
+    would test the normalizer, not the collation."""
+    import unicodedata
+
+    out = []
+    for _ in range(draw(st.integers(1, 5))):
+        kind = draw(st.integers(0, 9))
+        if kind < 6:
+            out.append(draw(st.sampled_from(_HE_LETTERS)))
+            if draw(st.booleans()):
+                ms = draw(st.lists(st.sampled_from(_HE_MARKS), min_size=1,
+                                   max_size=2, unique=True))
+                ms.sort(key=unicodedata.combining)
+                out.extend(ms)
+        elif kind < 8:
+            out.append(draw(st.sampled_from(["װ", "ױ", "ײ", "׳", "״", "־", " ", "."])))
+        else:
+            out.append(draw(st.sampled_from(list("abZ09"))))
+    s = "".join(out)
+    if unicodedata.normalize("NFC", s) != s:
+        s = unicodedata.normalize("NFC", s)
+    return s
+
+
+@settings(max_examples=_ex(8), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_he_collation_niqqud_canonical_matches_icu(spark, oracle, data):
+    """Round 14: Hebrew niqqud at full depth — secondary marks in the
+    measured ladder, meteg completely ignorable, qamats-qatan ≡ qamats
+    and holam-haser ≡ holam at every strength, finals tertiary-after
+    their regulars, canonical-order mark runs (ccc) as ICU normalizes.
+    Both sides binary-tie-break (the ignorable/tie classes make distinct
+    strings compare EQUAL, and DuckDB's sort is not stable)."""
+    from duckdb_parachute_spark.functions.collate import locale_collation_key
+
+    words = data.draw(st.lists(_he_canonical_words(), min_size=2, max_size=40,
+                               unique=True))
+    icu = [
+        r[0]
+        for r in oracle.execute(
+            'SELECT s FROM (SELECT unnest(?) s) ORDER BY s COLLATE "he", s',
+            [words],
+        ).fetchall()
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    ours = [
+        r["s"]
+        for r in df.orderBy(locale_collation_key(F.col("s"), "he"), F.col("s")).collect()
+    ]
+    assert ours == icu
