@@ -673,7 +673,6 @@ _FN_ALIAS_MAP = {
     "list_max": "array_max",
     "array_length": "size",
     "list_concat": "concat\x02",  # duplicate-keeping concatenation in both
-    "list_has_any": "arrays_overlap",
     # order of the result list is UNSPECIFIED in DuckDB (hash order); Spark
     # returns first-operand order — set-equal, sequence may differ
     "list_intersect": "array_intersect",
@@ -699,7 +698,6 @@ _FN_ALIAS_MAP = {
     "list_cat": "concat\x02",
     "array_cat": "concat\x02",
     "array_concat": "concat\x02",
-    "array_has_any": "arrays_overlap",
     "strlen": "octet_length",  # DuckDB strlen is BYTE length
     # round-12 batch: probed-identical renames
     # round-12 systematic sweep: env-time aliases + arithmetic spellings
@@ -1462,7 +1460,36 @@ _FN_GAP_RE = re.compile(
     # quantile_disc semantics for every orderable type, entropy/histogram/
     # mad, decimal-aware median/quantile_cont, zero-variance guards
     r"entropy|histogram|mad|median|quantile_cont|avg|mean|"
-    r"corr|regr_slope|regr_intercept|regr_r2|count)"
+    r"corr|regr_slope|regr_intercept|regr_r2|count|"
+    # round-14 macro-registry sweep (bodies from duckdb_functions()):
+    # the list_<agg> macro family, pg_catalog compat stubs, json group
+    # aggregates, row generators, and the byte/typename formatters
+    r"list_count|list_first|list_last|list_product|list_bit_and|"
+    r"list_bit_or|list_bit_xor|list_bool_and|list_bool_or|"
+    r"list_string_agg|list_approx_count_distinct|list_median|list_mad|"
+    r"list_mode|list_entropy|list_histogram|list_stddev_samp|"
+    r"list_stddev_pop|list_var_samp|list_var_pop|list_sem|list_skewness|"
+    r"list_kurtosis|list_kurtosis_pop|list_has_any|array_has_any|"
+    r"array_prepend|array_push_back|array_push_front|count_if|date_add|"
+    r"geometric_mean|json_group_array|json_group_object|json_group_structure|"
+    r"generate_subscripts|regexp_split_to_table|pg_typeof|format_pg_type|"
+    r"map_to_pg_oid|pg_size_pretty|format_bytes|get_block_size|"
+    r"pg_get_expr|pg_get_viewdef|pg_get_constraintdef|format_type|"
+    r"col_description|obj_description|shobj_description|current_role|"
+    r"current_user|session_user|user|current_catalog|current_database|"
+    r"current_schema|pg_conf_load_time|pg_postmaster_start_time|"
+    r"pg_my_temp_schema|pg_is_other_temp_schema|pg_has_role|"
+    r"inet_client_addr|inet_client_port|inet_server_addr|inet_server_port|"
+    r"has_any_column_privilege|has_column_privilege|"
+    r"has_database_privilege|has_foreign_data_wrapper_privilege|"
+    r"has_function_privilege|has_language_privilege|has_schema_privilege|"
+    r"has_sequence_privilege|has_server_privilege|has_table_privilege|"
+    r"has_tablespace_privilege|pg_collation_is_visible|"
+    r"pg_conversion_is_visible|pg_function_is_visible|"
+    r"pg_opclass_is_visible|pg_operator_is_visible|"
+    r"pg_opfamily_is_visible|pg_table_is_visible|pg_ts_config_is_visible|"
+    r"pg_ts_dict_is_visible|pg_ts_parser_is_visible|"
+    r"pg_ts_template_is_visible|pg_type_is_visible)"
     r"\s*\(",
     re.IGNORECASE,
 )
@@ -1833,10 +1860,180 @@ def _json_path_list(arg: str, lit, parts: list[str], dq: bool = True) -> list[st
     return out
 
 
+#: round-14 macro-registry sweep (reference: the PUBLIC macro bodies in
+#: duckdb_functions() macro_definition — DuckDB's pg_catalog compat stubs
+#: are literal constants; probed values where the body references engine
+#: state). Names emitting plain boolean/numeric constants:
+_MACRO_TRUE = frozenset({
+    "has_any_column_privilege", "has_column_privilege",
+    "has_database_privilege", "has_foreign_data_wrapper_privilege",
+    "has_function_privilege", "has_language_privilege",
+    "has_schema_privilege", "has_sequence_privilege",
+    "has_server_privilege", "has_table_privilege",
+    "has_tablespace_privilege", "pg_has_role",
+    "pg_collation_is_visible", "pg_conversion_is_visible",
+    "pg_function_is_visible", "pg_opclass_is_visible",
+    "pg_operator_is_visible", "pg_opfamily_is_visible",
+    "pg_table_is_visible", "pg_ts_config_is_visible",
+    "pg_ts_dict_is_visible", "pg_ts_parser_is_visible",
+    "pg_ts_template_is_visible", "pg_type_is_visible",
+})
+_MACRO_NULL = frozenset({
+    "inet_client_addr", "inet_client_port", "inet_server_addr",
+    "inet_server_port", "col_description", "obj_description",
+    "shobj_description", "format_type", "pg_get_viewdef",
+    "pg_get_constraintdef",
+})
+#: 'duckdb' identity constants + the in-memory catalog names (probed)
+_MACRO_STR = {
+    "current_role": "duckdb", "current_user": "duckdb",
+    "session_user": "duckdb", "user": "duckdb",
+    "current_catalog": "memory", "current_database": "memory",
+    "current_schema": "main",
+}
+#: every list_<agg> macro is list_aggr(l, '<agg>') in DuckDB's registry
+_LIST_AGG_MACROS = frozenset({
+    "list_count", "list_first", "list_last", "list_product",
+    "list_bit_and", "list_bit_or", "list_bit_xor", "list_bool_and",
+    "list_bool_or", "list_string_agg", "list_approx_count_distinct",
+    "list_median", "list_mad", "list_mode", "list_entropy",
+    "list_histogram", "list_stddev_samp", "list_stddev_pop",
+    "list_var_samp", "list_var_pop", "list_sem", "list_skewness",
+    "list_kurtosis", "list_kurtosis_pop",
+})
+#: format_pg_type's CASE table, verbatim from the macro body
+_PG_TYPE_MAP = (
+    ("FLOAT", "float4"), ("DOUBLE", "float8"), ("DECIMAL", "numeric"),
+    ("VARCHAR", "varchar"), ("BLOB", "bytea"), ("TIMESTAMP", "timestamp"),
+    ("TIME", "time"), ("TIMESTAMP WITH TIME ZONE", "timestamptz"),
+    ("TIME WITH TIME ZONE", "timetz"), ("SMALLINT", "int2"),
+    ("INTEGER", "int4"), ("BIGINT", "int8"), ("BOOLEAN", "bool"),
+)
+#: map_to_pg_oid's CASE table, verbatim from the macro body
+_PG_OID_MAP = (
+    ("bool", 16), ("int16", 21), ("int", 23), ("bigint", 20),
+    ("date", 1082), ("time", 1083), ("datetime", 1114), ("dec", 1700),
+    ("float", 700), ("double", 701), ("bpchar", 1043), ("binary", 17),
+    ("interval", 1186), ("timestamptz", 1184), ("timetz", 1266),
+    ("bit", 1560), ("guid", 2950),
+)
+
+
 def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | None:
     """Replacement text for one gap call, or None to pass through."""
     a = [s.strip() for s in args]
     n = len(a)
+    # ---- round-14 macro-registry sweep (bodies from duckdb_functions())
+    if name in _MACRO_TRUE:
+        return "true"
+    if name in _MACRO_NULL:
+        if name in ("format_type", "pg_get_viewdef", "pg_get_constraintdef"):
+            return "CAST(NULL AS STRING)"  # oid-model lookups: no oids here
+        return "CAST(NULL AS STRING)"
+    if name in _MACRO_STR and (n == 0 or (n == 1 and not a[0])):
+        return lit(_MACRO_STR[name])
+    if name in ("pg_conf_load_time", "pg_postmaster_start_time") and (
+        n == 0 or (n == 1 and not a[0])
+    ):
+        return "current_timestamp()"  # DuckDB's own body IS current_timestamp
+    if name == "pg_my_temp_schema" and (n == 0 or (n == 1 and not a[0])):
+        return "CAST(0 AS INT)"
+    if name == "pg_is_other_temp_schema" and n == 1:
+        return "false"
+    if name == "pg_get_expr" and n == 2:
+        return f"({a[0]})"  # body: returns the node tree verbatim
+    if name == "pg_typeof" and n == 1:
+        # body: lower(typeof(x)) — typeof prints DuckDB spellings
+        return f"lower(duckdb_typeof_name(typeof\x02({a[0]})))"
+    if name == "format_pg_type" and n == 2:
+        whens = " ".join(
+            f"WHEN upper({a[0]}) = {lit(k)} THEN {lit(v)}" for k, v in _PG_TYPE_MAP
+        )
+        return f"CASE {whens} ELSE lower({a[0]}) END"
+    if name == "map_to_pg_oid" and n == 1:
+        whens = " ".join(
+            f"WHEN ({a[0]}) = {lit(k)} THEN {v}" for k, v in _PG_OID_MAP
+        )
+        return f"CASE {whens} ELSE CAST(NULL AS INT) END"
+    if name == "get_block_size" and n == 1:
+        # pragma_database_size: the in-memory database reports 0 blocks;
+        # unknown names yield the empty-subquery NULL (both probed)
+        return (
+            f"CASE WHEN ({a[0]}) = {lit('memory')} THEN CAST(0 AS BIGINT) "
+            f"ELSE CAST(NULL AS BIGINT) END"
+        )
+    if name in ("pg_size_pretty", "format_bytes") and n == 1:
+        return _format_bytes_emit(a[0], lit)
+    if name in _LIST_AGG_MACROS and n == 1:
+        return _fn_gap_emit("list_aggregate", [a[0], lit(name[5:])], lit, parts)
+    if name == "geometric_mean" and n == 1:
+        return _fn_gap_emit("geomean", [a[0]], lit, parts)
+    if name == "count_if" and n == 1:
+        # body: sum(CASE WHEN (x) THEN 1 ELSE 0 END); numeric conditions
+        # are nonzero-true (count_if(7) = 1 measured) — CAST AS BOOLEAN
+        # carries both; empty/all-null groups -> 0
+        return (
+            f"CAST(coalesce(sum(CASE WHEN CAST({a[0]} AS BOOLEAN) "
+            f"THEN 1 ELSE 0 END), 0) AS BIGINT)"
+        )
+    if name == "date_add" and n == 2:
+        # body: date + "interval", literally. DuckDB types DATE + INTERVAL
+        # as TIMESTAMP (measured, even day-only intervals); Spark's +
+        # keeps DATE for day-only — cast when the addend is
+        # interval-shaped, plain + otherwise (ints, lists via ||-class)
+        if re.match(r"(?:INTERVAL\b|make_interval\s*\()", a[1], re.IGNORECASE):
+            return f"CAST(({a[0]}) + ({a[1]}) AS TIMESTAMP)"
+        return f"(({a[0]}) + ({a[1]}))"
+    if name == "array_prepend" and n == 2:
+        # DuckDB arg order is (element, list); Spark's is (array, element)
+        return f"array_prepend\x02({a[1]}, {a[0]})"
+    if name == "array_push_back" and n == 2:
+        return f"concat\x02({a[0]}, array({a[1]}))"
+    if name == "array_push_front" and n == 2:
+        return f"concat\x02(array({a[1]}), {a[0]})"
+    if name in ("list_has_any", "array_has_any") and n == 2:
+        # body: NULL list -> NULL, else true iff a non-null element of l1
+        # is in l2 (null elements never match; arrays_overlap's NULL
+        # result in that shape folds to false)
+        return (
+            f"CASE WHEN ({a[0]}) IS NULL OR ({a[1]}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+            f"ELSE coalesce(arrays_overlap\x02({a[0]}, {a[1]}), false) END"
+        )
+    if name == "json_group_array" and n == 1:
+        # body: to_json(list(x)) — struct-wrap keeps NULL elements
+        return (
+            f"to_json\x02(transform\x02(collect_list(named_struct({lit('v')}, {a[0]})), "
+            f"__s -> __s.v))"
+        )
+    if name == "json_group_object" and n == 2:
+        # body: to_json(map(list(k), list(v))) — one struct collect keeps
+        # the k/v pairs aligned under NULLs
+        return (
+            f"to_json\x02(map_from_entries(collect_list("
+            f"struct(CAST({a[0]} AS STRING) AS key, {a[1]} AS value))))"
+        )
+    if name == "json_group_structure" and n == 1:
+        # body: json_structure(json_group_array(x)) -> '0'. The operand is
+        # JSON text in this dialect (the JSON type maps to STRING), so the
+        # elements PARSE into the group array — DuckDB's JSON-typed
+        # json_group_array does the same; the arrow keeps JSON typing, so
+        # scalar structures stay quoted ('"UBIGINT"').
+        garr = (
+            f"to_json\x02(transform\x02(collect_list(named_struct({lit('v')}, "
+            f"try_parse_json(CAST({a[0]} AS STRING)))), __s -> __s.v))"
+        )
+        return (
+            f"to_json\x02(variant_get(try_parse_json(json_structure\x02({garr})), "
+            f"{lit('$[0]')}))"
+        )
+    if name == "generate_subscripts" and n == 2:
+        if a[1].strip() != "1":
+            raise NotImplementedError(
+                "generate_subscripts: only dimension 1 (no multidim arrays)"
+            )
+        return f"explode\x02(sequence(1, size({a[0]})))"
+    if name == "regexp_split_to_table" and n == 2:
+        return f"explode\x02(split({a[0]}, {a[1]}))"
     if n == 1 and a and a[0].startswith(_TIME_MARK) and name in (
         "hour", "minute", "second", "millisecond", "microsecond",
         "epoch", "epoch_ms", "epoch_us", "epoch_ns",
@@ -2569,7 +2766,13 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
     if name == "json_array":
         return f"to_json\x02(array({', '.join(a)}))"
     if name == "json" and n == 1:
-        # parse + minify, DuckDB's json() normalizer
+        # parse + minify, DuckDB's json() normalizer; a LIST/STRUCT operand
+        # serializes instead (json([1,2,3]) = '[1,2,3]', measured — r14
+        # macro sweep; the macro body json_extract(x, '$') casts through)
+        if _looks_listy(a[0]) or re.match(
+            r"named_struct[\x02]?\s*\(", a[0], re.IGNORECASE
+        ):
+            return f"to_json\x02({a[0]})"
         return f"to_json\x02(try_parse_json({a[0]}))"
     if name in ("json_transform", "json_transform_strict", "from_json",
                 "from_json_strict") and n == 2:
@@ -2657,7 +2860,7 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
     if name in ("ltrim", "rtrim", "trim"):
         return f"{name}\x02({a[1]}, {a[0]})" if n == 2 else None
     if name == "list_prepend" and n == 2:
-        return f"array_prepend({a[1]}, {a[0]})"
+        return f"array_prepend\x02({a[1]}, {a[0]})"
     if name == "list_slice" and n == 3:
         return f"slice({a[0]}, {a[1]}, ({a[2]}) - ({a[1]}) + 1)"
     if name in ("list_sum", "list_avg") and n == 1:
@@ -2674,10 +2877,18 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
             return s
         return f"({s} / nullif(size({fl}), 0))"
     if name in ("list_has_all", "array_has_all") and n == 2:
-        return f"(size(array_except({a[1]}, {a[0]})) = 0)"
+        # exact macro body (r14 sweep): NULL list -> NULL; true iff every
+        # NON-NULL element of l2 is in l1 (null elements ignored; [] and
+        # all-null l2 are vacuously true — measured [1,2] @> [2,NULL])
+        return (
+            f"CASE WHEN ({a[0]}) IS NULL OR ({a[1]}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+            f"WHEN size(filter\x02({a[1]}, __h -> array_contains({a[0]}, __h))) "
+            f"= size(filter\x02({a[1]}, __h -> __h IS NOT NULL)) "
+            f"THEN true ELSE false END"
+        )
     if name == "list_any_value" and n == 1:
         return f"try_element_at(array_compact({a[0]}), 1)"
-    if name in ("list_aggregate", "list_aggr") and n == 2:
+    if name in ("list_aggregate", "list_aggr") and n in (2, 3):
         mm = re.fullmatch(r"\x00(\d+)\x00", a[1])
         if not mm:
             raise ValueError("list_aggregate needs a literal function name")
@@ -2691,13 +2902,126 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
         if agg == "max":
             return f"array_max({a[0]})"
         if agg == "count":
-            return f"size(array_compact({a[0]}))"
+            return f"CAST(size(array_compact({a[0]})) AS BIGINT)"
         if agg in ("any_value", "arbitrary"):
             return f"try_element_at(array_compact({a[0]}), 1)"  # NULL-skipping
         if agg == "first":
             return f"try_element_at({a[0]}, 1)"  # positional, nulls included
         if agg == "last":
             return f"try_element_at({a[0]}, greatest(size({a[0]}), 1))"
+        # ---- round-14 macro-registry sweep batch (reference: the public
+        # macro_definition bodies in duckdb_functions() — every list_<agg>
+        # macro is list_aggr(l, '<agg>'); semantics probed per aggregate,
+        # null-skipping via array_compact, empty -> NULL except count) ----
+        nn = f"array_compact({a[0]})"
+        if agg == "product":
+            # DOUBLE result; [] -> NULL, [2,NULL,4] -> 8.0 (measured)
+            return _let(nn, lambda v: (
+                f"CASE WHEN size({v}) = 0 THEN CAST(NULL AS DOUBLE) "
+                f"ELSE aggregate\x02({v}, CAST(1.0 AS DOUBLE), "
+                f"(__a, __x) -> __a * CAST(__x AS DOUBLE)) END"
+            ))
+        if agg in ("bit_and", "bit_or", "bit_xor"):
+            # '^' is DuckDB power (rewrite_power owns it): xor spells as
+            # (a|b) - (a&b); BIGINT accumulator keeps the fold type-stable
+            step = {"bit_and": "__a & __x", "bit_or": "__a | __x",
+                    "bit_xor": "(__a | __x) - (__a & __x)"}[agg]
+            return _let(f"transform\x02({nn}, __e -> CAST(__e AS BIGINT))",
+                        lambda v: (
+                f"CASE WHEN size({v}) = 0 THEN try_element_at({v}, 1) "
+                f"ELSE aggregate\x02(slice({v}, 2, size({v}) - 1), "
+                f"try_element_at({v}, 1), (__a, __x) -> {step}) END"
+            ))
+        if agg == "bool_and":
+            return _let(nn, lambda v: (
+                f"CASE WHEN size({v}) = 0 THEN CAST(NULL AS BOOLEAN) "
+                f"ELSE forall\x02({v}, __x -> __x) END"
+            ))
+        if agg == "bool_or":
+            return _let(nn, lambda v: (
+                f"CASE WHEN size({v}) = 0 THEN CAST(NULL AS BOOLEAN) "
+                f"ELSE exists\x02({v}, __x -> __x) END"
+            ))
+        if agg == "string_agg":
+            sep = a[2] if n == 3 else lit(",")
+            return (
+                f"array_join(transform\x02({nn}, "
+                f"__x -> CAST(__x AS STRING)), {sep})"
+            )
+        if agg == "approx_count_distinct":
+            # exact distinct count — row-local lists are small; the HLL
+            # sketch value class is a documented non-goal
+            return f"CAST(size(array_distinct\x02({nn})) AS BIGINT)"
+        if agg == "median":
+            # same dispatch as the aggregate median emit: DECIMAL elements
+            # take the DISCRETE lower-middle, everything else interpolates
+            t = f"typeof\x02(try_element_at({a[0]}, 1))"
+
+            def lmed(v: str) -> str:
+                disc = (
+                    f"CASE WHEN size({v}) = 0 THEN CAST(NULL AS DOUBLE) ELSE "
+                    f"try_element_at({v}, greatest(CAST(ceil(0.5D * size({v})) AS INT), 1)) END"
+                )
+                return (
+                    f"CASE WHEN {t} LIKE {lit('decimal%')} THEN {disc} "
+                    f"ELSE {_array_cont_emit(v)} END"
+                )
+
+            return _let(
+                f"array_sort\x02(transform\x02({nn}, __e -> CAST(__e AS DOUBLE)))",
+                lmed,
+            )
+        if agg == "mad":
+            t = f"typeof\x02(try_element_at({a[0]}, 1))"
+
+            def lmad(v: str) -> str:
+                med = _array_cont_emit(v)
+                dev = _let(
+                    med,
+                    lambda m: f"array_sort\x02(transform\x02({v}, __d -> abs(__d - {m})))",
+                )
+                raw = _array_cont_emit(dev)
+                return _let(raw, lambda r: _dec_trunc_emit(r, t, lit))
+
+            return _let(
+                f"array_sort\x02(transform\x02({nn}, __e -> CAST(__e AS DOUBLE)))",
+                lmad,
+            )
+        if agg == "entropy":
+            return _let(f"array_sort\x02({nn})",
+                        lambda v: _entropy_body(v, lit))
+        if agg == "histogram":
+            return _let(nn, lambda v: _hist_body(v))
+        if agg == "mode":
+            # most frequent element via a run-length fold over the sorted
+            # list; ties resolve to the smallest value (tie order is a
+            # documented non-goal, same as the aggregate mode)
+            def lmode(v: str) -> str:
+                pk, rk, bk, bv = lit("p"), lit("r"), lit("b"), lit("v")
+                init = (
+                    f"named_struct({pk}, try_element_at({v}, 1), "
+                    f"{rk}, CAST(1 AS BIGINT), {bk}, CAST(1 AS BIGINT), "
+                    f"{bv}, try_element_at({v}, 1))"
+                )
+                merge = (
+                    f"(__st, __e) -> CASE WHEN __e <=> __st.p THEN "
+                    f"named_struct({pk}, __st.p, {rk}, __st.r + CAST(1 AS BIGINT), "
+                    f"{bk}, CASE WHEN __st.r + 1 > __st.b THEN __st.r + CAST(1 AS BIGINT) ELSE __st.b END, "
+                    f"{bv}, CASE WHEN __st.r + 1 > __st.b THEN __st.p ELSE __st.v END) "
+                    f"ELSE named_struct({pk}, __e, {rk}, CAST(1 AS BIGINT), "
+                    f"{bk}, __st.b, {bv}, __st.v) END"
+                )
+                return (
+                    f"CASE WHEN size({v}) = 0 THEN try_element_at({v}, 1) ELSE "
+                    f"aggregate\x02(slice({v}, 2, size({v}) - 1), {init}, {merge}, "
+                    f"__st -> __st.v) END"
+                )
+
+            return _let(f"array_sort\x02({nn})", lmode)
+        if agg in ("stddev_samp", "stddev_pop", "stddev", "var_samp",
+                   "var_pop", "variance", "sem", "skewness", "kurtosis",
+                   "kurtosis_pop"):
+            return _list_moments_emit(nn, agg, lit)
         raise ValueError(f"list_aggregate: unsupported function {agg!r}")
     if name == "list_distinct" and n == 1:
         return f"array_distinct\x02(array_compact({a[0]}))"
@@ -2969,6 +3293,138 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
     return None
 
 
+def _entropy_body(v: str, lit) -> str:
+    """Shannon entropy over a SORTED null-free array text ``v`` (log2,
+    empty/single = 0.0, all measured): one O(n) run-length fold."""
+    p, r, c = lit("prev"), lit("run"), lit("acc")
+    fin = "__st -> __st.acc + __st.run * log2(__st.run)"
+    merge = (
+        f"(__st, __e) -> CASE WHEN __e <=> __st.prev "
+        f"THEN named_struct({p}, __st.prev, {r}, __st.run + CAST(1 AS BIGINT), {c}, __st.acc) "
+        f"ELSE named_struct({p}, __e, {r}, CAST(1 AS BIGINT), "
+        f"{c}, __st.acc + __st.run * log2(__st.run)) END"
+    )
+    init = (
+        f"named_struct({p}, try_element_at({v}, 1), "
+        f"{r}, CAST(1 AS BIGINT), {c}, CAST(0.0 AS DOUBLE))"
+    )
+    bits = f"aggregate(slice({v}, 2, size({v}) - 1), {init}, {merge}, {fin})"
+    return (
+        f"CASE WHEN size({v}) <= 1 THEN CAST(0.0 AS DOUBLE) "
+        f"ELSE log2(size({v})) - ({bits}) / size({v}) END"
+    )
+
+
+def _hist_body(v: str) -> str:
+    """MAP(value -> BIGINT count), keys sorted, over a null-free array
+    text ``v`` (DuckDB histogram shape, measured)."""
+    ks = f"array_sort\x02(array_distinct\x02({v}))"
+    return _let(
+        ks,
+        lambda k: (
+            f"map_from_arrays({k}, transform\x02({k}, "
+            f"__v -> CAST(size(filter\x02({v}, __e -> __e <=> __v)) AS BIGINT)))"
+        ),
+    )
+
+
+def _list_moments_emit(nn: str, agg: str, lit) -> str:
+    """Moment-based list statistics (round-14 macro sweep): TWO-pass —
+    mean first, then one aggregate() folds the CENTRAL sums (n, Σd², Σd³,
+    Σd⁴), which keeps large-mean inputs out of catastrophic cancellation
+    (the one-pass Σx² form loses ~all variance precision at mean ~1e9).
+    Sample corrections match DuckDB's aggregates (probed: skewness
+    g1·√(n(n-1))/(n-2) NULL below n=3, kurtosis ((n+1)g2+6)(n-1)/
+    ((n-2)(n-3)) NULL below n=4, kurtosis_pop = g2, sem = √(m2/n),
+    zero variance -> NULL)."""
+    k2, k3, k4 = lit("d2"), lit("d3"), lit("d4")
+    z = "CAST(0.0 AS DOUBLE)"
+
+    def with_mean(dv: str) -> str:
+        mu = f"try_divide(aggregate\x02({dv}, {z}, (__a, __x) -> __a + __x), size({dv}))"
+
+        def with_moments(mu_v: str) -> str:
+            init = f"named_struct({k2}, {z}, {k3}, {z}, {k4}, {z})"
+            step = (
+                f"(__m, __x) -> named_struct("
+                f"{k2}, __m.d2 + (__x - {mu_v}) * (__x - {mu_v}), "
+                f"{k3}, __m.d3 + (__x - {mu_v}) * (__x - {mu_v}) * (__x - {mu_v}), "
+                f"{k4}, __m.d4 + (__x - {mu_v}) * (__x - {mu_v}) * (__x - {mu_v}) * (__x - {mu_v}))"
+            )
+            mom = f"aggregate\x02({dv}, {init}, {step})"
+
+            def body(m: str) -> str:
+                n = f"CAST(size({dv}) AS DOUBLE)"
+                m2 = f"({m}.d2 / {n})"
+                var_samp = f"({m}.d2 / ({n} - 1.0D))"
+                m3c = f"({m}.d3 / {n})"
+                m4c = f"({m}.d4 / {n})"
+                g2 = f"({m4c} / ({m2} * {m2}) - 3.0D)"
+                null = "CAST(NULL AS DOUBLE)"
+                if agg == "var_pop":
+                    return f"CASE WHEN {n} < 1 THEN {null} ELSE {m2} END"
+                if agg in ("var_samp", "variance"):
+                    return f"CASE WHEN {n} < 2 THEN {null} ELSE {var_samp} END"
+                if agg == "stddev_pop":
+                    return f"CASE WHEN {n} < 1 THEN {null} ELSE sqrt({m2}) END"
+                if agg in ("stddev_samp", "stddev"):
+                    return f"CASE WHEN {n} < 2 THEN {null} ELSE sqrt({var_samp}) END"
+                if agg == "sem":
+                    return f"CASE WHEN {n} < 1 THEN {null} ELSE sqrt({m2} / {n}) END"
+                if agg == "skewness":
+                    return (
+                        f"CASE WHEN {n} < 3 OR {m2} <= 0.0D THEN {null} "
+                        f"ELSE ({m3c} / power({m2}, 1.5D)) "
+                        f"* sqrt({n} * ({n} - 1.0D)) / ({n} - 2.0D) END"
+                    )
+                if agg == "kurtosis_pop":
+                    return (
+                        f"CASE WHEN {n} < 1 OR {m2} <= 0.0D THEN {null} "
+                        f"ELSE {g2} END"
+                    )
+                # kurtosis (sample-corrected)
+                return (
+                    f"CASE WHEN {n} < 4 OR {m2} <= 0.0D THEN {null} "
+                    f"ELSE (({n} + 1.0D) * {g2} + 6.0D) * ({n} - 1.0D) "
+                    f"/ (({n} - 2.0D) * ({n} - 3.0D)) END"
+                )
+
+            return _let(mom, body)
+
+        return _let(mu, with_moments)
+
+    return _let(f"transform\x02({nn}, __e -> CAST(__e AS DOUBLE))", with_mean)
+
+
+def _format_bytes_emit(x: str, lit) -> str:
+    """DuckDB format_bytes / pg_size_pretty (probed): < 1 KiB renders
+    'N bytes' ('1 byte' singular); otherwise the value first
+    integer-truncates to the PREVIOUS unit, then divides by 1024 and
+    truncates to ONE decimal (1677722 B = 1.60000 MiB renders '1.5 MiB'
+    because 1677722>>10 = 1638 KiB and 1638/1024 = 1.5996 -> 1.5 —
+    measured, along with 1234567 -> '1.1 MiB', -2048 -> '-2.0 KiB')."""
+    def body(b: str) -> str:
+        whens = []
+        for unit, k in (("PiB", 5), ("TiB", 4), ("GiB", 3), ("MiB", 2),
+                        ("KiB", 1)):
+            # CAST\x02: these TRUNCATE (C semantics); the dialect-wide
+            # integer-cast ROUNDING dispatch must not touch them
+            pre = f"CAST\x02(CAST({b} AS DOUBLE) / {1024 ** (k - 1)} AS BIGINT)"
+            val = (f"(CAST(CAST\x02(CAST({pre} AS DOUBLE) / 1024.0D * 10 AS BIGINT) "
+                   f"AS DOUBLE) / 10.0D)")
+            whens.append(
+                f"WHEN abs({b}) >= {1024 ** k} THEN "
+                f"format_string({lit('%.1f ' + unit)}, {val})"
+            )
+        return (
+            "CASE " + " ".join(whens)
+            + f" ELSE concat(CAST({b} AS STRING), CASE WHEN abs({b}) = 1 "
+            + f"THEN {lit(' byte')} ELSE {lit(' bytes')} END) END"
+        )
+
+    return _let(f"CAST({x} AS BIGINT)", body)
+
+
 def _holistic_approx_acc() -> int | None:
     """The percentile-family scale path (round 14, VERDICT r13 missing #1):
     exact holistic aggregates collect every group — correct, but measured
@@ -3021,41 +3477,12 @@ def _holistic_emit(name: str, a: list[str], lit, over: str) -> str | None:
         # O(n) lambda pass; the first cut's per-distinct filter() was
         # O(d·n) of interpreted higher-order calls and dominated the wall
         # at scale (BASELINE round-13 session 2).
-        def ent(v: str) -> str:
-            p, r, c = lit("prev"), lit("run"), lit("acc")
-            fin = "__st -> __st.acc + __st.run * log2(__st.run)"
-            merge = (
-                f"(__st, __e) -> CASE WHEN __e <=> __st.prev "
-                f"THEN named_struct({p}, __st.prev, {r}, __st.run + CAST(1 AS BIGINT), {c}, __st.acc) "
-                f"ELSE named_struct({p}, __e, {r}, CAST(1 AS BIGINT), "
-                f"{c}, __st.acc + __st.run * log2(__st.run)) END"
-            )
-            init = (
-                f"named_struct({p}, try_element_at({v}, 1), "
-                f"{r}, CAST(1 AS BIGINT), {c}, CAST(0.0 AS DOUBLE))"
-            )
-            bits = (
-                f"aggregate(slice({v}, 2, size({v}) - 1), {init}, {merge}, {fin})"
-            )
-            return (
-                f"CASE WHEN size({v}) <= 1 THEN CAST(0.0 AS DOUBLE) "
-                f"ELSE log2(size({v})) - ({bits}) / size({v}) END"
-            )
-
-        return _let(f"array_sort\x02(collect_list({a[0]}){over})", ent)
+        return _let(f"array_sort\x02(collect_list({a[0]}){over})",
+                    lambda v: _entropy_body(v, lit))
     if name == "histogram" and n == 1:
         # MAP(value -> BIGINT count), keys sorted, NULLs excluded (measured)
-        def hist(v: str) -> str:
-            ks = f"array_sort\x02(array_distinct\x02({v}))"
-            return _let(
-                ks,
-                lambda k: (
-                    f"map_from_arrays({k}, transform\x02({k}, "
-                    f"__v -> CAST(size(filter\x02({v}, __e -> __e <=> __v)) AS BIGINT)))"
-                ),
-            )
-
-        return _let(f"collect_list({a[0]}){over}", hist)
+        return _let(f"collect_list({a[0]}){over}",
+                    lambda v: _hist_body(v))
     if name == "median" and n == 1:
         # DuckDB median over DECIMAL is the DISCRETE lower-middle element
         # (measured 1.5 over [-2.5, 1.5, 4.0, 8.5] at EVERY width), while
@@ -4725,6 +5152,79 @@ def _bit_binary_emit(a: str, b: str, op: str, lit) -> str:
     )
 
 
+#: list containment operators (round-14 macro sweep; the registry defines
+#: them as macros: a && b := list_has_any(a, b), a @> b := list_has_all(a,
+#: b), a <@ b := list_has_all(b, a)). Runs FIRST in the pipeline — before
+#: rewrite_bit_ops, whose @-abs rule would otherwise consume the '@' of
+#: '<@'. Operands: bracket literals, placeholders, identifiers/calls, or
+#: parenthesized expressions.
+_LIST_SETOP_RE = re.compile(r"&&|<@|@>")
+
+
+def _setop_right_operand(sql: str, j: int) -> int | None:
+    """End index (exclusive) of the operand starting at ``j`` (spaces
+    skipped by the caller)."""
+    if j < len(sql) and sql[j] in "([":
+        close = ")" if sql[j] == "(" else "]"
+        return _balanced_span(sql, j, sql[j], close)
+    m = re.match(r"\x00\d+\x00|[\w.]+", sql[j:])
+    if not m:
+        return None
+    end = j + m.end()
+    k = end
+    while k < len(sql) and sql[k] == " ":
+        k += 1
+    if k < len(sql) and sql[k] == "(":  # function call
+        return _balanced_span(sql, k)
+    if end < len(sql) and sql[end] == "[":  # subscript / bracket literal
+        return _balanced_span(sql, end, "[", "]")
+    return end
+
+
+def rewrite_list_set_ops(sql: str) -> str:
+    while True:
+        m = _LIST_SETOP_RE.search(sql)
+        if not m:
+            return sql
+        op = m.group(0)
+        # left operand: walk back over spaces, then a bracket span (with
+        # an optional identifier head: a[1]) or the generic operand walker
+        le = m.start()
+        while le > 0 and sql[le - 1] == " ":
+            le -= 1
+        if le > 0 and sql[le - 1] == "]":
+            depth, jj = 0, le - 1
+            while jj >= 0:
+                if sql[jj] == "]":
+                    depth += 1
+                elif sql[jj] == "[":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                jj -= 1
+            ls = jj
+            while ls > 0 and (sql[ls - 1].isalnum() or sql[ls - 1] in "_."):
+                ls -= 1
+        else:
+            ls = _operand_start(sql, le)
+        if ls >= le:
+            raise ValueError(f"cannot parse left operand of {op!r} at {m.start()}")
+        rs = m.end()
+        while rs < len(sql) and sql[rs] == " ":
+            rs += 1
+        re_ = _setop_right_operand(sql, rs)
+        if re_ is None:
+            raise ValueError(f"cannot parse right operand of {op!r} at {m.end()}")
+        left, right = sql[ls:le], sql[rs:re_]
+        if op == "&&":
+            rep = f"list_has_any({left}, {right})"
+        elif op == "@>":
+            rep = f"list_has_all({left}, {right})"
+        else:  # <@ : contained-by
+            rep = f"list_has_all({right}, {left})"
+        sql = sql[:ls] + rep + sql[re_:]
+
+
 def rewrite_bit_ops(sql: str, _parts: list[str] | None = None) -> str:
     if _parts is None:
         return sql
@@ -4853,7 +5353,8 @@ def rewrite_blob_literals(sql: str, _parts: list[str] | None = None) -> str:
 
 
 REWRITES = [
-    rewrite_bit_ops,  # FIRST: needs the BIT 'digits' spelling blob_literals consumes
+    rewrite_list_set_ops,  # FIRST: before bit_ops' @-abs rule eats '<@'
+    rewrite_bit_ops,  # needs the BIT 'digits' spelling blob_literals consumes
     rewrite_blob_literals,
     rewrite_from_first,
     rewrite_trailing_commas,

@@ -1654,3 +1654,57 @@ def dialect_holistic_approx(spark, sf_dir):
         return sqlx.sql(spark, _HOLISTIC_APPROX_SPARK_SQL)
     finally:
         sqlx.sql(spark, "SET holistic_exact = true")
+
+
+_MACRO_REGISTRY_SQL = """
+SELECT l_orderkey, l_linenumber,
+       list_median([l_quantity, l_quantity + 5, l_quantity * 2]) AS med,
+       round(list_mad([l_quantity, l_quantity + 5, l_quantity * 2]), 6) AS mad_v,
+       list_mode([CAST(l_linenumber % 3 AS BIGINT), 1, 1]) AS mode_v,
+       round(list_entropy([CAST(l_linenumber % 2 AS BIGINT), 1, 0]), 9) AS ent,
+       CAST(list_count([l_quantity, NULL, 3]) AS BIGINT) AS cnt,
+       list_first([NULL, l_quantity, 1]) AS fst,
+       list_last([l_quantity, NULL]) AS lst,
+       list_product([l_quantity, 2.0]) AS prod,
+       CAST(list_bit_and([CAST(l_linenumber + 4 AS BIGINT), 6]) AS BIGINT) AS band,
+       CAST(list_bit_xor([CAST(l_linenumber AS BIGINT), 5]) AS BIGINT) AS bxor,
+       list_bool_and([l_quantity > 0, l_linenumber < 100]) AS ball,
+       list_bool_or([l_quantity < 0, NULL]) AS bany,
+       list_string_agg([l_linenumber, 7]) AS sagg,
+       CAST(list_approx_count_distinct([l_linenumber, l_linenumber, 9]) AS BIGINT) AS acd,
+       round(list_stddev_samp([l_quantity, l_quantity + 2, l_quantity + 7]), 9) AS sds,
+       round(list_var_pop([l_quantity, l_quantity + 2, l_quantity + 7]), 9) AS vp,
+       round(list_sem([l_quantity, l_quantity + 2, l_quantity + 7]), 9) AS semv,
+       round(list_skewness([l_quantity, l_quantity + 2, l_quantity + 9]), 9) AS skw,
+       round(list_kurtosis([l_quantity, l_quantity + 2, l_quantity + 9, l_quantity * 2]), 9) AS kurt,
+       [CAST(l_linenumber AS BIGINT), 2] && [2, 9] AS hasany,
+       [1, 2, 3] @> [3, CAST(l_linenumber % 3 AS BIGINT)] AS hasall,
+       [CAST(l_linenumber % 2 AS BIGINT)] <@ [0, 1, 2] AS containedby,
+       pg_typeof(l_orderkey) AS pt,
+       format_pg_type('BIGINT', 'x') AS fpt,
+       pg_size_pretty(CAST(l_orderkey * 7919 AS BIGINT)) AS psp,
+       map_to_pg_oid('bigint') AS poid,
+       has_table_privilege('t', 'select') AS htp,
+       pg_table_is_visible(1) AS ptv,
+       current_role() AS cr,
+       json([l_linenumber, 2]) AS jl
+FROM lineitem WHERE l_orderkey % 211 = 0
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@query("dialect_macro_registry", oracle=_MACRO_REGISTRY_SQL)
+def dialect_macro_registry(spark, sf_dir):
+    """Round-14 macro-registry sweep (VERDICT r13 next #7; reference: the
+    PUBLIC macro bodies in duckdb_functions().macro_definition — 118
+    macros, scripts/registry_sweep.py compares every one): the
+    list_<agg> family (sorted-array medians/mad/mode/entropy, two-pass
+    central-moment statistics, bit/bool folds, null-positional
+    first/last), the list containment OPERATORS && / @> / <@ (macro
+    bodies list_has_any/list_has_all with their exact NULL rules), the
+    pg_catalog compat stubs (privilege/visibility constants, pg_typeof
+    over DuckDB type spellings, format_pg_type/map_to_pg_oid CASE
+    tables, format_bytes' truncated binary units), and json() over list
+    operands. Same SQL is the oracle."""
+    _views(spark, sf_dir, "lineitem")
+    return sqlx.sql(spark, _MACRO_REGISTRY_SQL)

@@ -2327,3 +2327,56 @@ def test_gamma_pole_semantics_round14(spark):
         sqlx.sql(spark, "SELECT gamma(0.0) AS g").collect()
     with pytest.raises(Exception, match="log gamma of zero"):
         sqlx.sql(spark, "SELECT lgamma(0.0) AS g").collect()
+
+
+def test_macro_registry_round14(spark):
+    """Round-14 macro-registry sweep (scripts/registry_sweep.py runs all
+    118; this pins the batch's load-bearing shapes against DuckDB):
+    list_<agg> family incl. two-pass moments and bit/bool folds, the
+    && / @> / <@ containment operators with their NULL rules, count_if
+    over numeric conditions, json group aggregates, format_bytes'
+    integer-shift truncation, and the pg compat tables."""
+    import duckdb
+
+    from duckdb_parachute_spark import sqlx
+
+    con = duckdb.connect()
+    cases = [
+        "SELECT list_median([1,2,4,8]) AS r",
+        "SELECT list_mad([1.0,5.0,9.0]) AS r",
+        "SELECT list_mode([1,2,2,3]) AS r",
+        "SELECT round(list_entropy([1,1,2]), 9) AS r",
+        "SELECT CAST(list_count([1,NULL,3]) AS BIGINT) AS r, list_first([NULL,2]) AS f, list_last([1,NULL]) AS l",
+        "SELECT list_product([2,NULL,4]) AS r, list_product([]) AS e",
+        "SELECT CAST(list_bit_and([6,3]) AS BIGINT) AS a, CAST(list_bit_xor([5,3]) AS BIGINT) AS x",
+        "SELECT list_bool_and([1=1, NULL]) AS a, list_bool_or([1=2, NULL]) AS o",
+        "SELECT list_string_agg([1,NULL,2]) AS r, array_to_string([1,NULL,2], '-') AS s",
+        "SELECT round(list_stddev_samp([1,2,3,4]), 9) AS a, round(list_var_pop([1,2,3,4]), 9) AS b, "
+        "round(list_sem([1,2,3,4]), 9) AS c",
+        "SELECT round(list_skewness([1.0,2.0,2.0,9.0]), 9) AS s, round(list_kurtosis([1.0,2.0,2.0,9.0]), 9) AS k, "
+        "round(list_kurtosis_pop([1.0,2.0,2.0,9.0]), 9) AS kp",
+        "SELECT list_skewness([1.0,2.0]) AS s, list_kurtosis([1.0,2.0,3.0]) AS k",
+        # large-mean variance: the two-pass central moments keep precision
+        "SELECT round(list_var_samp([1000000001.0, 1000000002.0, 1000000003.0]), 6) AS r",
+        "SELECT [1,2] && [2,3] AS a, [1,2] && [3,4] AS b, [1,NULL] && [NULL::INT] AS c",
+        "SELECT [1,2] <@ [2,1,4] AS a, [1,5] <@ [1,2] AS b, [1,2,3] @> [3,1] AS c, [1,2] @> [2,NULL] AS d",
+        "SELECT count_if(x) AS r FROM (VALUES (7),(0),(NULL),(2)) t(x)",
+        "SELECT json_group_array(x) AS r FROM (VALUES (1),(NULL),(2)) t(x)",
+        "SELECT json_group_object(k, v) AS r FROM (VALUES ('a',1),('b',2)) t(k,v)",
+        "SELECT format_bytes(CAST(1677722 AS BIGINT)) AS a, format_bytes(CAST(1 AS BIGINT)) AS b, "
+        "pg_size_pretty(CAST(-2048 AS BIGINT)) AS c",
+        "SELECT pg_typeof(7) AS a, pg_typeof([1]) AS b, format_pg_type('BIGINT', 'x') AS c, "
+        "map_to_pg_oid('bigint') AS d",
+        "SELECT has_table_privilege('t','select') AS a, pg_table_is_visible(1) AS b, current_role() AS c",
+        "SELECT generate_subscripts([7,8,9], 1) AS r",
+        "SELECT regexp_split_to_table('a1b2', '[0-9]') AS r",
+        "SELECT array_push_front([1,2], 5) AS a, array_prepend(0, [1,2]) AS b",
+        "SELECT json([1,2,3]) AS a, json('{\"a\":  1}') AS b",
+    ]
+    bad = []
+    for q in cases:
+        av = sorted(tuple(r) for r in sqlx.sql(spark, q).collect())
+        bv = sorted(con.execute(q).fetchall())
+        if av != bv:
+            bad.append((q, av, bv))
+    assert not bad, bad
