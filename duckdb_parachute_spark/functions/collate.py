@@ -172,6 +172,10 @@ class _LocaleSpec:
     #: declares Hebrew-before-Latin, so Hebrew letters map to weight chars
     #: below 'a' (the primary level is post-lower(), so A-Z are free).
     primary_translate: tuple[str, str] = field(default=("", ""))
+    #: regexp_replace applied FIRST, before tokenize (round 14, th): Thai
+    #: prevowels collate AFTER the consonant they precede — one regex swap
+    #: (single pass, non-overlapping, like ICU's own reorder scan).
+    pretransform: tuple[str, str] = field(default=("", ""))
 
 
 _LOCALES: dict[str, _LocaleSpec] = {
@@ -765,6 +769,67 @@ def _hebrew_spec() -> _LocaleSpec:
 _LOCALES["he"] = _hebrew_spec()
 
 
+def _thai_spec() -> _LocaleSpec:
+    """Thai (round 14, second non-Latin script): like 'he', CLDR 'th'
+    rides the DUCET fallback with a script REORDER (digits < Thai <
+    Latin) plus structural rules, every one probed on DuckDB's ICU:
+
+    * PREVOWELS เแโใไ collate AFTER the consonant they precede ('เก'
+      groups under ก) — one single-pass regex swap, non-overlapping like
+      ICU's own scan (so 'เเก' -> เกเ and 'เกเ' -> กเเ stay distinct,
+      matching the measured strict order).
+    * Consonants ก-ฮ in codepoint order (raw); vowels are PRIMARY in the
+      measured ladder ะ ั า ิ ี ึ ื ุ ู เ แ โ ใ ไ ฺ (phinthu LAST, after
+      the prevowels) — translated to a contiguous PUA run ABOVE raw
+      consonants, which also rescues the Mn vowels from the primary
+      accent-strip; Latin letters translate above the vowels.
+    * NIKHAHIT is a PRIMARY element slotted BETWEEN consonants and
+      vowels ('กํข' < 'กะข'), and ำ is the CONTRACTION [า, nikhahit] —
+      'กาข' < 'กำข' (ข < nikhahit) but 'กำa' < 'กาa' (nikhahit < Latin),
+      both measured; the explicit sequence ํ + า contracts identically
+      ('กําข' adjacent-below 'กำข', distinct only at tertiary).
+    * LAKKHANGYAO ๅ is primary-EQUAL to า with a secondary step after
+      ('กา' < 'กๅ' < any า+mark form).
+    * Tone/sign marks are SECONDARY in the measured ladder yamakkan <
+      thanthakhat < maitaikhu < mai ek..chattawa, positionally.
+    * Thai digits ๐-๙ EQUAL ASCII 0-9 at every strength ('๐' = '0'
+      probed TRUE) — aliased at all three levels.
+    * CLDR th is alternate=SHIFTED: the VARIABLE class (space,
+      punctuation, ฯ, ๆ — 'กฯ' = 'ก' probed TRUE) is ignorable at all
+      three strengths; bounded here to ASCII space+punctuation plus the
+      Thai signs (other scripts' punctuation stays raw, caveat)."""
+    cons_swap = ("([\u0e40-\u0e44])([\u0e01-\u0e2e])", "$2$1")
+    nik = "\ue1f0"  # the nikhahit primary element: consonants < it < vowels
+    vowel_ladder = [0x0E30, 0x0E31, 0x0E32, 0x0E34, 0x0E35, 0x0E36, 0x0E37,
+                    0x0E38, 0x0E39, 0x0E40, 0x0E41, 0x0E42, 0x0E43, 0x0E44,
+                    0x0E3A]
+    mark_ladder = [0x0E4E, 0x0E4C, 0x0E47, 0x0E48, 0x0E49, 0x0E4A, 0x0E4B]
+    thai_digits = "".join(chr(0x0E50 + i) for i in range(10))
+    digit_alias = tuple((chr(0x0E50 + i), str(i)) for i in range(10))
+    # the explicit-sequence contractions: ํ + า and (measured, seed-found)
+    # ํ + ๅ collate like ำ — the lakkhangyao variant keeps its secondary
+    am = (("ํา", "า" + nik), ("ํๅ", "า\ue8f0" + nik), ("ำ", "า" + nik))
+    variable = " !\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~" + "ฯๆ"
+    p_src = ("".join(chr(c) for c in vowel_ladder) + "ํ" + _LOWER + variable)
+    p_dst = ("".join(chr(0xE201 + i) for i in range(len(vowel_ladder)))
+             + nik + "".join(chr(0xE801 + i) for i in range(26)))
+    s_src = "".join(chr(c) for c in mark_ladder) + "ํ" + variable
+    s_dst = ("".join(chr(0xE901 + i) for i in range(len(mark_ladder))) + nik)
+    return _LocaleSpec(
+        pretransform=cons_swap,
+        primary=digit_alias + (("ํา", "า" + nik), ("ํๅ", "า" + nik), ("ำ", "า" + nik), ("ๅ", "า")),
+        primary_translate=(p_src, p_dst),
+        secondary=digit_alias + am + (("ๅ", "า\ue8f0"),),
+        secondary_translate=(s_src, s_dst),
+        # tertiary: digit aliases keep the full-strength tie; the variable
+        # class (past the dst end) deletes
+        tertiary=(thai_digits + variable, "0123456789"),
+    )
+
+
+_LOCALES["th"] = _thai_spec()
+
+
 def locale_collation_key(col: Column | str, locale: str) -> Column:
     """Three-level sort key reproducing DuckDB's ``COLLATE <locale>`` order
     (ICU, extension/icu/icu_extension.cpp) on the documented subset.
@@ -784,6 +849,8 @@ def locale_collation_key(col: Column | str, locale: str) -> Column:
             f"unsupported locale collation: {locale!r} (have {sorted(_LOCALES)})"
         ) from None
     tok = c
+    if spec.pretransform[0]:
+        tok = F.regexp_replace(tok, spec.pretransform[0], spec.pretransform[1])
     if spec.pretokenize:
         tok = F.regexp_replace(tok, spec.pretokenize, "\x1f$1\x1f")
     for pat, rep in spec.tokenize:

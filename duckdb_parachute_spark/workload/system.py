@@ -728,3 +728,56 @@ def collate_locale_he_rank(spark, sf_dir):
         df, [collate.locale_collation_key(F.col("s"), "he")], out="rnk"
     )
     return ranked.select("s", "rnk").orderBy("rnk", "s")
+
+
+@query(
+    "collate_locale_th_rank",
+    oracle="""
+    SELECT s, CAST(rank() OVER (ORDER BY s COLLATE th) AS BIGINT) AS rnk
+    FROM (
+        SELECT CASE p_partkey % 6
+                 WHEN 0 THEN translate(p_name, 'abcdefghij', 'กขฉชฌดตนบป')
+                 WHEN 1 THEN replace(replace(translate(p_name, 'abcdeg', 'กขคงจฉ'), 'ก', 'เก'), 'ข', 'ขำ')
+                 WHEN 2 THEN replace(replace(translate(p_name, 'abcde', 'กขคงจ'), 'ก', 'ก่า'), 'ค', 'คๅ')
+                 WHEN 3 THEN translate(p_name, 'aeiou', 'ะาิีู')
+                 WHEN 4 THEN replace(translate(p_name, '012345', '๐๑๒๓๔๕'), 'l', 'ฯ')
+                 ELSE p_name
+               END AS s
+        FROM part WHERE p_partkey % 9 = 0
+    )
+    ORDER BY rnk, s
+    """,
+)
+def collate_locale_th_rank(spark, sf_dir):
+    """ICU Thai collation (round 14 — the second non-Latin script): the
+    prevowel swap ('เก' under ก), sara-am/nikhahit contractions,
+    lakkhangyao's primary tie with sara aa, tone secondaries, Thai-digit
+    aliases to ASCII, and the alternate=shifted ignorables (ฯ). Branches
+    seed plain Thai, prevowel+sara-am words, tone+lakkhangyao words,
+    vowel runs, and Thai-digit/ฯ material. Ranked on
+    locale_collation_key('th') vs DuckDB's real ICU ``COLLATE th``."""
+    from duckdb_parachute_spark.functions.scalar import global_rank
+
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 9 == 0)
+    thai = F.translate(F.col("p_name"), "abcdefghij", "กขฉชฌดตนบป")
+    s = (
+        F.when(F.col("p_partkey") % 6 == 0, thai)
+        .when(F.col("p_partkey") % 6 == 1,
+              F.replace(F.replace(F.translate(F.col("p_name"), "abcdeg", "กขคงจฉ"),
+                                  F.lit("ก"), F.lit("เก")),
+                        F.lit("ข"), F.lit("ขำ")))
+        .when(F.col("p_partkey") % 6 == 2,
+              F.replace(F.replace(F.translate(F.col("p_name"), "abcde", "กขคงจ"),
+                                  F.lit("ก"), F.lit("ก่า")),
+                        F.lit("ค"), F.lit("คๅ")))
+        .when(F.col("p_partkey") % 6 == 3, F.translate(F.col("p_name"), "aeiou", "ะาิีู"))
+        .when(F.col("p_partkey") % 6 == 4,
+              F.replace(F.translate(F.col("p_name"), "012345", "๐๑๒๓๔๕"),
+                        F.lit("l"), F.lit("ฯ")))
+        .otherwise(F.col("p_name"))
+    )
+    df = p.select(s.alias("s"))
+    ranked = global_rank(
+        df, [collate.locale_collation_key(F.col("s"), "th")], out="rnk"
+    )
+    return ranked.select("s", "rnk").orderBy("rnk", "s")

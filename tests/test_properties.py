@@ -488,6 +488,12 @@ _LOCALE_ALPHABETS = {
     # non-canonical mark orders ICU normalizes away — the dedicated
     # canonical-syllable test below carries the mark material).
     "he": "אבגדהוזחטיכךלמםנןסעפףצץקרשתװױײ׳״־אבabZ09",
+    # round-14: Thai — prevowel swap, nikhahit/sara-am contractions,
+    # lakkhangyao ≡ sara-aa primary, digit aliases, alternate=shifted
+    # ignorables. Only ccc-0 material here (ั ิ-ื are ccc 0 and safe in
+    # any order); ุ ู ฺ and the tones live in the dedicated
+    # canonical-syllable test below.
+    "th": "กขจชฌดตนบปมยรฤลฦวศหฮะัาำิีึืเแโใไๅํฯๆ๐๕๙05abZ .",
 }
 
 
@@ -769,5 +775,76 @@ def test_he_collation_niqqud_canonical_matches_icu(spark, oracle, data):
     ours = [
         r["s"]
         for r in df.orderBy(locale_collation_key(F.col("s"), "he"), F.col("s")).collect()
+    ]
+    assert ours == icu
+
+
+_TH_CONS = [chr(c) for c in range(0x0E01, 0x0E2F)]
+_TH_VOWS = [chr(c) for c in list(range(0x0E30, 0x0E3B)) + [0x0E45]]
+_TH_PRE = [chr(c) for c in range(0x0E40, 0x0E45)]
+_TH_MARKS = [chr(c) for c in
+             [0x0E47, 0x0E48, 0x0E49, 0x0E4A, 0x0E4B, 0x0E4C, 0x0E4D, 0x0E4E]]
+
+
+@st.composite
+def _th_canonical_words(draw):
+    """Thai words whose combining runs are in CANONICAL (ccc) order — the
+    form real NFC text has; ICU normalizes mark runs before collating
+    (phinthu ccc=9 jumps before the ccc-103 vowels and ccc-107 tones), so
+    random mark orders would test the normalizer, not the collation."""
+    import unicodedata
+
+    out = []
+    for _ in range(draw(st.integers(1, 5))):
+        kind = draw(st.integers(0, 9))
+        if kind < 6:
+            if draw(st.booleans()):
+                out.append(draw(st.sampled_from(_TH_PRE)))
+            out.append(draw(st.sampled_from(_TH_CONS)))
+            if draw(st.booleans()):
+                out.append(draw(st.sampled_from(_TH_VOWS)))
+            if draw(st.booleans()):
+                out.append(draw(st.sampled_from(_TH_MARKS)))
+        elif kind < 8:
+            out.append(draw(st.sampled_from(list("๐๕๙05") + ["ฯ", "ๆ", " ", "."])))
+        else:
+            out.append(draw(st.sampled_from(list("abZ"))))
+    s = "".join(out)
+    run = []
+    for ch in s:  # raw-string check: NFD would reorder before comparing
+        c = unicodedata.combining(ch)
+        if c == 0:
+            run = []
+        elif run and c < run[-1]:
+            return ""
+        else:
+            run.append(c)
+    return s
+
+
+@settings(max_examples=_ex(8), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_th_collation_canonical_matches_icu(spark, oracle, data):
+    """Round 14: Thai at full depth — the prevowel swap, the nikhahit
+    primary element and its ำ / ํา / ํๅ contractions, lakkhangyao's
+    primary tie with sara aa, the tone/sign secondary ladder, digit
+    aliases, and the alternate=shifted ignorables. Canonical-order
+    (ccc) mark runs; binary tie-break both sides (the ignorable/alias
+    classes make distinct strings compare EQUAL)."""
+    from duckdb_parachute_spark.functions.collate import locale_collation_key
+
+    words = data.draw(st.lists(_th_canonical_words().filter(bool),
+                               min_size=2, max_size=40, unique=True))
+    icu = [
+        r[0]
+        for r in oracle.execute(
+            'SELECT s FROM (SELECT unnest(?) s) ORDER BY s COLLATE "th", s',
+            [words],
+        ).fetchall()
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    ours = [
+        r["s"]
+        for r in df.orderBy(locale_collation_key(F.col("s"), "th"), F.col("s")).collect()
     ]
     assert ours == icu
