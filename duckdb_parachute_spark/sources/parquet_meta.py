@@ -273,3 +273,20 @@ def read_text_table(spark: SparkSession, path: str) -> DataFrame:
 
 def read_blob_table(spark: SparkSession, path: str) -> DataFrame:
     return _files_with_meta(spark, path, as_text=False)
+
+
+def read_json_objects_table(spark: SparkSession, path: str) -> DataFrame:
+    """read_json_objects / read_ndjson_objects (round 14 TVF sweep;
+    reference extension/json json_functions.cpp): one row per
+    newline-delimited JSON value, the RAW text verbatim in a single
+    ``json`` column (the JSON type maps to STRING here) — DuckDB's
+    newline_delimited format, which its _auto sniffer picks for ndjson
+    input. Spark's text source IS this reader (line-split, distributed);
+    blank lines drop like DuckDB's."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.text(sorted(_glob.glob(path)) or path)
+        .where(F.trim(F.col("value")) != "")
+        .select(F.col("value").alias("json"))
+    )

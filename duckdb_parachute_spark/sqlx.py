@@ -6169,6 +6169,7 @@ _DELTA_SCAN_RE = re.compile(
 _FILE_SCAN_RE = re.compile(
     r"(?P<pre>\b(?:FROM|JOIN)\s+|,\s*)"
     r"(?P<fn>read_parquet|parquet_scan|read_csv_auto|read_csv|"
+    r"read_json_objects_auto|read_json_objects|read_ndjson_objects|"
     r"read_json_auto|read_json|read_ndjson_auto|read_ndjson|"
     r"parquet_schema|parquet_metadata|parquet_file_metadata|"
     r"parquet_kv_metadata|glob|read_text|read_blob)"
@@ -6210,6 +6211,9 @@ def _bind_file_scans(spark: SparkSession, text: str) -> str:
             df = sources.read_json_auto(spark, path)
         elif fn == "glob":
             df = parquet_meta.glob_table(spark, path)
+        elif fn in ("read_json_objects", "read_json_objects_auto",
+                    "read_ndjson_objects"):
+            df = parquet_meta.read_json_objects_table(spark, path)
         elif fn == "read_text":
             df = parquet_meta.read_text_table(spark, path)
         elif fn == "read_blob":

@@ -39,7 +39,7 @@ TVF_STATUS = {
     "read_json_auto": "impl",
     "read_ndjson": "impl: Spark native line-delimited JSON",
     "read_ndjson_auto": "impl",
-    "read_json_objects": "impl: read_text + per-line object rows",
+    "read_json_objects": "impl: parquet_meta.read_json_objects_table (ndjson rows, raw text)",
     "read_json_objects_auto": "impl: alias",
     "read_ndjson_objects": "impl: alias",
     "read_text": "impl: parquet_meta.read_text_table",
@@ -58,18 +58,18 @@ TVF_STATUS = {
     "arrow_scan": "impl: sources.from_arrow",
     "duckdb_columns": "impl: functions/system.duckdb_columns",
     "duckdb_tables": "impl: functions/system.duckdb_tables",
-    "duckdb_functions": "impl: sys_tables_catalog surface",
-    "duckdb_settings": "impl: SET/PRAGMA store (current_setting)",
-    "duckdb_types": "impl: sys catalog surface",
-    "duckdb_keywords": "impl: sys catalog surface",
-    "duckdb_views": "impl: sys catalog surface",
-    "duckdb_schemas": "impl: sys catalog surface",
-    "duckdb_databases": "impl: ATTACH surface",
+    "duckdb_functions": "out: would enumerate OUR registry, not DuckDB's — engine-specific content",
+    "duckdb_settings": "impl-partial: the SET/PRAGMA store backs current_setting(); no TVF row-set (values engine-specific)",
+    "duckdb_types": "out: type-oid catalog is engine-specific",
+    "duckdb_keywords": "out: parser keyword list is the host engine's",
+    "duckdb_views": "impl-partial: SHOW TABLES lists temp views; no oid/sql columns",
+    "duckdb_schemas": "impl-partial: via ATTACH namespaces; no TVF row-set",
+    "duckdb_databases": "impl-partial: ATTACH/DETACH/USE exist; no TVF row-set",
     "pragma_table_info": "impl: PRAGMA table_info",
     "pragma_show": "impl: SHOW <t> = DESCRIBE",
     "pragma_version": "impl: PRAGMA version",
-    "pragma_collations": "impl: collation list",
-    "pragma_database_size": "impl: constant shape (in-memory: 0 blocks)",
+    "pragma_collations": "impl-partial: the locale registry exists (collate._LOCALES); no TVF row-set",
+    "pragma_database_size": "impl-partial: accepted PRAGMA (single ack row, not the block-size shape)",
     "checkpoint": "impl: accepted no-op (no WAL; documented)",
     "force_checkpoint": "impl: accepted no-op",
     # engine-internal (DuckDB execution machinery — no user-facing analogue;
@@ -82,7 +82,6 @@ TVF_STATUS = {
     "test_all_types": "internal: engine test fixture",
     "test_vector_types": "internal: engine test fixture",
     "json_execute_serialized_sql": "out: DuckDB-internal AST transport (documented impossible, SURVEY)",
-    "index_join": "internal",
     # generators / answers shipped for benchmark tooling
     "dbgen": "out: TPC-H generator — driver testdata IS the dataset here",
     "dsdgen": "out: TPC-DS generator — same",

@@ -1073,3 +1073,22 @@ def test_delta_scan_nested_column_mapping(spark, tmp_path):
     assert rows[2]["s"]["b"] == "v2"
     assert rows[3]["s"] is None  # NULL struct stays NULL
     assert rows[1]["arr"][0]["n"] == 101
+
+
+def test_read_json_objects_round14(spark, tmp_path):
+    """read_json_objects / read_ndjson_objects (round-14 TVF sweep): one
+    row per ndjson value, RAW text verbatim in a single `json` column,
+    blank lines dropped — compared against DuckDB over the same file."""
+    import duckdb
+
+    from duckdb_parachute_spark import sqlx
+
+    p = str(tmp_path / "objs.ndjson")
+    with open(p, "w") as f:
+        f.write('{"a": 1, "b": "x"}\n\n{"a":2}\n{"c": [1,2]}\n')
+    con = duckdb.connect()
+    for fn in ("read_json_objects_auto", "read_ndjson_objects"):
+        q = f"SELECT json FROM {fn}('{p}') ORDER BY json"
+        a = [r[0] for r in sqlx.sql(spark, q).collect()]
+        b = [r[0] for r in con.execute(q).fetchall()]
+        assert a == b, (fn, a, b)
