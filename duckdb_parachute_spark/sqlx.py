@@ -1421,7 +1421,7 @@ _FN_GAP_RE = re.compile(
     # hamming.cpp — DuckDB requires equal lengths, ours NULLs the surplus)
     r"to_years|to_months|to_weeks|to_days|to_hours|to_minutes|to_seconds|"
     r"to_milliseconds|to_microseconds|hamming|mismatches|array_has_all|"
-    r"list_any_value|list_aggregate|list_aggr|array_aggregate|array_aggr|"
+    r"list_any_value|list_aggregate|list_aggr|array_aggregate|array_aggr|aggregate|"
     # round-12 batch: map-only element_at (returns a LIST like map_extract —
     # Spark's scalar element_at would be a silent wrong answer), char-set
     # jaccard, trunc-to-1-decimal byte formatters, path parsing family
@@ -2888,6 +2888,10 @@ def _fn_gap_emit(name: str, args: list[str], lit, parts: list[str]) -> str | Non
         )
     if name == "list_any_value" and n == 1:
         return f"try_element_at(array_compact({a[0]}), 1)"
+    if name == "aggregate" and n == 2 and re.fullmatch(r"\x00\d+\x00", a[1]):
+        # DuckDB's bare aggregate(l, 'name') alias: unambiguous — Spark's
+        # higher-order aggregate() always takes >= 3 arguments
+        return _fn_gap_emit("list_aggregate", a, lit, parts)
     if name in ("list_aggregate", "list_aggr", "array_aggregate",
                 "array_aggr") and n in (2, 3):
         mm = re.fullmatch(r"\x00(\d+)\x00", a[1])
