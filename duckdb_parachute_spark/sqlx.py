@@ -871,6 +871,33 @@ def rewrite_list_agg(sql: str, _parts: list[str] | None = None) -> str:
             over = " OVER " + sql[j:wend]
             end = wend
         om = _ORDER_BY_IN_ARG_RE.search(arg)
+        if distinct and over:
+            # DuckDB admits list(DISTINCT v) OVER () (probed: [1]); Spark
+            # rejects DISTINCT aggregates in window position outright, and
+            # the struct-wrap cannot paper over that — fail loudly rather
+            # than emit a query Spark aborts with an opaque analysis error
+            # (round 15, ADVICE).
+            raise NotImplementedError(
+                "list(DISTINCT ...) OVER window is not supported: Spark "
+                "disallows DISTINCT aggregates in window position "
+                "(DuckDB computes it; no Spark spelling exists)"
+            )
+        if distinct and om is not None:
+            # DuckDB: 'In a DISTINCT aggregate, ORDER BY expressions must
+            # appear in the argument list' (probed). The struct-wrap would
+            # otherwise dedup the (key, value) PAIR and keep duplicate
+            # values that differ in key — silently wrong (round 15, ADVICE).
+            d_expr = arg[: om.start()].strip()
+            for item in _split_top_level(arg[om.end():]):
+                key = re.sub(
+                    r"\s+(DESC|ASC)\s*$", "", item.strip(), flags=re.IGNORECASE
+                ).strip()
+                if key != d_expr:
+                    raise ValueError(
+                        "list(DISTINCT ...): ORDER BY expressions must "
+                        "appear in the argument list (DuckDB binder rule; "
+                        f"got ORDER BY {key!r} over DISTINCT {d_expr!r})"
+                    )
         if om is not None:
             expr = arg[: om.start()].strip()
             keys = []
@@ -4948,6 +4975,14 @@ def rewrite_shared_holistics(sql: str) -> str:
         items = [it.replace(span, name) for it in items]
         defs = [(d.replace(span, name), dn) for d, dn in defs]
         defs.append((span, name))
+    # Emit helpers INNERMOST-first (round 15, ADVICE): processing goes
+    # longest-span-first, so an enclosing span's def may reference a
+    # nested span's helper name — and Spark lateral column aliases only
+    # resolve to PRECEDING select items. Reversing puts every shorter
+    # (inner) helper before the longer def that uses it; a shorter span
+    # cannot textually contain a longer one, so the reversed order is
+    # always reference-safe.
+    defs.reverse()
     inner = (
         "SELECT "
         + ", ".join(f"{d} AS {dn}" for d, dn in defs)

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from duckdb_parachute_spark.sqlx import (
@@ -2380,3 +2382,83 @@ def test_macro_registry_round14(spark):
         if av != bv:
             bad.append((q, av, bv))
     assert not bad, bad
+
+
+def test_advice_round15_fixes(spark):
+    """Round 15 ADVICE items, each reproduced before fixing:
+    (a) gamma/lgamma under a user CASE must not abort — Spark extracts
+        Python UDFs out of CaseWhen branches and evaluates them on EVERY
+        row, so the pandas UDFs never raise; gamma(0)'s error semantics
+        live solely in the emitted JVM raise_error CASE, which DOES
+        short-circuit (DuckDB measured: SELECT CASE WHEN x <> 0 THEN
+        gamma(x) ELSE 0 END over [0,3] = [0.0, 2.0]).
+    (b) list(DISTINCT v) OVER () raises NotImplementedError (Spark
+        rejects DISTINCT aggregates in window position — no spelling
+        exists); list(DISTINCT v ORDER BY k) with k not textually the
+        collected expression raises (DuckDB binder: 'ORDER BY
+        expressions must appear in the argument list') instead of
+        silently deduping the (k, v) struct.
+    (c) rewrite_shared_holistics emits nested helper defs innermost-
+        first: Spark lateral column aliases only resolve to PRECEDING
+        select items, so an enclosing span's def must come AFTER the
+        inner helper it references."""
+    import duckdb
+
+    from duckdb_parachute_spark import sqlx
+    from duckdb_parachute_spark.sqlx import rewrite_shared_holistics
+
+    # (a) extracted-UDF safety: x=0 row flows through the UDF but the
+    # outer CASE never reads it; gamma(3) = 2
+    r = sqlx.sql(
+        spark,
+        "SELECT CASE WHEN x <> 0 THEN gamma(x) ELSE 0 END AS g, "
+        "CASE WHEN x <> 0 THEN lgamma(x) ELSE 0 END AS l "
+        "FROM (VALUES (CAST(0 AS DOUBLE)), (CAST(3 AS DOUBLE))) t(x) ORDER BY x",
+    ).collect()
+    assert [row["g"] for row in r] == [0.0, 2.0]
+    assert r[0]["l"] == 0.0 and abs(r[1]["l"] - 0.6931471805599453) < 1e-12
+    con = duckdb.connect()
+    assert con.execute(
+        "SELECT CASE WHEN x <> 0 THEN gamma(x) ELSE 0 END AS g "
+        "FROM (VALUES (CAST(0 AS DOUBLE)), (CAST(3 AS DOUBLE))) t(x) ORDER BY x"
+    ).fetchall() == [(0.0,), (2.0,)]
+    # direct gamma(0) still errors (JVM CASE raise_error, short-circuits)
+    with pytest.raises(Exception, match="gamma of zero"):
+        sqlx.sql(spark, "SELECT gamma(0.0) AS g").collect()
+
+    # (b) DISTINCT gates
+    with pytest.raises(NotImplementedError, match="window position"):
+        sqlx.transpile("SELECT list(DISTINCT v) OVER () AS l FROM t")
+    with pytest.raises(ValueError, match="argument list"):
+        sqlx.transpile("SELECT list(DISTINCT v ORDER BY k) AS l FROM t GROUP BY g")
+    # the legal spelling still works and matches DuckDB
+    q = ("SELECT list(DISTINCT v ORDER BY v) AS l "
+         "FROM (VALUES (2),(1),(2),(NULL),(1)) t(v)")
+    assert [tuple(r) for r in sqlx.sql(spark, q).collect()] == con.execute(q).fetchall()
+
+    # (c) nested shared spans: inner helper must be DEFINED before the
+    # enclosing def that references it (synthetic spans exercise the
+    # ordering directly; with the old append order this fails analysis)
+    s1 = "array_sort\x02(collect_list(x))"
+    s2 = f"array_sort\x02(flatten(array({s1})))"
+    q = (f"SELECT g, size({s2}) AS a, size({s2}) AS b, "
+         f"size({s1}) AS c, size({s1}) AS d FROM hs15 GROUP BY g")
+    out = rewrite_shared_holistics(q)
+    assert "__hs" in out
+    inner = out[out.index("(") + 1 : out.rindex(") __hsq")]
+    sel = inner[len("SELECT "):inner.index(" FROM ")]
+    # every __hsN reference inside a def must point at an EARLIER def
+    defs = [it.strip() for it in sel.split(", ")]
+    seen = set()
+    for it in defs:
+        m = re.search(r"\s+AS\s+(__hs\d+)$", it)
+        for ref in re.findall(r"__hs\d+", it[: m.start()] if m else it):
+            assert ref in seen, (ref, it, out)
+        if m:
+            seen.add(m.group(1))
+    # and the rewritten statement analyzes + runs on Spark
+    spark.range(0, 10).selectExpr("id % 2 AS g", "CAST(id AS DOUBLE) AS x") \
+        .createOrReplaceTempView("hs15")
+    rows = {r["g"]: tuple(r)[1:] for r in
+            spark.sql(out.replace("\x02(", "(")).collect()}
+    assert rows == {0: (5, 5, 5, 5), 1: (5, 5, 5, 5)}
