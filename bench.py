@@ -147,11 +147,51 @@ def main() -> None:
             x += i
         return x
 
-    calib = {
-        "cpu_spin": _min_of(_spin),
-        "spark_noop": _min_of(lambda: spark.range(1).count()),
-        "spark_shuffle": _min_of(lambda: spark.range(100).repartition(8, "id").count()),
-    }
+    def _measure_calib():
+        return {
+            "cpu_spin": _min_of(_spin),
+            "spark_noop": _min_of(lambda: spark.range(1).count()),
+            "spark_shuffle": _min_of(
+                lambda: spark.range(100).repartition(8, "id").count()
+            ),
+        }
+
+    # Floor gate (round 15, VERDICT r14 next #1): the probes now ACT
+    # instead of merely being recorded. The reference floor is read from
+    # bench_baseline.json; if the measured scheduling floor (spark_noop)
+    # exceeds BENCH_FLOOR_TOL × the reference floor, the probe re-measures
+    # after a settle pause (transient host load passes), then — if the
+    # suite still lands degraded — the whole suite re-runs up to
+    # BENCH_FLOOR_RETRIES times. A run that never reaches tolerance is
+    # stamped {"floor_degraded": true, "floor_ratio": N} so the headline
+    # JSON carries its own health instead of needing a BASELINE.md
+    # footnote (r13/r14 both recorded on noisy floors).
+    base_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json"
+    )
+    baseline = json.load(open(base_path)) if os.path.exists(base_path) else {}
+    ref_calib = baseline.get("ref_calib", {"spark_noop": 0.124, "spark_shuffle": 0.123})
+    floor_tol = float(os.environ.get("BENCH_FLOOR_TOL", "1.25"))
+    floor_retries = int(os.environ.get("BENCH_FLOOR_RETRIES", "1"))
+
+    def _settled_calib():
+        """Calibration with up to 3 settle re-probes: a floor spike from a
+        transient co-tenant process should not trigger a full suite
+        re-run when a 5-second pause clears it."""
+        c = _measure_calib()
+        for _ in range(3):
+            if c["spark_noop"] <= floor_tol * ref_calib["spark_noop"]:
+                break
+            print(
+                f"# floor degraded pre-suite (noop {c['spark_noop']:.3f} vs "
+                f"ref {ref_calib['spark_noop']:.3f}); settling 5s",
+                file=sys.stderr,
+            )
+            time.sleep(5)
+            c = _measure_calib()
+        return c
+
+    calib = _settled_calib()
     print(f"# calib: {calib}", file=sys.stderr)
 
     # Per-query timing = min over BENCH_RUNS runs (default 5), mirroring the
@@ -180,23 +220,46 @@ def main() -> None:
         # probes) executes at DataFrame-build time — must run inside the clock
         "dedup_cluster_canonical",
     }
-    timings: dict[str, float] = {}
-    for name in names:
-        df = qs[name].fn(spark, sf_dir)
-        n = df.count()  # row count for the report (untimed)
-        if name in eager_build:
-            def force(_n=name):
-                d = qs[_n].fn(spark, sf_dir)
-                return _forcer(d)()
-        else:
-            force = _forcer(df)
-        best = float("inf")
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            force()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+    def _time_suite() -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in names:
+            df = qs[name].fn(spark, sf_dir)
+            n = df.count()  # row count for the report (untimed)
+            if name in eager_build:
+                def force(_n=name):
+                    d = qs[_n].fn(spark, sf_dir)
+                    return _forcer(d)()
+            else:
+                force = _forcer(df)
+            best = float("inf")
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                force()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+            print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+        return timings
+
+    # suite + post-probe, with bounded whole-suite retries when the floor
+    # was degraded at EITHER end of the run (a mid-suite spike shows up in
+    # the post probe; the pre probe alone can't see it)
+    attempt = 0
+    while True:
+        timings = _time_suite()
+        post_noop = _min_of(lambda: spark.range(1).count())
+        floor_ratio = max(calib["spark_noop"], post_noop) / max(
+            ref_calib["spark_noop"], 1e-9
+        )
+        if floor_ratio <= floor_tol or attempt >= floor_retries:
+            break
+        attempt += 1
+        print(
+            f"# floor degraded across the run (ratio {floor_ratio:.2f} > "
+            f"{floor_tol}); retry {attempt}/{floor_retries} after settle",
+            file=sys.stderr,
+        )
+        time.sleep(5)
+        calib = _settled_calib()
 
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -210,10 +273,7 @@ def main() -> None:
     # has one. The floor normalization (round 9) rescales by the reference
     # host's Spark scheduling floor, clamped so a FASTER host never inflates
     # the claim; raw and normalized ratios are both recorded.
-    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
-    baseline = json.load(open(base_path)) if os.path.exists(base_path) else {}
     base_q = baseline.get("queries", {})
-    ref_calib = baseline.get("ref_calib", {"spark_noop": 0.124, "spark_shuffle": 0.123})
     missing = [n for n in timings if n not in base_q]
     same_sf = abs((sf or 0) - float(baseline.get("sf", -1))) < 1e-9
     floor_scale = min(1.0, ref_calib["spark_noop"] / max(calib["spark_noop"], 1e-9))
@@ -224,9 +284,18 @@ def main() -> None:
         "queries": timings,
         "calib": calib,
         "calib_ref": ref_calib,
+        "calib_post_noop": round(post_noop, 4),
+        "floor_ratio": round(floor_ratio, 3),
         "value_floor_normalized": round(total * floor_scale, 3),
         "sf": sf,
     }
+    if floor_ratio > floor_tol:
+        out["floor_degraded"] = True
+        print(
+            f"# WARNING: floor_degraded — scheduling floor {floor_ratio:.2f}x "
+            "the reference after retries; wall numbers overstate query cost",
+            file=sys.stderr,
+        )
     if missing or not same_sf:
         out["baseline_missing"] = missing if missing else f"baseline is sf={baseline.get('sf')}"
         print(f"# WARNING: no ratios — baseline mismatch: {out['baseline_missing']}", file=sys.stderr)
