@@ -238,10 +238,36 @@ def load_all() -> dict[str, QueryDef]:
     # re-grade the same green queries forever and a regression elsewhere
     # would go unseen. With the shift, every query is re-checked every
     # ~len/50 rounds.
+    # Round 15 (VERDICT r14 next #7): the blind rotation alone can leave a
+    # perf-carrying headliner ungraded for many rounds, so a small pinned
+    # regrade block rides every round's sample right after the fresh
+    # queries — the scale-critical dedup/similarity/join headliners plus
+    # rows exercising modules that change often (collation root spec,
+    # holistic scale paths). ~10 of the 50 slots; the remaining ~40 keep
+    # rotating through the full registry.
+    regrade = [
+        n
+        for n in (
+            "dedup_cluster_canonical",
+            "dedup_minhash_pairs",
+            "sim_ivf_pruned_probe",
+            "join_asof_purchase",
+            "join_bucketed_big_big",
+            "h2o_join_big_big",
+            "tpcds_q67_rollup_topk",
+            "dialect_holistic_agg",
+            "dialect_holistic_approx",
+            "collate_locale_root_rank",
+        )
+        if n in QUERIES and n not in fresh
+    ]
     if tail:
         k = (50 * latest_round) % len(tail)
         tail = tail[k:] + tail[:k]
     ordered = {n: QUERIES[n] for n in fresh}
-    for n in tail:
+    for n in regrade:
         ordered[n] = QUERIES[n]
+    for n in tail:
+        if n not in ordered:
+            ordered[n] = QUERIES[n]
     return ordered

@@ -1656,6 +1656,142 @@ def dialect_holistic_approx(spark, sf_dir):
         sqlx.sql(spark, "SET holistic_exact = true")
 
 
+# Exact-path CTE hoist (round 15, VERDICT r14 next #2): the shared-
+# holistic hoist now applies PER SELECT BLOCK, so this corpus-stats shape
+# — three quantile_disc items sharing one sorted-collect span INSIDE a
+# CTE body, consumed by an outer SELECT — sorts each group once. The
+# hoist is semantics-preserving, so this row grades EXACT (full value
+# hash) against DuckDB, unlike the banded approx rows.
+_HOLISTIC_CTE_SQL = """
+WITH price_stats AS (
+    SELECT l_returnflag,
+           quantile_disc(l_extendedprice, 0.25) AS q25,
+           quantile_disc(l_extendedprice, 0.5) AS q50,
+           quantile_disc(l_extendedprice, 0.75) AS q75
+    FROM lineitem
+    GROUP BY l_returnflag
+)
+SELECT l_returnflag, q50 AS med_price, q75 - q25 AS iqr_price
+FROM price_stats
+ORDER BY l_returnflag
+"""
+
+
+@query("dialect_holistic_cte_hoist", oracle=_HOLISTIC_CTE_SQL)
+def dialect_holistic_cte_hoist(spark, sf_dir):
+    """Shared-holistic hoist under a CTE (round 15; reference
+    src/function/aggregate/sorted_aggregate_function.cpp — DuckDB shares
+    one sort per group natively). rewrite_shared_holistics recurses into
+    every SELECT block, so the CTE body's three quantile_disc items over
+    one column reuse a single hoisted array_sort per group; values are
+    bit-identical to the unhoisted spelling (tests/test_sqlx pins that
+    the transpile carries __hs helpers and matches DuckDB exactly)."""
+    _views(spark, sf_dir, "lineitem")
+    return sqlx.sql(spark, _HOLISTIC_CTE_SQL)
+
+
+# mad sketch routing (round 15, VERDICT r14 next #3): banded-boolean
+# grading like dialect_holistic_approx — each engine bands its own
+# sketch against its own exact value, and the booleans compare.
+_MAD_APPROX_ORACLE_SQL = """
+SELECT l_returnflag,
+       abs(approx_quantile(dev, 0.5) - mad_exact) <= 0.05 * mad_exact AS mad_ok,
+       CAST(n AS BIGINT) AS n
+FROM (
+    SELECT l.l_returnflag, abs(l.l_extendedprice - m.med) AS dev, m.mad_exact, m.n
+    FROM lineitem l
+    JOIN (SELECT l_returnflag, median(l_extendedprice) AS med,
+                 mad(l_extendedprice) AS mad_exact, count(*) AS n
+          FROM lineitem GROUP BY l_returnflag) m
+    USING (l_returnflag)
+)
+GROUP BY l_returnflag, mad_exact, n ORDER BY l_returnflag
+"""
+
+_MAD_APPROX_SPARK_SQL = """
+SELECT l_returnflag, mad(l_extendedprice) AS mad_sketch, count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("dialect_holistic_mad_approx", oracle=_MAD_APPROX_ORACLE_SQL)
+def dialect_holistic_mad_approx(spark, sf_dir):
+    """mad under SET holistic_exact = false (round 15, VERDICT r14
+    missing #2): rewrite_mad_approx respells mad as two sketch passes —
+    per-group approx-median joined back, then approx-median of absolute
+    deviations — with NO per-group collect anywhere in the plan. Sketch
+    values are engine-specific, so each engine bands its own sketch
+    against its own exact mad (DuckDB: approx_quantile over the exact-
+    median deviations vs exact mad); the boolean verdicts and the exact
+    row counts compare. A broken routing (or a collect sneaking back in)
+    flips a boolean or the count."""
+    _views(spark, sf_dir, "lineitem")
+    sqlx.sql(spark, "SET holistic_exact = false")
+    try:
+        df = sqlx.sql(spark, _MAD_APPROX_SPARK_SQL)
+    finally:
+        sqlx.sql(spark, "SET holistic_exact = true")
+    # band Spark's sketch against Spark's own exact percentile pair
+    df.createOrReplaceTempView("__mad_sketch")
+    return spark.sql(
+        """
+        SELECT s.l_returnflag,
+               abs(s.mad_sketch - e.mad_exact) <= 0.05 * e.mad_exact AS mad_ok,
+               s.n
+        FROM __mad_sketch s
+        JOIN (
+            SELECT l.l_returnflag,
+                   percentile(abs(l.l_extendedprice - m.med), 0.5) AS mad_exact
+            FROM lineitem l
+            JOIN (SELECT l_returnflag, percentile(l_extendedprice, 0.5) AS med
+                  FROM lineitem GROUP BY l_returnflag) m
+            ON l.l_returnflag = m.l_returnflag
+            GROUP BY l.l_returnflag
+        ) e ON s.l_returnflag = e.l_returnflag
+        ORDER BY s.l_returnflag
+        """
+    )
+
+
+_TIMETZ_SQL = """
+WITH ordering AS (
+    SELECT tag, CAST(row_number() OVER (ORDER BY v, tag) AS BIGINT) AS rk
+    FROM (VALUES ('wall2_minus8', TIMETZ '02:00:00-08'),
+                 ('wall10_plus5', TIMETZ '10:00:00+05'),
+                 ('wall10_plus2', TIMETZ '10:00:00+02'),
+                 ('wall2frac_minus8', TIMETZ '02:00:00.25-08')) t(tag, v)
+)
+SELECT tag, rk,
+       CAST(TIMETZ '11:30:00+05:30' AS VARCHAR) AS render_a,
+       '10:00:00+05:00'::TIMETZ::VARCHAR AS render_canon,
+       CAST(TIMETZ '10:00:00+05:30:30' AS VARCHAR) AS render_secoff,
+       CAST(TIMETZ '23:00:00-02' AS TIME)::VARCHAR AS wall_extract,
+       TIMETZ '10:00:00+05' = TIMETZ '10:00:00+05:00' AS eq_canon,
+       TIMETZ '11:30:00+05:30' = TIMETZ '06:00:00+00' AS eq_not_instant,
+       typeof(TIMETZ '10:00:00+05') AS ty
+FROM ordering ORDER BY rk
+"""
+
+
+@query("dialect_timetz_minimal", oracle=_TIMETZ_SQL)
+def dialect_timetz_minimal(spark, sf_dir):
+    """TIMETZ (round 15, VERDICT r14 next #6 — closing the last open
+    SURVEY §1.2 row with a minimal REAL mapping; reference src/common/
+    types/time.cpp dtime_tz_t). DuckDB packs (wall micros, offset
+    seconds) into one sortable word — order is wall ASC then offset
+    DESC, equality needs both fields (NOT instant equality; both
+    measured). The same packing rides a BIGINT carrier here:
+    wall_us * 2^17 + (57599 - offset_s). This query pins the measured
+    ordering (the -08 wall-2:00 row sorts FIRST despite being the
+    latest instant; +05 before +02 on equal walls), canonical renders
+    ('+05:00' -> '+05', second-level offsets kept, fraction trimmed),
+    ::TIME wall extraction, the non-instant equality semantics, and
+    typeof. TIMETZ never reaches parquet storage, so literals and casts
+    are the entire input surface (documented subset: non-literal
+    string -> TIMETZ casts raise)."""
+    return sqlx.sql(spark, _TIMETZ_SQL)
+
+
 _MACRO_REGISTRY_SQL = """
 SELECT l_orderkey, l_linenumber,
        list_median([l_quantity, l_quantity + 5, l_quantity * 2]) AS med,

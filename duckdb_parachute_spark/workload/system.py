@@ -781,3 +781,59 @@ def collate_locale_th_rank(spark, sf_dir):
         df, [collate.locale_collation_key(F.col("s"), "th")], out="rnk"
     )
     return ranked.select("s", "rnk").orderBy("rnk", "s")
+
+
+@query(
+    "collate_locale_ar_rank",
+    oracle="""
+    SELECT s, CAST(rank() OVER (ORDER BY s COLLATE ar) AS BIGINT) AS rnk
+    FROM (
+        SELECT CASE p_partkey % 6
+                 WHEN 0 THEN translate(p_name, 'abcdefghij', 'ابتثجحخدذر')
+                 WHEN 1 THEN replace(replace(translate(p_name, 'abcdefghij', 'ابتثجحخدذر'), 'ا', 'أَ'), 'ب', 'بّْ')
+                 WHEN 2 THEN translate(p_name, 'kmnpcabdei', 'ةىءآؤإئكهو')
+                 WHEN 3 THEN replace(replace(translate(p_name, 'abcdei', 'لاسعفق'), 'لا', 'ﻻ'), 'r', '،')
+                 WHEN 4 THEN replace(translate(p_name, '012345aeo', '٠١٢٣٤٥ايـ'), 'l', '؟')
+                 ELSE p_name
+               END AS s
+        FROM part WHERE p_partkey % 9 = 0
+    )
+    ORDER BY rnk, s
+    """,
+)
+def collate_locale_ar_rank(spark, sf_dir):
+    """ICU Arabic collation (round 15, VERDICT r14 next #4 — the third
+    non-Latin script): the script reorder (punct < digits < Arabic <
+    Latin), the hamza family's shared alef primary with its measured
+    secondary ladder (آ expanding to two alef elements), ة/ى
+    secondary-below ت/ي, tertiary-only harakat, ignorable tatweel,
+    Arabic-Indic digit aliases, lam-alef ligatures, and the Arabic
+    punctuation pairs. Branches seed plain Arabic, hamza+harakat runs,
+    ta-marbuta/maksura/hamza-carrier words, lam-alef + comma material,
+    digits + tatweel + question mark, and mixed Latin. Ranked on
+    locale_collation_key('ar') vs DuckDB's real ICU ``COLLATE ar``."""
+    from duckdb_parachute_spark.functions.scalar import global_rank
+
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 9 == 0)
+    ar = F.translate(F.col("p_name"), "abcdefghij", "ابتثجحخدذر")
+    s = (
+        F.when(F.col("p_partkey") % 6 == 0, ar)
+        .when(F.col("p_partkey") % 6 == 1,
+              F.replace(F.replace(ar, F.lit("ا"), F.lit("أَ")),
+                        F.lit("ب"), F.lit("بّْ")))
+        .when(F.col("p_partkey") % 6 == 2,
+              F.translate(F.col("p_name"), "kmnpcabdei", "ةىءآؤإئكهو"))
+        .when(F.col("p_partkey") % 6 == 3,
+              F.replace(F.replace(F.translate(F.col("p_name"), "abcdei", "لاسعفق"),
+                                  F.lit("لا"), F.lit("ﻻ")),
+                        F.lit("r"), F.lit("،")))
+        .when(F.col("p_partkey") % 6 == 4,
+              F.replace(F.translate(F.col("p_name"), "012345aeo", "٠١٢٣٤٥ايـ"),
+                        F.lit("l"), F.lit("؟")))
+        .otherwise(F.col("p_name"))
+    )
+    df = p.select(s.alias("s"))
+    ranked = global_rank(
+        df, [collate.locale_collation_key(F.col("s"), "ar")], out="rnk"
+    )
+    return ranked.select("s", "rnk").orderBy("rnk", "s")

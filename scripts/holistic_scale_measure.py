@@ -56,6 +56,28 @@ SELECT l_linestatus,
 FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
 """
 
+# Round 15 (VERDICT r14 next #2): the hoist now applies per SELECT block,
+# so the CTE-shaped corpus-stats pipeline — where real percentile queries
+# live — shares one sort per group inside the CTE body.
+CTE_SQL = """
+WITH stats AS (
+  SELECT l_linestatus,
+         quantile_disc(l_extendedprice, 0.25) AS q25,
+         quantile_disc(l_extendedprice, 0.5) AS q50,
+         quantile_disc(l_extendedprice, 0.75) AS q75
+  FROM lineitem GROUP BY l_linestatus
+)
+SELECT l_linestatus, q50, q75 - q25 AS iqr FROM stats ORDER BY l_linestatus
+"""
+
+# Round 15 (VERDICT r14 next #3): mad routed onto the two-pass sketch
+# under holistic_exact=false; the exact spelling is the same text with
+# the knob off. DuckDB base: its exact mad (DuckDB has no approx mad).
+MAD_SQL = """
+SELECT l_linestatus, mad(l_extendedprice) AS mdev
+FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
 
 def replicate(spark) -> None:
     import shutil
@@ -100,10 +122,24 @@ def time_spark(spark, sf_dir: str) -> dict[str, float]:
     finally:
         sqlx.REWRITES[idx] = sqlx.rewrite_shared_holistics
     out["exact_shared"] = best_of(lambda: sqlx.sql(spark, EXACT_SQL).collect())
+    # CTE shape: unshared (pass disabled) vs per-block hoist (round 15)
+    sqlx.REWRITES[idx] = lambda s: s
+    try:
+        out["cte_unshared"] = best_of(lambda: sqlx.sql(spark, CTE_SQL).collect())
+    finally:
+        sqlx.REWRITES[idx] = sqlx.rewrite_shared_holistics
+    assert "__hs" in sqlx.transpile(CTE_SQL)
+    out["cte_shared"] = best_of(lambda: sqlx.sql(spark, CTE_SQL).collect())
+    # mad: exact collect vs routed two-pass sketch (round 15)
+    out["mad_exact"] = best_of(lambda: sqlx.sql(spark, MAD_SQL).collect())
     sqlx.sql(spark, "SET holistic_exact = false")
     try:
         assert "approx_percentile" in sqlx.transpile(APPROX_SQL)
         out["approx"] = best_of(lambda: sqlx.sql(spark, APPROX_SQL).collect())
+        mad_df = sqlx.sql(spark, MAD_SQL)
+        plan = mad_df._jdf.queryExecution().executedPlan().toString()
+        assert "collect_list" not in plan, "mad approx path must not collect"
+        out["mad_approx"] = best_of(lambda: sqlx.sql(spark, MAD_SQL).collect())
     finally:
         sqlx.sql(spark, "SET holistic_exact = true")
     return out
@@ -120,6 +156,8 @@ def time_duckdb(sf_dir: str) -> dict[str, float]:
     return {
         "exact": best_of(lambda: con.execute(EXACT_SQL).fetchall()),
         "approx": best_of(lambda: con.execute(DUCK_APPROX_SQL).fetchall()),
+        "cte": best_of(lambda: con.execute(CTE_SQL).fetchall()),
+        "mad": best_of(lambda: con.execute(MAD_SQL).fetchall()),
     }
 
 
@@ -152,6 +190,14 @@ def main() -> None:
         s, d = rows[tag]
         print(f"| {tag} | {s['exact_unshared']:.2f}s | {s['exact_shared']:.2f}s "
               f"| {s['approx']:.2f}s | {d['exact']:.2f}s | {d['approx']:.2f}s |")
+    print("\n| scale | Spark CTE unshared | Spark CTE hoisted | DuckDB CTE "
+          "| Spark mad exact | Spark mad approx | DuckDB mad exact |")
+    print("|---|---|---|---|---|---|---|")
+    for tag in ("1x", f"{FACTOR}x"):
+        s, d = rows[tag]
+        print(f"| {tag} | {s['cte_unshared']:.2f}s | {s['cte_shared']:.2f}s "
+              f"| {d['cte']:.2f}s | {s['mad_exact']:.2f}s | {s['mad_approx']:.2f}s "
+              f"| {d['mad']:.2f}s |")
 
 
 if __name__ == "__main__":

@@ -490,3 +490,71 @@ def test_window_matrix_cross_engine(spark, seed):
                 pdf[c] = pdf[c].map(lambda v: float(v) if isinstance(v, Decimal) else v)
     res = compare_frames(f"window-matrix-seed{seed}", spark_pdf, oracle_pdf)
     assert res.ok, str(res)
+
+
+def test_registry_residual_classes_pinned(spark):
+    """Round 15 (VERDICT r14 next #5): the macro-registry sweep's
+    documented residual classes, previously BASELINE.md prose only, each
+    encoded as an assertion of the DOCUMENTED divergence (or measured
+    agreement) so silent drift in EITHER direction is caught:
+
+    * list/array_intersect ORDER is hash-unspecified in DuckDB — set
+      equality is the contract; ours is deterministic left-operand order.
+    * date_add(DATE, INTERVAL month) is TIMESTAMP-class on BOTH engines
+      with the month-end-clamped value (measured agreement, was listed
+      as a type divergence — pinned so a regression to DATE on either
+      side is caught).
+    * geomean currently matches to the ulp on every probed shape (the
+      documented class allows a last-ulp libm difference — band of
+      2 ulps).
+    * json_group_structure over an UNTYPED text operand: DuckDB's
+      VARCHAR overload reports '"VARCHAR"'; the dialect's JSON type is
+      STRING so the operand parses and reports the value structure.
+    * pg_conf_load_time / pg_postmaster_start_time: both engines return
+      "now" (DuckDB's macro body IS current_timestamp) — the CLASS is
+      compared, not the reading."""
+    import datetime
+    import math
+
+    import duckdb
+
+    from duckdb_parachute_spark import sqlx
+
+    con = duckdb.connect()
+
+    # intersect: set-equal, ours left-ordered
+    for fn in ("list_intersect", "array_intersect"):
+        q = f"SELECT {fn}([1,2,3,4],[4,3,9]) AS r"
+        ours = sqlx.sql(spark, q).head()["r"]
+        duck = con.execute(q).fetchone()[0]
+        assert sorted(ours) == sorted(duck) == [3, 4], (fn, ours, duck)
+        assert ours == [3, 4], f"{fn} lost deterministic left-operand order"
+
+    # date_add month arithmetic: timestamp-class + clamped value, both
+    q = "SELECT date_add('2024-01-31'::DATE, INTERVAL '1 month') AS r"
+    df = sqlx.sql(spark, q)
+    assert "timestamp" in df.schema["r"].dataType.typeName()
+    assert df.head()["r"] == datetime.datetime(2024, 2, 29)
+    cur = con.execute(q)
+    assert cur.description[0][1] == "DATETIME"
+    assert cur.fetchone()[0] == datetime.datetime(2024, 2, 29)
+
+    # geomean: ulp-band agreement
+    for vals in ["(2.0),(3.0)", "(2.0),(3.0),(5.0)", "(1.1),(7.3),(9.9)"]:
+        q = f"SELECT geomean(x) AS r FROM (VALUES {vals}) t(x)"
+        ours = sqlx.sql(spark, q).head()["r"]
+        duck = con.execute(q).fetchone()[0]
+        assert abs(ours - duck) <= 2 * math.ulp(duck), (vals, ours, duck)
+
+    # json_group_structure over untyped text: the documented split
+    q = 'SELECT json_group_structure(j) AS r FROM (VALUES (\'{"a":1}\')) t(j)'
+    assert sqlx.sql(spark, q).head()["r"] == '{"a":"UBIGINT"}'
+    assert con.execute(
+        'SELECT json_group_structure(j) AS r FROM (VALUES (\'{"a":1}\'::VARCHAR)) t(j)'
+    ).fetchone()[0] == '"VARCHAR"'
+
+    # "now"-class macros: both sides in the present, compared as a class
+    for fn in ("pg_conf_load_time", "pg_postmaster_start_time"):
+        q = f"SELECT {fn}() >= TIMESTAMP '2024-01-01' AS r"
+        assert sqlx.sql(spark, q).head()["r"] is True
+        assert con.execute(q).fetchone()[0] is True

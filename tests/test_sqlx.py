@@ -2462,3 +2462,109 @@ def test_advice_round15_fixes(spark):
     rows = {r["g"]: tuple(r)[1:] for r in
             spark.sql(out.replace("\x02(", "(")).collect()}
     assert rows == {0: (5, 5, 5, 5), 1: (5, 5, 5, 5)}
+
+
+def test_holistic_scale_paths_round15(spark):
+    """Round 15 (VERDICT r14 next #2/#3): (a) the shared-holistic hoist
+    applies PER SELECT BLOCK — CTE bodies, derived tables, and
+    correlated subqueries hoist independently and stay bit-identical to
+    DuckDB; (b) under SET holistic_exact = false, mad() routes onto the
+    two-pass approx_percentile spelling (per-group sketch median joined
+    back, sketch median of deviations) with NO collect anywhere in the
+    plan; (c) the mad gates decline FILTER / OVER / ordinal-or-alias
+    GROUP BY keys / comma joins back to the exact path."""
+    import duckdb
+
+    from duckdb_parachute_spark import sqlx
+
+    con = duckdb.connect()
+    spark.range(0, 20000).selectExpr(
+        "id % 7 AS g", "CAST((id * 37) % 1009 AS DOUBLE) AS x"
+    ).createOrReplaceTempView("hq15")
+    con.execute(
+        "CREATE TABLE hq15 AS SELECT i % 7 AS g, CAST((i*37) % 1009 AS DOUBLE) AS x "
+        "FROM range(20000) r(i)"
+    )
+    # (a) per-block hoist: CTE body, nested derived tables, EXISTS-correlated
+    shapes = [
+        "WITH s AS (SELECT g, median(x) AS m, quantile_disc(x, 0.25) AS a, "
+        "quantile_disc(x, 0.75) AS b FROM hq15 GROUP BY g) "
+        "SELECT g, m, b - a AS iqr FROM s ORDER BY g",
+        "SELECT g2, mx FROM (SELECT g % 2 AS g2, max(q1 + q2) AS mx FROM "
+        "(SELECT g, quantile_disc(x, 0.2) AS q1, quantile_disc(x, 0.8) AS q2 "
+        "FROM hq15 GROUP BY g) GROUP BY g % 2) ORDER BY g2",
+        "SELECT c.g, c.iqr FROM (SELECT g, quantile_disc(x, 0.75) - "
+        "quantile_disc(x, 0.25) AS iqr FROM hq15 GROUP BY g) c WHERE EXISTS "
+        "(SELECT 1 FROM hq15 h WHERE h.g = c.g AND h.x > 1000) ORDER BY c.g",
+    ]
+    for q in shapes:
+        assert "__hs" in sqlx.transpile(q), q
+        av = [tuple(r) for r in sqlx.sql(spark, q).collect()]
+        assert av == con.execute(q).fetchall(), q
+    # the hoisted CTE plan carries ONE array_sort per shared span
+    tp = sqlx.transpile(shapes[0])
+    assert tp.count("array_sort(collect_list(x))") == 1
+
+    # (b) mad sketch routing
+    sqlx.sql(spark, "SET holistic_exact = false")
+    try:
+        q = "SELECT g, mad(x) AS d, count(*) AS c FROM hq15 WHERE x > 10 GROUP BY g"
+        tp = sqlx.transpile(q)
+        assert "approx_percentile" in tp and "collect_list" not in tp
+        df = sqlx.sql(spark, q)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "collect_list" not in plan
+        assert "partial_approx_percentile" in plan  # map-side sketch partials
+        ex = {r[0]: (r[1], r[2]) for r in con.execute(q).fetchall()}
+        for r in df.collect():
+            assert abs(r["d"] - ex[r["g"]][0]) <= 0.02 * ex[r["g"]][0]
+            assert r["c"] == ex[r["g"]][1]
+        # ungrouped + CTE-body routing
+        assert "collect_list" not in sqlx.transpile("SELECT mad(x) AS d FROM hq15")
+        assert "collect_list" not in sqlx.transpile(
+            "WITH s AS (SELECT g, mad(x) AS d FROM hq15 GROUP BY g) "
+            "SELECT max(d) AS m FROM s"
+        )
+        # (c) decline paths keep the exact collect
+        for q in [
+            "SELECT g, mad(x) FILTER (WHERE x > 5) AS d FROM hq15 GROUP BY g",
+            "SELECT g, mad(x) OVER (PARTITION BY g) AS d FROM hq15",
+            "SELECT g AS k, mad(x) AS d FROM hq15 GROUP BY k",
+            "SELECT g, mad(x) AS d FROM hq15 GROUP BY 1",
+        ]:
+            assert "collect_list" in sqlx.transpile(q), q
+    finally:
+        sqlx.sql(spark, "SET holistic_exact = true")
+    assert "collect_list" in sqlx.transpile("SELECT mad(x) AS d FROM hq15")
+
+
+def test_timetz_minimal_round15(spark):
+    """TIMETZ (round 15, VERDICT r14 next #6): the BIGINT carrier
+    reproduces DuckDB's dtime_tz_t semantics — wall-ASC/offset-DESC
+    ordering, both-field equality (NOT instant equality), canonical
+    offset renders, ::TIME wall extraction, typeof — and the documented
+    subset raises loudly outside it."""
+    import duckdb
+
+    from duckdb_parachute_spark import sqlx
+
+    con = duckdb.connect()
+    q = (
+        "SELECT CAST(TIMETZ '11:30:00+05:30' AS VARCHAR) AS a, "
+        "'10:00:00+05:00'::TIMETZ::VARCHAR AS b, "
+        "CAST(TIMETZ '23:00:00-02' AS TIME)::VARCHAR AS c, "
+        "TIMETZ '11:30:00+05:30' = TIMETZ '06:00:00+00' AS eq, "
+        "TIMETZ '02:00:00-08' < TIMETZ '10:00:00+05' AS lt_wall, "
+        "TIMETZ '10:00:00+05' < TIMETZ '10:00:00+02' AS lt_offdesc, "
+        "typeof(TIMETZ '10:00:00+05') AS ty, "
+        "CAST(TIMETZ '10:00:00+05:30:30' AS VARCHAR) AS secoff"
+    )
+    assert tuple(sqlx.sql(spark, q).head()) == con.execute(q).fetchone()
+    # bounds probed on DuckDB: +16:00 errors, 24:00:00 is legal
+    with pytest.raises(ValueError, match="out of range"):
+        sqlx.transpile("SELECT TIMETZ '10:00:00+16:00' AS t")
+    assert "2073600000000" in sqlx.transpile("SELECT TIMETZ '24:00:00+01'::VARCHAR AS t") or \
+        sqlx.sql(spark, "SELECT TIMETZ '24:00:00+01'::VARCHAR AS t").head()["t"] == "24:00:00+01"
+    # non-literal string -> TIMETZ: documented loud raise
+    with pytest.raises(NotImplementedError, match="literals only"):
+        sqlx.transpile("SELECT c::TIMETZ FROM t")
