@@ -176,6 +176,12 @@ class _LocaleSpec:
     #: prevowels collate AFTER the consonant they precede — one regex swap
     #: (single pass, non-overlapping, like ICU's own reorder scan).
     pretransform: tuple[str, str] = field(default=("", ""))
+    #: apply strip_accents at the end of the primary pipeline (round 15,
+    #: zh): a spec whose primary_translate already folds every in-scope
+    #: accented char sets this False — the strip would be a no-op on the
+    #: supported repertoire, and its astral-gated codepoint-map pass
+    #: would fire on every supplementary-plane weight char.
+    primary_strip: bool = True
 
 
 _LOCALES: dict[str, _LocaleSpec] = {
@@ -591,6 +597,56 @@ _LOCALES["sl"] = _LocaleSpec(
     ),
 )
 
+def _latin_accent_tables() -> tuple[dict, str, str]:
+    """The root spec's accented-Latin enumeration (also reused by zh):
+    char -> (base letter, NFD mark-sequence rank) for every lowercase
+    Latin char whose marks are in the measured DUCET ladder, plus the
+    stroke/eth/middle-dot forms with no combining decomposition; and the
+    derived secondary translate (src, dst) where each char maps to ONE
+    private-use weight encoding (base, rank) — see _root_spec."""
+    import unicodedata as _ud
+
+    mark_order = {
+        0x0301: 0, 0x0300: 1, 0x0306: 2, 0x0302: 3, 0x030C: 4, 0x030A: 5,
+        0x0308: 6, 0x030B: 7, 0x0303: 8, 0x0307: 9, 0x0327: 10, 0x0326: 11,
+        # 12 stroke / 13 eth / 14 middle-dot have no combining-mark
+        # decomposition — assigned via the explicit table below
+        0x0328: 15, 0x0304: 16, 0x0309: 17, 0x0323: 18,
+    }
+    explicit = {
+        "ø": ("o", (12,)), "đ": ("d", (12,)), "ħ": ("h", (12,)),
+        "ł": ("l", (12,)), "ð": ("d", (13,)), "ŀ": ("l", (14,)),
+    }
+    char_seq: dict[str, tuple[str, tuple[int, ...]]] = dict(explicit)
+    # 0x1CD-0x1DC and 0x1F8-0x1F9 are the pinyin tone block (ǎ ǐ ǒ ǔ,
+    # the ǖ-family double-mark forms, ǹ) — added round 15 for zh; for
+    # root locales they fold exactly like the other caron/grave chars
+    # (previously a raw-byte residual, strictly closer to ICU now)
+    for cp in [*range(0xC0, 0x180), 0x219, 0x21B, *range(0x1CD, 0x1DD),
+               *range(0x1F8, 0x1FA), *range(0x1E00, 0x1F00)]:
+        c = chr(cp)
+        if c != c.lower() or c in explicit:
+            continue
+        d = _ud.normalize("NFD", c)
+        base, marks = d[0], d[1:]
+        if not ("a" <= base <= "z") or not marks:
+            continue
+        if any(ord(m) not in mark_order for m in marks):
+            continue
+        char_seq[c] = (base, tuple(mark_order[ord(m)] for m in marks))
+    ranks: dict[str, list[tuple[int, ...]]] = {}
+    for base, seq in char_seq.values():
+        ranks.setdefault(base, []).append(seq)
+    for base in ranks:
+        ranks[base] = sorted(set(ranks[base]))
+    src = dst = ""
+    for c, (base, seq) in sorted(char_seq.items()):
+        code = 0xE800 + (ord(base) - 0x61) * 64 + ranks[base].index(seq) + 1
+        src += c
+        dst += chr(code)
+    return char_seq, src, dst
+
+
 def _root_spec() -> _LocaleSpec:
     """ICU ROOT collation over the Latin repertoire (round 13, VERDICT r12
     missing #3 — reference extension/icu registers every CLDR locale, and
@@ -627,41 +683,7 @@ def _root_spec() -> _LocaleSpec:
     get root order. Residuals: ʼn/ĸ/ſ and non-Latin bases stay raw-byte
     compared; symbols above 'z' (~, |) keep bytewise order where DUCET
     sorts them before letters — same caveat as every tailored spec."""
-    import unicodedata as _ud
-
-    mark_order = {
-        0x0301: 0, 0x0300: 1, 0x0306: 2, 0x0302: 3, 0x030C: 4, 0x030A: 5,
-        0x0308: 6, 0x030B: 7, 0x0303: 8, 0x0307: 9, 0x0327: 10, 0x0326: 11,
-        # 12 stroke / 13 eth / 14 middle-dot have no combining-mark
-        # decomposition — assigned via the explicit table below
-        0x0328: 15, 0x0304: 16, 0x0309: 17, 0x0323: 18,
-    }
-    explicit = {
-        "ø": ("o", (12,)), "đ": ("d", (12,)), "ħ": ("h", (12,)),
-        "ł": ("l", (12,)), "ð": ("d", (13,)), "ŀ": ("l", (14,)),
-    }
-    char_seq: dict[str, tuple[str, tuple[int, ...]]] = dict(explicit)
-    for cp in [*range(0xC0, 0x180), 0x219, 0x21B, *range(0x1E00, 0x1F00)]:
-        c = chr(cp)
-        if c != c.lower() or c in explicit:
-            continue
-        d = _ud.normalize("NFD", c)
-        base, marks = d[0], d[1:]
-        if not ("a" <= base <= "z") or not marks:
-            continue
-        if any(ord(m) not in mark_order for m in marks):
-            continue
-        char_seq[c] = (base, tuple(mark_order[ord(m)] for m in marks))
-    ranks: dict[str, list[tuple[int, ...]]] = {}
-    for base, seq in char_seq.values():
-        ranks.setdefault(base, []).append(seq)
-    for base in ranks:
-        ranks[base] = sorted(set(ranks[base]))
-    src = dst = ""
-    for c, (base, seq) in sorted(char_seq.items()):
-        code = 0xE800 + (ord(base) - 0x61) * 64 + ranks[base].index(seq) + 1
-        src += c
-        dst += chr(code)
+    char_seq, src, dst = _latin_accent_tables()
     return _LocaleSpec(
         primary=(
             ("ß", "ss"), ("æ", "ae"), ("œ", "oe"), ("ĳ", "ij"),
@@ -945,6 +967,112 @@ def _arabic_spec() -> _LocaleSpec:
 _LOCALES["ar"] = _arabic_spec()
 
 
+def _zh_spec() -> _LocaleSpec:
+    """Chinese pinyin ('zh' — round 15, the first CJK script; reference
+    extension/icu/icu_extension.cpp:119). DuckDB's bundled ICU carries
+    the full CLDR zh pinyin tailoring; every rule below was measured on
+    it (sorts + icu_sort_key decodes):
+
+    * HAN sorts by PINYIN READING in one reorder block between digits
+      and Latin ('9' < '阿' < … < 'a'). The supported repertoire — CJK
+      Unified U+4E00-9FFC, Extension A U+3400-4DBF, and 〇 — is 27,582
+      chars, every one with a DISTINCT measured primary (verified at
+      generation; scripts/gen_zh_pinyin.py regenerates
+      zh_pinyin_data.HAN_PINYIN_ORDER from the live bundle). Each char
+      translates to a Plane-15 weight in measured order; Latin letters
+      translate ABOVE the Han block.
+    * PINYIN TONE marks are SECONDARY-BEFORE the plain letter in the
+      ladder macron < acute < caron < grave < plain ('ā'<'á'<'ǎ'<'à'<'a',
+      'tǖz' < 'tüz', each measured; tone dominates case — 'āx' < 'āX' <
+      'Āx' < 'ax'); ü is a FULL pinyin letter between u and v, and the
+      root's þ/ŧ/ŋ letters keep their after-z/t/n slots (measured).
+      Non-tone accents stay root-style secondary-ABOVE ('e' < 'ê');
+      ligatures keep the root model ('ae' < 'æ', 'ss' < 'ß', measured).
+    * CJK punctuation pairs its ASCII counterpart (',' < '，' < '、' <
+      ';', '.' < '。', '(' < '（', '~' < '～', ' ' < '　' — measured),
+      and the printable-ASCII ladder is the same measured DUCET order as
+      'ar'. FULLWIDTH digits fold at primary+secondary and split at
+      tertiary ('01' < '０1' < '0x'); fullwidth letters are a TERTIARY
+      step inside the case ladder ('ax' < 'aX' < 'ａx' < 'ａX' < 'Ax' <
+      'Ａx' — a < ａ < A < Ａ per slot, measured).
+    * Residuals (documented): U+9FFD-9FFF carry implicit weights in the
+      bundle (excluded); CJK Extension B+ (plane 2), bracket-family CJK
+      punctuation 《》「」『』【】 and ·, the combining-sequence pinyin
+      syllabics m̄/ê̄, and other scripts stay raw-byte. zh_cn measured
+      identical and aliases; zh_tw (stroke) and ja/ko have their own
+      bundle tailorings and stay unsupported (raise)."""
+    from duckdb_parachute_spark.functions.zh_pinyin_data import HAN_PINYIN_ORDER
+
+    char_seq, acc_src, acc_dst = _latin_accent_tables()
+    letters = "abcdefghijklmnŋopqrstŧuvwxyzþ"
+    lat_slot = {c: chr(0xF8100 + i) for i, c in enumerate(letters)}
+    # tone ladder: macron < acute < caron < grave < plain (measured);
+    # the ǖ-family + ü are NOT tones: they are a secondary ladder ABOVE
+    # the root-accent window at the u slot (sort-key decode: u=05 <
+    # û=458e < ů=4592 < ǖ=46 < ǘ=47 < ǚ=48 < ǜ=49 < ü=4a; confirmed by
+    # 'tûz' < 'tǖz' < 'tüz')
+    tone_sec = tuple(
+        (c, w)
+        for w, chars in (("\x11", "āēīōū"), ("\x12", "áéíóúńḿ"),
+                         ("\x13", "ǎěǐǒǔň"), ("\x14", "àèìòùǹ"))
+        for c in chars
+    ) + tuple(
+        (c, chr(0xEE01 + i)) for i, c in enumerate("ǖǘǚǜü")
+    )
+    # accented Latin folds to its base slot at primary (strip_accents is
+    # skipped — primary_strip=False — so the fold must live here); the
+    # whole ü/ǖ family has char_seq base u, which IS its primary slot
+    acc_fold_src = "".join(c for c in char_seq if c not in lat_slot)
+    acc_fold_dst = "".join(lat_slot[char_seq[c][0]] for c in acc_fold_src)
+    fw_lower = "".join(chr(0xFF41 + i) for i in range(26))  # ａ-ｚ
+    fw_digits = "".join(chr(0xFF10 + i) for i in range(10))  # ０-９
+    ascii_punct = " _-,;:!?.'\"()[]{}@*/\\&#%`^+<=>|~$"
+    hi1 = chr(0xF9001)
+    # ONLY the CJK-native marks are new primaries after their counterpart
+    # (sort-key: 、=0722, 。=0918 vs ,=06, .=08); the FULLWIDTH clones
+    # （），；：！？～ and the ideographic space fold at primary+secondary
+    # and split at TERTIARY (，=[06|05|d0] — measured), exactly like
+    # fullwidth digits
+    cjk_punct = (("、", "," + hi1), ("。", "." + hi1))
+    fw_punct_src = "，；：！？（）～　"
+    fw_punct_dst = ",;:!?()~ "
+    return _LocaleSpec(
+        primary=(("ß", "ss"), ("æ", "ae"), ("œ", "oe"), ("ĳ", "ij")) + cjk_punct,
+        primary_translate=(
+            HAN_PINYIN_ORDER + letters + acc_fold_src + fw_lower + fw_digits
+            + fw_punct_src + ascii_punct,
+            "".join(chr(0xF1000 + i) for i in range(len(HAN_PINYIN_ORDER)))
+            + "".join(lat_slot[c] for c in letters)
+            + acc_fold_dst
+            + "".join(lat_slot[c] for c in _LOWER)
+            + "0123456789"
+            + "".join(
+                chr(0x02 + ascii_punct.index(c)) for c in fw_punct_dst
+            )
+            + "".join(chr(0x02 + i) for i in range(len(ascii_punct))),
+        ),
+        primary_strip=False,
+        secondary=tone_sec + (
+            ("ß", chr(0xF000) + "s"),
+            ("æ", chr(0xF000) + "e"),
+            ("œ", chr(0xF000) + "e"),
+            ("ĳ", "ij"),
+        ),
+        secondary_translate=(
+            acc_src + fw_lower + fw_digits + fw_punct_src,
+            acc_dst + _LOWER + "0123456789" + fw_punct_dst,
+        ),
+        # tertiary: fullwidth letters slot INSIDE the case ladder (the
+        # case swap runs after and leaves these weights alone); digits
+        # and everything else stay raw
+        tertiary=(fw_lower + fw_lower.upper(), "`" * 26 + "\x7f" * 26),
+    )
+
+
+_LOCALES["zh"] = _zh_spec()
+_LOCALES["zh_cn"] = _LOCALES["zh"]
+
+
 def locale_collation_key(col: Column | str, locale: str) -> Column:
     """Three-level sort key reproducing DuckDB's ``COLLATE <locale>`` order
     (ICU, extension/icu/icu_extension.cpp) on the documented subset.
@@ -975,7 +1103,8 @@ def locale_collation_key(col: Column | str, locale: str) -> Column:
         prim = F.replace(prim, F.lit(pat), F.lit(rep))
     if spec.primary_translate[0]:
         prim = F.translate(prim, *spec.primary_translate)
-    prim = strip_accents(prim)
+    if spec.primary_strip:
+        prim = strip_accents(prim)
     sec = F.lower(tok)
     for pat, rep in spec.secondary:
         sec = F.replace(sec, F.lit(pat), F.lit(rep))

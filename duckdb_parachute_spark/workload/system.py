@@ -837,3 +837,57 @@ def collate_locale_ar_rank(spark, sf_dir):
         df, [collate.locale_collation_key(F.col("s"), "ar")], out="rnk"
     )
     return ranked.select("s", "rnk").orderBy("rnk", "s")
+
+
+@query(
+    "collate_locale_zh_rank",
+    oracle="""
+    SELECT s, CAST(rank() OVER (ORDER BY s COLLATE zh) AS BIGINT) AS rnk
+    FROM (
+        SELECT CASE p_partkey % 6
+                 WHEN 0 THEN translate(p_name, 'abcdefghij', '阿白草东风高很家垃马')
+                 WHEN 1 THEN translate(p_name, 'abcdefghij', '爱北層动反工或接立名')
+                 WHEN 2 THEN replace(replace(translate(p_name, 'aeiou', 'āéǐòǖ'), 'l', 'ü'), 's', 'ń')
+                 WHEN 3 THEN replace(replace(translate(p_name, 'abcde', '㐀㑇䁡䶵〇'), 'r', '、'), 'n', '。')
+                 WHEN 4 THEN replace(translate(p_name, '0123ae', '０１２３ａＺ'), 'l', '，')
+                 ELSE p_name
+               END AS s
+        FROM part WHERE p_partkey % 9 = 0
+    )
+    ORDER BY rnk, s
+    """,
+)
+def collate_locale_zh_rank(spark, sf_dir):
+    """ICU Chinese pinyin collation (round 15 — the first CJK script;
+    reference extension/icu/icu_extension.cpp:119). Branches seed Han
+    words across the pinyin range (incl. Ext-A and 〇), tone-vowel and
+    ü/ń material, CJK-native punctuation 、/。, fullwidth digit/letter/
+    comma clones, and plain Latin. Ranked on locale_collation_key('zh')
+    — the 27,582-char measured primary table — vs DuckDB's real ICU
+    ``COLLATE zh``."""
+    from duckdb_parachute_spark.functions.scalar import global_rank
+
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 9 == 0)
+    s = (
+        F.when(F.col("p_partkey") % 6 == 0,
+               F.translate(F.col("p_name"), "abcdefghij", "阿白草东风高很家垃马"))
+        .when(F.col("p_partkey") % 6 == 1,
+              F.translate(F.col("p_name"), "abcdefghij", "爱北層动反工或接立名"))
+        .when(F.col("p_partkey") % 6 == 2,
+              F.replace(F.replace(F.translate(F.col("p_name"), "aeiou", "āéǐòǖ"),
+                                  F.lit("l"), F.lit("ü")),
+                        F.lit("s"), F.lit("ń")))
+        .when(F.col("p_partkey") % 6 == 3,
+              F.replace(F.replace(F.translate(F.col("p_name"), "abcde", "㐀㑇䁡䶵〇"),
+                                  F.lit("r"), F.lit("、")),
+                        F.lit("n"), F.lit("。")))
+        .when(F.col("p_partkey") % 6 == 4,
+              F.replace(F.translate(F.col("p_name"), "0123ae", "０１２３ａＺ"),
+                        F.lit("l"), F.lit("，")))
+        .otherwise(F.col("p_name"))
+    )
+    df = p.select(s.alias("s"))
+    ranked = global_rank(
+        df, [collate.locale_collation_key(F.col("s"), "zh")], out="rnk"
+    )
+    return ranked.select("s", "rnk").orderBy("rnk", "s")

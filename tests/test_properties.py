@@ -913,3 +913,54 @@ def test_ar_collation_canonical_matches_icu(spark, oracle, data):
         for r in df.orderBy(locale_collation_key(F.col("s"), "ar"), F.col("s")).collect()
     ]
     assert ours == icu
+
+
+@st.composite
+def _zh_words(draw):
+    """Mixed zh material: Han (sampled across the measured pinyin order),
+    pinyin tone vowels and the ü family, fullwidth clones, CJK-native
+    punctuation, Latin/digits. All precomposed (NFC) — the spec's scope."""
+    from duckdb_parachute_spark.functions.zh_pinyin_data import HAN_PINYIN_ORDER
+
+    out = []
+    for _ in range(draw(st.integers(1, 5))):
+        kind = draw(st.integers(0, 9))
+        if kind < 5:
+            out.append(HAN_PINYIN_ORDER[draw(st.integers(0, len(HAN_PINYIN_ORDER) - 1))])
+        elif kind < 7:
+            out.append(draw(st.sampled_from(
+                list("āáǎàaēéěèeūúǔùuǖǘǚǜü") + ["ń", "ǹ", "ḿ", "ê", "û", "æ", "ß"])))
+        elif kind < 9:
+            out.append(draw(st.sampled_from(
+                list("，、。！？；：（）～　０９ａＺ") + list(" ,.!?;:()~_-09"))))
+        else:
+            out.append(draw(st.sampled_from(list("abZxyz"))))
+    return "".join(out)
+
+
+@settings(max_examples=_ex(8), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_zh_collation_matches_icu(spark, oracle, data):
+    """Round 15: Chinese pinyin at full depth — the 27,582-char measured
+    Han primary order (Unified + Ext-A + 〇, interleaved by reading),
+    tone secondaries BELOW the plain vowel, the ü/ǖ family ABOVE the
+    root-accent window, fullwidth digit/letter/punct folds with tertiary
+    splits, the 、/。 native-punct primaries, and the Han reorder block
+    between digits and Latin. Binary tie-break both sides."""
+    from duckdb_parachute_spark.functions.collate import locale_collation_key
+
+    words = data.draw(st.lists(_zh_words().filter(bool),
+                               min_size=2, max_size=40, unique=True))
+    icu = [
+        r[0]
+        for r in oracle.execute(
+            'SELECT s FROM (SELECT unnest(?) s) ORDER BY s COLLATE "zh", s',
+            [words],
+        ).fetchall()
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    ours = [
+        r["s"]
+        for r in df.orderBy(locale_collation_key(F.col("s"), "zh"), F.col("s")).collect()
+    ]
+    assert ours == icu
