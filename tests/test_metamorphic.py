@@ -558,3 +558,73 @@ def test_registry_residual_classes_pinned(spark):
         q = f"SELECT {fn}() >= TIMESTAMP '2024-01-01' AS r"
         assert sqlx.sql(spark, q).head()["r"] is True
         assert con.execute(q).fetchone()[0] is True
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_holistic_statement_matrix_cross_engine(spark, seed):
+    """Round 15: the per-SELECT-block shared-holistic hoist is an
+    optimization that must NEVER change values — this matrix generates
+    random statement shapes (bare / CTE / derived-table / scalar-
+    subquery / HAVING-blocked) mixing the holistic family over two
+    columns, and checks (a) Spark == DuckDB on every shape, (b) the
+    hoist pass ON == OFF bit-identically (the metamorphic identity the
+    gates rely on), (c) shapes with >=2 shared spans in one block
+    actually hoist (the pass fires where it claims to)."""
+    import random
+
+    import duckdb
+
+    from duckdb_parachute_spark import sqlx
+
+    rng = random.Random(seed)
+    con = duckdb.connect()
+    spark.range(0, 4000).selectExpr(
+        "id % 5 AS g", "CAST((id * 41) % 977 AS DOUBLE) AS x",
+        "CAST((id * 17) % 311 AS DOUBLE) AS y"
+    ).createOrReplaceTempView("hm15")
+    con.execute(
+        "CREATE TABLE hm15 AS SELECT i % 5 AS g, CAST((i*41) % 977 AS DOUBLE) AS x, "
+        "CAST((i*17) % 311 AS DOUBLE) AS y FROM range(4000) r(i)"
+    )
+
+    def hol(col):
+        return rng.choice([
+            f"median({col})", f"mad({col})",
+            f"quantile_disc({col}, 0.25)", f"quantile_disc({col}, 0.75)",
+            f"quantile_cont({col}, 0.6)", f"round(entropy({col}), 9)",
+        ])
+
+    shapes = []
+    for i in range(10):
+        col = rng.choice(["x", "y"])
+        items = ", ".join(f"{hol(col)} AS c{j}" for j in range(rng.randint(2, 4)))
+        core = f"SELECT g, {items} FROM hm15 GROUP BY g"
+        kind = i % 5
+        if kind == 0:
+            q = f"{core} ORDER BY g"
+        elif kind == 1:
+            q = f"WITH s AS ({core}) SELECT g, c0, c1 FROM s ORDER BY g"
+        elif kind == 2:
+            q = f"SELECT g, c1 - c0 AS d FROM ({core}) t ORDER BY g"
+        elif kind == 3:
+            q = (f"SELECT m.g, m.c0 FROM ({core}) m WHERE EXISTS "
+                 f"(SELECT 1 FROM hm15 h WHERE h.g = m.g AND h.x > 500) ORDER BY m.g")
+        else:
+            q = f"{core} HAVING count(*) > 0 ORDER BY g"
+        shapes.append(q)
+
+    idx = sqlx.REWRITES.index(sqlx.rewrite_shared_holistics)
+    hoisted_count = 0
+    for q in shapes:
+        got = [tuple(r) for r in sqlx.sql(spark, q).collect()]
+        want = con.execute(q).fetchall()
+        assert got == want, (q, got[:2], want[:2])
+        if "__hs" in sqlx.transpile(q):
+            hoisted_count += 1
+        sqlx.REWRITES[idx] = lambda s: s
+        try:
+            unhoisted = [tuple(r) for r in sqlx.sql(spark, q).collect()]
+        finally:
+            sqlx.REWRITES[idx] = sqlx.rewrite_shared_holistics
+        assert got == unhoisted, f"hoist changed values: {q}"
+    assert hoisted_count >= 3, "matrix no longer exercises the hoist"
