@@ -608,14 +608,23 @@ def _latin_accent_tables() -> tuple[dict, str, str]:
 
     mark_order = {
         0x0301: 0, 0x0300: 1, 0x0306: 2, 0x0302: 3, 0x030C: 4, 0x030A: 5,
-        0x0308: 6, 0x030B: 7, 0x0303: 8, 0x0307: 9, 0x0327: 10, 0x0326: 11,
-        # 12 stroke / 13 eth / 14 middle-dot have no combining-mark
-        # decomposition — assigned via the explicit table below
+        0x0308: 6, 0x030B: 7, 0x0303: 8, 0x0307: 9, 0x0327: 10,
+        # 12 stroke has no combining-mark decomposition — assigned via
+        # the explicit table below
         0x0328: 15, 0x0304: 16, 0x0309: 17, 0x0323: 18,
+        # COMMA-BELOW sits ABOVE dot-below (round-16 grid audit:
+        # sort-key CA > C4 — ț keys after ṭ, ș after ṩ; the r13 sweep
+        # sampled ș/ț only against cedilla forms and missed it)
+        0x0326: 19,
     }
+    # ð and ŀ are NOT in the accent window at all (round-16 grid audit):
+    # ð carries the LIGATURE-band secondary (a bare [70], same band as
+    # æ/ß's first element) and ŀ a [FB DB] mark above every accent —
+    # both handled as explicit \uf000-band secondary replaces in the
+    # root and zh specs, not here.
     explicit = {
         "ø": ("o", (12,)), "đ": ("d", (12,)), "ħ": ("h", (12,)),
-        "ł": ("l", (12,)), "ð": ("d", (13,)), "ŀ": ("l", (14,)),
+        "ł": ("l", (12,)),
     }
     char_seq: dict[str, tuple[str, tuple[int, ...]]] = dict(explicit)
     # 0x1CD-0x1DC and 0x1F8-0x1F9 are the pinyin tone block (ǎ ǐ ǒ ǔ,
@@ -700,6 +709,12 @@ def _root_spec() -> _LocaleSpec:
             ("æ", chr(0xF000) + "e"),
             ("œ", chr(0xF000) + "e"),
             ("ĳ", "ij"),
+            # ð/ŀ: ligature-band secondaries (grid audit r16 — ICU keys
+            # ð [70] and ŀ [FB DB] above EVERY accent; the r13 ladder
+            # placed them between stroke and ogonek, which 'ḑx'<'đx'<'ðx'
+            # alone could not falsify)
+            ("ð", chr(0xF000)),
+            ("ŀ", chr(0xF000)),
         ),
         secondary_translate=(src, dst),
     )
@@ -712,17 +727,48 @@ _ROOT_SPEC = _root_spec()
 #: Locales the bundle strips to root but CLDR tailors (sq, ig, yo, ha,
 #: zu — measured root-equal here) are NOT aliased, the same
 #: CLDR-over-bundle stance as nb/no below; they still raise.
-for _root_loc in ("en", "pt", "nl", "id", "it", "ms", "sw", "fr", "gl",
-                  "af", "fil", "ga"):
+for _root_loc in ("en", "pt", "nl", "id", "it", "ms", "sw", "fr",
+                  "af", "ga"):
     _LOCALES[_root_loc] = _ROOT_SPEC
+
+# gl and fil are NOT root-equal (round-16 grid audit): both tailor ñ as a
+# PRIMARY letter after n (sort-key 4502 vs n 44; es-style), and fil
+# additionally has the ng digraph as a primary letter after ñ (4503,
+# CLDR &n < ñ <<< Ñ < ng <<< Ng <<< NG; mixed 'nG' is NOT a contraction
+# — probed). Both keep the full root accent/ligature model underneath.
+# The ng case forms tokenize like the hr digraphs; the raw token bytes
+# \x1a < \x1b < \x1c already encode the lower-first tertiary ladder.
+import dataclasses as _dc
+
+# ŋ keeps its own primary after the tailored letters in both (probed:
+# fil/gl ŋ = 451E > ñ 4502 > ng 4503), so it re-maps past them.
+_LOCALES["gl"] = _dc.replace(
+    _ROOT_SPEC,
+    primary=(("ñ", "n{"), ("ŋ", "n|")) + _ROOT_SPEC.primary,
+)
+_LOCALES["fil"] = _dc.replace(
+    _ROOT_SPEC,
+    tokenize=(("NG", "\x1c"), ("Ng", "\x1b"), ("ng", "\x1a")),
+    primary=(("ñ", "n{"), ("\x1a", "n|"), ("\x1b", "n|"), ("\x1c", "n|"),
+             ("ŋ", "n}"))
+    + _ROOT_SPEC.primary,
+    secondary=(("\x1a", "n|"), ("\x1b", "n|"), ("\x1c", "n|"))
+    + _ROOT_SPEC.secondary,
+)
 
 # root-case swap additions: accented pairs the tailored tables don't carry
 # (à/À, â/Â, ã/Ã, ë/Ë, ï/Ï, …) — previously raw-byte (upper-first) at the
 # tertiary level; ICU root is lower-first for them everywhere, so the
 # extension is strictly closer to ICU for every lower-first locale.
 _ROOT_EXTRA_LOWER = "".join(
-    c for c in sorted(set(_ROOT_SPEC.secondary_translate[0]))
+    c for c in sorted(
+        set(_ROOT_SPEC.secondary_translate[0]) | {"ŀ", "ĳ", "ŋ", "ŧ", "œ"}
+    )
+    # swap ONLY pairs whose raw bytes are upper-first; ÿ/Ÿ (FF/178) is
+    # already lower-first raw and swapping would INVERT it (round-16
+    # grid audit find — masked until the ĳ/ŋ/œ gaps were fixed)
     if len(c.upper()) == 1 and c.upper() != c and c not in _SWAP_SRC
+    and ord(c.upper()) < ord(c)
 )
 _ROOT_EXTRA_UPPER = _ROOT_EXTRA_LOWER.upper()
 _SWAP_SRC = _SWAP_SRC + _ROOT_EXTRA_LOWER + _ROOT_EXTRA_UPPER
@@ -844,20 +890,45 @@ def _thai_spec() -> _LocaleSpec:
     mark_ladder = [0x0E4E, 0x0E4C, 0x0E47, 0x0E48, 0x0E49, 0x0E4A, 0x0E4B]
     thai_digits = "".join(chr(0x0E50 + i) for i in range(10))
     digit_alias = tuple((chr(0x0E50 + i), str(i)) for i in range(10))
-    # the explicit-sequence contractions: ํ + า and (measured, seed-found)
-    # ํ + ๅ collate like ำ — the lakkhangyao variant keeps its secondary
-    am = (("ํา", "า" + nik), ("ํๅ", "า\ue8f0" + nik), ("ำ", "า" + nik))
-    variable = " !\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~" + "ฯๆ"
-    p_src = ("".join(chr(c) for c in vowel_ladder) + "ํ" + _LOWER + variable)
+    # the explicit-sequence contractions ํ+า and ํ+ๅ collate like ำ at
+    # primary AND secondary, splitting only at TERTIARY in the probed
+    # order ํา (C7) < ำ (C8) < ํๅ (C5C6C6) — tokenized so the raw token
+    # bytes \x1a < \x1b < \x1c carry that tertiary ladder directly
+    # (round 16; r14 had modeled the ๅ variants as a SECONDARY step,
+    # which the exhaustive grid falsified: ๅ is tertiary-equal to า,
+    # 'กา' ≡ 'กๅ' through L2 with tert C6)
+    am_tok = (("ํา", "\x1a"), ("ำ", "\x1b"), ("ํๅ", "\x1c"))
+    am = tuple((t, "า" + nik) for _, t in am_tok)
+    # VARIABLE (shifted → fully ignorable) is the PUNCTUATION class
+    # only; the math/modifier/currency symbols ` ^ + < = > | ~ $ (and ฿)
+    # keep real primaries in the measured order, BELOW digits (round-16
+    # grid audit — each probed via icu_sort_key: ` 0C04 < ^ 0C0A <
+    # + 0C79 < < 0C81 < = 0C83 < > 0C85 < | 0C89 < ~ 0C8D < $ 0D8A <
+    # ฿ 0DAA < '0')
+    variable = " !\"#%&'()*,-./:;?@[\\]_{}" + "ฯๆ"
+    symbols = "`^+<=>|~$฿"
+    p_src = ("".join(chr(c) for c in vowel_ladder) + "ํ" + _LOWER + symbols
+             + variable)
     p_dst = ("".join(chr(0xE201 + i) for i in range(len(vowel_ladder)))
-             + nik + "".join(chr(0xE801 + i) for i in range(26)))
+             + nik + "".join(chr(0xE801 + i) for i in range(26))
+             + "".join(chr(0x02 + i) for i in range(len(symbols))))
     s_src = "".join(chr(c) for c in mark_ladder) + "ํ" + variable
     s_dst = ("".join(chr(0xE901 + i) for i in range(len(mark_ladder))) + nik)
+    # UCA variable shifting, second half (round-16 grid audit): an
+    # L1-IGNORABLE element (the secondary tone/sign marks 0E47-0E4C,
+    # 0E4E) directly following a SHIFTED variable is itself shifted to
+    # quaternary — fully ignorable (probed: ' ่' ≡ ' ' ≡ '!' all key
+    # [0101]; 'ก่' keeps its mark). One regex deletes such runs before
+    # any level sees them. Nikhahit/phinthu are primary elements and
+    # stay.
+    kill_after_var = (
+        "([ -#%-*,-/:;?@\\x5B-\\x5D_{}ฯๆ])([\\u0E47-\\u0E4C\\u0E4E]+)", "$1")
     return _LocaleSpec(
-        pretransform=cons_swap,
-        primary=digit_alias + (("ํา", "า" + nik), ("ํๅ", "า" + nik), ("ำ", "า" + nik), ("ๅ", "า")),
+        pretransform=(kill_after_var, cons_swap),
+        tokenize=am_tok,
+        primary=digit_alias + am + (("ๅ", "า"),),
         primary_translate=(p_src, p_dst),
-        secondary=digit_alias + am + (("ๅ", "า\ue8f0"),),
+        secondary=digit_alias + am + (("ๅ", "า"),),
         secondary_translate=(s_src, s_dst),
         # tertiary: digit aliases keep the full-strength tie; the variable
         # class (past the dst end) deletes
@@ -959,7 +1030,12 @@ def _arabic_spec() -> _LocaleSpec:
         # regex hoists 0655 over the run so the literal tokenize sees it;
         # the displaced marks keep their relative order after the token.
         pretransform=("ى([\u064B-\u0652\u0670]+)\u0655", "ى\u0655$1"),
-        tokenize=tuple(lam_alef.items()) + tuple(nfc.items()) + (maq_hamza,),
+        # nfc aliases run BEFORE the lam-alef expansion (round-16 grid
+        # audit): ICU gives the FEFB ligature its own l+a expansion and
+        # does NOT contract a following 0654/0655 into it (probed:
+        # ﻻ+0654 keys sec [4B][E880], NOT لأ's [46]) — expanding first
+        # would let the alias recombine them.
+        tokenize=tuple(nfc.items()) + tuple(lam_alef.items()) + (maq_hamza,),
         primary=family_primary + (("ة", "ت"), ("ى", "ي")) + punct,
         primary_translate=(
             letters + digits + _LOWER + ascii_punct + "ـ",
@@ -1038,6 +1114,28 @@ def _zh_spec() -> _LocaleSpec:
         for c in chars
     ) + tuple(
         (c, chr(0xEE01 + i)) for i, c in enumerate("ǖǘǚǜü")
+    ) + tuple(
+        # macron+acute / macron+grave vowels: ICU zh keys them as the
+        # MACRON TONE followed by the generic acute/grave mark (probed
+        # r16: ḗ = [02][88], ḕ = [02][8A] — NOT a root accent-window
+        # weight). The trailing mark occupies an EXTRA secondary slot
+        # the plain tone vowel doesn't have, so ICU compares it against
+        # the NEXT element's weight — common for plain letters, 45xx
+        # for accents, 70 for ligatures — and the mark always wins
+        # ('ēḃ' < 'ḗḃ', 'ēß' < 'ḗß' both probed). The trailing chars
+        # therefore sit ABOVE everything a following char can put at
+        # the secondary level (raw ≤0x9FFF, the root window ≤\uee7f,
+        # the ǖ/ế ladders, the \uf000 ligature band).
+        (c, "\x11" + m)
+        for c, m in (("ḗ", "\uf100"), ("ṓ", "\uf100"),
+                     ("ḕ", "\uf101"), ("ṑ", "\uf101"),
+                     # ṻ: macron TONE + root diaeresis (probed [02][96])
+                     ("ṻ", "\uf102"))
+    ) + (
+        # ế/ề: tone acute/grave on pinyin ê — a ladder ABOVE the root
+        # window at the e slot (probed ê=458E < ế=47 < ề=49, the ǘ/ǜ
+        # slots); the o-circumflex family stays root (ố=458E88 probed)
+        ("ế", chr(0xEE02)), ("ề", chr(0xEE04)),
     )
     # accented Latin folds to its base slot at primary (strip_accents is
     # skipped — primary_strip=False — so the fold must live here); the
@@ -1057,7 +1155,10 @@ def _zh_spec() -> _LocaleSpec:
     fw_punct_src = "，；：！？（）～　"
     fw_punct_dst = ",;:!?()~ "
     return _LocaleSpec(
-        primary=(("ß", "ss"), ("æ", "ae"), ("œ", "oe"), ("ĳ", "ij")) + cjk_punct,
+        primary=(("ß", "ss"), ("æ", "ae"), ("œ", "oe"), ("ĳ", "ij"),
+                 # ð/ŀ fold to their base slots here (they left the
+                 # shared accent table in round 16 — ligature-band chars)
+                 ("ð", "d"), ("ŀ", "l")) + cjk_punct,
         primary_translate=(
             HAN_PINYIN_ORDER + letters + acc_fold_src + fw_lower + fw_digits
             + fw_punct_src + ascii_punct,
@@ -1077,6 +1178,8 @@ def _zh_spec() -> _LocaleSpec:
             ("æ", chr(0xF000) + "e"),
             ("œ", chr(0xF000) + "e"),
             ("ĳ", "ij"),
+            ("ð", chr(0xF000)),
+            ("ŀ", chr(0xF000)),
         ),
         secondary_translate=(
             acc_src + fw_lower + fw_digits + fw_punct_src,
@@ -1112,8 +1215,11 @@ def locale_collation_key(col: Column | str, locale: str) -> Column:
             f"unsupported locale collation: {locale!r} (have {sorted(_LOCALES)})"
         ) from None
     tok = c
-    if spec.pretransform[0]:
-        tok = F.regexp_replace(tok, spec.pretransform[0], spec.pretransform[1])
+    pts = spec.pretransform
+    if pts and isinstance(pts[0], str):
+        pts = (pts,) if pts[0] else ()
+    for pat, rep in pts:
+        tok = F.regexp_replace(tok, pat, rep)
     if spec.pretokenize:
         tok = F.regexp_replace(tok, spec.pretokenize, "\x1f$1\x1f")
     for pat, rep in spec.tokenize:
