@@ -176,6 +176,11 @@ class _LocaleSpec:
     #: prevowels collate AFTER the consonant they precede — one regex swap
     #: (single pass, non-overlapping, like ICU's own reorder scan).
     pretransform: tuple[str, str] = field(default=("", ""))
+    #: regexp_replace pairs applied AFTER tokenize (round 16, ja): the
+    #: contextual length/iteration-mark rules need the voiced kana
+    #: ALREADY decomposed so one optional-mark group covers both plain
+    #: and voiced contexts (and halfwidth ﾞ naturally blocks them).
+    posttransform: tuple = field(default=())
     #: apply strip_accents at the end of the primary pipeline (round 15,
     #: zh): a spec whose primary_translate already folds every in-scope
     #: accented char sets this False — the strip would be a no-op on the
@@ -1095,8 +1100,9 @@ def _zh_spec() -> _LocaleSpec:
       bundle (excluded); CJK Extension B+ (plane 2), bracket-family CJK
       punctuation 《》「」『』【】 and ·, the combining-sequence pinyin
       syllabics m̄/ê̄, and other scripts stay raw-byte. zh_cn measured
-      identical and aliases; zh_tw (stroke) and ja/ko have their own
-      bundle tailorings and stay unsupported (raise)."""
+      identical and aliases; zh_tw (stroke) and ko have their own
+      bundle tailorings and stay unsupported (raise); ja landed in
+      round 16 (see _ja_spec)."""
     from duckdb_parachute_spark.functions.zh_pinyin_data import HAN_PINYIN_ORDER
 
     char_seq, acc_src, acc_dst = _latin_accent_tables()
@@ -1196,6 +1202,227 @@ _LOCALES["zh"] = _zh_spec()
 _LOCALES["zh_cn"] = _LOCALES["zh"]
 
 
+def _ja_spec() -> _LocaleSpec:
+    """Japanese ('ja' — round 16, VERDICT r15 missing #1; reference
+    extension/icu/icu_extension.cpp:119). Every rule probed on DuckDB's
+    bundled ICU ja tailoring (sort-key decodes + sorts; the data tables
+    are GENERATED by scripts/gen_ja_collation.py, which re-verifies all
+    invariants at generation):
+
+    * KANA sort in 48 measured primary classes between Latin and Han
+      (digits < Latin < kana < Han — NO kana-first reorder, probed).
+      Hiragana ≡ katakana ≡ halfwidth katakana at EVERY strength
+      (あ ≡ ア ≡ ｱ exact key ties); small kana are a tertiary step
+      BELOW normal (03 < 05); dakuten/handakuten are SECONDARY marks
+      (voiced precomposed decompose in tokenize so fullwidth が and
+      halfwidth ｶ+ﾞ share L1/L2 and split only at the mark's tertiary
+      06 vs E0).
+    * The LENGTH MARK ー clones the preceding kana's VOWEL at
+      primary+secondary with tertiary 02 (カー ≡L1L2 カア, probed per
+      kana — 228-entry generated map); with no vowel context (after ん,
+      ー-less chars, string start) it keeps its own symbol-zone primary
+      between ゝ and digits. A voicing mark in between BLOCKS the clone
+      (ｶﾞー probed unclonied); halfwidth ｰ NEVER clones and carries
+      tertiary E0. Runs: 3 regex passes handle ーーー; ≥4 in a row
+      after a vowel stay raw (documented residual).
+    * ITERATION MARKS: ゝ after HIRAGANA (ヽ after katakana/halfwidth —
+      script-matched, probed both ways) repeats the preceding kana CHAR
+      at L1/L2 with a tertiary demotion (かゝ ≡L1L2 かか, tert 04 < 05)
+      — one regex copies the char with a \x0e marker BEFORE the copy so
+      the tertiary lands below the normal band. ICU does NOT chain them
+      (かゝゝ probed: second ゝ raw) — single pass reproduces that — and
+      ー/ゝ do not feed each other (かゝー, カーゝ probed raw); clone
+      regexes run first to pin that order. ゞ/ヾ repeat + dakuten.
+    * PUNCTUATION IS NON-SHIFTED: 45 measured primary tie-groups below
+      digits (、 between , and ;, 。 after ., 「」『』【】 after the
+      brackets, ゛゜ between ^ and +, $ last — each fullwidth clone an
+      EXACT tie of its ASCII char, folded per level). 〇 is a digit-0
+      alias; fullwidth alnum ties ASCII exactly; digits shift up one
+      slot to free the ゝ/ー weights below '0'.
+    * HAN: 27,581 chars (CJK Unified + Ext A) with distinct measured
+      primaries above kana — generated translate table, zh-style.
+    * Case is tertiary lower-first ('a' < 'A' probed) — the shared swap
+      applies. Residuals: other scripts raw; non-NFC decomposed voiced
+      kana; ーー runs ≥4 after a vowel."""
+    from duckdb_parachute_spark.functions.ja_collation_data import (
+        HAN_JA_ORDER,
+        ITER_BEHAVIOR,
+        KANA_CLASSES,
+        LENGTH_CLONE,
+        PUNCT_GROUPS,
+        VOICED_DECOMP,
+    )
+
+    clone_tok = {v: chr(0x02 + v) for v in range(5)}
+    rep_mark = "\x0e"
+    # These regexes run POST-tokenize, i.e. on text where the voiced
+    # precomposed kana are already base+mark — so one optional
+    # [\u3099\u309A] group covers plain and voiced contexts alike, and
+    # the halfwidth marks ﾞ/ﾟ (not in the group) BLOCK both rules,
+    # exactly as probed (ｶﾞー and ｶﾞヽ stay raw; ｶー clones).
+    post = []
+    # vowel clones: class = unvoiced kana cloning vowel v (voiced ride
+    # their base). SINGLE pass per vowel: ICU does not chain ー through
+    # its own clone (カーー probed — the second ー keeps its symbol
+    # primary), so runs need exactly one substitution.
+    clone_classes = {v: "" for v in range(5)}
+    for c, v in LENGTH_CLONE.items():
+        if c not in VOICED_DECOMP:
+            clone_classes[v] += c
+    for v in range(5):
+        post.append(
+            (f"([{clone_classes[v]}])([\u3099\u309A]?)ー",
+             "$1$2" + clone_tok[v])
+        )
+    # iteration marks: groups derived from the MEASURED per-(kana, mark)
+    # behavior table — unvoiced kana repeat themselves (ゞ/ヾ add
+    # dakuten); voiced contexts genuinely vary per kana (がゝ repeats が,
+    # ゔゝ repeats う, ぱゞ repeats ば, ガヾ doubles the dakuten), so the
+    # groups are built from ITER_BEHAVIOR, not assumed. ICU does not
+    # chain the marks (かゝゝ: second ゝ raw — single pass reproduces
+    # it), and clones run FIRST (かゝー and カーゝ both probed raw).
+    copy_of = {
+        "self": "$1$2", "plain": "$1",
+        "self_dak": "$1$2\u3099", "plain_dak": "$1\u3099",
+    }
+    for m in "ゝゞヽヾ":
+        groups: dict[tuple[str, str], str] = {}
+        for (k, mk), b in ITER_BEHAVIOR.items():
+            if mk != m:
+                continue
+            if k in VOICED_DECOMP:
+                base, vmark = VOICED_DECOMP[k]
+                groups.setdefault((vmark, b), "")
+                groups[(vmark, b)] += base
+            else:
+                groups.setdefault(("", b), "")
+                groups[("", b)] += k
+        for (vmark, b), chars in sorted(groups.items()):
+            # the (?<!\x0e) lookbehind keeps a repeat COPY from serving
+            # as context for a FOLLOWING mark (ICU does not chain:
+            # かゝゝ and あゝゞ both keep the second mark raw — the
+            # cross-mark case found by the r16 sweep)
+            ctx = (f"(?<!{rep_mark})([{chars}])({vmark})" if vmark
+                   else f"(?<!{rep_mark})([{chars}])()")
+            post.append((ctx + m, "$1$2" + rep_mark + copy_of[b]))
+    # NON-contextual ゞ/ヾ (own symbol primary + dakuten) decompose only
+    # AFTER the context rules — doing it in tokenize would turn every
+    # leftover ヾ into a ゝ that the repeat regexes then misread (found
+    # by the r16 sweep: あヾ must NOT repeat).
+    post += [("ゞ", "ゝ\u3099"), ("ヾ", "ヽ\u3099")]
+
+    # per-level tables from the measured classes
+    digits = "0123456789"
+    fw_digits = "".join(chr(0xFF10 + i) for i in range(10))
+    fw_lower = "".join(chr(0xFF41 + i) for i in range(26))
+    p_src = p_dst = s_src = s_dst = t_src = t_dst = ""
+    # 47 symbol groups (45 punct ties + the ゝ and ー classes, merged at
+    # their MEASURED positions — ~ < ゝ < ー < $ probed) -> \x02..\x30
+    # run below the shifted digits
+    for i, grp in enumerate(PUNCT_GROUPS):
+        w = chr(0x02 + i)
+        if grp == ["\x00ITER"]:
+            for c in "ゝヽ":
+                p_src += c
+                p_dst += w
+            continue
+        if grp == ["\x00LENGTH"]:
+            for c in "ーｰ":
+                p_src += c
+                p_dst += w
+            continue
+        rep = grp[0]
+        for c in grp:
+            p_src += c
+            p_dst += w
+            s_src += c
+            s_dst += rep
+            t_src += c
+            t_dst += rep
+    s_src += "ｰヽ"
+    s_dst += "ーゝ"
+    for c in digits + fw_digits + "〇":
+        p_src += c
+        p_dst += chr(0x31 + (ord(c) - 0x30) % 0x10 if c != "〇" else 0x31)
+    for c in fw_digits + "〇":
+        s_src += c
+        s_dst += digits[(ord(c) - 0xFF10) % 0x10] if c != "〇" else "0"
+        t_src += c
+        t_dst += digits[(ord(c) - 0xFF10) % 0x10] if c != "〇" else "0"
+    for i in range(26):
+        p_src += chr(0xFF41 + i)
+        p_dst += chr(0x61 + i)
+        s_src += chr(0xFF41 + i) + chr(0xFF21 + i)
+        s_dst += chr(0x61 + i) * 2
+        t_src += chr(0xFF41 + i) + chr(0xFF21 + i)
+        t_dst += chr(0x61 + i) + chr(0x41 + i)
+    # kana classes: 0 = ゝヽ, 1 = ー/ｰ (handled above); 2.. get PUA slots
+    for i, (normal, small, half) in enumerate(KANA_CLASSES):
+        if i < 2:
+            # tertiary bands for the symbol-zone classes
+            for c in normal:
+                t_src += c
+                t_dst += "\x11"
+            for c in half:
+                t_src += c
+                t_dst += "\x12"
+            continue
+        w = chr(0xE300 + i - 2)
+        rep = normal[0]
+        # tertiary bands: clone 02 (\x02-\x06 raw) < small \x0d <
+        # repeat-marker \x0e (the 04 demotion — it must sit BETWEEN
+        # small and normal: ッヽ > ッｯ but かゝ < かか, both probed) <
+        # normal \x11 < halfwidth \x12 < voicing \x13/\x14
+        for c, tb in [(c, "\x11") for c in normal] + [
+            (c, "\x0d") for c in small
+        ] + [(c, "\x12") for c in half]:
+            p_src += c
+            p_dst += w
+            s_src += c
+            s_dst += rep
+            t_src += c
+            t_dst += tb
+    # clone tokens ride their vowel's class
+    vow_rep = "アイウエオ"
+    for v in range(5):
+        tok = clone_tok[v]
+        cls = next(
+            i for i, (n, s, h) in enumerate(KANA_CLASSES) if vow_rep[v] in n
+        )
+        p_src += tok
+        p_dst += chr(0xE300 + cls - 2)
+        s_src += tok
+        s_dst += KANA_CLASSES[cls][0][0]
+        # tertiary: raw token \x02-\x06 is already the 02 band
+    # Han block above kana
+    p_src += HAN_JA_ORDER
+    p_dst += "".join(chr(0xF2000 + i) for i in range(len(HAN_JA_ORDER)))
+    # voicing marks: secondary ladder, tertiary fullwidth<halfwidth,
+    # deleted at primary (past dst end, with the repeat marker)
+    s_src += "゙ﾞ゚ﾟ"
+    s_dst += "\ue9a1\ue9a1\ue9a2\ue9a2"
+    t_src += "゙゚ﾞﾟ"
+    t_dst += "\x13\x13\x14\x14"
+    p_src += "゙゚ﾞﾟ" + rep_mark
+    s_src += rep_mark
+    return _LocaleSpec(
+        posttransform=tuple(post),
+        tokenize=tuple(
+            (c, p + m)
+            for c, (p, m) in VOICED_DECOMP.items()
+            if c not in "ゞヾ"
+        ),
+        primary=(),
+        primary_translate=(p_src, p_dst),
+        primary_strip=False,
+        secondary_translate=(s_src, s_dst),
+        tertiary=(t_src, t_dst),
+    )
+
+
+_LOCALES["ja"] = _ja_spec()
+
+
 def locale_collation_key(col: Column | str, locale: str) -> Column:
     """Three-level sort key reproducing DuckDB's ``COLLATE <locale>`` order
     (ICU, extension/icu/icu_extension.cpp) on the documented subset.
@@ -1224,6 +1451,8 @@ def locale_collation_key(col: Column | str, locale: str) -> Column:
         tok = F.regexp_replace(tok, spec.pretokenize, "\x1f$1\x1f")
     for pat, rep in spec.tokenize:
         tok = F.replace(tok, F.lit(pat), F.lit(rep))
+    for pat, rep in spec.posttransform:
+        tok = F.regexp_replace(tok, pat, rep)
     prim = F.lower(tok)
     for pat, rep in spec.primary:
         prim = F.replace(prim, F.lit(pat), F.lit(rep))

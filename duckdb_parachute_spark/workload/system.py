@@ -899,3 +899,65 @@ def collate_locale_zh_rank(spark, sf_dir):
         df, [collate.locale_collation_key(F.col("s"), "zh")], out="rnk"
     )
     return ranked.select("s", "rnk").orderBy("rnk", "s")
+
+
+@query(
+    "collate_locale_ja_rank",
+    oracle="""
+    SELECT s, CAST(rank() OVER (ORDER BY s COLLATE ja) AS BIGINT) AS rnk
+    FROM (
+        SELECT CASE p_partkey % 6
+                 WHEN 0 THEN translate(p_name, 'abcdefghij', 'あかさたなはまやらわ')
+                 WHEN 1 THEN translate(p_name, 'abcdefghij', 'アカサタナﾊﾏﾔﾗﾜ')
+                 WHEN 2 THEN replace(replace(translate(p_name, 'aeiou', 'がだばぱゔ'), 'l', 'ー'), 's', 'ゝ')
+                 WHEN 3 THEN replace(replace(translate(p_name, 'abcdefghij', '亜僞驀婨㫸狞綊襩镚䶵'), 'r', '、'), 'n', '。')
+                 WHEN 4 THEN replace(replace(replace(translate(p_name, 'aeiou0123', 'カキクケコ０１２３'), 'l', 'ー'), 's', 'ヽ'), 'n', 'ッ')
+                 ELSE p_name
+               END AS s
+        FROM part WHERE p_partkey % 7 = 0
+    )
+    ORDER BY rnk, s
+    """,
+)
+def collate_locale_ja_rank(spark, sf_dir):
+    """ICU Japanese collation (round 16, VERDICT r15 missing #1 — the
+    second CJK script; reference extension/icu/icu_extension.cpp:119).
+    Branches seed hiragana, katakana + halfwidth kana, voiced kana with
+    the length/iteration marks in hiragana context (ー clones the vowel,
+    ゝ repeats the kana — contextual regex rules), Han across the
+    measured 27,581-char reading order with CJK punctuation 、/。,
+    katakana with ー/ヽ/small ッ and fullwidth digits, and plain Latin.
+    Ranked on locale_collation_key('ja') vs DuckDB's real ICU
+    ``COLLATE ja``."""
+    from duckdb_parachute_spark.functions.scalar import global_rank
+
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 7 == 0)
+    s = (
+        F.when(F.col("p_partkey") % 6 == 0,
+               F.translate(F.col("p_name"), "abcdefghij", "あかさたなはまやらわ"))
+        .when(F.col("p_partkey") % 6 == 1,
+              F.translate(F.col("p_name"), "abcdefghij", "アカサタナﾊﾏﾔﾗﾜ"))
+        .when(F.col("p_partkey") % 6 == 2,
+              F.replace(F.replace(F.translate(F.col("p_name"), "aeiou", "がだばぱゔ"),
+                                  F.lit("l"), F.lit("ー")),
+                        F.lit("s"), F.lit("ゝ")))
+        .when(F.col("p_partkey") % 6 == 3,
+              F.replace(F.replace(F.translate(F.col("p_name"), "abcdefghij",
+                                              "亜僞驀婨㫸狞綊襩镚䶵"),
+                                  F.lit("r"), F.lit("、")),
+                        F.lit("n"), F.lit("。")))
+        .when(F.col("p_partkey") % 6 == 4,
+              F.replace(
+                  F.replace(
+                      F.replace(F.translate(F.col("p_name"), "aeiou0123",
+                                            "カキクケコ０１２３"),
+                                F.lit("l"), F.lit("ー")),
+                      F.lit("s"), F.lit("ヽ")),
+                  F.lit("n"), F.lit("ッ")))
+        .otherwise(F.col("p_name"))
+    )
+    df = p.select(s.alias("s"))
+    ranked = global_rank(
+        df, [collate.locale_collation_key(F.col("s"), "ja")], out="rnk"
+    )
+    return ranked.select("s", "rnk").orderBy("rnk", "s")

@@ -1003,3 +1003,124 @@ def test_zh_collation_matches_icu(spark, oracle, data):
         for r in df.orderBy(locale_collation_key(F.col("s"), "zh"), F.col("s")).collect()
     ]
     assert ours == icu
+
+
+@st.composite
+def _ja_words(draw):
+    """Mixed ja material: kana across the 48 measured classes (all three
+    scripts, small forms, voiced precomposed + explicit voicing marks),
+    the length mark ー/ｰ and iteration marks ゝゞヽヾ IN CONTEXT (the
+    contextual clone/repeat rules are the point), Han sampled across the
+    measured ja reading order, CJK punctuation and fullwidth clones,
+    Latin/digits. All NFC — the spec's scope."""
+    from duckdb_parachute_spark.functions.ja_collation_data import (
+        HAN_JA_ORDER,
+        KANA_CLASSES,
+        VOICED_DECOMP,
+    )
+
+    kana = [c for n, s, h in KANA_CLASSES[2:] for c in n + s + h]
+    voiced = [c for c in VOICED_DECOMP if c not in "ゞヾ"]
+    out = []
+    for _ in range(draw(st.integers(1, 5))):
+        kind = draw(st.integers(0, 9))
+        if kind < 3:
+            out.append(draw(st.sampled_from(kana)))
+        elif kind == 3:
+            out.append(draw(st.sampled_from(voiced)))
+        elif kind == 4:
+            # marks in (and out of) context: clone/repeat rules fire or
+            # stay raw depending on what the draw put before them
+            out.append(draw(st.sampled_from(list("ーｰゝゞヽヾ゛゜ﾞﾟ"))))
+        elif kind < 7:
+            out.append(HAN_JA_ORDER[draw(st.integers(0, len(HAN_JA_ORDER) - 1))])
+        elif kind < 9:
+            out.append(draw(st.sampled_from(
+                list("、。「」『』・〜，．！？＄％０９ａＺ〇") + list(" ,.!?;:()~09"))))
+        else:
+            out.append(draw(st.sampled_from(list("abZxyz"))))
+    return "".join(out)
+
+
+@settings(max_examples=_ex(8), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_ja_collation_matches_icu(spark, oracle, data):
+    """Round 16 (VERDICT r15 missing #1): Japanese at full depth — the
+    48 kana primary classes with hiragana ≡ katakana ≡ halfwidth at
+    every strength, small-kana tertiary step, secondary voicing marks,
+    the contextual length-mark vowel clone and script-matched iteration
+    marks (single-pass, non-chaining — probed), the 27,581-char measured
+    Han reading order, non-shifted CJK punctuation ties, fullwidth
+    alnum folds, and digits shifted above the ゝ/ー symbol weights.
+    Binary tie-break both sides (the script ties make distinct strings
+    compare EQUAL)."""
+    from duckdb_parachute_spark.functions.collate import locale_collation_key
+
+    words = data.draw(st.lists(_ja_words().filter(bool),
+                               min_size=2, max_size=40, unique=True))
+    icu = [
+        r[0]
+        for r in oracle.execute(
+            'SELECT s FROM (SELECT unnest(?) s) ORDER BY s COLLATE "ja", s',
+            [words],
+        ).fetchall()
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    ours = [
+        r["s"]
+        for r in df.orderBy(locale_collation_key(F.col("s"), "ja"), F.col("s")).collect()
+    ]
+    assert ours == icu
+
+
+def test_ja_collation_pinned_contextual_shapes(spark, oracle):
+    """Round 16 deterministic pins — every contextual rule the ja build
+    sweeps caught (each was a real intermediate bug or a probed ICU
+    behavior the regexes must reproduce):
+
+    * カー ≡L1L2 カア but splits at tertiary (clone tert 02); ｶー clones
+      too (halfwidth context), ｶｰ does NOT (halfwidth ｰ never clones).
+    * ｶﾞー stays raw — a voicing mark between kana and ー BLOCKS the
+      clone for the halfwidth spelling, while fullwidth ガー (voiced
+      decomposes in tokenize) DOES clone through the mark.
+    * カーー: ICU does not chain ー through its own clone — the second
+      ー keeps its symbol-zone primary (single-pass regexes).
+    * かゝ ≡L1L2 かか with the copy's tertiary DEMOTED (04) — かゝ < かか
+      — while small kana sit further below: っゝ repeats っ. ッヽ > ッｯ
+      (the demotion band sits BETWEEN small 03 and normal 05).
+    * Script matching: あヽ and アゝ stay RAW (ヽ repeats only after
+      katakana/halfwidth, ゝ only after hiragana); あゝゝ's second mark
+      is raw (no chaining), and あゝゞ's ゞ must NOT read the repeat
+      COPY as context (the cross-mark lookbehind find).
+    * ゞ/ヾ out of context decompose to mark+dakuten only AFTER the
+      context rules (あヾ must not repeat: ヾ is katakana-script).
+    * がゝ repeats が (voiced context repeats the VOICED kana);
+      ゔゝ repeats う (plain); ぱゞ repeats ば; ガヾ keeps the dakuten
+      doubled — the measured per-(kana, mark) behavior table.
+    * ヴ is katakana: ヴヽ repeats ヴ, ヴゝ raw (the script-matched
+      VOICED_DECOMP base fix)."""
+    from duckdb_parachute_spark.functions.collate import locale_collation_key
+
+    words = [
+        "カー", "カア", "ｶー", "ｶｰ", "カアー",
+        "ｶﾞー", "ガー", "ガア", "がー", "があ",
+        "カーー", "カアア", "カアｰ",
+        "かゝ", "かか", "っゝ", "っっ", "ッヽ", "ッｯ", "ッツ",
+        "あヽ", "アゝ", "あゝゝ", "あゝか", "あゝゞ", "あヾ", "アヾ",
+        "がゝ", "がが", "ゔゝ", "ゔう", "ぱゞ", "ぱば", "ガヾ",
+        "ヴヽ", "ヴゝ", "ヴヴ",
+        "ん", "んー", "ーあ", "ー", "ゝ", "ヽ", "ゞ", "ヾ",
+    ]
+    icu = [
+        r[0]
+        for r in oracle.execute(
+            'SELECT s FROM (SELECT unnest(?) s) ORDER BY s COLLATE "ja", s',
+            [words],
+        ).fetchall()
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    ours = [
+        r["s"]
+        for r in df.orderBy(locale_collation_key(F.col("s"), "ja"), F.col("s")).collect()
+    ]
+    assert ours == icu
