@@ -3625,27 +3625,107 @@ def rewrite_mad_approx(sql: str) -> str:
     return _mad_approx_block(s, acc)
 
 
+def _mad_declined(gate: str, sql: str) -> str:
+    """Round 16 (VERDICT r15 next #4): a declined sketch-routing gate used
+    to keep the exact collect path SILENTLY — correct, but a user who SET
+    ``holistic_exact = false`` for a 100 TB corpus never learns their
+    query shape fell back to per-group collects. Every decline now warns,
+    naming the gate; ``SET holistic_strict = true`` raises instead (the
+    default stays warn — zero behavior change otherwise)."""
+    import warnings
+
+    conf = _CURRENT_CONF.get() if _CURRENT_CONF is not None else None
+    strict = "false"
+    if conf is not None:
+        try:
+            strict = conf.get(
+                "spark.duckdb_parachute.setting.holistic_strict", "false"
+            )
+        except Exception:
+            strict = "false"
+    msg = (
+        f"mad() sketch routing declined ({gate}) — the exact collect path "
+        f"runs for this block under holistic_exact=false: {sql.strip()[:160]!r}"
+    )
+    if str(strict).strip().lower() in ("true", "1", "on", "yes"):
+        raise ValueError(msg + " (holistic_strict=true)")
+    warnings.warn(msg, stacklevel=4)
+    return sql
+
+
+_IDENT_RE = re.compile(r"\b[A-Za-z_]\w*\b")
+_QUALIFIED_REF_RE = re.compile(r"\b([A-Za-z_]\w*)\s*\.\s*[A-Za-z_]")
+
+
+def _mask_parens(s: str) -> str:
+    """Blank the INSIDE of every top-level parenthesized span (length-
+    preserving, parens kept), so regex scans see only this block's own
+    clause text — a derived table ``(SELECT ...) d`` reads ``() d``."""
+    out: list[str] = []
+    depth = 0
+    for ch in s:
+        if ch == "(":
+            depth += 1
+            out.append("(" if depth == 1 else " ")
+        elif ch == ")":
+            depth = max(depth - 1, 0)
+            out.append(")" if depth == 0 else " ")
+        else:
+            out.append(ch if depth == 0 else " ")
+    return "".join(out)
+
+
+def _mask_subqueries(s: str) -> str:
+    """Blank only parenthesized spans that contain a SELECT (derived
+    tables / subqueries — their inner aliases are not this block's),
+    keeping function-call parens so qualified refs in arguments stay
+    visible to the correlation scan."""
+    out: list[str] = []
+    i = 0
+    while i < len(s):
+        if s[i] == "(":
+            end = _balanced_span(s, i)
+            body = s[i + 1 : end - 1]
+            if re.search(r"\bSELECT\b", body, re.IGNORECASE):
+                out.append("(" + " " * len(body) + ")")
+            else:
+                out.append("(" + _mask_subqueries(body) + ")")
+            i = end
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
+
 def _mad_approx_block(sql: str, acc: int) -> str:
     """One SELECT block of :func:`rewrite_mad_approx`; returns ``sql``
-    untouched when any gate declines."""
+    untouched when any gate declines (warning/raising per
+    :func:`_mad_declined` when the block carries a mad call)."""
     st = sql.strip().rstrip(";").strip()
-    if not re.match(r"SELECT\b", st, re.IGNORECASE) or re.match(
-        r"SELECT\s+(?:DISTINCT|ALL)\b", st, re.IGNORECASE
-    ):
+    has_mad = bool(_MAD_CALL_RE.search(st))
+
+    def decline(gate: str) -> str:
+        return _mad_declined(gate, st) if has_mad else sql
+
+    if not re.match(r"SELECT\b", st, re.IGNORECASE):
         return sql
+    if re.match(r"SELECT\s+(?:DISTINCT|ALL)\b", st, re.IGNORECASE):
+        return decline("SELECT DISTINCT/ALL")
     from_pos, _ = _find_kw0(st, re.compile(r"FROM\b", re.IGNORECASE), start=6)
     if from_pos < 0:
         return sql
     sel = st[6:from_pos]
     rest = st[from_pos:]
-    if _find_kw0(rest, _HS_BLOCKER_RE)[0] >= 0 or re.search(
-        r"\bSELECT\b", sel, re.IGNORECASE
-    ):
-        return sql
+    bpos, _ = _find_kw0(rest, _HS_BLOCKER_RE)
+    if bpos >= 0:
+        kw = _HS_BLOCKER_RE.match(rest, bpos)
+        return decline(f"{kw.group(0).upper() if kw else 'blocker'} clause")
+    if re.search(r"\bSELECT\b", sel, re.IGNORECASE):
+        return decline("select-list subquery")
     # mad() anywhere outside the select list (ORDER BY mad(x), join
     # conditions) is a shape the replay can't cover — decline whole block
     if _MAD_CALL_RE.search(rest):
-        return sql
+        return decline("mad outside the select list")
     repl: list[tuple[int, int, str]] = []
     exprs: dict[str, int] = {}
     pos = 0
@@ -3656,9 +3736,9 @@ def _mad_approx_block(sql: str, acc: int) -> str:
         end = _balanced_span(sel, m.end() - 1)
         arg = sel[m.end() : end - 1].strip()
         if re.match(r"\s*(?:OVER|FILTER|WITHIN)\b", sel[end:], re.IGNORECASE):
-            return sql
+            return decline("OVER/FILTER/WITHIN on mad")
         if re.match(r"DISTINCT\b", arg, re.IGNORECASE) or not arg:
-            return sql
+            return decline("mad(DISTINCT)")
         if arg not in exprs:
             exprs[arg] = len(exprs)
         repl.append((m.start(), end, arg))
@@ -3673,7 +3753,27 @@ def _mad_approx_block(sql: str, acc: int) -> str:
     fromwhere = rest[:agg_end]
     join_at = wh_pos if 0 <= wh_pos < agg_end else agg_end
     if len(_split_top_level(rest[:join_at])) > 1:
-        return sql  # depth-0 comma join
+        return decline("comma join in FROM")
+    # correlation gate (round 16, VERDICT r15 next #6): the replay copies
+    # FROM..WHERE into a nested derived table — an OUTER alias referenced
+    # inside it becomes a correlated subquery Spark's narrower correlation
+    # support may reject at analysis. Decline when any qualified reference
+    # in the block names an alias the block's own FROM does not bind.
+    # Binds are EVERY identifier in the fully-masked FROM-factor span
+    # (before WHERE — table names, aliases with or without AS, ON-clause
+    # columns; derived tables contribute only their outer alias). Refs
+    # are scanned with only SUBQUERY parens masked, so ``mad(o.x)`` args
+    # and ``f(o.y)`` in WHERE stay visible. Conservative both ways: a
+    # struct-field access ``col.field`` on an unaliased column reads as
+    # an unbound prefix and declines to the (correct) exact path; an
+    # over-captured ON-clause word can at worst miss a decline, which is
+    # the pre-gate status quo (a loud analysis error, never wrong data).
+    bound = {m.group(0).lower()
+             for m in _IDENT_RE.finditer(_mask_parens(rest[:join_at]))}
+    for scope in (sel, fromwhere, rest[agg_end:] if gb_pos >= 0 else ""):
+        for qm in _QUALIFIED_REF_RE.finditer(_mask_subqueries(scope)):
+            if qm.group(1).lower() not in bound:
+                return decline(f"correlated outer reference {qm.group(1)!r}")
     keys: list[str] = []
     if gb_pos >= 0:
         kend = tail_pos if tail_pos >= 0 else len(rest)
@@ -3689,7 +3789,7 @@ def _mad_approx_block(sql: str, acc: int) -> str:
                 or k.lower() in aliases
                 or re.match(r"(?:ALL\s*$|CUBE\b|ROLLUP\b|GROUPING\b)", k, re.IGNORECASE)
             ):
-                return sql
+                return decline("GROUP BY ordinal/alias/grouping-set key")
     _MAD_SEQ[0] += 1
     n = _MAD_SEQ[0]
     med_items = ", ".join(

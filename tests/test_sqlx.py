@@ -2538,6 +2538,73 @@ def test_holistic_scale_paths_round15(spark):
     assert "collect_list" in sqlx.transpile("SELECT mad(x) AS d FROM hq15")
 
 
+def test_mad_decline_observability_round16(spark):
+    """Round 16 (VERDICT r15 next #4 + #6): (a) under SET holistic_exact
+    = false, a mad() block that a routing gate DECLINES warns, naming the
+    gate — the exact collect path still runs, values unchanged; (b) SET
+    holistic_strict = true turns the warning into a raise; (c) the new
+    correlation gate declines a correlated mad subquery (the replay
+    would emit a correlated derived table Spark may reject) and the
+    exact path runs GREEN against DuckDB; (d) cleanly routed shapes warn
+    nothing."""
+    import warnings as _w
+
+    import duckdb
+
+    from duckdb_parachute_spark import sqlx
+
+    con = duckdb.connect()
+    spark.range(0, 2000).selectExpr(
+        "id % 5 AS g", "CAST((id * 53) % 997 AS DOUBLE) AS x"
+    ).createOrReplaceTempView("hq16")
+    con.execute(
+        "CREATE TABLE hq16 AS SELECT i % 5 AS g, CAST((i*53) % 997 AS DOUBLE) AS x "
+        "FROM range(2000) r(i)"
+    )
+    sqlx.sql(spark, "SET holistic_exact = false")
+    try:
+        # (a) each gate warns by name; the exact collect path is kept
+        for q, gate in [
+            ("SELECT g, mad(x) AS d FROM hq16 GROUP BY g HAVING count(*) > 0",
+             "HAVING"),
+            ("SELECT g, mad(x) FILTER (WHERE x > 5) AS d FROM hq16 GROUP BY g",
+             "FILTER"),
+            ("SELECT g, mad(x) AS d FROM hq16 GROUP BY 1",
+             "ordinal"),
+            ("SELECT a.g, mad(a.x) AS d FROM hq16 a, hq16 b GROUP BY a.g",
+             "comma join"),
+        ]:
+            with pytest.warns(UserWarning, match=gate):
+                assert "collect_list" in sqlx.transpile(q), q
+        # (b) strict mode raises instead (and resets cleanly)
+        sqlx.sql(spark, "SET holistic_strict = true")
+        with pytest.raises(Exception, match="HAVING"):
+            sqlx.transpile(
+                "SELECT g, mad(x) AS d FROM hq16 GROUP BY g HAVING count(*) > 0"
+            )
+        sqlx.sql(spark, "SET holistic_strict = false")
+        # (c) correlated mad subquery: gate declines (named alias), runs green
+        q = (
+            "SELECT o.g, (SELECT mad(h.x) FROM hq16 h WHERE h.g = o.g) AS d "
+            "FROM (SELECT DISTINCT g FROM hq16) o ORDER BY o.g"
+        )
+        with pytest.warns(UserWarning, match="correlated outer reference 'o'"):
+            tp = sqlx.transpile(q)
+        assert "collect_list" in tp
+        av = [tuple(r) for r in sqlx.sql(spark, q).collect()]
+        assert av == con.execute(q).fetchall()
+        # (d) a cleanly routed block emits NO warning
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            tp = sqlx.transpile(
+                "SELECT g, mad(x) AS d FROM hq16 WHERE x > 10 GROUP BY g"
+            )
+        assert "approx_percentile" in tp and "collect_list" not in tp
+    finally:
+        sqlx.sql(spark, "SET holistic_strict = false")
+        sqlx.sql(spark, "SET holistic_exact = true")
+
+
 def test_timetz_minimal_round15(spark):
     """TIMETZ (round 15, VERDICT r14 next #6): the BIGINT carrier
     reproduces DuckDB's dtime_tz_t semantics — wall-ASC/offset-DESC
