@@ -602,6 +602,22 @@ _LOCALES["sl"] = _LocaleSpec(
     ),
 )
 
+def _pua_run(base: int, n: int) -> str:
+    """``n`` increasing codepoints from ``base``, skipping the per-plane
+    noncharacters U+xFFFE/U+xFFFF (round 16 — the CJK Han repertoires
+    outgrew a single plane-15 block; UTF-8 byte order is monotonic in
+    codepoint, so a run crossing into plane 16 still sorts correctly)."""
+    out: list[str] = []
+    cp = base
+    while len(out) < n:
+        if (cp & 0xFFFE) != 0xFFFE:
+            out.append(chr(cp))
+        cp += 1
+    if cp > 0x10FFFE:
+        raise ValueError(f"PUA slot run overflow: base={base:#x} n={n}")
+    return "".join(out)
+
+
 def _latin_accent_tables() -> tuple[dict, str, str]:
     """The root spec's accented-Latin enumeration (also reused by zh):
     char -> (base letter, NFD mark-sequence rank) for every lowercase
@@ -1075,13 +1091,17 @@ def _zh_spec() -> _LocaleSpec:
     it (sorts + icu_sort_key decodes):
 
     * HAN sorts by PINYIN READING in one reorder block between digits
-      and Latin ('9' < '阿' < … < 'a'). The supported repertoire — CJK
-      Unified U+4E00-9FFC, Extension A U+3400-4DBF, and 〇 — is 27,582
-      chars, every one with a DISTINCT measured primary (verified at
-      generation; scripts/gen_zh_pinyin.py regenerates
-      zh_pinyin_data.HAN_PINYIN_ORDER from the live bundle). Each char
-      translates to a Plane-15 weight in measured order; Latin letters
-      translate ABOVE the Han block.
+      and Latin ('9' < '阿' < … < 'a'). The supported repertoire
+      (round 16: 97,725 chars) — CJK Unified incl. U+9FFD-9FFF,
+      Extension A, supplementary Extensions B/C/D/E/F/G/H/I, the twelve
+      NFC-stable compatibility ideographs, and 〇 — every one with a
+      DISTINCT measured primary (verified at generation;
+      scripts/gen_zh_pinyin.py regenerates zh_pinyin_data from the live
+      bundle). The probed zone structure is tailored Han (core pinyin +
+      the Ext-A/plane-2 reading-interleaved zone) BELOW Latin and the
+      bundle's implicit zone (9FFD-9FFF, Ext-H/I, unassigned tails)
+      ABOVE Latin — reproduced as two slot runs around the Latin
+      slots.
     * PINYIN TONE marks are SECONDARY-BEFORE the plain letter in the
       ladder macron < acute < caron < grave < plain ('ā'<'á'<'ǎ'<'à'<'a',
       'tǖz' < 'tüz', each measured; tone dominates case — 'āx' < 'āX' <
@@ -1090,24 +1110,34 @@ def _zh_spec() -> _LocaleSpec:
       Non-tone accents stay root-style secondary-ABOVE ('e' < 'ê');
       ligatures keep the root model ('ae' < 'æ', 'ss' < 'ß', measured).
     * CJK punctuation pairs its ASCII counterpart (',' < '，' < '、' <
-      ';', '.' < '。', '(' < '（', '~' < '～', ' ' < '　' — measured),
-      and the printable-ASCII ladder is the same measured DUCET order as
+      ';', '.' < '。' < '·', '(' < '（', '~' < '～', ' ' < '　', and —
+      round 16 — the 12 brackets 〈〉《》「」『』【】〔〕 between '}' and
+      '@' plus '‧' between '%' and '`', all measured), and the
+      printable-ASCII ladder is the same measured DUCET order as
       'ar'. FULLWIDTH digits fold at primary+secondary and split at
       tertiary ('01' < '０1' < '0x'); fullwidth letters are a TERTIARY
       step inside the case ladder ('ax' < 'aX' < 'ａx' < 'ａX' < 'Ax' <
       'Ａx' — a < ａ < A < Ａ per slot, measured).
-    * Residuals (documented): U+9FFD-9FFF carry implicit weights in the
-      bundle (excluded); CJK Extension B+ (plane 2), bracket-family CJK
-      punctuation 《》「」『』【】 and ·, the combining-sequence pinyin
-      syllabics m̄/ê̄, and other scripts stay raw-byte. zh_cn measured
+    * Residuals (documented): the combining-sequence pinyin syllabics
+      m̄/ê̄, compatibility ideographs WITH canonical decompositions
+      (out of scope by the NFC contract — NFC rewrites them to their
+      unified forms), and other scripts stay raw-byte. zh_cn measured
       identical and aliases; zh_tw (stroke) and ko have their own
       bundle tailorings and stay unsupported (raise); ja landed in
       round 16 (see _ja_spec)."""
-    from duckdb_parachute_spark.functions.zh_pinyin_data import HAN_PINYIN_ORDER
+    from duckdb_parachute_spark.functions.zh_pinyin_data import (
+        HAN_PINYIN_HIGH,
+        HAN_PINYIN_ORDER,
+    )
 
     char_seq, acc_src, acc_dst = _latin_accent_tables()
     letters = "abcdefghijklmnŋopqrstŧuvwxyzþ"
-    lat_slot = {c: chr(0xF8100 + i) for i, c in enumerate(letters)}
+    # slot layout (round 16 — the Han repertoire grew past one plane-15
+    # block): tailored Han 0xF1000.., Latin 0x109000.., implicit-zone
+    # Han 0x10A000.., the CJK-punct marker at the very top — matching
+    # the PROBED zh primary zones (tailored Han 0x69-0xA6 < Latin
+    # 0xA8-0xDA < implicit 0xFE).
+    lat_slot = {c: chr(0x109000 + i) for i, c in enumerate(letters)}
     # tone ladder: macron < acute < caron < grave < plain (measured);
     # the ǖ-family + ü are NOT tones: they are a secondary ladder ABOVE
     # the root-accent window at the u slot (sort-key decode: u=05 <
@@ -1150,33 +1180,38 @@ def _zh_spec() -> _LocaleSpec:
     acc_fold_dst = "".join(lat_slot[char_seq[c][0]] for c in acc_fold_src)
     fw_lower = "".join(chr(0xFF41 + i) for i in range(26))  # ａ-ｚ
     fw_digits = "".join(chr(0xFF10 + i) for i in range(10))  # ０-９
-    ascii_punct = " _-,;:!?.'\"()[]{}@*/\\&#%`^+<=>|~$"
-    hi1 = chr(0xF9001)
-    # ONLY the CJK-native marks are new primaries after their counterpart
-    # (sort-key: 、=0722, 。=0918 vs ,=06, .=08); the FULLWIDTH clones
-    # （），；：！？～ and the ideographic space fold at primary+secondary
-    # and split at TERTIARY (，=[06|05|d0] — measured), exactly like
-    # fullwidth digits
-    cjk_punct = (("、", "," + hi1), ("。", "." + hi1))
+    # the printable-ASCII DUCET ladder with the CJK-native punctuation
+    # at its MEASURED positions (round 16 closes the bracket residual:
+    # 、 between , and ;, 。/· after ., the 12 CJK brackets between }
+    # and @, ‧ between % and ` — each a distinct primary, so they are
+    # plain translate slots like everything else). 51 slots outgrow the
+    # sub-digit \x02-\x2f range, so digits re-slot to \x40.. (still
+    # punct < digits < Han < Latin, the measured zone order); the
+    # FULLWIDTH clones （），～ etc. and ０-９ fold at primary+secondary
+    # and split at TERTIARY (，=[06|05|d0] — measured).
+    punct_ladder = " _-,、;:!?.。·'\"()[]{}〈〉《》「」『』【】〔〕@*/\\&#%‧`^+<=>|~$"
+    digit_slots = "".join(chr(0x40 + i) for i in range(10))
     fw_punct_src = "，；：！？（）～　"
     fw_punct_dst = ",;:!?()~ "
     return _LocaleSpec(
         primary=(("ß", "ss"), ("æ", "ae"), ("œ", "oe"), ("ĳ", "ij"),
                  # ð/ŀ fold to their base slots here (they left the
                  # shared accent table in round 16 — ligature-band chars)
-                 ("ð", "d"), ("ŀ", "l")) + cjk_punct,
+                 ("ð", "d"), ("ŀ", "l")),
         primary_translate=(
-            HAN_PINYIN_ORDER + letters + acc_fold_src + fw_lower + fw_digits
-            + fw_punct_src + ascii_punct,
-            "".join(chr(0xF1000 + i) for i in range(len(HAN_PINYIN_ORDER)))
+            HAN_PINYIN_ORDER + HAN_PINYIN_HIGH + letters + acc_fold_src
+            + fw_lower + "0123456789" + fw_digits
+            + fw_punct_src + punct_ladder,
+            _pua_run(0xF1000, len(HAN_PINYIN_ORDER))
+            + _pua_run(0x10A000, len(HAN_PINYIN_HIGH))
             + "".join(lat_slot[c] for c in letters)
             + acc_fold_dst
             + "".join(lat_slot[c] for c in _LOWER)
-            + "0123456789"
+            + digit_slots + digit_slots
             + "".join(
-                chr(0x02 + ascii_punct.index(c)) for c in fw_punct_dst
+                chr(0x02 + punct_ladder.index(c)) for c in fw_punct_dst
             )
-            + "".join(chr(0x02 + i) for i in range(len(ascii_punct))),
+            + "".join(chr(0x02 + i) for i in range(len(punct_ladder))),
         ),
         primary_strip=False,
         secondary=tone_sec + (
@@ -1239,8 +1274,11 @@ def _ja_spec() -> _LocaleSpec:
       EXACT tie of its ASCII char, folded per level). 〇 is a digit-0
       alias; fullwidth alnum ties ASCII exactly; digits shift up one
       slot to free the ゝ/ー weights below '0'.
-    * HAN: 27,581 chars (CJK Unified + Ext A) with distinct measured
-      primaries above kana — generated translate table, zh-style.
+    * HAN: 97,724 chars (round 16: CJK Unified + Ext A + supplementary
+      Extensions B..I + the NFC-stable compat singles; the bundle's
+      implicit-zone chars key above the tailored reading zone and land
+      at the run's tail) with distinct measured primaries above kana —
+      generated translate table, zh-style.
     * Case is tertiary lower-first ('a' < 'A' probed) — the shared swap
       applies. Residuals: other scripts raw; non-NFC decomposed voiced
       kana; ーー runs ≥4 after a vowel."""
@@ -1396,7 +1434,7 @@ def _ja_spec() -> _LocaleSpec:
         # tertiary: raw token \x02-\x06 is already the 02 band
     # Han block above kana
     p_src += HAN_JA_ORDER
-    p_dst += "".join(chr(0xF2000 + i) for i in range(len(HAN_JA_ORDER)))
+    p_dst += _pua_run(0xF2000, len(HAN_JA_ORDER))
     # voicing marks: secondary ladder, tertiary fullwidth<halfwidth,
     # deleted at primary (past dst end, with the repeat marker)
     s_src += "゙ﾞ゚ﾟ"

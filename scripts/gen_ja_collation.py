@@ -242,8 +242,12 @@ def main() -> int:
     # ---- Han order ------------------------------------------------------
     # 〇 keys IDENTICAL to '0' in ja (probed) — it is a digit alias,
     # not part of the Han translate repertoire
-    han = ([chr(c) for c in range(0x4E00, 0x9FFD)]
-           + [chr(c) for c in range(0x3400, 0x4DC0)])
+    # round 16: the shared full repertoire — core + Ext-A + the
+    # supplementary Extensions B..I + NFC-stable compat singles
+    # (gen_zh_pinyin.HAN_BLOCKS; probed distinct in ja like zh)
+    from gen_zh_pinyin import han_repertoire
+
+    han = han_repertoire()
     assert keys_of(["〇"])["〇"] == pu["0"]
     hkk = keys_of(han)
     prims = {s: lvl(k)[0] for s, k in hkk.items()}

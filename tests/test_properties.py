@@ -959,7 +959,12 @@ def _zh_words(draw):
     """Mixed zh material: Han (sampled across the measured pinyin order),
     pinyin tone vowels and the ü family, fullwidth clones, CJK-native
     punctuation, Latin/digits. All precomposed (NFC) — the spec's scope."""
-    from duckdb_parachute_spark.functions.zh_pinyin_data import HAN_PINYIN_ORDER
+    from duckdb_parachute_spark.functions.zh_pinyin_data import (
+        HAN_PINYIN_HIGH,
+        HAN_PINYIN_ORDER as _LOW,
+    )
+
+    HAN_PINYIN_ORDER = _LOW + HAN_PINYIN_HIGH
 
     out = []
     for _ in range(draw(st.integers(1, 5))):
@@ -971,7 +976,8 @@ def _zh_words(draw):
                 list("āáǎàaēéěèeūúǔùuǖǘǚǜü") + ["ń", "ǹ", "ḿ", "ê", "û", "æ", "ß"])))
         elif kind < 9:
             out.append(draw(st.sampled_from(
-                list("，、。！？；：（）～　０９ａＺ") + list(" ,.!?;:()~_-09"))))
+                list("，、。！？；：（）～　０９ａＺ·‧〈〉《》「」『』【】〔〕")
+                + list(" ,.!?;:()~_-09"))))
         else:
             out.append(draw(st.sampled_from(list("abZxyz"))))
     return "".join(out)
