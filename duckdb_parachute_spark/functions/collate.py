@@ -1223,7 +1223,17 @@ def _zh_spec() -> _LocaleSpec:
             ("ŀ", chr(0xF000)),
         ),
         secondary_translate=(
-            acc_src + fw_lower + fw_digits + fw_punct_src,
+            # Han chars are DELETED from the secondary text (src past the
+            # dst end): ICU gives every Han element the common secondary
+            # 05, and two strings whose primaries tie carry IDENTICAL Han
+            # chars position-for-position, so the only comparison a Han
+            # secondary can decide is against a PRECEDING element's
+            # trailing mark — where the raw 4-byte plane-2 char wrongly
+            # outranked the U+F100 trailing slots (round-16 fix, probed
+            # 'ē𠀀' < 'ḗ𠀀'). Deletion reproduces ICU exactly: the
+            # trailing mark wins against whatever follows.
+            acc_src + fw_lower + fw_digits + fw_punct_src
+            + HAN_PINYIN_ORDER + HAN_PINYIN_HIGH,
             acc_dst + _LOWER + "0123456789" + fw_punct_dst,
         ),
         # tertiary: fullwidth letters slot INSIDE the case ladder (the
@@ -1443,6 +1453,11 @@ def _ja_spec() -> _LocaleSpec:
     t_dst += "\x13\x13\x14\x14"
     p_src += "゙゚ﾞﾟ" + rep_mark
     s_src += rep_mark
+    # Han DELETED from the secondary text (same round-16 fix as zh —
+    # probed 'カ𠀀' < 'ガ𠀀': the raw plane-2 char wrongly outranked the
+    #  voicing-mark secondary; primaries tie only with identical
+    # Han chars, so deletion reproduces ICU's common-05 exactly)
+    s_src += HAN_JA_ORDER
     return _LocaleSpec(
         posttransform=tuple(post),
         tokenize=tuple(

@@ -99,6 +99,16 @@ def _grid(locale: str, spec) -> list[str]:
         (b for b in bases if ord(b) > 0x250 and b.isalpha()), "b"
     )
     ctxs = ["x", script_ctx]
+    # supplementary-plane contexts (round 16): raw 4-byte chars in a
+    # LEVEL key text can outrank BMP weight slots a preceding element
+    # left behind — the zh 'ḗ𠀀' / ja 'ガ𠀀' bug class. When the spec
+    # claims plane-2+ chars, audit every base against one tailored-zone
+    # and one implicit-zone supplementary neighbour too.
+    supp = [b for b in bases if ord(b) >= 0x10000]
+    if supp:
+        ctxs.append(supp[0])
+        if supp[-1] != supp[0]:
+            ctxs.append(supp[-1])
 
     sample = bases
     if len(bases) > 1500:

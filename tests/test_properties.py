@@ -1130,3 +1130,36 @@ def test_ja_collation_pinned_contextual_shapes(spark, oracle):
         for r in df.orderBy(locale_collation_key(F.col("s"), "ja"), F.col("s")).collect()
     ]
     assert ours == icu
+
+
+def test_cjk_supplementary_secondary_shapes(spark, oracle):
+    """Round 16 deterministic pins for the supplementary-plane secondary
+    bug: raw 4-byte Han in the SECONDARY key text outranked BMP weight
+    slots a preceding element left behind — zh's ḗ/ṓ trailing-mark
+    slots (probed 'ē𠀀' < 'ḗ𠀀' in ICU, ours inverted) and ja's
+    voicing-mark secondary (probed 'カ𠀀' < 'ガ𠀀', ours inverted).
+    Fixed by DELETING Han from the secondary text (ICU's common-05:
+    primaries tie only with identical Han chars, so the only decidable
+    comparison is against the preceding trailing/voicing mark)."""
+    from duckdb_parachute_spark.functions.collate import locale_collation_key
+
+    cases = {
+        "zh": ["ē𠀀", "ḗ𠀀", "ē一", "ḗ一", "ēa", "ḗa",
+               "ṓ𪚥", "ṑ𪚥", "ṓ一", "ḕ𠀀", "ṻ𠀀", "e𠀀", "é𠀀"],
+        "ja": ["カ𠀀", "ガ𠀀", "カ一", "ガ一", "ｶﾞ𠀀", "か𪚥", "が𪚥",
+               "ぱ𠀀", "は𠀀", "カー𠀀", "かゝ𠀀", "かか𠀀", "ッ𠀀", "ツ𠀀"],
+    }
+    for loc, words in cases.items():
+        icu = [
+            r[0]
+            for r in oracle.execute(
+                f'SELECT s FROM (SELECT unnest(?) s) ORDER BY s COLLATE "{loc}", s',
+                [words],
+            ).fetchall()
+        ]
+        df = spark.createDataFrame([(w,) for w in words], "s string")
+        ours = [
+            r["s"]
+            for r in df.orderBy(locale_collation_key(F.col("s"), loc), F.col("s")).collect()
+        ]
+        assert ours == icu, loc
