@@ -1084,7 +1084,7 @@ def _arabic_spec() -> _LocaleSpec:
 _LOCALES["ar"] = _arabic_spec()
 
 
-def _zh_spec() -> _LocaleSpec:
+def _zh_spec(stroke: bool = False) -> _LocaleSpec:
     """Chinese pinyin ('zh' — round 15, the first CJK script; reference
     extension/icu/icu_extension.cpp:119). DuckDB's bundled ICU carries
     the full CLDR zh pinyin tailoring; every rule below was measured on
@@ -1122,13 +1122,28 @@ def _zh_spec() -> _LocaleSpec:
       m̄/ê̄, compatibility ideographs WITH canonical decompositions
       (out of scope by the NFC contract — NFC rewrites them to their
       unified forms), and other scripts stay raw-byte. zh_cn measured
-      identical and aliases; zh_tw (stroke) and ko have their own
-      bundle tailorings and stay unsupported (raise); ja landed in
-      round 16 (see _ja_spec)."""
-    from duckdb_parachute_spark.functions.zh_pinyin_data import (
-        HAN_PINYIN_HIGH,
-        HAN_PINYIN_ORDER,
-    )
+      identical and aliases; zh_tw/zh_hant/yue (stroke) and ja landed
+      in round 16 (``stroke=True`` and _ja_spec); ko's tailoring (Han
+      keyed by Hangul reading at primary with disambiguating
+      secondaries, multi-element syllables) stays unsupported
+      (raise)."""
+    if stroke:
+        from duckdb_parachute_spark.functions.zh_stroke_data import (
+            BPMF_PRIM_ALIAS,
+            BPMF_SEC,
+            BPMF_SEC_DELETE,
+            BPMF_TERT,
+            HAN_STROKE_HIGH as HAN_PINYIN_HIGH,
+            HAN_STROKE_ORDER as HAN_PINYIN_ORDER,
+        )
+    else:
+        from duckdb_parachute_spark.functions.zh_pinyin_data import (
+            HAN_PINYIN_HIGH,
+            HAN_PINYIN_ORDER,
+        )
+
+        BPMF_PRIM_ALIAS, BPMF_SEC, BPMF_TERT = {}, {}, {}
+        BPMF_SEC_DELETE = ""
 
     char_seq, acc_src, acc_dst = _latin_accent_tables()
     letters = "abcdefghijklmnŋopqrstŧuvwxyzþ"
@@ -1199,11 +1214,15 @@ def _zh_spec() -> _LocaleSpec:
                  # shared accent table in round 16 — ligature-band chars)
                  ("ð", "d"), ("ŀ", "l")),
         primary_translate=(
-            HAN_PINYIN_ORDER + HAN_PINYIN_HIGH + letters + acc_fold_src
+            HAN_PINYIN_ORDER + HAN_PINYIN_HIGH
+            + "".join(BPMF_PRIM_ALIAS)
+            + letters + acc_fold_src
             + fw_lower + "0123456789" + fw_digits
             + fw_punct_src + punct_ladder,
-            _pua_run(0xF1000, len(HAN_PINYIN_ORDER))
+            (low_run := _pua_run(0xF1000, len(HAN_PINYIN_ORDER)))
             + _pua_run(0x10A000, len(HAN_PINYIN_HIGH))
+            + "".join(low_run[HAN_PINYIN_ORDER.index(r)]
+                      for r in BPMF_PRIM_ALIAS.values())
             + "".join(lat_slot[c] for c in letters)
             + acc_fold_dst
             + "".join(lat_slot[c] for c in _LOWER)
@@ -1232,19 +1251,33 @@ def _zh_spec() -> _LocaleSpec:
             # outranked the U+F100 trailing slots (round-16 fix, probed
             # 'ē𠀀' < 'ḗ𠀀'). Deletion reproduces ICU exactly: the
             # trailing mark wins against whatever follows.
-            acc_src + fw_lower + fw_digits + fw_punct_src
-            + HAN_PINYIN_ORDER + HAN_PINYIN_HIGH,
-            acc_dst + _LOWER + "0123456789" + fw_punct_dst,
+            "".join(BPMF_SEC) + acc_src + fw_lower + fw_digits + fw_punct_src
+            + HAN_PINYIN_ORDER + HAN_PINYIN_HIGH + BPMF_SEC_DELETE,
+            "".join(BPMF_SEC.values()) + acc_dst + _LOWER + "0123456789"
+            + fw_punct_dst,
         ),
         # tertiary: fullwidth letters slot INSIDE the case ladder (the
         # case swap runs after and leaves these weights alone); digits
         # and everything else stay raw
-        tertiary=(fw_lower + fw_lower.upper(), "`" * 26 + "\x7f" * 26),
+        tertiary=(fw_lower + fw_lower.upper() + "".join(BPMF_TERT),
+                  "`" * 26 + "\x7f" * 26 + "".join(BPMF_TERT.values())),
     )
 
 
 _LOCALES["zh"] = _zh_spec()
 _LOCALES["zh_cn"] = _LOCALES["zh"]
+#: Traditional-Chinese STROKE order ('zh_tw' — round 16): byte-identical
+#: non-Han surface to 'zh' (probed: same order and tie classes on the
+#: full Latin/accent/punct scope and random 2-char interactions), so the
+#: spec is the zh builder with the Han tables swapped for the measured
+#: stroke order (〇 keys INSIDE the stroke zone at its stroke count) and
+#: the bopomofo letter zone between stroke Han and Latin — 19 extended
+#: bopomofo letters are secondary-70/78 or tertiary-E0 variants of base
+#: letters (alias tables, generated). zh_Hant and yue verified
+#: byte-identical to zh_tw in the bundle at generation time.
+_LOCALES["zh_tw"] = _zh_spec(stroke=True)
+_LOCALES["zh_hant"] = _LOCALES["zh_tw"]
+_LOCALES["yue"] = _LOCALES["zh_tw"]
 
 
 def _ja_spec() -> _LocaleSpec:

@@ -961,3 +961,60 @@ def collate_locale_ja_rank(spark, sf_dir):
         df, [collate.locale_collation_key(F.col("s"), "ja")], out="rnk"
     )
     return ranked.select("s", "rnk").orderBy("rnk", "s")
+
+
+@query(
+    "collate_locale_zh_tw_rank",
+    oracle="""
+    SELECT s, CAST(rank() OVER (ORDER BY s COLLATE zh_tw) AS BIGINT) AS rnk
+    FROM (
+        SELECT CASE p_partkey % 6
+                 WHEN 0 THEN translate(p_name, 'abcdefghij', '一乙丁七三丸久亡凡千')
+                 WHEN 1 THEN translate(p_name, 'abcdefghij', 'ㄅㄆㄇㄈㄉㄊㄋㄌㄍㄎ')
+                 WHEN 2 THEN replace(replace(translate(p_name, 'aeiou', 'ㆠㆴㆵㄪㄮ'), 'l', 'ㄅ'), 's', 'ㄊ')
+                 WHEN 3 THEN replace(replace(translate(p_name, 'abcdefghij', '㐀㐁䶵𠀀𠀁𪚥龥鿽〇亀'), 'r', '、'), 'n', '。')
+                 WHEN 4 THEN replace(translate(p_name, '0123ae', '０１２３ａＺ'), 'l', '《')
+                 ELSE p_name
+               END AS s
+        FROM part WHERE p_partkey % 7 = 0
+    )
+    ORDER BY rnk, s
+    """,
+)
+def collate_locale_zh_tw_rank(spark, sf_dir):
+    """ICU traditional-Chinese stroke collation (round 16 — the third
+    CJK tailoring; reference extension/icu/icu_extension.cpp:119).
+    Branches seed Han words across the stroke order, base bopomofo, the
+    extended-bopomofo secondary/tertiary variant letters mixed with
+    their base letters (the alias-table shapes), Han across both zones
+    (Ext-A, plane-2, the implicit zone, 〇) with CJK punctuation, and
+    fullwidth clones with the bracket 《. Ranked on
+    locale_collation_key('zh_tw') vs DuckDB's real ICU
+    ``COLLATE zh_tw``."""
+    from duckdb_parachute_spark.functions.scalar import global_rank
+
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 7 == 0)
+    s = (
+        F.when(F.col("p_partkey") % 6 == 0,
+               F.translate(F.col("p_name"), "abcdefghij", "一乙丁七三丸久亡凡千"))
+        .when(F.col("p_partkey") % 6 == 1,
+              F.translate(F.col("p_name"), "abcdefghij", "ㄅㄆㄇㄈㄉㄊㄋㄌㄍㄎ"))
+        .when(F.col("p_partkey") % 6 == 2,
+              F.replace(F.replace(F.translate(F.col("p_name"), "aeiou", "ㆠㆴㆵㄪㄮ"),
+                                  F.lit("l"), F.lit("ㄅ")),
+                        F.lit("s"), F.lit("ㄊ")))
+        .when(F.col("p_partkey") % 6 == 3,
+              F.replace(F.replace(F.translate(F.col("p_name"), "abcdefghij",
+                                              "㐀㐁䶵𠀀𠀁𪚥龥鿽〇亀"),
+                                  F.lit("r"), F.lit("、")),
+                        F.lit("n"), F.lit("。")))
+        .when(F.col("p_partkey") % 6 == 4,
+              F.replace(F.translate(F.col("p_name"), "0123ae", "０１２３ａＺ"),
+                        F.lit("l"), F.lit("《")))
+        .otherwise(F.col("p_name"))
+    )
+    df = p.select(s.alias("s"))
+    ranked = global_rank(
+        df, [collate.locale_collation_key(F.col("s"), "zh_tw")], out="rnk"
+    )
+    return ranked.select("s", "rnk").orderBy("rnk", "s")

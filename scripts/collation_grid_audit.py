@@ -41,6 +41,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #: spec locale -> DuckDB collation name where they differ.
 _DUCK_NAME = {
     "zh_cn": None,  # alias of zh — same spec object, skip
+    "zh_hant": None,  # alias of zh_tw — generator-verified byte-identical
+    "yue": None,  # alias of zh_tw — generator-verified byte-identical
     # nb/no: the spec DELIBERATELY follows CLDR (Norwegian shares the
     # Danish tailoring) where DuckDB's bundle resolves both to ROOT —
     # the documented policy at collate.py's nb/no aliases. The audit

@@ -43,11 +43,59 @@ def main() -> int:
     ).fetchall()
     keys = {s: bytes.fromhex(k) for s, k in rows}
     prims = {s: k.split(b"\x01")[0] for s, k in keys.items()}
-    if len(set(prims.values())) != len(chars):
-        from collections import Counter
+    # Primary ties are EXPECTED only in bopomofo: the extended block
+    # (and ㄮ) carries secondary-70/78 letter variants and tertiary-E0
+    # forms of base letters. Emit them as alias tables (primary -> the
+    # representative's slot; measured secondary/tertiary bands); any tie
+    # outside these two probed patterns fails loudly.
+    from collections import defaultdict
 
-        dups = [p for p, n in Counter(prims.values()).items() if n > 1]
-        print(f"FAIL: {len(dups)} primary ties — 1:1 translate unsound", file=sys.stderr)
+    by_prim = defaultdict(list)
+    for c in chars:
+        by_prim[prims[c]].append(c)
+    bpmf_sec: dict[str, str] = {}
+    sec_delete: list[str] = []
+    bpmf_tert: dict[str, str] = {}
+    prim_alias: dict[str, str] = {}
+    sec_band = {b"\x70": "", b"\x78": ""}
+    for p, grp in by_prim.items():
+        if len(grp) == 1:
+            continue
+        grp.sort(key=lambda c: keys[c])
+        rep = grp[0]
+        levels = {c: keys[c].split(b"\x01") for c in grp}
+        rep_sec, rep_tert = levels[rep][1], levels[rep][2]
+        if rep_sec != b"\x05" or rep_tert != b"\x05" or not (
+            0x3105 <= ord(rep) < 0x31C0
+        ):
+            print(f"FAIL: unexpected tie group {grp!r}", file=sys.stderr)
+            return 1
+        for c in grp[1:]:
+            sec, tert = levels[c][1], levels[c][2]
+            prim_alias[c] = rep
+            if sec == rep_sec:
+                # tertiary-only variants: common secondary like the rep.
+                # The rep (inside the stroke order) is DELETED from the
+                # secondary text, so the variant must be deleted too —
+                # mapping it to the rep CHAR would leave an asymmetric
+                # secondary stream (found by the zh_tw grid audit:
+                # base+variant vs variant+base inverted).
+                sec_delete.append(c)
+            elif sec in sec_band:
+                bpmf_sec[c] = sec_band[sec]
+            else:
+                print(f"FAIL: unprobed secondary {sec.hex()} in {grp!r}",
+                      file=sys.stderr)
+                return 1
+            if tert == b"\xe0":
+                bpmf_tert[c] = ""
+            elif tert != rep_tert:
+                print(f"FAIL: unprobed tertiary {tert.hex()} in {grp!r}",
+                      file=sys.stderr)
+                return 1
+    chars = [c for c in chars if c not in prim_alias]
+    if len({prims[c] for c in chars}) != len(chars):
+        print("FAIL: residual primary ties", file=sys.stderr)
         return 1
     # alias check: zh_Hant / yue must be byte-identical to zh_tw
     sample = chars[:: max(1, len(chars) // 2000)] + [chr(c) for c in range(0x20, 0x7F)]
@@ -80,8 +128,20 @@ def main() -> int:
             'bopomofo); HIGH is the implicit zone above Latin."""\n\n'
         )
         f.write(f"HAN_STROKE_ORDER = {order!r}\n\n")
-        f.write(f"HAN_STROKE_HIGH = {order_high!r}\n")
-    print(f"wrote {OUT}: {len(order)} low + {len(order_high)} high chars")
+        f.write(f"HAN_STROKE_HIGH = {order_high!r}\n\n")
+        f.write("#: bopomofo variant letters: char -> base letter whose "
+                "primary slot it shares\n")
+        f.write(f"BPMF_PRIM_ALIAS = {prim_alias!r}\n\n")
+        f.write("#: their measured secondary: base char (tertiary-only "
+                "variants) or the\n#: 70/78 band slots \\uea01/\\uea02\n")
+        f.write(f"BPMF_SEC = {bpmf_sec!r}\n\n")
+        f.write("#: tertiary-only variants DELETED from the secondary text "
+                "(common 05,\n#: like their rep inside the stroke order)\n")
+        f.write(f"BPMF_SEC_DELETE = {''.join(sec_delete)!r}\n\n")
+        f.write("#: tertiary-E0 variants -> the \\ue0f0 band\n")
+        f.write(f"BPMF_TERT = {bpmf_tert!r}\n")
+    print(f"wrote {OUT}: {len(order)} low + {len(order_high)} high chars; "
+          f"{len(prim_alias)} bopomofo variants")
     return 0
 
 

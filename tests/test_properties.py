@@ -1163,3 +1163,64 @@ def test_cjk_supplementary_secondary_shapes(spark, oracle):
             for r in df.orderBy(locale_collation_key(F.col("s"), loc), F.col("s")).collect()
         ]
         assert ours == icu, loc
+
+
+@st.composite
+def _zh_tw_words(draw):
+    """Mixed zh_tw material: Han across the measured stroke order (both
+    zones), bopomofo incl. the extended secondary/tertiary variant
+    letters, tone vowels, CJK punctuation, fullwidth clones, Latin."""
+    from duckdb_parachute_spark.functions.zh_stroke_data import (
+        BPMF_PRIM_ALIAS,
+        HAN_STROKE_HIGH,
+        HAN_STROKE_ORDER,
+    )
+
+    order = HAN_STROKE_ORDER + HAN_STROKE_HIGH
+    bpmf = [c for c in HAN_STROKE_ORDER if 0x3105 <= ord(c) < 0x31C0]
+    bpmf += list(BPMF_PRIM_ALIAS)
+    out = []
+    for _ in range(draw(st.integers(1, 5))):
+        kind = draw(st.integers(0, 9))
+        if kind < 4:
+            out.append(order[draw(st.integers(0, len(order) - 1))])
+        elif kind < 6:
+            out.append(draw(st.sampled_from(bpmf)))
+        elif kind == 6:
+            out.append(draw(st.sampled_from(
+                list("āáǎàaēéěèeūúǔùuǖǘǚǜü") + ["ń", "ǹ", "ḿ", "ê", "ß"])))
+        elif kind < 9:
+            out.append(draw(st.sampled_from(
+                list("，、。！？；：（）～　０９ａＺ·‧〈〉《》「」『』【】〔〕〇")
+                + list(" ,.!?;:()~_-09"))))
+        else:
+            out.append(draw(st.sampled_from(list("abZxyz"))))
+    return "".join(out)
+
+
+@settings(max_examples=_ex(8), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_zh_tw_collation_matches_icu(spark, oracle, data):
+    """Round 16: traditional-Chinese STROKE order ('zh_tw') — the
+    97,781-char measured stroke repertoire split into the below-Latin
+    stroke zone (incl. 〇 and bopomofo) and the above-Latin implicit
+    zone, the 19 extended-bopomofo secondary/tertiary variant letters,
+    and the zh-shared non-Han surface (probed byte-identical). Binary
+    tie-break both sides."""
+    from duckdb_parachute_spark.functions.collate import locale_collation_key
+
+    words = data.draw(st.lists(_zh_tw_words().filter(bool),
+                               min_size=2, max_size=40, unique=True))
+    icu = [
+        r[0]
+        for r in oracle.execute(
+            'SELECT s FROM (SELECT unnest(?) s) ORDER BY s COLLATE "zh_tw", s',
+            [words],
+        ).fetchall()
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    ours = [
+        r["s"]
+        for r in df.orderBy(locale_collation_key(F.col("s"), "zh_tw"), F.col("s")).collect()
+    ]
+    assert ours == icu
