@@ -1122,11 +1122,9 @@ def _zh_spec(stroke: bool = False) -> _LocaleSpec:
       m̄/ê̄, compatibility ideographs WITH canonical decompositions
       (out of scope by the NFC contract — NFC rewrites them to their
       unified forms), and other scripts stay raw-byte. zh_cn measured
-      identical and aliases; zh_tw/zh_hant/yue (stroke) and ja landed
-      in round 16 (``stroke=True`` and _ja_spec); ko's tailoring (Han
-      keyed by Hangul reading at primary with disambiguating
-      secondaries, multi-element syllables) stays unsupported
-      (raise)."""
+      identical and aliases; zh_tw/zh_hant/yue (stroke), ja, and ko all
+      landed in round 16 (``stroke=True``, _ja_spec, _ko_spec) — every
+      locale the reference's bundle tailors is now served."""
     if stroke:
         from duckdb_parachute_spark.functions.zh_stroke_data import (
             BPMF_PRIM_ALIAS,
@@ -1507,6 +1505,170 @@ def _ja_spec() -> _LocaleSpec:
 
 
 _LOCALES["ja"] = _ja_spec()
+
+
+def _ko_spec() -> _LocaleSpec:
+    """Korean ('ko' — round 16, the last named locale gap; reference
+    extension/icu/icu_extension.cpp:119). Every rule probed on DuckDB's
+    bundled ICU ko tailoring; the data tables are GENERATED by
+    scripts/gen_ko_collation.py, which verifies all invariants:
+
+    * Modern precomposed syllables are LV+T at the ELEMENT level: an
+      LVT syllable's primary is its LV syllable's primary plus one byte
+      determined only by the trailing jamo (verified for all 11,172).
+      The spec mirrors that with 27 regex passes that append the
+      trailing conjoining jamo after each syllable of its algorithmic
+      (cp%28) class, then per-char slots: 399 LV classes in measured
+      order, the 27 T slots in measured byte order ABOVE every LV slot
+      (probed: a following syllable's compressed lead stays below every
+      T byte, so '가나' < '각' while '가a' > '각' — the Latin slots sit
+      above T).
+    * The Hangul+Han zone reorders below Latin and above digits
+      ('9' < '가' < 'a'). 7,476 tailored Han tie their primary READING's
+      syllable at primary (LV or LVT — the expansion regexes carry the
+      Han of each LVT reading class too) and rank AFTER it by a
+      measured secondary; encoded as \\x02 for the syllable vs GLOBAL
+      \\ue001+ slots in absolute measured order (a trailing jamo
+      composes with a preceding syllable under FCD, so 價+U+11A8 ties
+      恪 at primary ACROSS classes and their secondaries compare
+      directly — the grid audit killed per-class ranks; full ties share
+      a slot). 85,380 further Han
+      keep own primaries between the Hangul zone and Latin; 4,868 sit
+      in the implicit zone above Latin (zh-style split).
+    * The whole zone carries EXPLICIT common secondaries/tertiaries
+      (\\x02) rather than zh/ja-style deletion: Han and their reading
+      syllables share primaries while being DIFFERENT chars, so streams
+      must stay position-aligned for the rank band to compare only
+      against in-class members (and \\x02 sits below every root accent
+      window, preserving the trailing-mark rule for 'ḗ가' shapes).
+    * The non-Hangul surface is ROOT-model and was probed byte-identical
+      to 'pt' across the full Latin/accent/punct scope incl. two-char
+      interactions: root accent windows (no zh tone ladder), the zh CJK
+      punctuation ladder + ₩ as a new primary after $, fullwidth folds,
+      digits re-slotted above punctuation; 〇 ties '0' EXACTLY (all
+      three levels, probed).
+    * TRAILING conjoining jamo (U+11A8-11C2) are in scope — they slot
+      exactly like the expansion markers, reproducing ICU's FCD
+      composition ('가'+U+11A8 ≡ '각', probed). Residuals (documented):
+      standalone LEAD/VOWEL and compat/halfwidth jamo stay raw: a lead
+      jamo's primary is a byte-prefix of every syllable built on it, so
+      its order against a syllable depends on the following char, which
+      a per-char key cannot express (measured: 'ᄀ가' < '가' < 'ᄀa').
+      Composed NFC text never contains them. Old-Hangul/jamo-extended
+      blocks and other scripts raw."""
+    from duckdb_parachute_spark.functions.ko_collation_data import (
+        KO_HAN_CLASSES,
+        KO_HAN_HIGH,
+        KO_HAN_LOW_EXTRA,
+        KO_HAN_SEC_GROUPS,
+        KO_LV_ORDER,
+        KO_T_ORDER,
+    )
+
+    char_seq, acc_src, acc_dst = _latin_accent_tables()
+    letters = "abcdefghijklmnŋopqrstŧuvwxyzþ"
+    lat_slot = {c: chr(0x109000 + i) for i, c in enumerate(letters)}
+    acc_fold_src = "".join(c for c in char_seq if c not in lat_slot)
+    acc_fold_dst = "".join(lat_slot[char_seq[c][0]] for c in acc_fold_src)
+    fw_lower = "".join(chr(0xFF41 + i) for i in range(26))
+    fw_digits = "".join(chr(0xFF10 + i) for i in range(10))
+    punct_ladder = (" _-,、;:!?.。·'\"()[]{}〈〉《》「」『』【】〔〕@*/\\&#%‧"
+                    "`^+<=>|~$₩")
+    digit_slots = "".join(chr(0x40 + i) for i in range(10))
+    fw_punct_src = "，；：！？（）～　"
+    fw_punct_dst = ",;:!?()~ "
+
+    S_BASE, T_N = 0xAC00, 28
+    n_syl = 19 * 21 * T_N
+    lv_slots = _pua_run(0xF1000, len(KO_LV_ORDER))
+    lv_slot = {s: lv_slots[i] for i, s in enumerate(KO_LV_ORDER)}
+    t_slots = _pua_run(0xF1400, len(KO_T_ORDER))
+
+    # T-expansion regex classes: syllables by (cp % 28) + each LVT
+    # reading class's Han
+    t_members: dict[str, list[str]] = {t: [] for t in KO_T_ORDER}
+    for i in range(n_syl):
+        t = i % T_N
+        if t:
+            t_members[chr(0x11A7 + t)].append(chr(S_BASE + i))
+    for key, hans in KO_HAN_CLASSES.items():
+        if len(key) == 2:
+            t_members[key[1]].extend(hans)
+    post = tuple(
+        ("([" + "".join(m) + "])", "$1" + t) for t, m in t_members.items()
+    )
+
+    p_src: list[str] = []
+    p_dst: list[str] = []
+    s_src: list[str] = []
+    s_dst: list[str] = []
+    for i in range(n_syl):
+        p_src.append(chr(S_BASE + i))
+        p_dst.append(lv_slot[chr(S_BASE + i - i % T_N)])
+    for i, t in enumerate(KO_T_ORDER):
+        p_src.append(t)
+        p_dst.append(t_slots[i])
+    for key, hans in KO_HAN_CLASSES.items():
+        for h in hans:
+            p_src.append(h)
+            p_dst.append(lv_slot[key[0]])
+    # GLOBAL secondary slots: trailing-jamo composition (價+ᆨ ties 恪 at
+    # primary) makes cross-class secondary comparisons reachable, so the
+    # slots encode the measured ABSOLUTE order, one slot per distinct
+    # secondary (full ties share a slot)
+    for gi, grp in enumerate(KO_HAN_SEC_GROUPS):
+        for h in grp:
+            s_src.append(h)
+            s_dst.append(chr(0xE001 + gi))
+    zone_commons = (
+        "".join(chr(S_BASE + i) for i in range(n_syl))
+        + KO_T_ORDER + KO_HAN_LOW_EXTRA + KO_HAN_HIGH
+    )
+    class_han = "".join(s_src)
+    return _LocaleSpec(
+        posttransform=post,
+        primary=(("ß", "ss"), ("æ", "ae"), ("œ", "oe"), ("ĳ", "ij"),
+                 ("ð", "d"), ("ŀ", "l")),
+        primary_translate=(
+            "".join(p_src) + KO_HAN_LOW_EXTRA + KO_HAN_HIGH + "〇"
+            + letters + acc_fold_src + fw_lower + "0123456789" + fw_digits
+            + fw_punct_src + punct_ladder,
+            "".join(p_dst)
+            + _pua_run(0xF2000, len(KO_HAN_LOW_EXTRA))
+            + _pua_run(0x10A000, len(KO_HAN_HIGH))
+            + digit_slots[0]
+            + "".join(lat_slot[c] for c in letters)
+            + acc_fold_dst
+            + "".join(lat_slot[c] for c in _LOWER)
+            + digit_slots + digit_slots
+            + "".join(
+                chr(0x02 + punct_ladder.index(c)) for c in fw_punct_dst
+            )
+            + "".join(chr(0x02 + i) for i in range(len(punct_ladder))),
+        ),
+        primary_strip=False,
+        secondary=(
+            ("ß", chr(0xF000) + "s"),
+            ("æ", chr(0xF000) + "e"),
+            ("œ", chr(0xF000) + "e"),
+            ("ĳ", "ij"),
+            ("ð", chr(0xF000)),
+            ("ŀ", chr(0xF000)),
+        ),
+        secondary_translate=(
+            class_han + acc_src + fw_lower + fw_digits + "〇" + fw_punct_src
+            + zone_commons,
+            "".join(s_dst) + acc_dst + _LOWER + "0123456789" + "0"
+            + fw_punct_dst + "\x02" * len(zone_commons),
+        ),
+        tertiary=(fw_lower + fw_lower.upper() + "〇" + zone_commons
+                  + class_han,
+                  "`" * 26 + "\x7f" * 26 + "0"
+                  + "\x02" * (len(zone_commons) + len(class_han))),
+    )
+
+
+_LOCALES["ko"] = _ko_spec()
 
 
 def locale_collation_key(col: Column | str, locale: str) -> Column:

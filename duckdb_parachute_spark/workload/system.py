@@ -1018,3 +1018,60 @@ def collate_locale_zh_tw_rank(spark, sf_dir):
         df, [collate.locale_collation_key(F.col("s"), "zh_tw")], out="rnk"
     )
     return ranked.select("s", "rnk").orderBy("rnk", "s")
+
+
+@query(
+    "collate_locale_ko_rank",
+    oracle="""
+    SELECT s, CAST(rank() OVER (ORDER BY s COLLATE ko) AS BIGINT) AS rnk
+    FROM (
+        SELECT CASE p_partkey % 6
+                 WHEN 0 THEN translate(p_name, 'abcdefghij', '가나다라마바사아자차')
+                 WHEN 1 THEN translate(p_name, 'abcdefghij', '각난닫랄맘밥삿았잦찾')
+                 WHEN 2 THEN replace(replace(translate(p_name, 'aeiou', '김金일一하'), 'l', '下'), 's', '가')
+                 WHEN 3 THEN replace(replace(translate(p_name, 'abcdefghij', '丂丄丅𠀀𪚥㐀䶵鿽丩丳'), 'r', '、'), 'n', '。')
+                 WHEN 4 THEN replace(replace(translate(p_name, '0123ae', '０１２３ａＺ'), 'l', '₩'), 's', '〇')
+                 ELSE p_name
+               END AS s
+        FROM part WHERE p_partkey % 7 = 0
+    )
+    ORDER BY rnk, s
+    """,
+)
+def collate_locale_ko_rank(spark, sf_dir):
+    """ICU Korean collation (round 16 — the last named locale gap;
+    reference extension/icu/icu_extension.cpp:119). Branches seed plain
+    and trailing-consonant syllables (the LV+T element shapes), Han
+    mixed with their reading syllables (primary ties + global secondary
+    ranks), readingless and supplementary-zone Han with CJK
+    punctuation, and fullwidth clones with ₩ and the 〇≡0 tie. Ranked
+    on locale_collation_key('ko') vs DuckDB's real ICU ``COLLATE ko``."""
+    from duckdb_parachute_spark.functions.scalar import global_rank
+
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 7 == 0)
+    s = (
+        F.when(F.col("p_partkey") % 6 == 0,
+               F.translate(F.col("p_name"), "abcdefghij", "가나다라마바사아자차"))
+        .when(F.col("p_partkey") % 6 == 1,
+              F.translate(F.col("p_name"), "abcdefghij", "각난닫랄맘밥삿았잦찾"))
+        .when(F.col("p_partkey") % 6 == 2,
+              F.replace(F.replace(F.translate(F.col("p_name"), "aeiou", "김金일一하"),
+                                  F.lit("l"), F.lit("下")),
+                        F.lit("s"), F.lit("가")))
+        .when(F.col("p_partkey") % 6 == 3,
+              F.replace(F.replace(F.translate(F.col("p_name"), "abcdefghij",
+                                              "丂丄丅𠀀𪚥㐀䶵鿽丩丳"),
+                                  F.lit("r"), F.lit("、")),
+                        F.lit("n"), F.lit("。")))
+        .when(F.col("p_partkey") % 6 == 4,
+              F.replace(F.replace(F.translate(F.col("p_name"), "0123ae",
+                                              "０１２３ａＺ"),
+                                  F.lit("l"), F.lit("₩")),
+                        F.lit("s"), F.lit("〇")))
+        .otherwise(F.col("p_name"))
+    )
+    df = p.select(s.alias("s"))
+    ranked = global_rank(
+        df, [collate.locale_collation_key(F.col("s"), "ko")], out="rnk"
+    )
+    return ranked.select("s", "rnk").orderBy("rnk", "s")

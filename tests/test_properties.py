@@ -1224,3 +1224,111 @@ def test_zh_tw_collation_matches_icu(spark, oracle, data):
         for r in df.orderBy(locale_collation_key(F.col("s"), "zh_tw"), F.col("s")).collect()
     ]
     assert ours == icu
+
+
+@st.composite
+def _ko_words(draw):
+    """Mixed ko material: syllables across the LV/T grid, same-reading
+    Han WITH their reading syllables (the primary-tie + secondary-rank
+    shapes), readingless and implicit-zone Han, root-accent vowels, CJK
+    punctuation incl. ₩ and the 〇≡0 tie, fullwidth clones, Latin."""
+    from duckdb_parachute_spark.functions.ko_collation_data import (
+        KO_HAN_CLASSES,
+        KO_HAN_HIGH,
+        KO_HAN_LOW_EXTRA,
+    )
+
+    classes = list(KO_HAN_CLASSES.items())
+    out = []
+    for _ in range(draw(st.integers(1, 5))):
+        kind = draw(st.integers(0, 9))
+        if kind < 3:
+            out.append(chr(0xAC00 + draw(st.integers(0, 19 * 21 * 28 - 1))))
+        elif kind < 5:
+            key, hans = classes[draw(st.integers(0, len(classes) - 1))]
+            pick = draw(st.integers(-1, min(len(hans) - 1, 5)))
+            if pick < 0:
+                # the reading syllable itself (primary-tie partner)
+                lv, t = key[0], (key[1] if len(key) == 2 else "")
+                out.append(chr(ord(lv) + (ord(t) - 0x11A7 if t else 0)))
+            else:
+                out.append(hans[pick])
+        elif kind == 5:
+            out.append(KO_HAN_LOW_EXTRA[draw(st.integers(0, len(KO_HAN_LOW_EXTRA) - 1))])
+        elif kind == 6:
+            out.append(KO_HAN_HIGH[draw(st.integers(0, len(KO_HAN_HIGH) - 1))])
+        elif kind < 9:
+            out.append(draw(st.sampled_from(
+                list("，、。！？；：（）～　０９ａＺ·‧〈〉《》【】₩$〇0")
+                + list("āáǎàéêëü") + list(" ,.!?;:()~_-09"))))
+        else:
+            out.append(draw(st.sampled_from(list("abZxyz"))))
+    return "".join(out)
+
+
+@settings(max_examples=_ex(8), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_ko_collation_matches_icu(spark, oracle, data):
+    """Round 16 (the last named locale gap): Korean at full depth — the
+    LV+T element structure (27 trailing-jamo expansion classes, T slots
+    above every LV continuation so '가나' < '각' < '가a'), 7,476 Han
+    tying their reading syllable at primary and ranking after it by
+    measured secondary, the readingless and implicit Han zones, the
+    root-model Latin surface, ₩, and the exact 〇≡0 tie. Binary
+    tie-break both sides."""
+    from duckdb_parachute_spark.functions.collate import locale_collation_key
+
+    words = data.draw(st.lists(_ko_words().filter(bool),
+                               min_size=2, max_size=40, unique=True))
+    icu = [
+        r[0]
+        for r in oracle.execute(
+            'SELECT s FROM (SELECT unnest(?) s) ORDER BY s COLLATE "ko", s',
+            [words],
+        ).fetchall()
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    ours = [
+        r["s"]
+        for r in df.orderBy(locale_collation_key(F.col("s"), "ko"), F.col("s")).collect()
+    ]
+    assert ours == icu
+
+
+def test_ko_collation_pinned_element_shapes(spark, oracle):
+    """Round 16 deterministic pins for the ko element structure — each
+    was probed during the build:
+
+    * '가나' < '각' < '가a': a following syllable's compressed lead sits
+      below every trailing-jamo byte, which sits below Latin (the shape
+      that makes per-char keys unsound WITHOUT the T expansion).
+    * 김 < 金 < 김a < 金a: Han tie their reading at primary and rank
+      after it by secondary; the rank must not leak past the reading.
+    * 일á < 一a and 일a < 一á: the Han secondary rank decides at its
+      own stream position against the syllable's explicit common.
+    * 'ē가' < 'ḗ가': root trailing marks beat a following syllable's
+      common (the explicit-\\x02 design).
+    * 〇 ties '0' exactly; ₩ sorts after $."""
+    from duckdb_parachute_spark.functions.collate import locale_collation_key
+
+    words = [
+        "가나", "각", "가a", "가", "각a", "가힣", "가𠀀",
+        "김", "金", "김a", "金a", "김치", "金치",
+        "일", "一", "일á", "一a", "일a", "一á",
+        "ē가", "ḗ가", "ē一", "ḗ一",
+        "〇", "0", "〇가", "0가", "₩", "$", "₩1", "$9",
+        "하", "下", "下a", "하á", "한국어", "漢字",
+    ]
+    icu = [
+        r[0]
+        for r in oracle.execute(
+            'SELECT s FROM (SELECT unnest(?) s) ORDER BY s COLLATE "ko", s',
+            [words],
+        ).fetchall()
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    ours = [
+        r["s"]
+        for r in df.orderBy(locale_collation_key(F.col("s"), "ko"), F.col("s")).collect()
+    ]
+    assert ours == icu
