@@ -3590,6 +3590,15 @@ def rewrite_mad_approx(sql: str) -> str:
     it), and the outer aggregate takes the approx-median of the absolute
     deviations. No per-group materialization anywhere; both passes are
     fixed-size sketches, which is the spelling that survives 100 TB.
+
+    WHEN to route (measured, BASELINE §round-16): the sketch wins when
+    groups are LARGE (few groups x many rows — bounded sketch state
+    replaces the exact path's per-group arrays, the actual 100 TB
+    killer; 1.18x faster at 3 groups x 15 M rows). At HIGH group
+    cardinality the exact path wins (3.4x wall, 15x less shuffled state
+    at 100k groups of ~150 rows: tiny compressed arrays beat a
+    serialized sketch object per group per pass), so leave
+    holistic_exact=true there.
     Result is DOUBLE (the exact path's DECIMAL-scale truncation does not
     apply — sketch mode trades exactness for scale by contract).
 

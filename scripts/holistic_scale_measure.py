@@ -78,6 +78,50 @@ SELECT l_linestatus, mad(l_extendedprice) AS mdev
 FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
 """
 
+# Round 16 (VERDICT r15 next #5): the 3-group shape hides the sketch
+# story — the HIGH-CARDINALITY regime (100k groups at 15 M rows) shows
+# the crossover and, more importantly, the per-group STATE: the exact
+# path's collected arrays vs the sketch state, read as the partial
+# bytes crossing each exchange (agg_state_bytes).
+HC_MAD_SQL = """
+SELECT l_orderkey % 100000 AS g, mad(l_extendedprice) AS mdev
+FROM lineitem GROUP BY l_orderkey % 100000
+"""
+
+
+def agg_state_bytes(spark, df) -> int:
+    """Max 'shuffle bytes written' (bytes) across the LAST SQL
+    execution's exchanges, from the shared SQLAppStatusStore — the
+    partial-aggregate state crossing the wire (the exact path ships
+    collected values, the routed path ships sketches). These aggregate
+    paths (ObjectHashAggregate / SortAggregate) report no 'peak memory'
+    metric, so the exchange size is the honest state proxy."""
+    import re
+    import time as _time
+
+    df.collect()
+    _time.sleep(2.0)  # the status store updates via an async listener
+    store = spark._jsparkSession.sharedState().statusStore()
+    execs = store.executionsList()
+    last = execs.apply(execs.size() - 1)
+    ids = set()
+    mseq = last.metrics()
+    for i in range(mseq.size()):
+        m = mseq.apply(i)
+        if m.name() == "shuffle bytes written":
+            ids.add(m.accumulatorId())
+    vals = store.executionMetrics(last.executionId())
+    it = vals.iterator()
+    best = 0
+    unit = {"B": 1, "KiB": 2**10, "MiB": 2**20, "GiB": 2**30}
+    while it.hasNext():
+        kv = it.next()
+        if kv._1() not in ids:
+            continue
+        for num, u in re.findall(r"([\d.]+)\s*(B|KiB|MiB|GiB)", str(kv._2())):
+            best = max(best, int(float(num) * unit[u]))
+    return best
+
 
 def replicate(spark) -> None:
     import shutil
@@ -132,6 +176,8 @@ def time_spark(spark, sf_dir: str) -> dict[str, float]:
     out["cte_shared"] = best_of(lambda: sqlx.sql(spark, CTE_SQL).collect())
     # mad: exact collect vs routed two-pass sketch (round 15)
     out["mad_exact"] = best_of(lambda: sqlx.sql(spark, MAD_SQL).collect())
+    out["hc_exact"] = best_of(lambda: sqlx.sql(spark, HC_MAD_SQL).collect())
+    out["hc_exact_peak"] = agg_state_bytes(spark, sqlx.sql(spark, HC_MAD_SQL))
     sqlx.sql(spark, "SET holistic_exact = false")
     try:
         assert "approx_percentile" in sqlx.transpile(APPROX_SQL)
@@ -140,6 +186,9 @@ def time_spark(spark, sf_dir: str) -> dict[str, float]:
         plan = mad_df._jdf.queryExecution().executedPlan().toString()
         assert "collect_list" not in plan, "mad approx path must not collect"
         out["mad_approx"] = best_of(lambda: sqlx.sql(spark, MAD_SQL).collect())
+        assert "collect_list" not in sqlx.transpile(HC_MAD_SQL)
+        out["hc_approx"] = best_of(lambda: sqlx.sql(spark, HC_MAD_SQL).collect())
+        out["hc_approx_peak"] = agg_state_bytes(spark, sqlx.sql(spark, HC_MAD_SQL))
     finally:
         sqlx.sql(spark, "SET holistic_exact = true")
     return out
@@ -158,6 +207,7 @@ def time_duckdb(sf_dir: str) -> dict[str, float]:
         "approx": best_of(lambda: con.execute(DUCK_APPROX_SQL).fetchall()),
         "cte": best_of(lambda: con.execute(CTE_SQL).fetchall()),
         "mad": best_of(lambda: con.execute(MAD_SQL).fetchall()),
+        "hc_mad": best_of(lambda: con.execute(HC_MAD_SQL).fetchall()),
     }
 
 
@@ -198,6 +248,14 @@ def main() -> None:
         print(f"| {tag} | {s['cte_unshared']:.2f}s | {s['cte_shared']:.2f}s "
               f"| {d['cte']:.2f}s | {s['mad_exact']:.2f}s | {s['mad_approx']:.2f}s "
               f"| {d['mad']:.2f}s |")
+    print("\n| scale | groups | Spark mad exact | shuffled state | Spark mad routed "
+          "| shuffled state | DuckDB mad exact |")
+    print("|---|---|---|---|---|---|---|")
+    for tag in ("1x", f"{FACTOR}x"):
+        s, d = rows[tag]
+        print(f"| {tag} | 100k | {s['hc_exact']:.2f}s "
+              f"| {s['hc_exact_peak'] / 2**20:.0f} MiB | {s['hc_approx']:.2f}s "
+              f"| {s['hc_approx_peak'] / 2**20:.0f} MiB | {d['hc_mad']:.2f}s |")
 
 
 if __name__ == "__main__":
