@@ -181,6 +181,12 @@ class _LocaleSpec:
     #: ALREADY decomposed so one optional-mark group covers both plain
     #: and voiced contexts (and halfwidth ﾞ naturally blocks them).
     posttransform: tuple = field(default=())
+    #: one F.translate applied BEFORE posttransform (round 16, ko): maps
+    #: chars needing CONTEXTUAL regex treatment into contiguous
+    #: unassigned-plane code blocks so the posttransform classes compile
+    #: to O(1) RANGE checks — Java Pattern scans big enumerated classes
+    #: linearly, which made 27 enumerated-class passes ~70x slower.
+    pretranslate: tuple[str, str] = field(default=("", ""))
     #: apply strip_accents at the end of the primary pipeline (round 15,
     #: zh): a spec whose primary_translate already folds every in-scope
     #: accented char sets this False — the strip would be a no-op on the
@@ -1584,49 +1590,83 @@ def _ko_spec() -> _LocaleSpec:
     lv_slot = {s: lv_slots[i] for i, s in enumerate(KO_LV_ORDER)}
     t_slots = _pua_run(0xF1400, len(KO_T_ORDER))
 
-    # T-expansion regex classes: syllables by (cp % 28) + each LVT
-    # reading class's Han
-    t_members: dict[str, list[str]] = {t: [] for t in KO_T_ORDER}
-    for i in range(n_syl):
-        t = i % T_N
-        if t:
-            t_members[chr(0x11A7 + t)].append(chr(S_BASE + i))
-    for key, hans in KO_HAN_CLASSES.items():
-        if len(key) == 2:
-            t_members[key[1]].extend(hans)
-    post = tuple(
-        ("([" + "".join(m) + "])", "$1" + t) for t, m in t_members.items()
-    )
-
+    # T expansion in TWO stages (the 27 enumerated-class regexes were
+    # ~70x slower — Java Pattern scans big enumerated classes linearly):
+    # a pretranslate maps every LVT syllable and every LVT-reading Han
+    # into T-GROUPED unassigned-plane code blocks, so each regex class
+    # is two O(1) RANGES appending that T's trailing jamo.
+    SYL_BLK, SYL_STRIDE = 0x40000, 0x200
+    HAN_BLK, HAN_STRIDE = 0x50000, 0x2000
+    t_index = {t: i for i, t in enumerate(KO_T_ORDER)}
+    pre_src: list[str] = []
+    pre_dst: list[str] = []
     p_src: list[str] = []
     p_dst: list[str] = []
     s_src: list[str] = []
     s_dst: list[str] = []
     for i in range(n_syl):
-        p_src.append(chr(S_BASE + i))
-        p_dst.append(lv_slot[chr(S_BASE + i - i % T_N)])
+        t = i % T_N
+        lv = chr(S_BASE + (i // T_N) * T_N)
+        if not t:
+            p_src.append(chr(S_BASE + i))
+            p_dst.append(lv_slot[lv])
+            continue
+        ti = t_index[chr(0x11A7 + t)]
+        code = chr(SYL_BLK + ti * SYL_STRIDE + i // T_N)
+        pre_src.append(chr(S_BASE + i))
+        pre_dst.append(code)
+        p_src.append(code)
+        p_dst.append(lv_slot[lv])
     for i, t in enumerate(KO_T_ORDER):
         p_src.append(t)
         p_dst.append(t_slots[i])
+    han_code: dict[str, str] = {}
+    han_serial = [0] * len(KO_T_ORDER)
     for key, hans in KO_HAN_CLASSES.items():
         for h in hans:
-            p_src.append(h)
+            if len(key) == 2:
+                ti = t_index[key[1]]
+                if han_serial[ti] >= HAN_STRIDE:
+                    raise ValueError("ko Han code block overflow")
+                code = chr(HAN_BLK + ti * HAN_STRIDE + han_serial[ti])
+                han_serial[ti] += 1
+                han_code[h] = code
+                pre_src.append(h)
+                pre_dst.append(code)
+                p_src.append(code)
+            else:
+                p_src.append(h)
             p_dst.append(lv_slot[key[0]])
+    post = tuple(
+        (
+            "([{}-{}{}-{}])".format(
+                chr(SYL_BLK + ti * SYL_STRIDE),
+                chr(SYL_BLK + ti * SYL_STRIDE + SYL_STRIDE - 1),
+                chr(HAN_BLK + ti * HAN_STRIDE),
+                chr(HAN_BLK + ti * HAN_STRIDE + HAN_STRIDE - 1),
+            ),
+            "$1" + t,
+        )
+        for ti, t in enumerate(KO_T_ORDER)
+    )
     # GLOBAL secondary slots: trailing-jamo composition (價+ᆨ ties 恪 at
     # primary) makes cross-class secondary comparisons reachable, so the
     # slots encode the measured ABSOLUTE order, one slot per distinct
-    # secondary (full ties share a slot)
+    # secondary (full ties share a slot); LVT-reading Han key via their
+    # pretranslated codes
     for gi, grp in enumerate(KO_HAN_SEC_GROUPS):
         for h in grp:
-            s_src.append(h)
+            s_src.append(han_code.get(h, h))
             s_dst.append(chr(0xE001 + gi))
     zone_commons = (
-        "".join(chr(S_BASE + i) for i in range(n_syl))
+        "".join(chr(S_BASE + i * T_N) for i in range(19 * 21))
+        + "".join(pre_dst[: n_syl - 19 * 21])
         + KO_T_ORDER + KO_HAN_LOW_EXTRA + KO_HAN_HIGH
     )
     class_han = "".join(s_src)
     return _LocaleSpec(
         posttransform=post,
+        pretranslate=("".join(pre_src), "".join(pre_dst)),
         primary=(("ß", "ss"), ("æ", "ae"), ("œ", "oe"), ("ĳ", "ij"),
                  ("ð", "d"), ("ŀ", "l")),
         primary_translate=(
@@ -1699,6 +1739,8 @@ def locale_collation_key(col: Column | str, locale: str) -> Column:
         tok = F.regexp_replace(tok, spec.pretokenize, "\x1f$1\x1f")
     for pat, rep in spec.tokenize:
         tok = F.replace(tok, F.lit(pat), F.lit(rep))
+    if spec.pretranslate[0]:
+        tok = F.translate(tok, *spec.pretranslate)
     for pat, rep in spec.posttransform:
         tok = F.regexp_replace(tok, pat, rep)
     prim = F.lower(tok)

@@ -57,7 +57,9 @@ _DUCK_NAME = {
 _EXTRA_MARKS: dict[str, str] = {}
 
 _TOKEN_MAX = 0x20  # \x02..\x1f contraction tokens — never real input
-_PUA = ((0xE000, 0xF8FF), (0xF0000, 0x10FFFF))
+#: weight-internal ranges: BMP PUA, planes 15/16, and the ko
+#: pretranslate code blocks in the unassigned planes 4-8
+_PUA = ((0xE000, 0xF8FF), (0xF0000, 0x10FFFF), (0x40000, 0x8FFFF))
 
 
 def _is_weight_char(ch: str) -> bool:
@@ -80,6 +82,7 @@ def _scope(spec) -> tuple[list[str], list[str], list[str]]:
         spec.primary_translate,
         spec.secondary_translate,
         spec.tertiary,
+        spec.pretranslate,
     ):
         for c in src:
             if not _is_weight_char(c):
