@@ -1075,3 +1075,52 @@ def collate_locale_ko_rank(spark, sf_dir):
         df, [collate.locale_collation_key(F.col("s"), "ko")], out="rnk"
     )
     return ranked.select("s", "rnk").orderBy("rnk", "s")
+
+
+@query(
+    "dedup_collate_fold_ja",
+    oracle="""
+    SELECT min(s) AS rep, CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT CASE p_partkey % 3
+                 WHEN 0 THEN translate(p_name, 'abcdefghijklmnopqrstuvwxyz',
+                                       'あいうえおかきくけこさしすせそたちつてとなにぬねのは')
+                 WHEN 1 THEN translate(p_name, 'abcdefghijklmnopqrstuvwxyz',
+                                       'アイウエオカキクケコサシスセソタチツテトナニヌネノハ')
+                 ELSE translate(p_name, 'abcdefghijklmnopqrstuvwxyz',
+                                'ｱｲｳｴｵｶｷｸｹｺｻｼｽｾｿﾀﾁﾂﾃﾄﾅﾆﾇﾈﾉﾊ')
+               END AS s
+        FROM part WHERE p_partkey % 5 = 0
+    )
+    GROUP BY s COLLATE ja
+    ORDER BY rep
+    """,
+)
+def dedup_collate_fold_ja(spark, sf_dir):
+    """Collation-class dedup for a multilingual corpus (round 16 — the
+    LLM-pipeline use the locale keys exist for): the same word spelled
+    in hiragana, katakana, and halfwidth katakana is ONE ja collation
+    class (hiragana ≡ katakana ≡ halfwidth at every strength), so
+    grouping on locale_collation_key folds script variants exactly like
+    DuckDB's ``GROUP BY s COLLATE ja``. One hash shuffle on the key —
+    the same shape as exact dedup. Reps are the binary min per class
+    (deterministic on both engines)."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 5 == 0)
+    s = (
+        F.when(F.col("p_partkey") % 3 == 0,
+               F.translate(F.col("p_name"), "abcdefghijklmnopqrstuvwxyz",
+                           "あいうえおかきくけこさしすせそたちつてとなにぬねのは"))
+        .when(F.col("p_partkey") % 3 == 1,
+              F.translate(F.col("p_name"), "abcdefghijklmnopqrstuvwxyz",
+                          "アイウエオカキクケコサシスセソタチツテトナニヌネノハ"))
+        .otherwise(F.translate(F.col("p_name"), "abcdefghijklmnopqrstuvwxyz",
+                               "ｱｲｳｴｵｶｷｸｹｺｻｼｽｾｿﾀﾁﾂﾃﾄﾅﾆﾇﾈﾉﾊ"))
+    )
+    df = p.select(s.alias("s"))
+    return (
+        df.groupBy(collate.locale_collation_key(F.col("s"), "ja").alias("__k"))
+        .agg(F.min("s").alias("rep"), F.count(F.lit(1)).alias("n"))
+        .drop("__k")
+        .select("rep", "n")
+        .orderBy("rep")
+    )
