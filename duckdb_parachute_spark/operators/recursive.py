@@ -91,6 +91,7 @@ def recursive_cte(
     reliable: bool = False,
     max_unroll: int = 2,
     eager_deltas: bool = False,
+    prefilter_min_history_rows: int = 1 << 16,
 ) -> DataFrame:
     """Evaluate WITH RECURSIVE: base UNION [ALL] step(working) to fixpoint.
 
@@ -140,25 +141,53 @@ def recursive_cte(
     checkpoint job replaces the amortization. The trade does not pay; the
     default stays lazy/depth-2 and the knob remains for step functions
     whose per-step work is heavy enough to bury the job floor.
+
+    ``prefilter_min_history_rows`` (round 16): histories whose EXACT row
+    count — tracked for free from the probe jobs' per-delta counts plus a
+    base count ridden on the first probe — is at or below this skip the
+    row-hash semi-join prefilter and run the plain history exceptAll; the
+    exchange the prefilter avoids is smaller than the prefilter's own
+    subtree there. Scale-safe by construction: an unknown or large |acc|
+    always keeps the prefilter.
     """
     spark = base.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    def _dedup(nxt: DataFrame, prev_delta: DataFrame, history: DataFrame) -> DataFrame:
+    def _dedup(
+        nxt: DataFrame, prev_delta: DataFrame, history: DataFrame, history_small: bool
+    ) -> DataFrame:
         # Two-stage dedup: most regenerated rows come from the previous
         # delta (a graph step's back-edges), so dedup against the SMALL
         # previous delta first. The full-history check then runs against
         # only the history rows whose row-hash matches a candidate
         # (semi-join prefilter, see module docstring) — exact, and the
         # exceptAll exchange sees O(|delta|) rows instead of O(|acc|).
+        # Round 16: when the history's EXACT row count (free — the probe
+        # jobs count every delta, and the first probe counts the base) is
+        # below the prefilter threshold, the exchange the prefilter would
+        # avoid is smaller than the prefilter's own hash-distinct +
+        # semi-join subtree, so shallow/narrow recursions skip straight to
+        # the plain exceptAll. History can grow past the threshold within
+        # one batch only by the batch's own deltas — rows the probe job is
+        # about to materialize anyway — and the gate re-arms next batch.
         cand = nxt.distinct().exceptAll(prev_delta)
+        if history_small:
+            return cand.exceptAll(history)
         return cand.exceptAll(_prefilter_history(history, cand))
 
     def _finish(acc: DataFrame) -> DataFrame:
+        # UNION mode's terminal distinct only exists to dedup a base the
+        # caller handed in with duplicates: every delta is distinct and
+        # disjoint from all prior rows BY CONSTRUCTION (_dedup). Proving
+        # base distinctness at runtime was measured and rejected in round
+        # 16: the count(distinct base) rider added a full exchange to the
+        # first probe job and cost more than the terminal distinct saves
+        # at bench scale (~8% on recursive_cte_graph_reach).
         return acc if union_all else acc.distinct()
 
     acc = base
     working = base
+    acc_rows: int | None = None  # exact |acc|, seeded by the first probe job
     steps_done = 0
     steps_since_ckpt = 0
     unroll = min(2, max_unroll)
@@ -171,9 +200,10 @@ def recursive_cte(
         batch: list[DataFrame] = []
         prev = working  # last committed delta (already inside acc)
         hist = acc  # history EXCLUDING prev — prev is the cheap first stage
+        hist_small = acc_rows is not None and acc_rows <= prefilter_min_history_rows
         for i in range(min(unroll, max_iterations - steps_done)):
             nxt = step(prev)
-            d = nxt if union_all else _dedup(nxt, prev, hist)
+            d = nxt if union_all else _dedup(nxt, prev, hist, hist_small)
             d = _truncate(d, reliable, eager=eager_deltas)
             batch.append(d)
             if not union_all and i >= 1:
@@ -188,12 +218,22 @@ def recursive_cte(
         tagged = batch[0].select(F.lit(0).alias("__t"))
         for i, d in enumerate(batch[1:], start=1):
             tagged = tagged.unionAll(d.select(F.lit(i).alias("__t")))
+        if acc_rows is None and not union_all:
+            # Ride the base's row count on the first probe job (acc == base
+            # exactly here, tag -1): it seeds the exact-|acc| tracking that
+            # gates the prefilter — a union member of an already-scheduled
+            # job, not an extra job or exchange.
+            tagged = tagged.unionAll(acc.select(F.lit(-1).alias("__t")))
         counts = {r["__t"]: r["count"] for r in tagged.groupBy("__t").count().collect()}
+        if acc_rows is None and not union_all:
+            acc_rows = counts.get(-1, 0)
         used = 0
         for i, d in enumerate(batch):
             if counts.get(i, 0) == 0:
                 break
             acc = acc.unionAll(d)
+            if acc_rows is not None:
+                acc_rows += counts[i]
             used += 1
         steps_done += used
         if used < len(batch):
