@@ -110,28 +110,54 @@ def tpcds_q2(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderdate").alias("d"), money.cents("o_totalprice").alias("pc")
     )
-    wscs = li.unionAll(o).where(F.weekofyear("d").between(2, 51))
-    day = F.date_format("d", "EEEE")
-    wk = wscs.groupBy(
-        F.year("d").alias("yr"), F.weekofyear("d").alias("wk")
-    ).agg(
-        *[
-            money.units_to_decimal(
-                F.sum(F.when(day == d, F.col("pc"))), 2, "decimal(22,2)"
-            ).alias(f"{d[:3].lower()}_sales")
-            for d in _DAYS
-        ]
+    # Round 16 (guide §2.4): the self-join spelling (wk a JOIN wk b ON
+    # a.wk = b.wk with a.yr=1996, b.yr=1997) planned the UNION + pivot
+    # aggregate TWICE — four fact scans, two fact-scale aggregates, and a
+    # sort-merge join, 5 exchanges in all. The join's two sides are just
+    # year slices of the same weekly vector, so one pass grouped by week
+    # with year-conditional day sums computes both sides at once: one fact
+    # scan, ONE group-scale exchange, no join. The inner join's existence
+    # semantics (a week must have rows in BOTH years — even all-NULL day
+    # sums — to survive) are preserved by two conditional row counts; sums
+    # see exactly the same integer-unit partials, so values are
+    # bit-identical to the oracle's CTE self-join.
+    yr = F.year("d")
+    wscs = (
+        li.unionAll(o)
+        .where(F.weekofyear("d").between(2, 51) & yr.isin(1996, 1997))
     )
-    a, b = wk.alias("a"), wk.alias("b")
+    # dayofweek() (1=Sunday..7=Saturday, matching _DAYS order) instead of
+    # date_format('EEEE'): integer equality per condition instead of a
+    # per-row Java date-format + string compare (guide §1.2 per-task work).
+    dow = F.dayofweek("d")
+
+    def _sales(d: str, year: int):
+        return F.sum(F.when((yr == year) & (dow == _DAYS.index(d) + 1), F.col("pc")))
+
+    wk = wscs.groupBy(F.weekofyear("d").alias("wk")).agg(
+        *[
+            money.units_to_decimal(_sales(d, 1996), 2, "decimal(22,2)").alias(
+                f"a_{d[:3].lower()}"
+            )
+            for d in _DAYS
+        ],
+        *[
+            money.units_to_decimal(_sales(d, 1997), 2, "decimal(22,2)").alias(
+                f"b_{d[:3].lower()}"
+            )
+            for d in _DAYS
+        ],
+        F.count(F.when(yr == 1996, F.lit(1))).alias("__n96"),
+        F.count(F.when(yr == 1997, F.lit(1))).alias("__n97"),
+    )
     return (
-        a.where(F.col("a.yr") == 1996)
-        .join(b.where(F.col("b.yr") == 1997), F.col("a.wk") == F.col("b.wk"))
+        wk.where((F.col("__n96") > 0) & (F.col("__n97") > 0))
         .select(
-            F.col("a.wk").alias("week_seq"),
+            F.col("wk").alias("week_seq"),
             *[
                 (
-                    F.col(f"a.{d[:3].lower()}_sales").cast("double")
-                    / F.col(f"b.{d[:3].lower()}_sales").cast("double")
+                    F.col(f"a_{d[:3].lower()}").cast("double")
+                    / F.col(f"b_{d[:3].lower()}").cast("double")
                 ).alias(f"{d[:3].lower()}_ratio")
                 for d in _DAYS
             ],
