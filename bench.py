@@ -296,8 +296,17 @@ def main() -> None:
             "the reference after retries; wall numbers overstate query cost",
             file=sys.stderr,
         )
-    if missing or not same_sf:
-        out["baseline_missing"] = missing if missing else f"baseline is sf={baseline.get('sf')}"
+    basis_total = sum(base_q.get(n, 0.0) for n in timings)
+    if missing or not same_sf or basis_total <= 0:
+        # basis_total == 0 happens only for BENCH_ONLY subsets whose every
+        # member has a ~free DuckDB basis (e.g. a constant-SELECT oracle):
+        # a ratio over a zero basis is undefined, not infinite (round 16 —
+        # this was a ZeroDivisionError).
+        out["baseline_missing"] = (
+            missing
+            if missing
+            else (f"baseline is sf={baseline.get('sf')}" if not same_sf else "zero basis")
+        )
         print(f"# WARNING: no ratios — baseline mismatch: {out['baseline_missing']}", file=sys.stderr)
     else:
         basis = round(sum(base_q[n] for n in timings), 3)
