@@ -207,8 +207,17 @@ def sim_ivf_pruned_probe(spark, sf_dir):
         for r in ivf_topk(e, cents, qv, 10, nprobe=3).select("vec_id").collect()
     ]
     fly_ids = spark.createDataFrame(fly_rows, "vec_id bigint")
-    consistent = probe.select("vec_id").join(fly_ids, "vec_id").agg(
-        F.count(F.lit(1)).alias("n_same")
+    # Round 16: n_results and the consistency count share ONE probe subtree
+    # (left join against the broadcast 10-id set, then both counts in one
+    # aggregate) — the previous spelling planned the pruned index scan +
+    # top-k twice, once per claim.
+    stats = (
+        probe.select("vec_id")
+        .join(F.broadcast(fly_ids.withColumn("__m", F.lit(1))), "vec_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_results"),
+            F.count("__m").alias("n_same"),
+        )
     )
 
     # pruning evidence: the probed partitions' file set vs the whole index —
@@ -241,9 +250,7 @@ def sim_ivf_pruned_probe(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_read"))
     )
     return (
-        probe.agg(F.count(F.lit(1)).alias("n_results"))
-        .crossJoin(read_files)
-        .crossJoin(consistent)
+        stats.crossJoin(read_files)
         .select(
             "n_results",
             (F.col("n_read") < F.lit(n_all)).alias("pruned_ok"),
