@@ -192,15 +192,28 @@ def agg_approx_sketches(spark, sf_dir):
     regression on either side flips a boolean."""
     li = load_table(spark, sf_dir, "lineitem")
     exact_med = F.expr("percentile(l_extendedprice, 0.5)")
-    return li.groupBy("l_returnflag").agg(
+    # Round 16: the distinct count and the sketch aggregates MUST live in
+    # separate aggregates. Mixed count(DISTINCT k) + TypedImperative
+    # aggregates make Spark key the partial phase by (group, k) — here
+    # ~150k (flag, orderkey) keys each building its OWN percentile_approx
+    # QuantileSummaries + percentile map + HLL, then merging 150k sketch
+    # objects per group: 42-56 s at sf0.1. Split and joined on the group
+    # key, the same aggregates take ~0.4 s (105x) with bit-identical
+    # booleans — each aggregate's per-group inputs are unchanged.
+    counts = li.groupBy("l_returnflag").agg(
         (
             F.abs(F.approx_count_distinct("l_orderkey", rsd=0.02) - F.count_distinct("l_orderkey"))
             <= 0.05 * F.count_distinct("l_orderkey")
         ).alias("acd_ok"),
+    )
+    sketches = li.groupBy("l_returnflag").agg(
         (
             F.abs(F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(50000)) - exact_med)
             <= 0.02 * exact_med
         ).alias("median_ok"),
+    )
+    return counts.join(sketches, "l_returnflag").select(
+        "l_returnflag", "acd_ok", "median_ok"
     )
 
 
