@@ -274,8 +274,6 @@ def embedding_neardup_pairs(
     ``"error"`` raises instead; ``"ignore"`` restores the fully-lazy
     zero-extra-jobs plan for callers that run
     :func:`embedding_neardup_overflow` themselves."""
-    from duckdb_parachute_spark.functions.vector import array_cosine_similarity
-
     if bucket_col is None and not allow_bruteforce:
         raise ValueError(
             "embedding_neardup_pairs without bucket_col is O(n²); pass a "
@@ -304,11 +302,29 @@ def embedding_neardup_pairs(
                     raise ValueError(msg)
                 logging.getLogger(__name__).warning(msg)
         df = df.join(F.broadcast(hot), bucket_col, "left_anti")
+    # Round 16: hoist each vector's norm to a PER-ROW projection below the
+    # join. array_cosine_similarity recomputes both norms per PAIR — in a
+    # k-member bucket each row's norm is re-derived k-1 times, tripling the
+    # per-pair array-lambda work. dots/(n1*n2) below applies the exact same
+    # operations in the exact same order, so the cosine stays bit-identical
+    # to the oracle's list_cosine_similarity.
+    from duckdb_parachute_spark.functions.vector import _dots, _norm
+
     keys = [bucket_col] if bucket_col else []
-    a = df.select(*keys, F.col(id_col).alias("id1"), F.col(vec_col).alias("__v1"))
-    b = df.select(*keys, F.col(id_col).alias("id2"), F.col(vec_col).alias("__v2"))
+    a = df.select(
+        *keys,
+        F.col(id_col).alias("id1"),
+        F.col(vec_col).alias("__v1"),
+        _norm(F.col(vec_col)).alias("__n1"),
+    )
+    b = df.select(
+        *keys,
+        F.col(id_col).alias("id2"),
+        F.col(vec_col).alias("__v2"),
+        _norm(F.col(vec_col)).alias("__n2"),
+    )
     joined = a.join(b, keys) if keys else a.crossJoin(b)
-    sim = array_cosine_similarity(F.col("__v1"), F.col("__v2"))
+    sim = _dots(F.col("__v1"), F.col("__v2")) / (F.col("__n1") * F.col("__n2"))
     return (
         joined.where(F.col("id1") < F.col("id2"))
         .withColumn("cosine", sim)

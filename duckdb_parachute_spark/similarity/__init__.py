@@ -198,11 +198,27 @@ def pairwise_knn(
             "(LSH bucket / IVF centroid) or opt in explicitly with "
             "allow_bruteforce=True on small inputs"
         )
+    # Per-row norm hoist (round 16, same as embedding_neardup_pairs): the
+    # cosine's two norms move below the join so each row's norm is computed
+    # once, not once per pair — dots/(n1*n2) in the same operation order
+    # keeps the value bit-identical.
+    from duckdb_parachute_spark.functions.vector import _dots, _norm
+
     keys = [bucket_col] if bucket_col else []
-    a = df.select(*keys, F.col(id_col).alias("id1"), F.col(vec_col).alias("__v1"))
-    b = df.select(*keys, F.col(id_col).alias("id2"), F.col(vec_col).alias("__v2"))
+    a = df.select(
+        *keys,
+        F.col(id_col).alias("id1"),
+        F.col(vec_col).alias("__v1"),
+        _norm(F.col(vec_col)).alias("__n1"),
+    )
+    b = df.select(
+        *keys,
+        F.col(id_col).alias("id2"),
+        F.col(vec_col).alias("__v2"),
+        _norm(F.col(vec_col)).alias("__n2"),
+    )
     joined = (a.join(b, keys) if keys else a.crossJoin(b)).where(F.col("id1") != F.col("id2"))
-    sim = array_cosine_similarity(F.col("__v1"), F.col("__v2")).alias("cosine")
+    sim = (_dots(F.col("__v1"), F.col("__v2")) / (F.col("__n1") * F.col("__n2"))).alias("cosine")
     w = Window.partitionBy("id1").orderBy(F.desc("cosine"), F.col("id2"))
     return (
         joined.select("id1", "id2", sim)
