@@ -92,6 +92,7 @@ def recursive_cte(
     max_unroll: int = 2,
     eager_deltas: bool = False,
     prefilter_min_history_rows: int = 1 << 16,
+    delta_checkpoint: str = "every",
 ) -> DataFrame:
     """Evaluate WITH RECURSIVE: base UNION [ALL] step(working) to fixpoint.
 
@@ -149,7 +150,22 @@ def recursive_cte(
     exchange the prefilter avoids is smaller than the prefilter's own
     subtree there. Scale-safe by construction: an unknown or large |acc|
     always keeps the prefilter.
+
+    ``delta_checkpoint`` (round 16, UNION ALL only): every localCheckpoint
+    call pays full JVM analysis+planning eagerly (~40 ms measured), which
+    DOMINATES deep cheap-step recursions — 50 steps of a 1-row projection
+    spend 2 s planning checkpoints. ``"batch"`` truncates only each batch's
+    LAST delta (the next batch's working set); intermediate deltas keep
+    their inline plans, so the probe re-executes at most the batch's own
+    step chain (which it computes anyway) and the final accumulator
+    re-executes each intermediate ONCE. Use it when step() is a narrow
+    projection/filter; the default ``"every"`` stays for heavy steps
+    (joins/broadcasts), where re-execution in the terminal job would
+    re-scan inputs, and for UNION mode, whose exceptAll plans must not
+    chain across steps.
     """
+    if delta_checkpoint not in ("every", "batch"):
+        raise ValueError(f"delta_checkpoint must be 'every' or 'batch', got {delta_checkpoint!r}")
     spark = base.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
@@ -201,10 +217,12 @@ def recursive_cte(
         prev = working  # last committed delta (already inside acc)
         hist = acc  # history EXCLUDING prev — prev is the cheap first stage
         hist_small = acc_rows is not None and acc_rows <= prefilter_min_history_rows
-        for i in range(min(unroll, max_iterations - steps_done)):
+        k = min(unroll, max_iterations - steps_done)
+        for i in range(k):
             nxt = step(prev)
             d = nxt if union_all else _dedup(nxt, prev, hist, hist_small)
-            d = _truncate(d, reliable, eager=eager_deltas)
+            if not union_all or delta_checkpoint == "every" or i == k - 1:
+                d = _truncate(d, reliable, eager=eager_deltas)
             batch.append(d)
             if not union_all and i >= 1:
                 # prev graduates from "previous delta" to history; at i=0

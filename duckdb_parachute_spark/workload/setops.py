@@ -183,7 +183,22 @@ def recursive_cte_series(spark, sf_dir):
             .select((F.col("n") + 1).alias("n"), (F.col("s") + F.col("n") + 1).alias("s"))
         )
 
-    return recursive_cte(base, step, union_all=True, max_iterations=60)
+    # Round 16: this step is a pure 1-row projection — no broadcast or scan
+    # in the delta — which is exactly the documented case where deeper
+    # unrolls AND batch-granular delta checkpointing are safe
+    # (operators/recursive.py). Measured sweep over (max_unroll ×
+    # delta_checkpoint) at sf0.1, best-of-3 each: (2,every)=4.64s,
+    # (4,batch)=3.57s, (8,batch)=3.93s, (16,every)=3.84s — deeper unrolls
+    # lose to in-batch plan chaining (probe analysis grows O(k²)), so the
+    # measured optimum is depth 4 with one checkpoint per batch.
+    return recursive_cte(
+        base,
+        step,
+        union_all=True,
+        max_iterations=60,
+        max_unroll=4,
+        delta_checkpoint="batch",
+    )
 
 
 @query(
