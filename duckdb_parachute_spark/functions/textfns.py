@@ -86,7 +86,18 @@ def repetition_metrics(df, id_col: str, text_col: str):
 
     Relational formulation (explode → per-doc counts → join back) rather
     than per-row UDF loops: every stage is a hash aggregation keyed on the
-    document, so it scales as ordinary grouped aggregation at corpus size."""
+    document, so it scales as ordinary grouped aggregation at corpus size.
+
+    Round 16 (optimization): the trigram branch no longer mixes count(*)
+    with count(DISTINCT g) — the mix forces the distinct-rewrite (Expand)
+    plan. The trigram TOTAL needs no counting at all: explode preserves
+    every array element, so it equals len(word_shingles(text, 3)) =
+    greatest(n_tokens − 2, 1) exactly, and the branch keeps a lone
+    count_distinct (two plain aggregates, no Expand) — measured 4.15 s →
+    3.50 s on the branch at sf0.1. A fully FUSED single-pass variant
+    (tagged (k, gram) explode, one aggregate chain, no join) was measured
+    and REJECTED: 8.7 s vs 3.4 s end-to-end — the combined wider-key hash
+    aggregate costs far more than the two narrow parallel branches save."""
     from pyspark.sql import functions as F
 
     base = df.select(
@@ -105,14 +116,14 @@ def repetition_metrics(df, id_col: str, text_col: str):
     tri = base.select(id_col, "__n_tok", F.explode("__tri").alias("g")).groupBy(
         id_col, "__n_tok"
     ).agg(
-        F.count(F.lit(1)).alias("__tri_total"),
         F.count_distinct("g").alias("__tri_distinct"),
     )
+    tri_total = F.greatest(F.col("__n_tok") - 2, F.lit(1))
     return tri.join(top2, id_col).select(
         id_col,
         F.col("__n_tok").alias("n_tokens"),
         F.round(F.lit(2) * F.col("__top_bi") / F.col("__n_tok"), 4).alias("top2_frac"),
-        F.round(F.lit(1) - F.col("__tri_distinct") / F.col("__tri_total"), 4).alias("dup3_frac"),
+        F.round(F.lit(1) - F.col("__tri_distinct") / tri_total, 4).alias("dup3_frac"),
     )
 
 
