@@ -830,7 +830,16 @@ def tpcds_q72(spark, sf_dir):
         F.col("l_shipdate").alias("s_d"),
         F.col("l_quantity").alias("s_q"),
     )
-    inv = li.select(
+    # Round 16 (guide §2.3 — shuffle fewer bytes): the join conditions
+    # imply i_d ∈ (s_d, s_d+7d] with s_d ∈ [1996-01-01, 1997-01-01), so
+    # every matching inventory row has i_d in (1996-01-01, 1997-01-08].
+    # Spark cannot derive range transitivity through interval arithmetic,
+    # so the implied predicate is written out — it pushes into the parquet
+    # scan and cuts the shuffled inv side from all seven years to one.
+    inv = li.where(
+        (F.col("l_shipdate") > _ntz("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") <= _ntz("1997-01-08 00:00:00"))
+    ).select(
         F.col("l_partkey").alias("i_pk"),
         F.col("l_shipdate").alias("i_d"),
         F.col("l_quantity").alias("i_q"),
