@@ -27,8 +27,11 @@ Scale posture (100 TB of pairs):
 - lineage is truncated every round (localCheckpoint, or a reliable
   `checkpoint()` for preemptible clusters via ``reliable=True``) — without
   truncation the iterated plan re-executes from the source each round;
-- convergence is detected with ONE fingerprint job per round (count +
-  xxhash64 sum of the canonical edge set), not a full self-join diff.
+- convergence is detected with ONE probe job per round: the fixpoints of
+  SS∘LS are exactly the star forests, so the probe checks star-forest shape
+  directly (unique parents + no u↔v chains) and stops ON the converged
+  round — one full round earlier than the previous fingerprint-equality
+  stop, with no self-join diff.
 """
 
 from __future__ import annotations
@@ -39,16 +42,26 @@ from pyspark.sql import functions as F
 from duckdb_parachute_spark.operators.recursive import _truncate
 
 
-def _fingerprint(edges: DataFrame) -> tuple[int, int]:
-    """(count, order-independent hash-sum) of the edge set — equal
-    fingerprints on consecutive rounds signal a stable (converged) set."""
-    row = edges.agg(
+def _is_star_forest(edges: DataFrame) -> bool:
+    """One-job convergence probe (round 16): the fixpoints of SS∘LS are
+    EXACTLY the star forests rooted at star minima, and every small-star
+    output already orients u>v — so the edge set is converged iff every u
+    appears exactly once (single parent) and no u also appears as a v (no
+    chains). Both checks ride one job (two single-row aggregates
+    cross-joined); materializing the lazily-checkpointed round is its side
+    effect, exactly like the fingerprint probe this replaces. Compared to
+    the previous (count, hash-sum)-equality stop this detects convergence
+    ON the converged round instead of one full round later."""
+    stats = edges.agg(
         F.count(F.lit(1)).alias("c"),
-        # decimal(38,0) accumulator: a sum of int64 hashes overflows BIGINT
-        # under ANSI mode long before the edge count is interesting
-        F.coalesce(F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)).alias("h"),
-    ).collect()[0]
-    return int(row["c"]), int(row["h"])
+        F.count_distinct("u").alias("du"),
+    )
+    chained = (
+        edges.join(edges.select(F.col("v").alias("u")).distinct(), "u", "left_semi")
+        .agg(F.count(F.lit(1)).alias("bad"))
+    )
+    row = stats.crossJoin(chained).collect()[0]
+    return int(row["c"]) == int(row["du"]) and int(row["bad"]) == 0
 
 
 #: Unbounded min-over-neighborhood window: one exchange on u, no join back.
@@ -129,13 +142,10 @@ def connected_components(
         .distinct(),
         reliable,
     )
-    prev = None
     for _ in range(max_iterations):
         edges = _truncate(_small_star(_large_star(edges)), reliable)
-        fp = _fingerprint(edges)
-        if fp == prev:
+        if _is_star_forest(edges):
             break
-        prev = fp
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} rounds"
