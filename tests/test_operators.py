@@ -632,6 +632,71 @@ def test_connected_components_bridged_and_empty(spark):
     assert connected_components(empty, "a", "b").count() == 0
 
 
+def test_star_round_is_three_exchanges(spark):
+    # Round-16 optimization pin: one large-star+small-star round is exactly
+    # 3 data exchanges (LS window, SS window, SS distinct) — the window
+    # rewrite of the previous groupBy+join+distinct spelling (~7 exchanges).
+    from duckdb_parachute_spark.dedup.components import _large_star, _small_star
+    from duckdb_parachute_spark.plans import plan_stats
+
+    e0 = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long").localCheckpoint()
+    s = plan_stats(_small_star(_large_star(e0)))
+    assert s.shuffles <= 3, f"star round regressed to {s.shuffles} exchanges:\n{s.text}"
+
+
+def test_star_forest_probe(spark):
+    # Round-16 convergence probe: true exactly on star forests (unique
+    # parents, no u↔v chains) — the SS∘LS fixpoint shape.
+    from duckdb_parachute_spark.dedup.components import _is_star_forest
+
+    star = spark.createDataFrame([(2, 1), (3, 1), (5, 4)], "u long, v long")
+    assert _is_star_forest(star) is True
+    chain = spark.createDataFrame([(3, 2), (2, 1)], "u long, v long")
+    assert _is_star_forest(chain) is False
+    double_parent = spark.createDataFrame([(3, 1), (3, 2)], "u long, v long")
+    assert _is_star_forest(double_parent) is False
+    empty = spark.createDataFrame([], "u long, v long")
+    assert _is_star_forest(empty) is True
+
+
+def test_recursive_cte_batch_delta_checkpoint_matches_every(spark):
+    # Round-16 knob: batch-granular delta checkpointing must be value-
+    # neutral for projection steps (its documented use), at every unroll.
+    base = spark.createDataFrame([(1, 1)], "n long, s long")
+
+    def step(prev):
+        return prev.where(F.col("n") < 20).select(
+            (F.col("n") + 1).alias("n"), (F.col("s") + F.col("n") + 1).alias("s")
+        )
+
+    want = {(r["n"], r["s"]) for r in recursive_cte(base, step, union_all=True).collect()}
+    for unroll in (2, 4):
+        got = {
+            (r["n"], r["s"])
+            for r in recursive_cte(
+                base, step, union_all=True, max_unroll=unroll, delta_checkpoint="batch"
+            ).collect()
+        }
+        assert got == want
+    with pytest.raises(ValueError, match="delta_checkpoint"):
+        recursive_cte(base, step, delta_checkpoint="sometimes")
+
+
+def test_recursive_prefilter_gate_value_neutral(spark):
+    # Round-16 gate: skipping the history prefilter on exactly-counted
+    # small histories must not change UNION-semantics results (threshold 0
+    # forces the prefilter everywhere; the default skips it here).
+    base = spark.createDataFrame([(0,)], "node int")
+
+    def step(prev):
+        return prev.select(((F.col("node") + 7) % 5).alias("node"))
+
+    kw = dict(union_all=False, max_iterations=30)
+    want = {r["node"] for r in recursive_cte(base, step, prefilter_min_history_rows=0, **kw).collect()}
+    got = {r["node"] for r in recursive_cte(base, step, **kw).collect()}
+    assert got == want == {0, 1, 2, 3, 4}
+
+
 def test_pii_scrub_sequential_counts(spark):
     from duckdb_parachute_spark.functions.textfns import pii_scrub
 
