@@ -249,6 +249,7 @@ def embedding_neardup_pairs(
     allow_bruteforce: bool = False,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
     on_overflow: str = "warn",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs above `threshold`.
 
@@ -273,7 +274,14 @@ def embedding_neardup_pairs(
     bucket) and logs a warning naming the count and the side-channel;
     ``"error"`` raises instead; ``"ignore"`` restores the fully-lazy
     zero-extra-jobs plan for callers that run
-    :func:`embedding_neardup_overflow` themselves."""
+    :func:`embedding_neardup_overflow` themselves.
+
+    ``dim`` (round 17): optional fixed vector width. When given, the
+    per-pair dot product and per-row norms unroll to codegen'd arithmetic
+    (functions.vector.dot_product — bit-identical fold order; rows of any
+    other width fall back to the interpreted form). The per-PAIR
+    interpreted lambda was the hot loop at scale: O(pairs x dim)
+    CodegenFallback work."""
     if bucket_col is None and not allow_bruteforce:
         raise ValueError(
             "embedding_neardup_pairs without bucket_col is O(n²); pass a "
@@ -305,26 +313,48 @@ def embedding_neardup_pairs(
     # Round 16: hoist each vector's norm to a PER-ROW projection below the
     # join. array_cosine_similarity recomputes both norms per PAIR — in a
     # k-member bucket each row's norm is re-derived k-1 times, tripling the
-    # per-pair array-lambda work. dots/(n1*n2) below applies the exact same
+    # per-pair array-lambda work. cosine_from_norms applies the exact same
     # operations in the exact same order, so the cosine stays bit-identical
-    # to the oracle's list_cosine_similarity.
-    from duckdb_parachute_spark.functions.vector import _dots, _norm
+    # to the oracle's list_cosine_similarity (round 17: one public helper,
+    # shared with pairwise_knn — ADVICE r16).
+    from duckdb_parachute_spark.functions.vector import (
+        cosine_from_norms,
+        evaluate_once,
+        row_norm,
+    )
 
     keys = [bucket_col] if bucket_col else []
     a = df.select(
         *keys,
         F.col(id_col).alias("id1"),
         F.col(vec_col).alias("__v1"),
-        _norm(F.col(vec_col)).alias("__n1"),
+        row_norm(F.col(vec_col), dim).alias("__n1"),
     )
     b = df.select(
         *keys,
         F.col(id_col).alias("id2"),
         F.col(vec_col).alias("__v2"),
-        _norm(F.col(vec_col)).alias("__n2"),
+        row_norm(F.col(vec_col), dim).alias("__n2"),
     )
-    joined = a.join(b, keys) if keys else a.crossJoin(b)
-    sim = _dots(F.col("__v1"), F.col("__v2")) / (F.col("__n1") * F.col("__n2"))
+    # Round 17: pin the bucketed self-join to SHUFFLE-MERGE. Both sides are
+    # the same corpus — broadcasting a corpus is never right at scale, and
+    # locally the size estimate (post-r17 the assign plan is a bare
+    # scan→project, so it LOOKS tiny) flips the planner to a broadcast join
+    # whose streamed side keeps the checkpoint's single input partition:
+    # the whole pair generation then runs in ONE task. The merge hint
+    # restores the designed shape — one exchange per side on the bucket
+    # key (Spark reuses it across the two identical sides), pair work
+    # spread over the shuffle partitions.
+    joined = a.join(b.hint("merge"), keys) if keys else a.crossJoin(b)
+    sim = cosine_from_norms(
+        F.col("__v1"), F.col("__v2"), F.col("__n1"), F.col("__n2"), dim
+    )
+    if dim is not None:
+        # evaluate the unrolled cosine ONCE, in a projection (not inside
+        # the join condition) — see functions.vector.evaluate_once for the
+        # measured why; the fold path keeps ordinary pushdown (its cost is
+        # the same either side of the join boundary).
+        sim = evaluate_once(sim)
     return (
         joined.where(F.col("id1") < F.col("id2"))
         .withColumn("cosine", sim)
@@ -390,32 +420,10 @@ def decontaminate(
     )
 
 
-def semantic_cluster_assign(
-    df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str, probes: int = 1
-) -> DataFrame:
-    """Assign each embedding to its nearest centroid by cosine (SemDeDup,
-    Abbas et al. 2023 — semantic dedup clusters the corpus first so the
-    quadratic pair search runs per-cluster, never corpus-wide).
-
-    Round 11 (VERDICT r10 item 3): ZERO-EXCHANGE assignment. The previous
-    crossJoin + row_number Window hash-exchanged k×N rows — a k× corpus
-    shuffle, a scale-killer at SemDeDup-realistic k. Now the k centroids
-    (tiny by construction, a bounded driver collect like the IVF seed path)
-    pack into ONE single-row array<struct> relation that broadcasts; the
-    per-row argmax is a higher-order-function scan of that array
-    (zip_with/aggregate dot product — the same vectorized cosine the pair
-    join uses), so the corpus is never multiplied and never shuffled: the
-    plan is LocalTableScan → BroadcastNestedLoopJoin → Project, no Exchange
-    (plan-pinned in tests/test_plans.py). Per-row cost is O(k·d); beyond
-    ~10k centroids an IVF-style coarse quantizer should prune candidates
-    first (similarity.ivf_*). Ties break to the lowest centroid_id
-    (ascending struct max over (sim, -cid)), deterministic and
-    SQL-replayable.
-
-    ``probes`` > 1 is MULTI-PROBE assignment (the SemDeDup paper's recall
-    mitigation for near-dups that straddle a cluster boundary): each row
-    lands in its top-``probes`` clusters — one extra generator (explode) in
-    the same zero-exchange plan, row growth exactly ×probes by design."""
+def _collect_centroids(centroids: DataFrame) -> list[tuple[int, list, float]]:
+    """Driver-collected (cid, vec, norm) triples, sorted by cid — the
+    bounded centroid snapshot both the assignment and the pair search key
+    their plans on."""
     rows = centroids.select(
         F.col("centroid_id").cast("long").alias("cid"),
         F.col("centroid").cast("array<double>").alias("vec"),
@@ -428,30 +436,109 @@ def semantic_cluster_assign(
             acc += x * x
         return acc**0.5
 
-    cents = sorted((r["cid"], r["vec"], _seq_norm(r["vec"])) for r in rows)
-    packed = df.sparkSession.createDataFrame(
-        [(cents,)], "__cents array<struct<cid:bigint,vec:array<double>,nrm:double>>"
-    )
-    row_nrm = F.sqrt(
-        F.aggregate(
-            F.col(vec_col), F.lit(0.0), lambda a, v: a + v.cast("double") * v.cast("double")
-        )
-    )
-    sims = F.transform(
-        "__cents",
-        lambda c: F.struct(
-            (
-                F.aggregate(
-                    F.zip_with(F.col(vec_col), c["vec"], lambda x, y: x.cast("double") * y),
-                    F.lit(0.0),
-                    lambda a, v: a + v,
+    return sorted((r["cid"], list(r["vec"]), _seq_norm(r["vec"])) for r in rows)
+
+
+def _centroid_dim(cents: list[tuple[int, list, float]]) -> int | None:
+    """The common vector width, when every collected centroid shares one."""
+    dims = {len(v) for _, v, _ in cents}
+    return dims.pop() if len(dims) == 1 else None
+
+
+#: Total unrolled multiply terms (k centroids x dim) above which the argmax
+#: keeps the packed higher-order plan: beyond this the generated projection's
+#: compile cost outgrows the interpreted-walk saving (and the docstring
+#: already routes >10k-centroid workloads to an IVF prefilter).
+_MAX_ASSIGN_UNROLL = 8192
+
+
+def semantic_cluster_assign(
+    df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str, probes: int = 1
+) -> DataFrame:
+    """Assign each embedding to its nearest centroid by cosine (SemDeDup,
+    Abbas et al. 2023 — semantic dedup clusters the corpus first so the
+    quadratic pair search runs per-cluster, never corpus-wide).
+
+    Round 11 (VERDICT r10 item 3): ZERO-EXCHANGE assignment — the k
+    centroids are a bounded driver collect (like the IVF seed path), so the
+    corpus is never multiplied and never shuffled. Round 17: when every
+    centroid shares one vector width (the normal case) the per-row argmax
+    is UNROLLED into codegen'd literal arithmetic — k dot products of
+    ``lit(0.0) + v[i]*c_i`` terms — instead of a packed array<struct>
+    broadcast walked by interpreted higher-order functions
+    (zip_with/aggregate are CodegenFallback). Values are bit-identical:
+    same products, same left-to-right fold, same (sim, -cid) struct argmax.
+    Mixed-width/oversized centroid sets (k x dim > _MAX_ASSIGN_UNROLL) keep
+    the packed plan. Per-row cost is O(k·d); beyond ~10k centroids an
+    IVF-style coarse quantizer should prune candidates first
+    (similarity.ivf_*). Ties break to the lowest centroid_id (ascending
+    struct max over (sim, -cid)), deterministic and SQL-replayable.
+
+    ``probes`` > 1 is MULTI-PROBE assignment (the SemDeDup paper's recall
+    mitigation for near-dups that straddle a cluster boundary): each row
+    lands in its top-``probes`` clusters — one extra generator (explode) in
+    the same zero-exchange plan, row growth exactly ×probes by design."""
+    return _cluster_assign(df, _collect_centroids(centroids), id_col, vec_col, probes)
+
+
+def _cluster_assign(
+    df: DataFrame,
+    cents: list[tuple[int, list, float]],
+    id_col: str,
+    vec_col: str,
+    probes: int = 1,
+) -> DataFrame:
+    from duckdb_parachute_spark.functions.vector import dot_product, row_norm
+
+    dim = _centroid_dim(cents)
+    if cents and dim and len(cents) * dim <= _MAX_ASSIGN_UNROLL:
+        # Unrolled codegen path: centroids become literal arrays (F.get on a
+        # foldable array constant-folds to the element literal), the row
+        # norm unrolls via row_norm's dim hint; rows of any other width fall
+        # back to the interpreted fold INSIDE dot_product/row_norm, so the
+        # packed plan's zip_with padding semantics are preserved exactly.
+        row_nrm = row_norm(F.col(vec_col), dim)
+        sims = F.array(
+            *[
+                F.struct(
+                    (
+                        dot_product(
+                            F.col(vec_col),
+                            F.array(*[F.lit(float(x)) for x in vec]),
+                            dim,
+                        )
+                        / (row_nrm * F.lit(float(nrm)))
+                    ).alias("sim"),
+                    F.lit(-cid).alias("negcid"),
                 )
-                / (row_nrm * c["nrm"])
-            ).alias("sim"),
-            (-c["cid"]).alias("negcid"),
-        ),
-    )
-    scored = df.select(id_col, vec_col).crossJoin(F.broadcast(packed))
+                for cid, vec, nrm in cents
+            ]
+        )
+        scored = df.select(id_col, vec_col)
+    else:
+        packed = df.sparkSession.createDataFrame(
+            [(cents,)], "__cents array<struct<cid:bigint,vec:array<double>,nrm:double>>"
+        )
+        row_nrm = F.sqrt(
+            F.aggregate(
+                F.col(vec_col), F.lit(0.0), lambda a, v: a + v.cast("double") * v.cast("double")
+            )
+        )
+        sims = F.transform(
+            "__cents",
+            lambda c: F.struct(
+                (
+                    F.aggregate(
+                        F.zip_with(F.col(vec_col), c["vec"], lambda x, y: x.cast("double") * y),
+                        F.lit(0.0),
+                        lambda a, v: a + v,
+                    )
+                    / (row_nrm * c["nrm"])
+                ).alias("sim"),
+                (-c["cid"]).alias("negcid"),
+            ),
+        )
+        scored = df.select(id_col, vec_col).crossJoin(F.broadcast(packed))
     if probes <= 1:
         return scored.withColumn("__best", F.array_max(sims)).select(
             id_col, vec_col, (-F.col("__best.negcid")).alias("centroid_id")
@@ -488,9 +575,12 @@ def semantic_dup_pairs(
     # materialize the assignment ONCE (lazy localCheckpoint, the repo's
     # snapshot-once pattern): without it Catalyst recomputes the argmax
     # scan for EACH self-join side — at 100 TB that is two extra corpus
-    # passes for nothing
-    assigned = semantic_cluster_assign(
-        df, centroids, id_col, vec_col, probes=probes
+    # passes for nothing. The centroids are collected ONCE and their common
+    # width feeds the pair search's dim hint (round 17 — the per-pair dot
+    # unroll), so the hot join-side cosine runs in generated code.
+    cents = _collect_centroids(centroids)
+    assigned = _cluster_assign(
+        df, cents, id_col, vec_col, probes=probes
     ).localCheckpoint(eager=False)
     return embedding_neardup_pairs(
         assigned,
@@ -500,4 +590,5 @@ def semantic_dup_pairs(
         bucket_col="centroid_id",
         max_bucket_size=max_bucket_size,
         on_overflow=on_overflow,
+        dim=_centroid_dim(cents),
     )

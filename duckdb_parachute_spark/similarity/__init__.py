@@ -185,13 +185,19 @@ def pairwise_knn(
     vec_col: str = "embedding",
     bucket_col: str | None = None,
     allow_bruteforce: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """k nearest neighbors for every vector (within optional buckets).
 
     Without a bucket column this is the O(n²) brute-force building block, so
     the unbucketed form must be requested explicitly with
     ``allow_bruteforce=True`` — callers at scale must provide bucketing
-    (LSH/IVF partition) instead of silently cross-joining the corpus."""
+    (LSH/IVF partition) instead of silently cross-joining the corpus.
+
+    ``dim`` (round 17): optional fixed vector width — unrolls the per-pair
+    dot product and per-row norms to codegen (functions.vector.dot_product,
+    bit-identical fold order; other-width rows fall back to the interpreted
+    form)."""
     if bucket_col is None and not allow_bruteforce:
         raise ValueError(
             "pairwise_knn without bucket_col is O(n²); pass a bucket_col "
@@ -200,25 +206,34 @@ def pairwise_knn(
         )
     # Per-row norm hoist (round 16, same as embedding_neardup_pairs): the
     # cosine's two norms move below the join so each row's norm is computed
-    # once, not once per pair — dots/(n1*n2) in the same operation order
-    # keeps the value bit-identical.
-    from duckdb_parachute_spark.functions.vector import _dots, _norm
+    # once, not once per pair — cosine_from_norms (one shared helper,
+    # ADVICE r16) applies the same operation order, so the value stays
+    # bit-identical.
+    from duckdb_parachute_spark.functions.vector import cosine_from_norms, row_norm
 
     keys = [bucket_col] if bucket_col else []
     a = df.select(
         *keys,
         F.col(id_col).alias("id1"),
         F.col(vec_col).alias("__v1"),
-        _norm(F.col(vec_col)).alias("__n1"),
+        row_norm(F.col(vec_col), dim).alias("__n1"),
     )
     b = df.select(
         *keys,
         F.col(id_col).alias("id2"),
         F.col(vec_col).alias("__v2"),
-        _norm(F.col(vec_col)).alias("__n2"),
+        row_norm(F.col(vec_col), dim).alias("__n2"),
     )
-    joined = (a.join(b, keys) if keys else a.crossJoin(b)).where(F.col("id1") != F.col("id2"))
-    sim = (_dots(F.col("__v1"), F.col("__v2")) / (F.col("__n1") * F.col("__n2"))).alias("cosine")
+    # merge-hint the bucketed self-join for the same reason as
+    # embedding_neardup_pairs (round 17): both sides are the corpus, and a
+    # locally-estimated broadcast join would serialize the pair work onto
+    # the streamed side's (often single) input partition.
+    joined = (a.join(b.hint("merge"), keys) if keys else a.crossJoin(b)).where(
+        F.col("id1") != F.col("id2")
+    )
+    sim = cosine_from_norms(
+        F.col("__v1"), F.col("__v2"), F.col("__n1"), F.col("__n2"), dim
+    ).alias("cosine")
     w = Window.partitionBy("id1").orderBy(F.desc("cosine"), F.col("id2"))
     return (
         joined.select("id1", "id2", sim)

@@ -393,6 +393,103 @@ def test_bruteforce_guards_raise(spark):
     assert pairwise_knn(df, 1, allow_bruteforce=True).count() == 2
 
 
+def test_unrolled_dot_bit_identical_to_fold(spark):
+    """Round 17 (VERDICT r16 next #2): dot_product/row_norm with a dim hint
+    unroll to codegen'd arithmetic; the value must be BIT-identical to the
+    interpreted zip_with/aggregate fold (same products, same left-to-right
+    order) — the oracle hash of every cosine consumer depends on it. Rows
+    whose width differs from the hint (and null arrays) must take the fold
+    fallback."""
+    from duckdb_parachute_spark.functions.vector import (
+        _dots,
+        _norm,
+        dot_product,
+        row_norm,
+    )
+
+    df = spark.range(0, 50).select(
+        F.col("id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: (F.sin(F.col("id") * (i + 1)) * 1e3).cast("float"),
+        ).alias("v"),
+    )
+    a = df.select(F.col("id").alias("i1"), F.col("v").alias("v1"))
+    b = df.select(F.col("id").alias("i2"), F.col("v").alias("v2"))
+    p = a.crossJoin(b).where(F.col("i1") < F.col("i2"))
+    bad = p.where(
+        (_dots(F.col("v1"), F.col("v2")) != dot_product(F.col("v1"), F.col("v2"), 16))
+        | (_norm(F.col("v1")) != row_norm(F.col("v1"), 16))
+    ).count()
+    assert bad == 0
+    # wrong-width rows route through the fold (guard false), same value
+    short = df.select(F.slice("v", 1, 7).alias("v"))
+    assert short.where(_norm(F.col("v")) != row_norm(F.col("v"), 16)).count() == 0
+    # null array stays null
+    n = spark.sql("SELECT CAST(NULL AS array<float>) AS v")
+    assert n.select(dot_product(F.col("v"), F.col("v"), 16).alias("d")).collect()[0]["d"] is None
+
+
+def test_neardup_pairs_dim_hint_matches_fold(spark):
+    """Round 17: embedding_neardup_pairs with a dim hint (unrolled cosine
+    behind the evaluate_once barrier, merge-hinted self-join) must return
+    exactly the rows and cosines of the dim-less fold plan."""
+    from duckdb_parachute_spark.dedup import embedding_neardup_pairs
+
+    df = spark.range(0, 60).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 4).alias("label"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: (F.cos(F.col("id") + i * 2) + 1.0).cast("float"),
+        ).alias("embedding"),
+    )
+    kw = dict(bucket_col="label", on_overflow="ignore")
+    fast = embedding_neardup_pairs(df, "vec_id", "embedding", 0.9, dim=8, **kw)
+    slow = embedding_neardup_pairs(df, "vec_id", "embedding", 0.9, **kw)
+    got_f = sorted(map(tuple, fast.collect()))
+    got_s = sorted(map(tuple, slow.collect()))
+    assert got_f == got_s and len(got_f) > 0
+    # the threshold filter must sit ABOVE the join, not inside its
+    # condition (the barrier's whole purpose)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+
+
+def test_cluster_assign_unrolled_matches_packed(spark):
+    """Round 17: the unrolled literal-arithmetic argmax must agree with the
+    packed higher-order fallback row-for-row (single-probe and multi-probe),
+    and mixed-width centroid sets must still route to the packed plan."""
+    from duckdb_parachute_spark import dedup as D
+
+    df = spark.range(0, 120).select(
+        F.col("id").alias("vid"),
+        F.array(
+            (F.col("id") % 7).cast("double"),
+            (F.col("id") % 5).cast("double"),
+            (F.col("id") % 3 + 1).cast("double"),
+        ).alias("emb"),
+    )
+    cents_df = spark.createDataFrame(
+        [(0, [1.0, 0.5, 0.0]), (1, [0.0, 1.0, 0.25]), (2, [0.5, 0.0, 1.0])],
+        "centroid_id long, centroid array<double>",
+    )
+    cents = D._collect_centroids(cents_df)
+    for probes in (1, 2):
+        unrolled = D._cluster_assign(df, cents, "vid", "emb", probes=probes)
+        import unittest.mock as _mock
+
+        with _mock.patch.object(D, "_MAX_ASSIGN_UNROLL", 0):
+            packed = D._cluster_assign(df, cents, "vid", "emb", probes=probes)
+        got_u = sorted((r["vid"], r["centroid_id"]) for r in unrolled.collect())
+        got_p = sorted((r["vid"], r["centroid_id"]) for r in packed.collect())
+        assert got_u == got_p
+    # mixed widths -> no common dim -> packed fallback plan (join present)
+    mixed = cents + [(9, [1.0, 2.0], 2.23606797749979)]
+    plan = D._cluster_assign(df, mixed, "vid", "emb")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
 def test_simhash_bits_portable(spark):
     from duckdb_parachute_spark.dedup import simhash_bits
     from duckdb_parachute_spark.functions.metrics import hamming_str

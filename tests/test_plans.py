@@ -560,8 +560,11 @@ def test_bigram_counts_partial_aggregate(no_aqe, spark, sf_dir):
 def test_semantic_assign_zero_exchange_plan(spark):
     """Round-11 (VERDICT r10 item 3): the SemDeDup cluster-assignment stage
     must not shuffle the corpus — the old crossJoin+Window argmax exchanged
-    k×N rows. The rewritten plan is LocalTableScan(packed centroids) →
-    BroadcastNestedLoopJoin → Project: ZERO Exchange nodes anywhere."""
+    k×N rows. Round 17: for a fixed common centroid width the argmax is
+    UNROLLED into codegen'd literal arithmetic, so the plan is scan →
+    Project — ZERO Exchange nodes AND no join node at all (the packed
+    BroadcastNestedLoopJoin remains only as the mixed-width/oversized
+    fallback)."""
     from pyspark.sql import functions as F
 
     from duckdb_parachute_spark.dedup import semantic_cluster_assign
@@ -580,11 +583,11 @@ def test_semantic_assign_zero_exchange_plan(spark):
     )
     assigned = semantic_cluster_assign(df, cents, "vid", "emb")
     plan = assigned._jdf.queryExecution().executedPlan().toString()
-    # BroadcastExchange of the single packed-centroid row is fine (that IS
-    # the design); what must be absent is any SHUFFLE of the corpus
+    # round 17: the fixed-width unrolled argmax needs no join of any kind —
+    # the centroids are literals in the projection
     for shuffle in ("Exchange hashpartitioning", "Exchange rangepartitioning", "Exchange SinglePartition"):
         assert shuffle not in plan, plan
-    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Window" not in plan, plan
     # and it computes the right argmax (tie → lowest centroid_id)
     got = {r["vid"]: r["centroid_id"] for r in assigned.collect()}
