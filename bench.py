@@ -89,18 +89,66 @@ def main() -> None:
     from duckdb_parachute_spark.session import scaled_adaptive, scaled_shuffle_partitions
     from duckdb_parachute_spark.workload import load_all
 
+    # BENCH_SCALE=N (round 17, VERDICT r16 next #1 — the scaling contract):
+    # at sf0.1 the suite is scheduling-floor-bound (~26 x 0.06-0.1 s), so an
+    # 8-vs-32-core comparison measures the floor, not parallelism. With
+    # BENCH_SCALE=N the SAME suite runs with the SAME methodology over a
+    # factor-N replica of $SPARK_GRAFT_SF_DIR (testkit.scaleup — the
+    # deterministic generator scripts/scale_measure.py has used since round
+    # 6), where per-query work dominates the floor and the core-count ratio
+    # becomes falsifiable. Data generation happens OUTSIDE the timed region
+    # in its own session (and is reused across runs — it is input data, not
+    # a computed result; every timed query still computes from parquet).
+    # Timing-only addition: default (unset/1) behavior is byte-identical,
+    # and scale-mode output never reports DuckDB-baseline ratios (the basis
+    # is 1x) — it carries an explicit "scale" key instead.
+    scale = int(os.environ.get("BENCH_SCALE", "1") or "1")
+    base_sf_dir = sf_dir
+    if scale > 1:
+        from duckdb_parachute_spark.testkit.scaleup import generate_scaled
+
+        gen = get_session(app_name="parachute-bench-scalegen", master=f"local[{cpus}]")
+        sf_dir = generate_scaled(gen, sf_dir, scale, reuse=True)
+        gen.stop()
+
+    extra_conf = {
+        # AQE sized to the data (round 8): each AQE exchange
+        # materialization costs a driver scheduling round; below ~2 GiB it
+        # has nothing to adapt (partitions already data-sized, dims already
+        # broadcast-hinted) and costs ~11 % of suite wall. ≥2 GiB → on.
+        "spark.sql.adaptive.enabled": scaled_adaptive(sf_dir)
+    }
+    if scale > 1:
+        # Scale mode measures PARALLELISM, so the input split count must
+        # exceed every tested core count — at 10x sf0.1 the default 128 MB
+        # splits give lineitem only ~6 scan tasks, and an 8-vs-32-core
+        # comparison measures the split count, not the cores (at 100 TB
+        # splits >> cores holds naturally; this recreates that regime).
+        # FIXED 16 MB for every scale run — identical layout at every core
+        # count, so cores are the only variable between runs.
+        extra_conf["spark.sql.files.maxPartitionBytes"] = str(16 * 2**20)
+        # CPU-dense compressed inputs (the word-salted documents: tons of
+        # md5 work per compressed byte) still collapse to a handful of
+        # splits by size alone; a FIXED split-count floor keeps every scan
+        # wider than the tested core counts.
+        extra_conf["spark.sql.files.minPartitionNum"] = "64"
+    # Shuffle parallelism: the 64 MB/partition dial is sized to compressed
+    # bytes, which undersells row counts on replicated zstd data (30x sf0.1
+    # is 450 MB -> 8 partitions, fewer than the tested core counts). Scale
+    # mode floors it at 64 — a FIXED value for every core count, so the
+    # 8-vs-32 comparison varies cores only (at 100 TB partitions >> cores
+    # holds naturally; default mode is untouched).
+    nshuffle = scaled_shuffle_partitions(sf_dir)
+    if scale > 1:
+        nshuffle = max(64, nshuffle)
     spark = get_session(
         app_name="parachute-bench",
         master=f"local[{cpus}]",
         # ~64 MB of input per shuffle partition: fuller partitions at bench
         # scale (scheduling floor dominates below that), AQE-coalesced
         # thousands at 100 TB — same dial, data-sized (session.py).
-        shuffle_partitions=scaled_shuffle_partitions(sf_dir),
-        # AQE sized to the data too (round 8): each AQE exchange
-        # materialization costs a driver scheduling round; below ~2 GiB it
-        # has nothing to adapt (partitions already data-sized, dims already
-        # broadcast-hinted) and costs ~11 % of suite wall. ≥2 GiB → on.
-        extra_conf={"spark.sql.adaptive.enabled": scaled_adaptive(sf_dir)},
+        shuffle_partitions=nshuffle,
+        extra_conf=extra_conf,
     )
     qs = load_all()
     names = [n for n in HEADLINE if n in qs] + [
@@ -261,7 +309,7 @@ def main() -> None:
         time.sleep(5)
         calib = _settled_calib()
 
-    m = re.search(r"sf([\d.]+)", sf_dir)
+    m = re.search(r"sf([\d.]+)", base_sf_dir)
     sf = float(m.group(1)) if m else None
     total = round(sum(timings.values()), 3)
     # Per-query DuckDB baseline (round 10, VERDICT r9 item 2 + ADVICE): the
@@ -296,16 +344,28 @@ def main() -> None:
             "the reference after retries; wall numbers overstate query cost",
             file=sys.stderr,
         )
+    if scale > 1:
+        # scale mode is self-describing and never ratio'd: the recorded
+        # DuckDB basis is 1x, the data is N x.
+        out["scale"] = scale
+        out["base_sf_dir"] = base_sf_dir
     basis_total = sum(base_q.get(n, 0.0) for n in timings)
-    if missing or not same_sf or basis_total <= 0:
+    if missing or not same_sf or basis_total <= 0 or scale > 1:
         # basis_total == 0 happens only for BENCH_ONLY subsets whose every
         # member has a ~free DuckDB basis (e.g. a constant-SELECT oracle):
         # a ratio over a zero basis is undefined, not infinite (round 16 —
         # this was a ZeroDivisionError).
+        # ADVICE r16: an empty timings dict (no queries ran, e.g. a
+        # BENCH_ONLY filter matching nothing) is reported as such rather
+        # than as a "zero basis".
         out["baseline_missing"] = (
-            missing
+            f"scale={scale}x data; 1x DuckDB basis not comparable"
+            if scale > 1
+            else missing
             if missing
-            else (f"baseline is sf={baseline.get('sf')}" if not same_sf else "zero basis")
+            else f"baseline is sf={baseline.get('sf')}"
+            if not same_sf
+            else ("no queries ran" if not timings else "zero basis")
         )
         print(f"# WARNING: no ratios — baseline mismatch: {out['baseline_missing']}", file=sys.stderr)
     else:

@@ -189,6 +189,26 @@ def _lazy_accent_tables() -> tuple[str, str, list[tuple[str, str]]]:
     global _ACCENT_TABLES
     if _ACCENT_TABLES is None:
         _check_unidata_version()
+        # Round 17 (first-run latency): the tables are precomputed into a
+        # generated module (scripts/gen_accent_fold_data.py) because the
+        # live derivation scans all 0x110000 codepoints (~1.2 s of driver
+        # Python per process). The generated module carries its own
+        # unidata pin; on ANY mismatch (or a missing module) fall back to
+        # the live derivation — same loud-version-check contract as before.
+        try:
+            import unicodedata
+
+            from duckdb_parachute_spark.functions import accent_fold_data as _afd
+
+            if _afd.UNIDATA_VERSION == unicodedata.unidata_version:
+                _ACCENT_TABLES = (
+                    _afd.ACC_SRC,
+                    _afd.ACC_DST,
+                    [tuple(p) for p in _afd.ASTRAL],
+                )
+                return _ACCENT_TABLES
+        except ImportError:
+            pass
         _ACCENT_TABLES = _accent_tables()
     return _ACCENT_TABLES
 

@@ -166,6 +166,14 @@ def recursive_cte(
     """
     if delta_checkpoint not in ("every", "batch"):
         raise ValueError(f"delta_checkpoint must be 'every' or 'batch', got {delta_checkpoint!r}")
+    if delta_checkpoint == "batch" and not union_all:
+        # ADVICE r16: UNION mode always checkpoints every delta (its
+        # exceptAll plans must not chain across steps) — a caller passing
+        # the batch knob there would silently get "every" behavior.
+        raise ValueError(
+            "delta_checkpoint='batch' is UNION ALL only (union_all=True); "
+            "UNION-mode deltas must checkpoint every step"
+        )
     spark = base.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 

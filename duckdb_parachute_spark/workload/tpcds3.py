@@ -1090,28 +1090,44 @@ def tpcds_q83(spark, sf_dir):
         .distinct()
     )
     p = load_table(spark, sf_dir, "part")
+    # Round 17 (VERDICT r16 next #4 — the q2 pattern, guide §2.4): the three
+    # return channels used to be three separate aggregates over the SAME
+    # filtered fact subtree — three lineitem scans, three part joins, three
+    # shuffles on p_brand, then a three-way self-join on item. One pass with
+    # channel-conditional sums computes all three columns from a single
+    # scan/join/shuffle. The channels' union implies l_returnflag ∈ (R, A),
+    # which now pushes into the parquet scan. Inner-join existence semantics
+    # are preserved exactly: sum(CASE WHEN channel ...) is NULL iff the
+    # brand has no rows in that channel (sum ignores the CASE's nulls), so
+    # requiring all three non-null equals the old r1⋈r2⋈r3; the per-channel
+    # long sums are integer arithmetic — order-independent, bit-identical.
     base = (
-        li.where(F.year("l_shipdate") == 1996)
+        li.where(
+            (F.year("l_shipdate") == 1996) & F.col("l_returnflag").isin("R", "A")
+        )
         .join(F.broadcast(wks), F.weekofyear("l_shipdate") == F.col("w"), "left_semi")
         .join(maybe_broadcast(p, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
     )
+    qty = F.col("l_quantity").cast("long")
+    rf, ls = F.col("l_returnflag"), F.col("l_linestatus")
 
-    def chan(pred, tag):
-        return (
-            base.where(pred)
-            .groupBy(F.col("p_brand").alias(f"item{tag}"))
-            .agg(F.sum(F.col("l_quantity").cast("long")).alias(f"qty{tag}"))
-        )
+    def chan_sum(pred, tag):
+        return F.sum(F.when(pred, qty)).alias(f"qty{tag}")
 
-    r1 = chan((F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "F"), "1")
-    r2 = chan((F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "O"), "2")
-    r3 = chan(F.col("l_returnflag") == "A", "3")
+    agg = base.groupBy(F.col("p_brand").alias("item")).agg(
+        chan_sum((rf == "R") & (ls == "F"), "1"),
+        chan_sum((rf == "R") & (ls == "O"), "2"),
+        chan_sum(rf == "A", "3"),
+    )
     tot = F.col("qty1") + F.col("qty2") + F.col("qty3")
     return (
-        r1.join(r2, F.col("item1") == F.col("item2"))
-        .join(r3, F.col("item1") == F.col("item3"))
+        agg.where(
+            F.col("qty1").isNotNull()
+            & F.col("qty2").isNotNull()
+            & F.col("qty3").isNotNull()
+        )
         .select(
-            F.col("item1").alias("item"),
+            "item",
             "qty1",
             "qty2",
             "qty3",

@@ -19,7 +19,6 @@ Prints a markdown table for BASELINE.md. Writes the synthetic data under
 from __future__ import annotations
 
 import os
-import shutil
 import sys
 import time
 
@@ -261,87 +260,14 @@ RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 
 
 def generate(spark) -> None:
-    from pyspark.sql import functions as F
+    # Round 17: the generator moved to testkit.scaleup (shared with
+    # bench.py's BENCH_SCALE mode — VERDICT r16 next #1); the data shape
+    # (key-shifted facts, word-salted documents, 1x dims) is unchanged.
+    from duckdb_parachute_spark.testkit.scaleup import generate_scaled
 
-    from duckdb_parachute_spark.catalog import load_table
-
-    if os.path.exists(OUT):
-        if os.environ.get("SCALE_REUSE") == "1" and os.path.exists(
-            os.path.join(OUT, "documents.parquet")
-        ):
-            print(f"reusing existing {OUT} (SCALE_REUSE=1)", file=sys.stderr)
-            return
-        shutil.rmtree(OUT)
-    os.makedirs(OUT, exist_ok=True)
-    copies = list(range(FACTOR))
-
-    # Facts replicate with shifted keys (distinct entities per copy, same
-    # per-key row counts — the realistic scale-up shape); dims stay 1x.
-    li = load_table(spark, SRC, "lineitem")
-    max_ok = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
-    li_n = None
-    ev = load_table(spark, SRC, "events")
-    max_ev = ev.agg(F.max("event_id")).collect()[0][0] + 1
-    docs = load_table(spark, SRC, "documents")
-    max_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
-
-    for i in copies:
-        part_li = li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * max_ok))
-        li_n = part_li if li_n is None else li_n.unionAll(part_li)
-    li_n.write.mode("overwrite").parquet(os.path.join(OUT, "lineitem.parquet"))
-
-    # Orders replicate with the SAME key shift as lineitem so the big-big
-    # join (h2o_join_big_big) matches across every copy — both join sides
-    # scale by FACTOR, the realistic shape for a fact-fact join.
-    o = load_table(spark, SRC, "orders")
-    o_n = None
-    for i in copies:
-        p = o.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * max_ok))
-        o_n = p if o_n is None else o_n.unionAll(p)
-    o_n.write.mode("overwrite").parquet(os.path.join(OUT, "orders.parquet"))
-
-    # Embeddings replicate with shifted ids (vectors repeat — buckets get
-    # FACTOR× denser, which is exactly the pressure an ANN probe faces at
-    # scale); vec_id 0 keeps a single copy so the probe query stays valid.
-    emb = load_table(spark, SRC, "embeddings")
-    max_vec = emb.agg(F.max("vec_id")).collect()[0][0] + 1
-    e_n = None
-    for i in copies:
-        p = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * max_vec)) if i else emb
-        e_n = p if e_n is None else e_n.unionAll(p)
-    e_n.write.mode("overwrite").parquet(os.path.join(OUT, "embeddings.parquet"))
-
-    ev_n = None
-    for i in copies:
-        p = ev.withColumn("event_id", F.col("event_id") + F.lit(i * max_ev)).withColumn(
-            "user_id", F.col("user_id") + F.lit(i * 1000)
-        )
-        ev_n = p if ev_n is None else ev_n.unionAll(p)
-    ev_n.write.mode("overwrite").parquet(os.path.join(OUT, "events.parquet"))
-
-    # Word-salt each copy's text: every token gets a copy suffix, so shingle
-    # sets across copies are disjoint (cross-copy Jaccard = 0) and the
-    # near-dup pair count scales LINEARLY with the factor instead of
-    # quadratically pairing identical replicas.
-    d_n = None
-    for i in copies:
-        p = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * max_doc)).withColumn(
-            "text",
-            F.array_join(
-                F.transform(
-                    F.split(F.col("text"), " "), lambda w: F.concat(w, F.lit(f"_{i}"))
-                ),
-                " ",
-            ),
-        )
-        d_n = p if d_n is None else d_n.unionAll(p)
-    d_n.write.mode("overwrite").parquet(os.path.join(OUT, "documents.parquet"))
-
-    for t in TABLES:
-        dst = os.path.join(OUT, f"{t}.parquet")
-        if not os.path.exists(dst):
-            src = os.path.join(SRC, f"{t}.parquet")
-            (shutil.copytree if os.path.isdir(src) else shutil.copy)(src, dst)
+    generate_scaled(
+        spark, SRC, FACTOR, out_dir=OUT, reuse=os.environ.get("SCALE_REUSE") == "1"
+    )
 
 
 def time_spark(spark, sf_dir: str) -> dict[str, float]:

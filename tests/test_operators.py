@@ -733,12 +733,15 @@ def test_star_round_is_three_exchanges(spark):
     # Round-16 optimization pin: one large-star+small-star round is exactly
     # 3 data exchanges (LS window, SS window, SS distinct) — the window
     # rewrite of the previous groupBy+join+distinct spelling (~7 exchanges).
+    # ADVICE r16: pin == 3, not <= 3, so the pin and its docstring agree —
+    # a plan that DROPS an exchange must also be value-audited, not slide
+    # through a loose ceiling.
     from duckdb_parachute_spark.dedup.components import _large_star, _small_star
     from duckdb_parachute_spark.plans import plan_stats
 
     e0 = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long").localCheckpoint()
     s = plan_stats(_small_star(_large_star(e0)))
-    assert s.shuffles <= 3, f"star round regressed to {s.shuffles} exchanges:\n{s.text}"
+    assert s.shuffles == 3, f"star round changed to {s.shuffles} exchanges:\n{s.text}"
 
 
 def test_star_forest_probe(spark):
@@ -777,6 +780,10 @@ def test_recursive_cte_batch_delta_checkpoint_matches_every(spark):
         assert got == want
     with pytest.raises(ValueError, match="delta_checkpoint"):
         recursive_cte(base, step, delta_checkpoint="sometimes")
+    # ADVICE r16: UNION mode would silently degrade 'batch' to 'every' —
+    # must refuse loudly instead
+    with pytest.raises(ValueError, match="UNION ALL only"):
+        recursive_cte(base, step, union_all=False, delta_checkpoint="batch")
 
 
 def test_recursive_prefilter_gate_value_neutral(spark):

@@ -119,6 +119,22 @@ def test_collation_key_matches_duckdb(spark, oracle, values):
     assert s == d
 
 
+def test_frozen_accent_tables_match_live_derivation():
+    """Round 17: the precomputed accent_fold_data module (first-run latency
+    fix) must stay byte-identical to the live unicodedata derivation it
+    snapshots — a stale regeneration would silently break utf8proc parity."""
+    from duckdb_parachute_spark.functions import accent_fold_data as afd
+    from duckdb_parachute_spark.functions.metrics import _accent_tables
+
+    import unicodedata
+
+    assert afd.UNIDATA_VERSION == unicodedata.unidata_version
+    src, dst, astral = _accent_tables()
+    assert afd.ACC_SRC == src
+    assert afd.ACC_DST == dst
+    assert [tuple(p) for p in afd.ASTRAL] == [tuple(p) for p in astral]
+
+
 def test_strip_accents_full_plane_parity(spark, oracle):
     """strip_accents matches DuckDB's utf8proc semantics across EVERY plane
     (round-6 VERDICT item 9): a systematic sweep of BMP + supplementary
