@@ -30,10 +30,12 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from duckdb_parachute_spark import get_session
-    from duckdb_parachute_spark.dedup.components import connected_components
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     spark = get_session(app_name="cc-skew", master=f"local[{cpus}]")
+    # import AFTER the session exists: components.py builds a module-level
+    # Window spec, which needs an active session
+    from duckdb_parachute_spark.dedup.components import connected_components
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
